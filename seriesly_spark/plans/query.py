@@ -1,0 +1,239 @@
+"""The seriesly query compiler: flat query params -> one DataFrame plan.
+
+The reference's only analytical query shape (``GET /db/_query``, reference
+handlers.go:113-227, query.go:240-299) is:
+
+    time-range scan -> tumbling time-bucket grouping -> JSON-Pointer field
+    extraction -> per-field reducer, with optional conjunctive equality
+    filters
+
+This module compiles those parameters into a single declarative DataFrame
+expression, and lets Catalyst do what the reference hand-builds with
+channels and goroutine pools:
+
+  * the time-range predicate lands on the scan (partition pruning + parquet
+    min/max skipping — the B-tree range walk analogue);
+  * all pointers are extracted in one pass (Catalyst collapses multiple
+    ``get_json_object`` over one column into a shared parse — the
+    ``jsonpointer.FindMany`` analogue, reference query.go:94-110);
+  * equality filters run before any aggregation (reference query.go:112-128);
+  * bucket aggregation is a partial+final hash aggregate (the per-bucket
+    map/reduce fan-out, reference query.go:147-217);
+  * rate reducers become a ``lead()`` window + re-bucket (operators/rate.py).
+
+Semantics pinned by the reference and preserved here:
+  * A bucket appears in the output iff at least one document exists in it
+    in-range — *before* equality filters (the reference derives buckets from
+    the doc-info walk, query.go:264-289, and only applies filters inside the
+    per-bucket processing, query.go:112-128). A bucket whose docs are all
+    filtered out still shows up with empty-input reducer results.
+  * Empty-input reducer results: sum/sumsq/c = 0.0, count = 0, max/min/avg
+    and c_min/c_avg/c_max = NULL, list reducers = [].
+  * Output is ordered by (series, bucket_ms) — a deterministic refinement
+    of the reference's bucket-completion-order streaming
+    (handlers.go:177-227; JSON objects are unordered anyway).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from dataclasses import dataclass, field as dc_field
+from datetime import datetime, timezone
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from seriesly_spark.functions.bucketing import bucket_ms_col
+from seriesly_spark.functions.coerce import go_fmt_scalar, is_structural, to_num
+from seriesly_spark.functions.jsonptr import extract_ptr
+from seriesly_spark.functions.timeparse import canonical_key, ts_ns_from_timestamp
+from seriesly_spark.operators.rate import rate_aggregate
+from seriesly_spark.operators.reducers import REDUCERS
+
+
+@dataclass
+class SerieslyQuery:
+    """Parameter struct mirroring the reference's queryIn (query.go:53-68)."""
+
+    group_ms: int
+    fields: list[tuple[str, str]]  # (json_pointer, reducer_name)
+    from_ts: int | str | datetime | None = None  # inclusive
+    to_ts: int | str | datetime | None = None  # inclusive
+    filters: list[tuple[str, str]] = dc_field(default_factory=list)
+    aliases: list[str] | None = None
+
+
+def py_parse_ts_ns(value: int | str | datetime) -> int:
+    """Plan-time from/to constant -> ns epoch (reference ParseTime,
+    timelib/time.go:130-157). Mirrors functions.timeparse.parse_any_ts_ns
+    for driver-side literals."""
+    if isinstance(value, datetime):
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=timezone.utc)
+        return int(value.timestamp() * 1_000_000) * 1000
+    s = str(value).strip()
+    try:
+        n = int(s)
+    except ValueError:
+        return _py_parse_ts_str(s)
+    if n > 2_147_483_647_000:
+        return n
+    if n > 2_147_483_647:
+        return n * 1_000_000
+    if n > 10_000:
+        return n * 1_000_000_000
+    # Small integers fall through to the string formats (bare year etc.),
+    # matching reference timelib/time.go:139-157.
+    return _py_parse_ts_str(s)
+
+
+def _py_parse_ts_str(s: str) -> int:
+    import re
+
+    m = re.match(r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(?:\.(\d{1,9}))?(Z|[+-]\d{2}:\d{2})$", s)
+    if m:
+        base = datetime.strptime(m.group(1), "%Y-%m-%dT%H:%M:%S")
+        off = m.group(3)
+        if off == "Z":
+            base = base.replace(tzinfo=timezone.utc)
+        else:
+            base = datetime.fromisoformat(m.group(1) + off)
+        ns = int(base.timestamp()) * 1_000_000_000
+        if m.group(2):
+            ns += int(m.group(2).ljust(9, "0"))
+        return ns
+    for fmt in ("%Y-%m-%dT%H:%M", "%Y-%m-%dT%H", "%Y-%m-%d", "%Y-%m", "%Y"):
+        try:
+            d = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+            return int(d.timestamp()) * 1_000_000_000
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable time: {s!r}")
+
+
+def seriesly_query(
+    df: DataFrame,
+    query: SerieslyQuery,
+    doc_col: str = "doc",
+    ts_col: str = "ts",
+    ts_ns_col: str | None = None,
+    series_cols: tuple[str, ...] = (),
+    canonical_numbers: bool = False,
+    exact_sums: bool = False,
+) -> DataFrame:
+    """Compile a seriesly query over ``df`` into one result DataFrame.
+
+    Output columns: ``*series_cols, bucket_ms, *aliases`` ordered by
+    (series, bucket_ms). ``series_cols`` generalizes the reference's
+    one-database-per-query model to grouped series in one pass (and keeps
+    the rate window partitioned at cluster scale).
+    """
+    fields = query.fields
+    if not fields:
+        raise ValueError("at least one pointer is required")  # query.go:151
+    for _, red in fields:
+        if red not in REDUCERS:
+            raise ValueError(f"unknown reducer: {red}")  # handlers.go:137-144
+    aliases = query.aliases or [
+        f"{red}_{i}" for i, (_, red) in enumerate(fields)
+    ]
+    if len(aliases) != len(fields):
+        raise ValueError("aliases arity must match fields")
+
+    ts_ns = (
+        F.col(ts_ns_col) if ts_ns_col else ts_ns_from_timestamp(F.col(ts_col))
+    )
+    base = df.withColumn("ts_ns", ts_ns)
+    if query.from_ts is not None:
+        base = base.where(F.col("ts_ns") >= F.lit(py_parse_ts_ns(query.from_ts)))
+    if query.to_ts is not None:
+        base = base.where(F.col("ts_ns") <= F.lit(py_parse_ts_ns(query.to_ts)))
+
+    # One extraction column per distinct pointer (filters + fields), so the
+    # JSON document is parsed once however many times a pointer is reused.
+    ptr_cols: "OrderedDict[str, str]" = OrderedDict()
+    for ptr, _ in list(query.filters) + fields:
+        if ptr not in ptr_cols:
+            ptr_cols[ptr] = f"e{len(ptr_cols)}"
+
+    def extracted(ptr: str) -> Column:
+        if ptr == "_id":
+            # Pseudo-pointer: the document key (reference query.go:132-134).
+            return canonical_key(F.col("ts_ns"))
+        c = extract_ptr(F.col(doc_col), ptr)
+        if canonical_numbers:
+            c = go_fmt_scalar(c)
+        return c
+
+    base = base.select(
+        *series_cols,
+        "ts_ns",
+        bucket_ms_col(F.col("ts_ns"), query.group_ms).alias("bucket_ms"),
+        *[extracted(p).alias(cname) for p, cname in ptr_cols.items()],
+    )
+
+    # Conjunctive equality filters (reference query.go:112-128): a doc
+    # passes iff every filter field is a non-null scalar equal to the value.
+    cond = None
+    for ptr, val in query.filters:
+        e = F.col(ptr_cols[ptr])
+        c = e.isNotNull() & ~is_structural(e) & (e == F.lit(val))
+        cond = c if cond is None else (cond & c)
+    filtered = base.where(cond) if cond is not None else base
+
+    # Per-field value columns over the shared extractions.
+    sel_cols = [*series_cols, "ts_ns", "bucket_ms"]
+    for i, (ptr, red) in enumerate(fields):
+        e = F.col(ptr_cols[ptr])
+        sel_cols.append(e.alias(f"v{i}"))
+        sel_cols.append(to_num(e).alias(f"nv{i}"))
+    sel = filtered.select(*sel_cols)
+
+    keys = [*series_cols, "bucket_ms"]
+
+    plain_idx = [i for i, (_, r) in enumerate(fields) if REDUCERS[r].kind == "plain"]
+    rate_idx = [i for i, (_, r) in enumerate(fields) if REDUCERS[r].kind == "rate"]
+
+    agg_exprs = [
+        F.expr(REDUCERS[fields[i][1]].plain_sql(i, exact_sums)).alias(aliases[i])
+        for i in plain_idx
+    ]
+    agg_exprs.append(F.count("*").alias("__n"))
+    plain_agg = sel.groupBy(*keys).agg(*agg_exprs)
+
+    if query.filters:
+        # Bucket existence is decided pre-filter (see module docstring).
+        buckets = base.groupBy(*keys).agg(F.count("*").alias("__docs"))
+        result = buckets.join(plain_agg, on=keys, how="left").drop("__docs")
+    else:
+        result = plain_agg
+
+    # Rate fields: one window dataflow per distinct rate pointer.
+    rate_by_ptr: dict[str, list[int]] = {}
+    for i in rate_idx:
+        rate_by_ptr.setdefault(fields[i][0], []).append(i)
+    for ptr, idxs in rate_by_ptr.items():
+        rframe = rate_aggregate(
+            sel,
+            idxs,
+            {i: fields[i][1] for i in idxs},
+            {i: aliases[i] for i in idxs},
+            tuple(series_cols),
+            query.group_ms,
+            exact_sums=exact_sums,
+        )
+        result = result.join(rframe, on=keys, how="left")
+
+    # Final projection: restore empty-input defaults where the aggregate row
+    # was absent (all docs filtered out, or no rate pairs in the bucket).
+    out_cols = [F.col(k) for k in keys]
+    for i, alias in enumerate(aliases):
+        spec = REDUCERS[fields[i][1]]
+        c = F.col(alias)
+        if spec.kind == "plain":
+            if query.filters:
+                c = F.when(F.col("__n").isNull(), F.expr(spec.default_sql)).otherwise(c)
+        elif spec.default_sql != "null":
+            c = F.coalesce(c, F.expr(spec.default_sql))
+        out_cols.append(c.alias(alias))
+    return result.select(*out_cols).orderBy(*keys)

@@ -1,0 +1,44 @@
+"""Loaders for the driver's testdata tables (TESTDATA.md).
+
+``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS); with
+``spark.sql.legacy.parquet.nanosAsLong`` (set in session.get_spark) it
+arrives as a LONG of ns-since-epoch — the engine's native ``ts_ns``.
+``load_events`` normalizes to both columns: ``ts`` (µs timestamp, for
+humans/joins) and ``ts_ns`` (LONG, for bucket math and key rendering),
+mirroring the engine's canonical event-table schema (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seriesly_spark.functions.timeparse import (
+    timestamp_from_ts_ns,
+    ts_ns_from_timestamp,
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_events(df)
+    return df
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    dtypes = dict(df.dtypes)
+    if dtypes.get("ts") == "bigint":
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", timestamp_from_ts_ns(F.col("ts_ns"))
+        )
+    return df.withColumn("ts_ns", ts_ns_from_timestamp(F.col("ts")))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
