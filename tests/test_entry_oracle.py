@@ -1,0 +1,78 @@
+"""Replicates the driver's correctness gate: run every ``queries()`` entry
+and its ``oracle_sql()`` side-by-side (DuckDB) and compare row multisets
+exactly — no tolerance, because the entry queries are built to be
+bit-stable across engines (decimal-accumulated sums + round-6)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0  # -0.0 == 0.0
+        return v
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows),
+        key=repr,
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_matches_oracle(spark, duck, name):
+    qfn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    sdf = qfn(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if sql is None:
+        assert len(s_rows) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    rel = duck.sql(sql)
+    d_cols = rel.columns
+    d_rows = rel.fetchall()
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    sn = _norm_rows(s_cols, s_rows)
+    dn = _norm_rows(d_cols, d_rows)
+    mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not mismatches, f"{name}: first mismatches: {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "bucket_ms" in df.columns
