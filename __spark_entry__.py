@@ -22,10 +22,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from seriesly_spark.functions.timeparse import canonical_key, parse_any_ts_ns
-from seriesly_spark.operators.dedup import dedup_exact
+from seriesly_spark.operators.dedup import (
+    dedup_exact,
+    hamming_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash32_md5,
+)
+from seriesly_spark.operators.multimodal import payload_metadata
+from seriesly_spark.operators.similarity import ann_topk_cosine
 from seriesly_spark.operators.textstats import fingerprint, lang_id, text_stats
+from seriesly_spark.operators.windows import sessionize, topk_per_group
 from seriesly_spark.plans.query import SerieslyQuery, seriesly_query
 from seriesly_spark.sources.tables import load_table
+from seriesly_spark.streaming.ingest import streaming_bucket_counts
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -82,6 +92,47 @@ def _dsum(expr: str) -> str:
 
 def _bucket(ts_ns: str, group_ms: int) -> str:
     return f"(({ts_ns}) // {group_ms * 1_000_000}) * {group_ms}"
+
+
+# Distinct word-3-gram shingles per document (docs with >= 3 tokens), the
+# DuckDB mirror of operators.dedup.word_shingles.
+_GRAMS_SQL = """
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+"""
+
+# 32-bit md5-nibble SimHash, the DuckDB mirror of
+# operators.dedup.simhash32_md5 (strict majority per bit).
+_SIMHASH32_SQL = """
+  SELECT doc_id, cast(list_sum(list_transform(range(0, 32), j ->
+    CASE WHEN 2 * len(list_filter(hs, h -> substr(h, cast(j + 1 as int), 1) >= '8'))
+             > len(hs)
+         THEN (1::BIGINT << j) ELSE 0 END)) as BIGINT) AS f
+  FROM (SELECT doc_id,
+          list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                         t -> md5(t)) AS hs
+        FROM documents)
+"""
+
+# Decimal-accumulated vector sums (DuckDB side of operators.similarity).
+_VSUM_AB = (
+    "cast(list_sum(list_transform(list_zip(e.embedding, q.qe), "
+    "p -> cast(cast(p[1] as double) * cast(p[2] as double) as decimal(38,18))))"
+    " as double)"
+)
+_VSUM_AA = (
+    "cast(list_sum(list_transform(e.embedding, "
+    "x -> cast(cast(x as double) * cast(x as double) as decimal(38,18))))"
+    " as double)"
+)
+_VSUM_QQ = (
+    "cast(list_sum(list_transform(q.qe, "
+    "x -> cast(cast(x as double) * cast(x as double) as decimal(38,18))))"
+    " as double)"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -280,6 +331,98 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_table(spark, sf_dir, "documents"))
 
 
+def q_s06_bulk_delete_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: bulk range delete — the surviving set after DELETE ts in
+    [2024-01-05, 2024-01-20] (reference handlers.go:230-281)."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    lo = 1_704_412_800_000_000
+    hi = 1_705_708_800_000_000
+    return ev.where(~((us >= lo) & (us <= hi))).agg(
+        F.count("*").alias("remaining"),
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard >= 0.5 (shingle equi-join —
+    never a pairwise scan; the oracle brute-forces the same definition)."""
+    return ngram_jaccard_pairs(
+        _table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (16 bands, r=1, md5 signatures)."""
+    return minhash_lsh_pairs(_table(spark, sf_dir, "documents"), n=3, bands=16)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (32-bit md5-nibble fingerprint, Hamming<=3,
+    4-band pigeonhole join; oracle brute-forces the same fingerprint)."""
+    fp = simhash32_md5(_table(spark, sf_dir, "documents"))
+    return hamming_pairs(fp, 32, max_hamming=3, bands=4)
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 (broadcast query
+    row, one corpus pass, partial top-k)."""
+    return ann_topk_cosine(_table(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session counts with a 30-minute inactivity gap."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    return sessionize(
+        ev, user_col="user_id", ts_us_col="ts_us",
+        gap_us=1_800_000_000, tiebreak_col="event_id",
+    )
+
+
+def q_topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event_type (window rank, one shuffle)."""
+    ev = _events(spark, sf_dir)
+    return topk_per_group(
+        ev.select("event_type", "event_id", "value"),
+        group_cols=["event_type"], order_col="value", k=3,
+        tiebreak_col="event_id",
+    )
+
+
+_REVENUE_SQL = f"""
+SELECT n_name, round({_dsum('o_totalprice')}, 6) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: fact orders + broadcast dims (customer, nation).
+    Catalyst auto-broadcasts both dims (< 10 MB)."""
+    for t in ("orders", "customer", "nation"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_REVENUE_SQL)
+
+
+def q_streaming_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S13: Structured Streaming windowed counts over the events source,
+    driven to completion; result equals the batch aggregation (oracle)."""
+    _prep(spark)
+    return streaming_bucket_counts(
+        spark, f"{sf_dir}/events.parquet", group_ms=DAY_MS
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload -> mapInPandas metadata
+    extraction (Arrow-batched; codec step stubbed, byte math real)."""
+    return payload_metadata(_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -299,6 +442,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_fingerprint": q_text_fingerprint,
         "lang_id": q_lang_id,
+        "s06_bulk_delete_effect": q_s06_bulk_delete_effect,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "sessionize_users": q_sessionize_users,
+        "topk_events_per_type": q_topk_events_per_type,
+        "revenue_by_nation": q_revenue_by_nation,
+        "streaming_bucket_agg": q_streaming_bucket_agg,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -413,6 +566,79 @@ FROM t
 SELECT doc_id,
   md5(array_to_string(list_sort(list_distinct(
     regexp_split_to_array(trim(text), '\\s+'))), ' ')) AS fingerprint
+FROM documents
+""",
+        "s06_bulk_delete_effect": (
+            "SELECT count(*) AS remaining, min(epoch_us(ts)) AS first_us, "
+            "max(epoch_us(ts)) AS last_us FROM events "
+            "WHERE NOT (ts >= TIMESTAMP '2024-01-05 00:00:00' "
+            "AND ts <= TIMESTAMP '2024-01-20 00:00:00')"
+        ),
+        "dedup_ngram_jaccard": f"""
+WITH g AS ({_GRAMS_SQL})
+SELECT a.doc_id AS a, b.doc_id AS b,
+  round(len(list_intersect(a.grams, b.grams)) /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+        6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.grams, b.grams)) /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+      6) >= 0.5
+""",
+        "dedup_minhash_lsh": f"""
+WITH g AS ({_GRAMS_SQL}),
+sig AS (
+  SELECT doc_id, band,
+    list_min(list_transform(grams, x -> md5(band::VARCHAR || '|' || x))) AS sig
+  FROM g, unnest(range(0, 16)) AS u(band)
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+""",
+        "dedup_simhash": f"""
+WITH f AS ({_SIMHASH32_SQL})
+SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.f, b.f)) AS hamming
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 3
+""",
+        "ann_topk_cosine": f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+    round({_VSUM_AB} / (sqrt({_VSUM_AA}) * sqrt({_VSUM_QQ})), 6) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> 0)
+SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
+""",
+        "sessionize_users": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+l AS (
+  SELECT user_id,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+              OR ts_us - lag(ts_us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, count(*) AS n_events, cast(sum(ns) as BIGINT) AS n_sessions
+FROM l GROUP BY user_id
+""",
+        "topk_events_per_type": """
+SELECT event_type, event_id, value FROM (
+  SELECT event_type, event_id, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+        "revenue_by_nation": _REVENUE_SQL,
+        "streaming_bucket_agg": f"""
+WITH e AS (SELECT epoch_us(ts)*1000 AS ts_ns, event_type FROM events)
+SELECT {_bucket('ts_ns', DAY_MS)} AS bucket_ms, event_type, count(*) AS cnt
+FROM e GROUP BY 1, 2
+""",
+        "multimodal_meta": """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+  octet_length(encode(text)) % 256 AS width,
+  (octet_length(encode(text)) // 256) % 256 AS height,
+  1::BIGINT AS n_frames
 FROM documents
 """,
         "lang_id": """

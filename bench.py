@@ -33,6 +33,14 @@ BENCH_QUERIES = [
     "text_stats",
     "text_fingerprint",
     "lang_id",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_cosine",
+    "sessionize_users",
+    "topk_events_per_type",
+    "revenue_by_nation",
+    "multimodal_meta",
 ]
 
 

@@ -144,66 +144,75 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text_col: str, n: int = 1) -> "F.Column":
-    """64-bit SimHash of the token set: per-token xxhash64, bit-majority
-    vote folded with sign arithmetic, reassembled as a LONG."""
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash of the token set: per-token xxhash64 (fast JVM hash),
+    strict-majority vote per bit. Spark-only hash — use ``simhash32_md5``
+    when cross-engine comparability matters. Output: (id, simhash)."""
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda i: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+    df = docs.select(F.col(id_col), hashes.alias("hs64"))
+    fp = F.expr(
+        "aggregate(transform(sequence(0, 63), j -> "
+        "CASE WHEN 2 * size(filter(hs64, h -> shiftright(h, j) & 1 = 1)) > size(hs64) "
+        "THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
     )
-    return F.aggregate(
-        F.zip_with(
-            bits,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda b, i: F.shiftleft(b.cast("long"), i),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+    return df.select(id_col, fp.alias("simhash"))
 
 
-def simhash_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-    bands: int = 4,
+def simhash32_md5(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming.
-
-    Pigeonhole banding: split the 64-bit fingerprint into ``bands`` chunks;
-    any pair within the radius must agree on at least one full chunk
-    (bands > max_hamming), so candidates come from an equi-join on
-    (band, chunk) — no pairwise scan. Output: a, b, hamming.
+    """Portable 32-bit SimHash: bit j is the majority vote (strict) of the
+    top bit of hex nibble j of each distinct token's md5. md5 hex is
+    identical in every engine, so the fingerprint is oracle-comparable
+    (unlike xxhash64, which only Spark implements). Output: (id, simhash).
     """
-    assert bands > max_hamming, "pigeonhole requires bands > max_hamming"
-    width = 64 // bands
-    sh = docs.select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("f")
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    hx = F.transform(toks, lambda t: F.md5(t.cast("binary")))
+    df = docs.select(F.col(id_col), hx.alias("hs"))
+    fp = F.expr(
+        "cast(aggregate(transform(sequence(0, 31), j -> "
+        "CASE WHEN 2 * size(filter(hs, h -> substr(h, j+1, 1) >= '8')) > size(hs) "
+        "THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END), "
+        "cast(0 as bigint), (acc, x) -> acc + x) as bigint)"
     )
+    return df.select(id_col, fp.alias("simhash"))
+
+
+def hamming_pairs(
+    fingerprints: DataFrame,
+    nbits: int,
+    max_hamming: int,
+    bands: int,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """Pairs with Hamming distance <= max_hamming, by pigeonhole banding:
+    split the fingerprint into ``bands`` chunks — any pair within the
+    radius must agree on at least one full chunk (bands > max_hamming) —
+    so candidates come from an equi-join on (band, chunk), never a
+    pairwise scan. Output: a, b, hamming."""
+    assert bands > max_hamming, "pigeonhole requires bands > max_hamming"
+    width = nbits // bands
+    sh = fingerprints.select(F.col(id_col).alias("id"), F.col(fp_col).alias("f"))
+    mask = (1 << width) - 1
     chunks = sh.select(
         "id",
         "f",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.shiftright(F.col("f"), i * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("chunk"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("f"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
             )
         ).alias("bc"),
     ).select("id", "f", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
@@ -217,3 +226,16 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs on the fast 64-bit xxhash SimHash (Spark-only hash;
+    use simhash32_md5 + hamming_pairs when oracle portability matters)."""
+    fp = simhash64(docs, text_col, id_col).withColumnRenamed(id_col, "doc_id")
+    return hamming_pairs(fp, 64, max_hamming, bands)
