@@ -30,11 +30,27 @@ from seriesly_spark.operators.dedup import (
     simhash32_md5,
 )
 from seriesly_spark.operators.multimodal import payload_metadata
-from seriesly_spark.operators.similarity import ann_topk_cosine
-from seriesly_spark.operators.textstats import fingerprint, lang_id, text_stats
-from seriesly_spark.operators.windows import sessionize, topk_per_group
+from seriesly_spark.operators.similarity import (
+    ann_topk_cosine,
+    ann_topk_lsh,
+    cosine_near_dup_pairs,
+    ivf_topk,
+    rademacher_weights,
+)
+from seriesly_spark.operators.textstats import (
+    BPE_ISH_RE,
+    fingerprint,
+    lang_id,
+    text_stats,
+    token_counts_bpe,
+)
+from seriesly_spark.operators.windows import (
+    hopping_window_agg,
+    sessionize,
+    topk_per_group,
+)
 from seriesly_spark.plans.query import SerieslyQuery, seriesly_query
-from seriesly_spark.sources.tables import load_table
+from seriesly_spark.sources.tables import latest_by_key, load_table
 from seriesly_spark.streaming.ingest import streaming_bucket_counts
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -133,6 +149,54 @@ _VSUM_QQ = (
     "x -> cast(cast(x as double) * cast(x as double) as decimal(38,18))))"
     " as double)"
 )
+
+
+def _vdot(a: str, b: str) -> str:
+    return (
+        f"cast(list_sum(list_transform(list_zip({a}, {b}), "
+        "pz -> cast(cast(pz[1] as double) * cast(pz[2] as double) "
+        "as decimal(38,18)))) as double)"
+    )
+
+
+def _vnorm2(a: str) -> str:
+    return (
+        f"cast(list_sum(list_transform({a}, "
+        "x -> cast(cast(x as double) * cast(x as double) "
+        "as decimal(38,18)))) as double)"
+    )
+
+
+def _cos(a: str, b: str) -> str:
+    return f"round({_vdot(a, b)} / (sqrt({_vnorm2(a)}) * sqrt({_vnorm2(b)})), 6)"
+
+
+# Sign-LSH signature + band chunks (DuckDB mirror of
+# operators.similarity.lsh_signature / _band_chunks; identical Rademacher
+# weights, decimal-accumulated projections).
+def _lsh_cte(planes: int = 32, dim: int = 64, bands: int = 4) -> str:
+    w = rademacher_weights(planes, dim)
+    rows = ",\n    ".join(f"({p}, {w[p]})" for p in range(planes))
+    width = planes // bands
+    mask = (1 << width) - 1
+    return f"""
+w(p, wv) AS (VALUES
+    {rows}),
+proj AS (
+  SELECT e.vec_id, w.p,
+    cast(list_sum(list_transform(range(1, {dim + 1}), i ->
+      cast(cast(e.embedding[i] as double) * w.wv[i] as decimal(38,18))))
+      as double) AS pr
+  FROM embeddings e CROSS JOIN w),
+sig AS (
+  SELECT vec_id,
+    cast(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)
+      as BIGINT) AS s
+  FROM proj GROUP BY vec_id),
+bands AS (
+  SELECT vec_id, u.band, (s >> (u.band * {width})) & {mask} AS chunk
+  FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) u)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -408,6 +472,57 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_REVENUE_SQL)
 
 
+def q_dedup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-LSH banding (32 planes, 4
+    bands) for candidates, exact cosine >= 0.9 to confirm — never O(n²)."""
+    return cosine_near_dup_pairs(
+        _table(spark, sf_dir, "embeddings"), threshold=0.9, planes=32, bands=4
+    )
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vec_id=0 via LSH bucket probe —
+    the scale path next to brute-force ann_topk_cosine."""
+    return ann_topk_lsh(
+        _table(spark, sf_dir, "embeddings"), query_id=0, k=10, planes=32, bands=4
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: coarse codebook = first 8 vectors, assign by max-cosine,
+    search only the query's cell (partition-pruned scan at scale)."""
+    return ivf_topk(
+        _table(spark, sf_dir, "embeddings"), n_centroids=8, query_id=0, k=5
+    )
+
+
+def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pretokenizer counts (total/alpha/num/other per doc)."""
+    return token_counts_bpe(_table(spark, sf_dir, "documents"))
+
+
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping window: 1-day windows sliding every 6h over events."""
+    ev = _events(spark, sf_dir)
+    return hopping_window_agg(
+        ev, ts_col="ts", length_ms=DAY_MS, slide_ms=H6_MS, value_col="value"
+    )
+
+
+def q_s04_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: keyed-upsert (last-write-wins) semantics — survivors per ts key
+    by highest event_id, rolled up daily (reference database.go:293-302)."""
+    ev = _events(spark, sf_dir)
+    lww = latest_by_key(
+        ev.select("ts_ns", "event_id", "value"), ["ts_ns"], "event_id"
+    )
+    day_ns = DAY_MS * 1_000_000
+    dec_sum = F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+    return lww.groupBy(
+        F.expr(f"(ts_ns div {day_ns}) * {DAY_MS}").alias("bucket_ms")
+    ).agg(F.count("*").alias("n_keys"), F.round(dec_sum, 6).alias("sum_value"))
+
+
 def q_streaming_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S13: Structured Streaming windowed counts over the events source,
     driven to completion; result equals the batch aggregation (oracle)."""
@@ -447,6 +562,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_cosine": q_ann_topk_cosine,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_ivf": q_ann_ivf,
+        "dedup_cosine_pairs": q_dedup_cosine_pairs,
+        "token_counts_bpe": q_token_counts_bpe,
+        "hopping_window": q_hopping_window,
+        "s04_upsert_lww": q_s04_upsert_lww,
         "sessionize_users": q_sessionize_users,
         "topk_events_per_type": q_topk_events_per_type,
         "revenue_by_nation": q_revenue_by_nation,
@@ -608,6 +729,80 @@ sims AS (
     round({_VSUM_AB} / (sqrt({_VSUM_AA}) * sqrt({_VSUM_QQ})), 6) AS cos_sim
   FROM embeddings e, q WHERE e.vec_id <> 0)
 SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
+""",
+        "dedup_cosine_pairs": f"""
+WITH {_lsh_cte()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id),
+sims AS (
+  SELECT c.a, c.b,
+    {_cos('ea.embedding', 'eb.embedding')} AS cos_sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a
+  JOIN embeddings eb ON eb.vec_id = c.b)
+SELECT a, b, cos_sim FROM sims WHERE cos_sim >= 0.9
+""",
+        "ann_topk_lsh": f"""
+WITH {_lsh_cte()},
+qb AS (SELECT band, chunk FROM bands WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM bands b JOIN qb ON b.band = qb.band AND b.chunk = qb.chunk
+  WHERE b.vec_id <> 0),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id, {_cos('e.embedding', 'q.qe')} AS cos_sim
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN q)
+SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
+""",
+        "ann_ivf": f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+    {_cos('e.embedding', 'c.ce')} AS sim
+  FROM embeddings e CROSS JOIN c),
+a AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM s) WHERE rn = 1),
+q AS (SELECT embedding AS qe, cid AS qc FROM a WHERE vec_id = 0)
+SELECT a.vec_id, {_cos('a.embedding', 'q.qe')} AS cos_sim
+FROM a CROSS JOIN q
+WHERE a.cid = q.qc AND a.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 5
+""",
+        "token_counts_bpe": f"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_extract_all(text, '{BPE_ISH_RE.replace("'", "''")}') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, len(toks) AS n_bpe_tokens,
+    len(list_filter(toks, x -> regexp_full_match(x, ' ?[A-Za-z]+'))) AS n_alpha_tokens,
+    len(list_filter(toks, x -> regexp_full_match(x, ' ?[0-9]+'))) AS n_num_tokens
+  FROM t)
+SELECT doc_id, n_bpe_tokens, n_alpha_tokens, n_num_tokens,
+  n_bpe_tokens - n_alpha_tokens - n_num_tokens AS n_other_tokens
+FROM c
+""",
+        "hopping_window": f"""
+WITH e AS (SELECT epoch_us(ts) AS ts_us, value FROM events),
+x AS (
+  SELECT ((ts_us // {H6_MS * 1000}) - u.i) * {H6_MS} AS bucket_ms, value
+  FROM e CROSS JOIN (SELECT unnest(range(0, {DAY_MS // H6_MS})) AS i) u)
+SELECT bucket_ms, count(*) AS cnt,
+  round(cast(sum(cast(value as decimal(38,18))) as double), 6) AS sum_value
+FROM x GROUP BY 1
+""",
+        "s04_upsert_lww": f"""
+WITH e AS (SELECT epoch_us(ts)*1000 AS ts_ns, event_id, value FROM events),
+l AS (SELECT ts_ns, arg_max(value, event_id) AS value FROM e GROUP BY ts_ns)
+SELECT (ts_ns // {DAY_MS * 1_000_000}) * {DAY_MS} AS bucket_ms,
+  count(*) AS n_keys,
+  round(cast(sum(cast(value as decimal(38,18))) as double), 6) AS sum_value
+FROM l GROUP BY 1
 """,
         "sessionize_users": """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

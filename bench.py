@@ -37,6 +37,12 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk_cosine",
+    "ann_topk_lsh",
+    "ann_ivf",
+    "dedup_cosine_pairs",
+    "token_counts_bpe",
+    "hopping_window",
+    "s04_upsert_lww",
     "sessionize_users",
     "topk_events_per_type",
     "revenue_by_nation",

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from seriesly_spark.operators.util import spread
+
 
 def content_hash(c) -> "F.Column":
     return F.md5(c.cast("binary"))
@@ -68,12 +70,20 @@ def ngram_jaccard_pairs(
     (co-partitioned shuffle, no cross product) -> per-pair intersection
     count -> |A∪B| = |A|+|B|-|A∩B|. Output: a, b, round(jaccard, 6).
     """
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
     ).withColumn("sz", F.size("grams"))
-    exploded = sh.select(
-        "id", "sz", F.explode("grams").alias("g")
-    ).withColumn("g", F.md5(F.col("g").cast("binary")))
+    # Join key: xxhash64 of the shingle — an 8-byte shuffle key instead of
+    # the shingle text (or a 32-char md5 hex). The key never leaves Spark
+    # (the oracle brute-forces jaccard on the raw shingle sets), so engine
+    # portability doesn't apply; 64-bit collisions only perturb intersection
+    # counts at ~n²/2⁶⁵ odds. persist(): the self-join reads this subtree
+    # twice — shingling + explode runs once, not twice.
+    exploded = (
+        sh.select("id", "sz", F.explode("grams").alias("g"))
+        .withColumn("g", F.xxhash64("g"))
+        .persist()
+    )
     a = exploded.select(
         F.col("id").alias("a"), F.col("sz").alias("sza"), "g"
     )
@@ -110,7 +120,7 @@ def minhash_lsh_pairs(
     with Jaccard >= ~1 - (1 - s)^bands; follow with ngram_jaccard_pairs on
     the candidates for exactness at scale.
     """
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
     ).where(F.size("grams") > 0)
     banded = sh.select(
@@ -134,6 +144,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # One signature row per (doc, band) — computing the md5 minhashes is the
+    # expensive part, the self-join must not run it twice (see hamming_pairs).
+    banded = banded.persist()
     left = banded.select(F.col("id").alias("a"), "band", "sig")
     right = banded.select(F.col("id").alias("b"), "band", "sig")
     return (
@@ -152,7 +165,7 @@ def simhash64(
     when cross-engine comparability matters. Output: (id, simhash)."""
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    df = docs.select(F.col(id_col), hashes.alias("hs64"))
+    df = spread(docs).select(F.col(id_col), hashes.alias("hs64"))
     fp = F.expr(
         "aggregate(transform(sequence(0, 63), j -> "
         "CASE WHEN 2 * size(filter(hs64, h -> shiftright(h, j) & 1 = 1)) > size(hs64) "
@@ -169,15 +182,38 @@ def simhash32_md5(
     top bit of hex nibble j of each distinct token's md5. md5 hex is
     identical in every engine, so the fingerprint is oracle-comparable
     (unlike xxhash64, which only Spark implements). Output: (id, simhash).
+
+    Plan note: the per-bit vote is a single aggregate pass over the token
+    hashes — each 32-char hash is parsed once into four 32-bit words (conv)
+    and the 32 top-of-nibble bits come out of integer shifts, instead of 32
+    separate filter() scans doing per-bit substring compares (~6x less
+    expression work per document; same fingerprint bit-for-bit).
     """
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
     hx = F.transform(toks, lambda t: F.md5(t.cast("binary")))
-    df = docs.select(F.col(id_col), hx.alias("hs"))
+    df = spread(docs).select(F.col(id_col), hx.alias("hs"))
+    # words: per token, md5 hex -> [w0..w3] 32-bit big-endian words; nibble
+    # j's top bit = bit (31 - 4*(j%8)) of word j div 8.
+    words = (
+        "transform(hs, h -> array("
+        + ", ".join(
+            f"cast(conv(substr(h, {1 + 8 * c}, 8), 16, 10) as bigint)"
+            for c in range(4)
+        )
+        + "))"
+    )
+    counts = (
+        f"aggregate({words}, "
+        "transform(sequence(0, 31), j -> cast(0 as int)), "
+        "(acc, v) -> zip_with(acc, "
+        "transform(sequence(0, 31), j -> cast("
+        "shiftright(v[cast(j div 8 as int)], 31 - 4 * cast(j % 8 as int)) & 1 "
+        "as int)), (a, b) -> a + b))"
+    )
     fp = F.expr(
-        "cast(aggregate(transform(sequence(0, 31), j -> "
-        "CASE WHEN 2 * size(filter(hs, h -> substr(h, j+1, 1) >= '8')) > size(hs) "
-        "THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END), "
-        "cast(0 as bigint), (acc, x) -> acc + x) as bigint)"
+        f"cast(aggregate(zip_with({counts}, sequence(0, 31), "
+        "(c, j) -> IF(2 * c > size(hs), shiftleft(cast(1 as bigint), j), "
+        "cast(0 as bigint))), cast(0 as bigint), (acc, x) -> acc + x) as bigint)"
     )
     return df.select(id_col, fp.alias("simhash"))
 
@@ -197,7 +233,13 @@ def hamming_pairs(
     pairwise scan. Output: a, b, hamming."""
     assert bands > max_hamming, "pigeonhole requires bands > max_hamming"
     width = nbits // bands
-    sh = fingerprints.select(F.col(id_col).alias("id"), F.col(fp_col).alias("f"))
+    # Materialize the (id, fingerprint) pairs: the self-join would otherwise
+    # recompute the whole fingerprint subtree on both sides. This is the
+    # Spark-native analogue of the reference's memoization layer (C1,
+    # cache.go:54-155) — tiny state (two longs per doc), spillable.
+    sh = fingerprints.select(
+        F.col(id_col).alias("id"), F.col(fp_col).alias("f")
+    ).persist()
     mask = (1 << width) - 1
     chunks = sh.select(
         "id",

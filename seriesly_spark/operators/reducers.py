@@ -4,9 +4,19 @@ run inside Spark's hash aggregate (partial + final, whole-stage codegen).
 
 Per-bucket input model: each document in a bucket contributes one value per
 requested pointer. In the DataFrame the planner materializes, field *i* is
-two columns — ``v{i}`` (the string rendering of the extracted value, NULL
-for missing/JSON-null) and ``nv{i}`` (its double coercion, NULL when not
-float-parseable) — alongside ``ts_ns`` and ``bucket_ms``.
+three columns alongside ``ts_ns`` and ``bucket_ms``:
+
+  * ``v{i}``  — sentinel-encoded, filter-masked string: NULL when the doc
+    failed the query's equality filters (the row only exists to mark bucket
+    presence), chr(1) when the doc passed but the value is missing/JSON-
+    null, else the string rendering of the value;
+  * ``vn{i}`` — the plain value for passing docs (NULL when filtered OR
+    missing);
+  * ``nv{i}`` — double coercion of ``vn{i}`` (NULL when not parseable).
+
+This encoding lets one conditional hash aggregate compute both bucket
+existence (any row) and filtered-stream reducers (non-NULL rows) — a
+single shuffle where aggregate-then-join-buckets would take two.
 
 Semantics preserved from the reference:
   * ``identity``/``distinct`` keep NULL values as elements (reference
@@ -91,15 +101,17 @@ def _dsum(expr: str) -> str:
 
 
 def _identity(i: int) -> str:
+    # Masked (filtered-out) rows have v{i} NULL -> the CASE yields NULL and
+    # collect_list drops them; passing nil docs carry the chr(1) sentinel.
     return (
-        f"transform(array_sort(collect_list(struct(ts_ns, "
-        f"coalesce(v{i}, {_SENT}) as s))), x -> nullif(x.s, {_SENT}))"
+        f"transform(array_sort(collect_list(case when v{i} is not null "
+        f"then struct(ts_ns, v{i} as s) end)), x -> nullif(x.s, {_SENT}))"
     )
 
 
 def _distinct(i: int) -> str:
     inner = (
-        f"case when v{i} is null then {_SENT} "
+        f"case when v{i} = {_SENT} then {_SENT} "
         f"when substring(v{i}, 1, 1) in ('{{', '[') then null "
         f"else v{i} end"
     )
@@ -139,14 +151,14 @@ REDUCERS: dict[str, ReducerSpec] = {
     ),
     "any": ReducerSpec(
         "any", "plain",
-        agg_sql=lambda i: f"min_by(v{i}, ts_ns) filter (where v{i} is not null)",
+        agg_sql=lambda i: f"min_by(vn{i}, ts_ns) filter (where vn{i} is not null)",
     ),
     "distinct": ReducerSpec(
         "distinct", "plain", agg_sql=_distinct,
         default_sql="cast(array() as array<string>)",
     ),
     "count": ReducerSpec(
-        "count", "plain", agg_sql=lambda i: f"count(v{i})", default_sql="0L"
+        "count", "plain", agg_sql=lambda i: f"count(vn{i})", default_sql="0L"
     ),
     "sum": ReducerSpec(
         "sum", "plain", agg_sql=_sum_like("nv{i}"),

@@ -17,8 +17,12 @@ order-independent — results are bit-stable and oracle-comparable.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from seriesly_spark.operators.util import spread
 
 _DEC = "decimal(38,18)"
 
@@ -49,6 +53,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def norm2(a: Column) -> Column:
+    """Squared L2 norm, decimal-accumulated (cosine denominators hoist this
+    out of per-pair work: compute once per vector, join it along)."""
+    sq = F.transform(a, lambda x: (x.cast("double") * x.cast("double")).cast(_DEC))
+    return _dec_sum(sq)
+
+
+def _with_norm2(
+    vectors: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm2(F.col(vec_col)).alias("n2"),
+    )
+
+
 def ann_topk_cosine(
     vectors: DataFrame,
     query_id: int,
@@ -76,6 +97,211 @@ def ann_topk_cosine(
     return sims.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def rademacher_weights(planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix (sign-random-projection LSH).
+
+    Entry (p, d) is +1 iff the first hex nibble of md5("p,d") >= 8 — an
+    unbiased Rademacher variable that any engine can reproduce, so LSH
+    bucket assignments are oracle-comparable. Computed driver-side once
+    (planes × dim ints) and shipped as literals: zero runtime hashing.
+    """
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[0], 16) >= 8
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def lsh_signature(
+    vectors: DataFrame,
+    planes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH signature: bit p = (w_p · x >= 0), packed into a LONG.
+
+    One narrow pass, all JVM-side array expressions; the signature is the
+    cheap proxy key that replaces O(n²) cosine comparisons with equi-joins.
+    Projections accumulate as DECIMAL(38,18) (order-independent, exact)
+    so signatures are bit-identical across engines.
+    """
+    w = rademacher_weights(planes, dim)
+    vectors = spread(vectors)
+    zero = F.lit(0).cast(_DEC)
+    sig = None
+    for p in range(planes):
+        wp = F.array(*[F.lit(x) for x in w[p]])
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                wp,
+                lambda x, s: (x.cast("double") * s).cast(_DEC),
+            ),
+            zero,
+            lambda acc, x: (acc + x).cast(_DEC),
+        ).cast("double")
+        bit = F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return vectors.select(F.col(id_col), sig.alias("lsh_sig"))
+
+
+def _band_chunks(planes: int, bands: int, sig_col: str = "lsh_sig") -> list[Column]:
+    width = planes // bands
+    mask = (1 << width) - 1
+    return [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col(sig_col), i * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("chunk"),
+        )
+        for i in range(bands)
+    ]
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the 100 TB path).
+
+    Candidates = pairs agreeing on at least one LSH band (equi-join on
+    (band, chunk) — never a cross product); survivors = exact cosine >=
+    threshold. Near-identical vectors disagree on a plane with prob θ/π,
+    so banding keeps recall high; 8-bit bands keep *random* collisions at
+    ~n²/512 instead of n²/32 (4-bit) — band width, not band count, is the
+    candidate-volume knob. Norms are computed once per vector and joined
+    along, so per-candidate work is one dot product.
+    Output: a, b, round(cos_sim, 6) with a < b.
+    """
+    vectors = spread(vectors)
+    sig = lsh_signature(vectors, planes, dim, id_col, vec_col)
+    v = _with_norm2(vectors, id_col, vec_col).persist()
+    # The plane-projection is the expensive subtree; the self-join reads
+    # it twice — persist one (id, band, chunk) copy (three longs per row).
+    banded = (
+        sig.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(*_band_chunks(planes, bands))).alias("bc"),
+        )
+        .select("id", "bc.band", "bc.chunk")
+        .persist()
+    )
+    cand = (
+        banded.select(F.col("id").alias("a"), "band", "chunk")
+        .join(banded.select(F.col("id").alias("b"), "band", "chunk"), ["band", "chunk"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb"))
+        / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b"))),
+        6,
+    )
+    scored = (
+        cand.join(
+            v.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("n2").alias("n2a")),
+            "a",
+        )
+        .join(
+            v.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n2").alias("n2b")),
+            "b",
+        )
+        .select("a", "b", cos.alias("cos_sim"))
+    )
+    return scored.where(F.col("cos_sim") >= F.lit(threshold))
+
+
+def ann_topk_lsh(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    planes: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing >= 1 LSH band with the
+    query (bucket probe ≙ partition-pruned scan at scale), exact cosine on
+    the candidates. Returns (vec_id, cos_sim) — approximate by design; the
+    oracle replicates the identical bucketing so results still compare
+    exactly."""
+    sig = lsh_signature(vectors, planes, dim, id_col, vec_col)
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*_band_chunks(planes, bands))).alias("bc"),
+    ).select("id", "bc.band", "bc.chunk")
+    qb = F.broadcast(
+        banded.where(F.col("id") == query_id).select("band", "chunk")
+    )
+    cand = (
+        banded.where(F.col("id") != query_id)
+        .join(qb, ["band", "chunk"])
+        .select("id")
+        .distinct()
+    )
+    q = F.broadcast(
+        vectors.where(F.col(id_col) == query_id).select(
+            F.col(vec_col).alias("__qv")
+        )
+    )
+    sims = (
+        cand.join(vectors, cand["id"] == vectors[id_col])
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
+        )
+    )
+    return sims.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    query_id: int = 0,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end IVF probe: the first ``n_centroids`` corpus vectors act as
+    the (deterministic) coarse codebook, every vector is assigned to its
+    max-cosine centroid, and the query scans only its own cell. Output:
+    (vec_id, cos_sim) top-k within the query's cell, query excluded."""
+    centroids = vectors.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col)
+    )
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    qrow = assigned.where(F.col(id_col) == query_id)
+    q = F.broadcast(
+        qrow.select(
+            F.col(vec_col).alias("__qv"), F.col("centroid_id").alias("__qc")
+        )
+    )
+    cell = assigned.crossJoin(q).where(
+        (F.col("centroid_id") == F.col("__qc")) & (F.col(id_col) != query_id)
+    )
+    sims = cell.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
+    )
+    return sims.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -87,25 +313,42 @@ def ivf_assign(
     per-row argmax; tie-break lowest centroid id). At scale, write the
     result partitioned by ``centroid_id`` — probes become partition-pruned
     scans."""
+    # Norms hoisted out of the |vectors| × |centroids| pair loop: corpus
+    # norms once per row (same narrow stage), centroid norms once total
+    # (inside the broadcast build).
     c = F.broadcast(
         centroids.select(
-            F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+            F.col(centroid_id_col).alias("__cid"),
+            F.col(vec_col).alias("__cv"),
+            norm2(F.col(vec_col)).alias("__cn2"),
         )
     )
-    scored = vectors.crossJoin(c).select(
-        id_col,
-        vec_col,
-        "__cid",
-        F.round(cosine(F.col(vec_col), F.col("__cv")), 6).alias("__sim"),
+    scored = (
+        spread(vectors).withColumn("__n2", norm2(F.col(vec_col)))
+        .crossJoin(c)
+        .select(
+            id_col,
+            vec_col,
+            "__cid",
+            F.round(
+                dot(F.col(vec_col), F.col("__cv"))
+                / (F.sqrt(F.col("__n2")) * F.sqrt(F.col("__cn2"))),
+                6,
+            ).alias("__sim"),
+        )
     )
+    # Single-shuffle argmax: max_by over (sim, -cid) ≡ sim desc, cid asc —
+    # carries the vector along, so no distinct + re-join second shuffle.
     best = scored.groupBy(id_col).agg(
-        F.min(F.struct((-F.col("__sim")).alias("ns"), F.col("__cid").alias("cid")))
-        .alias("__best")
+        F.max_by(
+            F.struct(F.col(vec_col).alias("v"), F.col("__cid").alias("cid")),
+            F.struct(F.col("__sim").alias("s"), (-F.col("__cid")).alias("nc")),
+        ).alias("__best")
     )
-    return (
-        scored.select(id_col, vec_col).distinct()
-        .join(best, id_col)
-        .select(id_col, vec_col, F.col("__best.cid").alias(centroid_id_col))
+    return best.select(
+        id_col,
+        F.col("__best.v").alias(vec_col),
+        F.col("__best.cid").alias(centroid_id_col),
     )
 
 

@@ -50,6 +50,32 @@ def text_stats(
     )
 
 
+# GPT-2-style pretokenizer shape: contraction suffixes, space-prefixed
+# letter runs, space-prefixed digit runs, space-prefixed punctuation runs,
+# residual whitespace. ASCII classes only so Java regex (Spark) and RE2
+# (DuckDB) agree byte-for-byte.
+BPE_ISH_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_counts_bpe(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE-ish token counting: segment with the GPT-2 pretokenizer regex and
+    count total / alpha / numeric / punctuation tokens. One regex pass per
+    document (vectorized JVM regexp_extract_all), integer outputs — exact
+    across engines."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0)
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike(r"^ ?[A-Za-z]+$")))
+    n_num = F.size(F.filter(toks, lambda x: x.rlike(r"^ ?[0-9]+$")))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_bpe_tokens"),
+        n_alpha.alias("n_alpha_tokens"),
+        n_num.alias("n_num_tokens"),
+        (F.size(toks) - n_alpha - n_num).alias("n_other_tokens"),
+    )
+
+
 def fingerprint(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

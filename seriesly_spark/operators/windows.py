@@ -29,6 +29,30 @@ def topk_per_group(
     )
 
 
+def hopping_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    length_ms: int,
+    slide_ms: int,
+    value_col: str,
+) -> DataFrame:
+    """Hopping (sliding) window aggregation — the windowed shape the
+    reference lacks entirely (its only grouping is the tumbling bucket,
+    SURVEY §2.3 gap list). Each row lands in length/slide windows;
+    ``F.window`` expands them inline (narrow), then one shuffle on the
+    window start. Sums accumulate as DECIMAL(38,18) for engine-exact
+    results. Output: (bucket_ms, cnt, sum_value)."""
+    w = F.window(F.col(ts_col), f"{length_ms} milliseconds", f"{slide_ms} milliseconds")
+    dec_sum = F.sum(F.col(value_col).cast("decimal(38,18)")).cast("double")
+    return (
+        df.groupBy(w.alias("w"))
+        .agg(F.count("*").alias("cnt"), F.round(dec_sum, 6).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("bucket_ms"), "cnt", "sum_value"
+        )
+    )
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

@@ -48,7 +48,7 @@ from seriesly_spark.functions.coerce import go_fmt_scalar, is_structural, to_num
 from seriesly_spark.functions.jsonptr import extract_ptr
 from seriesly_spark.functions.timeparse import canonical_key, ts_ns_from_timestamp
 from seriesly_spark.operators.rate import rate_aggregate
-from seriesly_spark.operators.reducers import REDUCERS
+from seriesly_spark.operators.reducers import _SENT, REDUCERS
 
 
 @dataclass
@@ -174,47 +174,54 @@ def seriesly_query(
 
     # Conjunctive equality filters (reference query.go:112-128): a doc
     # passes iff every filter field is a non-null scalar equal to the value.
-    cond = None
+    # Filtered docs are NOT dropped — they still mark bucket existence (the
+    # reference derives buckets from the pre-filter doc walk). Instead the
+    # per-field value columns are masked to NULL, so ONE conditional hash
+    # aggregate computes bucket presence and filtered-stream reducers in a
+    # single shuffle (vs aggregate-twice + join). See operators/reducers.py
+    # for the column encoding.
+    cond = F.lit(True)
     for ptr, val in query.filters:
         e = F.col(ptr_cols[ptr])
-        c = e.isNotNull() & ~is_structural(e) & (e == F.lit(val))
-        cond = c if cond is None else (cond & c)
-    filtered = base.where(cond) if cond is not None else base
+        cond = cond & e.isNotNull() & ~is_structural(e) & (e == F.lit(val))
+    base = base.withColumn("__pass", cond)
 
-    # Per-field value columns over the shared extractions.
-    sel_cols = [*series_cols, "ts_ns", "bucket_ms"]
+    sel_cols = [*series_cols, "ts_ns", "bucket_ms", "__pass"]
     for i, (ptr, red) in enumerate(fields):
         e = F.col(ptr_cols[ptr])
-        sel_cols.append(e.alias(f"v{i}"))
-        sel_cols.append(to_num(e).alias(f"nv{i}"))
-    sel = filtered.select(*sel_cols)
+        vn = F.when(F.col("__pass"), e)
+        sel_cols.append(
+            F.when(F.col("__pass"), F.coalesce(e, F.expr(_SENT))).alias(f"v{i}")
+        )
+        sel_cols.append(vn.alias(f"vn{i}"))
+        sel_cols.append(to_num(vn).alias(f"nv{i}"))
+    sel = base.select(*sel_cols)
 
     keys = [*series_cols, "bucket_ms"]
 
     plain_idx = [i for i, (_, r) in enumerate(fields) if REDUCERS[r].kind == "plain"]
     rate_idx = [i for i, (_, r) in enumerate(fields) if REDUCERS[r].kind == "rate"]
 
+    # Empty-input defaults for plain reducers fall out of the conditional
+    # aggregate: a bucket whose docs are all masked still has rows, and the
+    # aggregates see zero non-NULL inputs (sum-like specs yield 0.0, count
+    # 0, min/max/avg NULL, list reducers []).
     agg_exprs = [
         F.expr(REDUCERS[fields[i][1]].plain_sql(i, exact_sums)).alias(aliases[i])
         for i in plain_idx
     ]
     agg_exprs.append(F.count("*").alias("__n"))
-    plain_agg = sel.groupBy(*keys).agg(*agg_exprs)
+    result = sel.groupBy(*keys).agg(*agg_exprs)
 
-    if query.filters:
-        # Bucket existence is decided pre-filter (see module docstring).
-        buckets = base.groupBy(*keys).agg(F.count("*").alias("__docs"))
-        result = buckets.join(plain_agg, on=keys, how="left").drop("__docs")
-    else:
-        result = plain_agg
-
-    # Rate fields: one window dataflow per distinct rate pointer.
+    # Rate fields: one window dataflow per distinct rate pointer, over the
+    # passing docs only (the reference filters before reducer fan-out).
     rate_by_ptr: dict[str, list[int]] = {}
     for i in rate_idx:
         rate_by_ptr.setdefault(fields[i][0], []).append(i)
+    rate_src = sel.where(F.col("__pass")) if query.filters else sel
     for ptr, idxs in rate_by_ptr.items():
         rframe = rate_aggregate(
-            sel,
+            rate_src,
             idxs,
             {i: fields[i][1] for i in idxs},
             {i: aliases[i] for i in idxs},
@@ -224,16 +231,13 @@ def seriesly_query(
         )
         result = result.join(rframe, on=keys, how="left")
 
-    # Final projection: restore empty-input defaults where the aggregate row
-    # was absent (all docs filtered out, or no rate pairs in the bucket).
+    # Final projection: restore empty-input defaults where the rate row was
+    # absent (no rate pairs in the bucket).
     out_cols = [F.col(k) for k in keys]
     for i, alias in enumerate(aliases):
         spec = REDUCERS[fields[i][1]]
         c = F.col(alias)
-        if spec.kind == "plain":
-            if query.filters:
-                c = F.when(F.col("__n").isNull(), F.expr(spec.default_sql)).otherwise(c)
-        elif spec.default_sql != "null":
+        if spec.kind == "rate" and spec.default_sql != "null":
             c = F.coalesce(c, F.expr(spec.default_sql))
         out_cols.append(c.alias(alias))
     return result.select(*out_cols).orderBy(*keys)

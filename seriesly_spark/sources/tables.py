@@ -42,3 +42,19 @@ def normalize_events(df: DataFrame) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def latest_by_key(
+    df: DataFrame, key_cols: list[str], seq_col: str
+) -> DataFrame:
+    """Last-write-wins compaction view — the reference's upsert semantics
+    (same key overwrites, reference database.go:293-302 via couchstore
+    set): keep, per key, the row with the highest ``seq_col``. One shuffle
+    on the key, map-side partial max_by, no window sort. Delta MERGE is the
+    mutable-table equivalent; this is the read-side view of the same
+    semantics over an append-only log."""
+    others = [c for c in df.columns if c not in key_cols]
+    best = F.max_by(
+        F.struct(*[F.col(c).alias(c) for c in others]), F.col(seq_col)
+    ).alias("__r")
+    return df.groupBy(*key_cols).agg(best).select(*key_cols, "__r.*")

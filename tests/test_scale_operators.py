@@ -1,0 +1,125 @@
+"""Unit tests for the scale-pipeline operators added beyond seriesly parity:
+LSH similarity, IVF, BPE-ish token counting, hopping windows, LWW upsert.
+
+The oracle suite (test_entry_oracle) proves cross-engine equality on the
+driver tables; these tests pin the *semantics* on hand-built micro-inputs
+where the expected answer is computable by eye.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seriesly_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_near_dup_pairs,
+    ivf_topk,
+    lsh_signature,
+    rademacher_weights,
+)
+from seriesly_spark.operators.textstats import token_counts_bpe
+from seriesly_spark.operators.windows import hopping_window_agg
+from seriesly_spark.sources.tables import latest_by_key
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+class TestRademacher:
+    def test_deterministic_and_pm1(self):
+        w1 = rademacher_weights(4, 8)
+        w2 = rademacher_weights(4, 8)
+        assert w1 == w2
+        assert all(x in (-1, 1) for row in w1 for x in row)
+
+    def test_roughly_balanced(self):
+        w = rademacher_weights(16, 64)
+        total = sum(x for row in w for x in row)
+        assert abs(total) < 1024 * 0.2  # unbiased coin, generous bound
+
+
+class TestLshSimilarity:
+    def test_identical_vectors_same_signature(self, spark):
+        base = [1.0, -2.0, 3.0, 0.5] * 16
+        df = _vecs(spark, [(0, base), (1, base), (2, [-x for x in base])])
+        sigs = {r.vec_id: r.lsh_sig for r in lsh_signature(df).collect()}
+        assert sigs[0] == sigs[1]
+        # the negated vector flips every hyperplane side
+        assert sigs[2] == sigs[0] ^ 0xFFFF
+
+    def test_near_dup_pairs_finds_clone(self, spark):
+        base = [1.0, -2.0, 3.0, 0.5] * 16
+        near = list(base)
+        near[0] = 1.001  # tiny perturbation, cosine ~ 1
+        far = [(-1.0) ** i * float(i) for i in range(64)]
+        df = _vecs(spark, [(0, base), (1, near), (7, far)])
+        pairs = {(r.a, r.b) for r in cosine_near_dup_pairs(df, 0.9).collect()}
+        assert (0, 1) in pairs
+        assert all(7 not in p for p in pairs)
+
+    def test_ann_lsh_ranks_clone_first(self, spark):
+        base = [1.0, -2.0, 3.0, 0.5] * 16
+        near = list(base)
+        near[3] = 0.6
+        df = _vecs(spark, [(0, base), (1, near), (2, [x * 2 for x in near])])
+        top = ann_topk_lsh(df, query_id=0, k=2).collect()
+        assert top, "bucket probe must find the near-identical vectors"
+        assert top[0].cos_sim == pytest.approx(1.0, abs=1e-3)
+
+
+class TestIvf:
+    def test_probe_returns_cell_neighbors(self, spark):
+        # two well-separated clusters along different axes
+        a = [1.0] + [0.0] * 63
+        b = [0.0] * 63 + [1.0]
+        # centroids are vec_id < 2, so one per cluster: 0 -> a, 1 -> b
+        rows = [(0, a), (1, b), (2, [x * 3 for x in a]),
+                (3, [x * 2 for x in a]), (4, [x * 5 for x in b])]
+        df = _vecs(spark, rows)
+        got = ivf_topk(df, n_centroids=2, query_id=2, k=5).collect()
+        ids = [r.vec_id for r in got]
+        # query 2 lives in centroid 0's cell with 0 and 3; 1/4 are in cell 1
+        assert set(ids) == {0, 3}
+        assert all(r.cos_sim == pytest.approx(1.0) for r in got)
+
+
+class TestTokenCountsBpe:
+    def test_segments_like_gpt2_pretokenizer(self, spark):
+        df = spark.createDataFrame(
+            [(1, "I'll pay 20 dollars, ok?")], "doc_id long, text string"
+        )
+        r = token_counts_bpe(df).collect()[0]
+        # I |'ll| pay| 20| dollars|,| ok|?
+        assert r.n_bpe_tokens == 8
+        assert r.n_alpha_tokens == 4  # I, pay, dollars, ok
+        assert r.n_num_tokens == 1  # 20
+        assert r.n_other_tokens == 3  # 'll, ",", "?"
+
+
+class TestHoppingWindow:
+    def test_each_event_in_four_windows(self, spark):
+        df = spark.createDataFrame(
+            [("2024-01-02 00:00:00", 10.0), ("2024-01-02 03:00:00", 1.0)],
+            "ts string, value double",
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+        out = hopping_window_agg(
+            df, "ts", length_ms=86_400_000, slide_ms=21_600_000, value_col="value"
+        ).collect()
+        assert sum(r.cnt for r in out) == 8  # 2 events x 4 windows
+        both = [r for r in out if r.cnt == 2]
+        # the two events co-occur in windows starting 01-01T06,12,18 and 01-02T00
+        assert len(both) == 4
+        assert all(r.sum_value == 11.0 for r in both)
+
+
+class TestLatestByKey:
+    def test_last_write_wins(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, "old"), (1, 2, "new"), (2, 5, "only")],
+            "k long, seq long, v string",
+        )
+        got = {r.k: (r.seq, r.v) for r in latest_by_key(df, ["k"], "seq").collect()}
+        assert got == {1: (2, "new"), 2: (5, "only")}
