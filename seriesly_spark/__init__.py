@@ -16,11 +16,15 @@ Layout:
   operators/  reducer registry, rate-family window dataflow, dedup,
               similarity, text stats, multimodal plumbing
   plans/      the seriesly query compiler (params -> one DataFrame) + emitters
-  sources/    database catalog over a parquet warehouse (DDL, ingest, reads)
+  sources/    loaders for the driver testdata tables + LWW view helper
   streaming/  Structured Streaming ingest (the write-loop analogue)
+  db.py       SerieslyDB — the operational surface (DDL, keyed-upsert
+              ingest, range reads/dump, bulk delete, compaction, changes
+              feed) over a date-partitioned parquet warehouse
 """
 
+from seriesly_spark.db import SerieslyDB
 from seriesly_spark.plans.query import SerieslyQuery, seriesly_query
 
-__all__ = ["SerieslyQuery", "seriesly_query"]
+__all__ = ["SerieslyDB", "SerieslyQuery", "seriesly_query"]
 __version__ = "0.1.0"

@@ -1,0 +1,267 @@
+"""SerieslyDB — the operational surface of the engine: database DDL,
+document ingest, point/range reads, bulk delete, compaction, changes feed.
+
+Reference parity map (SURVEY §2.1):
+
+  * create/drop/list/exists  ≙ S8  (PUT/DELETE db, GET /_all_dbs;
+    reference database.go:85-134, handlers.go:28-44,282-289)
+  * write/write_batch        ≙ S4/S5 (keyed upsert + batched flush;
+    reference database.go:175-302, handlers.go:56-100) — append-only log
+    with a write sequence; same-key overwrite resolved at read time by
+    last-write-wins (sources.tables.latest_by_key), the lakehouse analogue
+    of couchstore's B-tree key replace.
+  * get                      ≙ S3  (point lookup, database.go:324-337)
+  * all_docs / dump_lines    ≙ S10/S11 (_all/_dump range reads with limit,
+    handlers.go:331-420)
+  * delete_range             ≙ S6  (bulk range delete, handlers.go:230-281)
+  * compact                  ≙ S7  (couch-file rewrite ≙ partition file
+    merge; database.go:136-171)
+  * changes                  ≙ S13 (the changes feed the reference 501s,
+    handlers.go:455-457 — free via a file-stream source here)
+  * info                     ≙ S9  (doc_count/space_used, handlers.go:431-451)
+
+Storage layout — one directory per database, hive-partitioned by UTC date:
+
+    <root>/<db>/date=YYYY-MM-DD/part-*.parquet   (ts_ns LONG, seq LONG, doc STRING)
+
+Design for scale: the date partition column turns every time-range
+predicate into partition pruning plus parquet min/max skipping on ts_ns
+(the B-tree range-walk analogue); appends are new files (no read-modify-
+write); delete_range drops fully-covered partition directories without
+touching their data and rewrites only the two edge partitions; compact
+merges small files per partition. On a real deployment the same API maps
+onto Delta/Iceberg (MERGE, OPTIMIZE, CDF) — plain parquet keeps this
+repo dependency-free.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seriesly_spark.functions.timeparse import canonical_key
+from seriesly_spark.plans.query import SerieslyQuery, py_parse_ts_ns, seriesly_query
+from seriesly_spark.sources.tables import latest_by_key
+
+DOC_SCHEMA = "ts_ns long, seq long, doc string"
+
+
+class SerieslyDB:
+    """Filesystem-rooted database registry + per-database operations."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- DDL (S8) -----------------------------------------------------------
+
+    def _path(self, name: str) -> str:
+        if not name or name.startswith(".") or "/" in name:
+            raise ValueError(f"invalid db name: {name!r}")
+        return os.path.join(self.root, name)
+
+    def create(self, name: str) -> None:
+        os.makedirs(self._path(name), exist_ok=True)
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._path(name), ignore_errors=True)
+
+    def list(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d)) and not d.startswith(".")
+        )
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self._path(name))
+
+    # -- Ingest (S4/S5) -----------------------------------------------------
+
+    def write(self, name: str, doc: str, ts=None) -> int:
+        """Store one document; returns the assigned ns key (server-assigned
+        now-UTC when ``ts`` is None, reference handlers.go:63-72)."""
+        return self.write_batch(name, [(ts, doc)])[0]
+
+    def write_batch(self, name: str, rows: list[tuple[object, str]]) -> list[int]:
+        """Batched append — the engine-side analogue of the reference's
+        write queue flush (1000 ops / 5 s, database.go:175-254): callers
+        batch; each call is one commit (one parquet write job)."""
+        path = self._path(name)
+        if not os.path.isdir(path):
+            raise KeyError(f"no such db: {name}")
+        seq = time.time_ns()
+        keys: list[int] = []
+        out = []
+        for i, (ts, doc) in enumerate(rows):
+            ns = time.time_ns() if ts is None else py_parse_ts_ns(ts)
+            keys.append(ns)
+            out.append((ns, seq + i, doc))
+        df = self.spark.createDataFrame(out, DOC_SCHEMA).withColumn(
+            "date", F.to_date(F.timestamp_micros(F.expr("ts_ns div 1000")))
+        )
+        df.repartition("date").write.partitionBy("date").mode("append").parquet(path)
+        return keys
+
+    # -- Reads (S1-S3, S10/S11) --------------------------------------------
+
+    def df(self, name: str, from_ts=None, to_ts=None) -> DataFrame:
+        """Live view of the database: time-range pruned, one row per key
+        (last write wins). Range bounds are inclusive ns keys (P4)."""
+        path = self._path(name)
+        if not os.path.isdir(path):
+            raise KeyError(f"no such db: {name}")
+        try:
+            raw = self.spark.read.parquet(path)
+        except Exception:
+            # Partition discovery needs at least one file; empty db => empty df.
+            return self.spark.createDataFrame([], DOC_SCHEMA)
+        if from_ts is not None:
+            lo = py_parse_ts_ns(from_ts)
+            # date predicate -> partition pruning; ts_ns -> row-group skipping
+            raw = raw.where(
+                (F.col("date") >= F.to_date(F.timestamp_micros(F.lit(lo // 1000))))
+                & (F.col("ts_ns") >= F.lit(lo))
+            )
+        if to_ts is not None:
+            hi = py_parse_ts_ns(to_ts)
+            raw = raw.where(
+                (F.col("date") <= F.to_date(F.timestamp_micros(F.lit(hi // 1000))))
+                & (F.col("ts_ns") <= F.lit(hi))
+            )
+        return latest_by_key(raw.select("ts_ns", "seq", "doc"), ["ts_ns"], "seq")
+
+    def get(self, name: str, ts) -> str | None:
+        ns = py_parse_ts_ns(ts)
+        row = self.df(name).where(F.col("ts_ns") == ns).select("doc").first()
+        return row[0] if row else None
+
+    def all_docs(
+        self, name: str, from_ts=None, to_ts=None, limit: int | None = None
+    ) -> DataFrame:
+        """Key-ordered (key, doc) range read (S10/S11 + P7 limit)."""
+        out = (
+            self.df(name, from_ts, to_ts)
+            .orderBy("ts_ns")
+            .select(canonical_key(F.col("ts_ns")).alias("key"), "doc")
+        )
+        return out.limit(limit) if limit is not None else out
+
+    def dump_lines(
+        self, name: str, from_ts=None, to_ts=None, limit: int | None = None
+    ) -> "list[str]":
+        """NDJSON lines '{"<key>": <doc>}' (reference _dump,
+        handlers.go:381-420). Collects — use only for bounded ranges."""
+        rows = self.all_docs(name, from_ts, to_ts, limit).collect()
+        return ['{"%s": %s}' % (r.key, r.doc) for r in rows]
+
+    # -- Maintenance (S6/S7/S9) --------------------------------------------
+
+    def _partitions(self, name: str) -> list[str]:
+        path = self._path(name)
+        return sorted(
+            d for d in os.listdir(path)
+            if d.startswith("date=") and os.path.isdir(os.path.join(path, d))
+        )
+
+    def delete_range(self, name: str, from_ts, to_ts, compact: bool = False) -> None:
+        """Bulk range delete (S6). Partitions fully inside the range are
+        dropped as directories (no data read); the two edge partitions are
+        rewritten without the deleted keys. The 10k-commit batching of the
+        reference (handlers.go:256) is irrelevant here — the rewrite is one
+        job per edge partition."""
+        lo, hi = py_parse_ts_ns(from_ts), py_parse_ts_ns(to_ts)
+        lo_d = _ns_date(lo)
+        hi_d = _ns_date(hi)
+        path = self._path(name)
+        for part in self._partitions(name):
+            d = part[len("date="):]
+            if lo_d < d < hi_d:
+                shutil.rmtree(os.path.join(path, part))
+            elif d == lo_d or d == hi_d:
+                self._rewrite_partition(
+                    name, d,
+                    lambda df: df.where(
+                        ~((F.col("ts_ns") >= lo) & (F.col("ts_ns") <= hi))
+                    ),
+                )
+        if compact:
+            self.compact(name)
+
+    def _rewrite_partition(self, name: str, date: str, transform) -> None:
+        path = self._path(name)
+        part_dir = os.path.join(path, f"date={date}")
+        cur = self.spark.read.schema(DOC_SCHEMA).parquet(part_dir)
+        new = transform(cur)
+        if new.isEmpty():
+            shutil.rmtree(part_dir)
+            return
+        tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}")
+        new.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(part_dir)
+        os.makedirs(part_dir, exist_ok=True)
+        for f_ in os.listdir(tmp):
+            if f_.endswith(".parquet"):
+                shutil.move(os.path.join(tmp, f_), os.path.join(part_dir, f_))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def compact(self, name: str) -> None:
+        """Merge each partition's files and fold superseded versions of a
+        key into the survivor (S7: couch-file rewrite ≙ OPTIMIZE; also
+        reclaims overwritten docs the way couchstore compaction drops old
+        revisions)."""
+        for part in self._partitions(name):
+            d = part[len("date="):]
+            self._rewrite_partition(
+                name, d, lambda df: latest_by_key(df, ["ts_ns"], "seq")
+            )
+
+    def info(self, name: str) -> dict:
+        """S9: doc_count (live keys), space_used, partition/file counts."""
+        path = self._path(name)
+        n_files = space = 0
+        for dirpath, _, files in os.walk(path):
+            for f_ in files:
+                if f_.endswith(".parquet"):
+                    n_files += 1
+                    space += os.path.getsize(os.path.join(dirpath, f_))
+        return {
+            "db_name": name,
+            "doc_count": self.df(name).count(),
+            "space_used": space,
+            "n_partitions": len(self._partitions(name)),
+            "n_files": n_files,
+        }
+
+    # -- Changes feed (S13) -------------------------------------------------
+
+    def changes(self, name: str) -> DataFrame:
+        """Streaming DataFrame of appended documents (the feed the
+        reference never implemented): new parquet files in the db directory
+        become micro-batches."""
+        return (
+            self.spark.readStream.schema(DOC_SCHEMA + ", date date")
+            .option("basePath", self._path(name))
+            .parquet(self._path(name))
+        )
+
+    # -- Query (the §3.1 analytical path) -----------------------------------
+
+    def query(
+        self, name: str, q: SerieslyQuery, exact_sums: bool = False
+    ) -> DataFrame:
+        """The `GET /db/_query` equivalent over the live LWW view."""
+        src = self.df(name, q.from_ts, q.to_ts)
+        return seriesly_query(
+            src, q, doc_col="doc", ts_ns_col="ts_ns", exact_sums=exact_sums
+        )
+
+
+def _ns_date(ns: int) -> str:
+    return datetime.fromtimestamp(ns / 1e9, tz=timezone.utc).strftime("%Y-%m-%d")

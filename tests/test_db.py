@@ -1,0 +1,180 @@
+"""End-to-end tests for the SerieslyDB operational surface (SURVEY §2.1):
+DDL, keyed upsert with LWW reads, range reads + limit, bulk range delete
+with partition-drop semantics, compaction, info, changes feed, and the
+analytical query path over a written database.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from seriesly_spark.db import SerieslyDB
+from seriesly_spark.plans.query import SerieslyQuery
+
+
+@pytest.fixture()
+def dbs(spark, tmp_path):
+    return SerieslyDB(spark, str(tmp_path / "dbroot"))
+
+
+def _doc(k):
+    return json.dumps({"k": k})
+
+
+class TestDdl:
+    def test_create_list_drop(self, dbs):
+        assert dbs.list() == []
+        dbs.create("a")
+        dbs.create("b")
+        assert dbs.list() == ["a", "b"]
+        dbs.drop("a")
+        assert dbs.list() == ["b"]
+        assert dbs.exists("b") and not dbs.exists("a")
+
+    def test_invalid_names(self, dbs):
+        for bad in ("", ".hidden", "x/y"):
+            with pytest.raises(ValueError):
+                dbs.create(bad)
+
+    def test_write_to_missing_db(self, dbs):
+        with pytest.raises(KeyError):
+            dbs.write("nope", _doc(1))
+
+
+class TestIngestAndRead:
+    def test_write_get_roundtrip(self, dbs):
+        dbs.create("t")
+        k = dbs.write("t", _doc(7), ts="2024-01-02T03:04:05Z")
+        assert k == 1_704_164_645_000_000_000
+        assert json.loads(dbs.get("t", "2024-01-02T03:04:05Z")) == {"k": 7}
+        assert dbs.get("t", "2024-01-02T03:04:06Z") is None
+
+    def test_same_key_overwrites(self, dbs):
+        dbs.create("t")
+        dbs.write("t", _doc(1), ts="2024-01-02T00:00:00Z")
+        dbs.write("t", _doc(2), ts="2024-01-02T00:00:00Z")
+        assert json.loads(dbs.get("t", "2024-01-02T00:00:00Z")) == {"k": 2}
+        assert dbs.df("t").count() == 1  # one live key
+
+    def test_server_assigned_key(self, dbs):
+        dbs.create("t")
+        k = dbs.write("t", _doc(1))
+        assert isinstance(k, int) and k > 1_700_000_000_000_000_000
+
+    def test_all_docs_order_and_limit(self, dbs):
+        dbs.create("t")
+        dbs.write_batch(
+            "t",
+            [(f"2024-01-0{d}T00:00:00Z", _doc(d)) for d in (3, 1, 2)],
+        )
+        rows = dbs.all_docs("t").collect()
+        assert [json.loads(r.doc)["k"] for r in rows] == [1, 2, 3]
+        assert rows[0].key == "2024-01-01T00:00:00Z"
+        assert dbs.all_docs("t", limit=2).count() == 2
+        rng = dbs.all_docs("t", from_ts="2024-01-02", to_ts="2024-01-03").collect()
+        assert [json.loads(r.doc)["k"] for r in rng] == [2, 3]
+
+    def test_dump_lines(self, dbs):
+        dbs.create("t")
+        dbs.write("t", '{"a": 1}', ts="2024-01-01T00:00:00Z")
+        assert dbs.dump_lines("t") == ['{"2024-01-01T00:00:00Z": {"a": 1}}']
+
+    def test_empty_db_reads(self, dbs):
+        dbs.create("t")
+        assert dbs.df("t").count() == 0
+        assert dbs.all_docs("t").count() == 0
+
+
+class TestMaintenance:
+    def _seed_days(self, dbs, days):
+        dbs.create("t")
+        dbs.write_batch(
+            "t",
+            [
+                (f"2024-01-{d:02d}T{h:02d}:00:00Z", _doc(d * 100 + h))
+                for d in days
+                for h in (0, 12)
+            ],
+        )
+
+    def test_delete_range_drops_and_trims(self, dbs):
+        self._seed_days(dbs, [1, 2, 3, 4])
+        # range covers all of day 2-3 plus the first write of day 4
+        dbs.delete_range("t", "2024-01-02", "2024-01-04T00:00:00Z")
+        left = sorted(
+            json.loads(r.doc)["k"] for r in dbs.df("t").select("doc").collect()
+        )
+        assert left == [100, 112, 412]
+        # fully-covered partitions are gone as directories
+        assert dbs.info("t")["n_partitions"] == 2
+
+    def test_compact_merges_and_reclaims(self, dbs):
+        dbs.create("t")
+        for i in range(5):
+            dbs.write("t", _doc(i), ts="2024-01-01T00:00:00Z")  # 5 versions
+        info0 = dbs.info("t")
+        assert info0["n_files"] == 5 and info0["doc_count"] == 1
+        dbs.compact("t")
+        info1 = dbs.info("t")
+        assert info1["n_files"] == 1 and info1["doc_count"] == 1
+        assert json.loads(dbs.get("t", "2024-01-01T00:00:00Z")) == {"k": 4}
+
+    def test_info_counts(self, dbs):
+        self._seed_days(dbs, [1, 2])
+        info = dbs.info("t")
+        assert info["doc_count"] == 4
+        assert info["n_partitions"] == 2
+        assert info["space_used"] > 0
+
+
+class TestChangesFeed:
+    def test_stream_sees_appends(self, dbs):
+        dbs.create("t")
+        dbs.write("t", _doc(1), ts="2024-01-01T00:00:00Z")
+        q = (
+            dbs.changes("t")
+            .writeStream.format("memory")
+            .queryName("t_changes")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n0 = dbs.spark.table("t_changes").count()
+            dbs.write("t", _doc(2), ts="2024-01-01T01:00:00Z")
+            q.processAllAvailable()
+            n1 = dbs.spark.table("t_changes").count()
+        finally:
+            q.stop()
+        assert (n0, n1) == (1, 2)
+
+
+class TestQueryPath:
+    def test_query_over_written_db(self, dbs):
+        dbs.create("t")
+        dbs.write_batch(
+            "t",
+            [
+                ("2024-01-01T00:00:10Z", '{"v": "1"}'),
+                ("2024-01-01T00:00:20Z", '{"v": 2}'),
+                ("2024-01-02T00:00:10Z", '{"v": 30, "x": 1}'),
+            ],
+        )
+        q = SerieslyQuery(
+            group_ms=86_400_000,
+            fields=[("/v", "count"), ("/v", "sum"), ("/v", "max")],
+            aliases=["cnt", "sum_v", "max_v"],
+        )
+        rows = dbs.query("t", q).collect()
+        assert [(r.cnt, r.sum_v, r.max_v) for r in rows] == [
+            (2, 3.0, 2.0),
+            (1, 30.0, 30.0),
+        ]
+
+    def test_query_respects_lww(self, dbs):
+        dbs.create("t")
+        dbs.write("t", '{"v": 100}', ts="2024-01-01T00:00:00Z")
+        dbs.write("t", '{"v": 1}', ts="2024-01-01T00:00:00Z")
+        q = SerieslyQuery(group_ms=86_400_000, fields=[("/v", "sum")], aliases=["s"])
+        assert dbs.query("t", q).collect()[0].s == 1.0
