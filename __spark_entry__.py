@@ -51,7 +51,10 @@ from seriesly_spark.operators.windows import (
 )
 from seriesly_spark.plans.query import SerieslyQuery, seriesly_query
 from seriesly_spark.sources.tables import latest_by_key, load_table
-from seriesly_spark.streaming.ingest import streaming_bucket_counts
+from seriesly_spark.streaming.ingest import (
+    streaming_bucket_counts,
+    streaming_sessionize,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -532,6 +535,26 @@ def q_streaming_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_watermarked_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 + late-data policy: watermarked update-mode windowed counts —
+    the state-bounded streaming shape (evictable windows) the reference
+    has no analogue for."""
+    _prep(spark)
+    return streaming_bucket_counts(
+        spark, f"{sf_dir}/events.parquet", group_ms=DAY_MS,
+        query_name="stream_wm_counts", watermark="1 day",
+    )
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user session counts with a 30-min gap; equals batch sessionization."""
+    _prep(spark)
+    return streaming_sessionize(
+        spark, f"{sf_dir}/events.parquet", gap_us=1_800_000_000
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload -> mapInPandas metadata
     extraction (Arrow-batched; codec step stubbed, byte math real)."""
@@ -539,6 +562,28 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+
+# Shared by the batch and streaming variants — stateful streaming must land
+# on exactly the batch answer.
+_SESSIONIZE_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+l AS (
+  SELECT user_id,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+              OR ts_us - lag(ts_us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, count(*) AS n_events, cast(sum(ns) as BIGINT) AS n_sessions
+FROM l GROUP BY user_id
+"""
+
+_STREAM_BUCKET_SQL = f"""
+WITH e AS (SELECT epoch_us(ts)*1000 AS ts_ns, event_type FROM events)
+SELECT {_bucket('ts_ns', DAY_MS)} AS bucket_ms, event_type, count(*) AS cnt
+FROM e GROUP BY 1, 2
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -572,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events_per_type": q_topk_events_per_type,
         "revenue_by_nation": q_revenue_by_nation,
         "streaming_bucket_agg": q_streaming_bucket_agg,
+        "streaming_watermarked_agg": q_streaming_watermarked_agg,
+        "streaming_sessionize": q_streaming_sessionize,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -804,18 +851,8 @@ SELECT (ts_ns // {DAY_MS * 1_000_000}) * {DAY_MS} AS bucket_ms,
   round(cast(sum(cast(value as decimal(38,18))) as double), 6) AS sum_value
 FROM l GROUP BY 1
 """,
-        "sessionize_users": """
-WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
-l AS (
-  SELECT user_id,
-    CASE WHEN lag(ts_us) OVER w IS NULL
-              OR ts_us - lag(ts_us) OVER w > 1800000000
-         THEN 1 ELSE 0 END AS ns
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-)
-SELECT user_id, count(*) AS n_events, cast(sum(ns) as BIGINT) AS n_sessions
-FROM l GROUP BY user_id
-""",
+        "sessionize_users": _SESSIONIZE_SQL,
+        "streaming_sessionize": _SESSIONIZE_SQL,
         "topk_events_per_type": """
 SELECT event_type, event_id, value FROM (
   SELECT event_type, event_id, value,
@@ -824,11 +861,8 @@ SELECT event_type, event_id, value FROM (
 ) WHERE rn <= 3
 """,
         "revenue_by_nation": _REVENUE_SQL,
-        "streaming_bucket_agg": f"""
-WITH e AS (SELECT epoch_us(ts)*1000 AS ts_ns, event_type FROM events)
-SELECT {_bucket('ts_ns', DAY_MS)} AS bucket_ms, event_type, count(*) AS cnt
-FROM e GROUP BY 1, 2
-""",
+        "streaming_bucket_agg": _STREAM_BUCKET_SQL,
+        "streaming_watermarked_agg": _STREAM_BUCKET_SQL,
         "multimodal_meta": """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
   octet_length(encode(text)) % 256 AS width,

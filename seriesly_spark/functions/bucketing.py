@@ -16,11 +16,15 @@ def idiv(c: Column, n: int) -> Column:
     """Exact floor-division of a LONG column by a positive int.
 
     ``F.floor(c / n)`` promotes to double — at ns-epoch magnitude (~1.8e18)
-    doubles carry only 53 mantissa bits (~256 ns granularity), which shifts
-    µs truncation and bucket boundaries. Route through DECIMAL(38,0) so the
-    quotient is exact at any epoch.
+    doubles carry only 53 mantissa bits (~256 ns granularity). Decimal
+    division alone is no better: Spark caps the result scale at 6, so a
+    value within 0.5e-6·n of a boundary rounds UP before floor() sees it
+    (e.g. ts 5 µs below a 10 s bucket edge landed in the next bucket).
+    Subtracting pmod first makes the quotient an exact integer — division
+    (decimal, to avoid the double path) then cannot round at any epoch.
     """
-    return F.floor(c.cast(T.DecimalType(38, 0)) / F.lit(n)).cast(T.LongType())
+    exact = c - F.pmod(c, F.lit(n))
+    return (exact.cast(T.DecimalType(38, 0)) / F.lit(n)).cast(T.LongType())
 
 
 def bucket_ms_col(ts_ns: Column, group_ms: int) -> Column:

@@ -21,23 +21,20 @@ from __future__ import annotations
 
 import os
 import tempfile
+from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
 
 
-def streaming_bucket_counts(
-    spark: SparkSession,
-    events_path: str,
-    group_ms: int = 86_400_000,
-    query_name: str = "stream_bucket_counts",
-) -> DataFrame:
-    """Tumbling-window per-type counts computed *as a stream* over the
-    events parquet, then returned as the final (complete-mode) result.
-
-    Output: (bucket_ms LONG, event_type STRING, cnt LONG) — byte-identical
-    to the equivalent batch aggregation, which is the oracle.
-    """
+def _stream_source(spark: SparkSession, events_path: str) -> DataFrame:
     schema = spark.read.parquet(events_path).schema
     stream_dir = events_path
     if not os.path.isdir(events_path):
@@ -48,16 +45,12 @@ def streaming_bucket_counts(
         os.symlink(
             events_path, os.path.join(stream_dir, os.path.basename(events_path))
         )
-    src = spark.readStream.schema(schema).parquet(stream_dir)
-    # ts arrives as LONG ns (nanosAsLong); window() needs a timestamp.
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
-    agg = (
-        src.withColumn("__ts", ts)
-        .groupBy(F.window("__ts", f"{group_ms} milliseconds"), "event_type")
-        .agg(F.count("*").alias("cnt"))
-    )
+    return spark.readStream.schema(schema).parquet(stream_dir)
+
+
+def _run_to_memory(agg, query_name: str, output_mode: str, spark: SparkSession):
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()
@@ -67,8 +60,129 @@ def streaming_bucket_counts(
     finally:
         q.stop()
         q.awaitTermination()
-    return spark.table(query_name).select(
+    return spark.table(query_name)
+
+
+def streaming_bucket_counts(
+    spark: SparkSession,
+    events_path: str,
+    group_ms: int = 86_400_000,
+    query_name: str = "stream_bucket_counts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window per-type counts computed *as a stream* over the
+    events parquet, then returned as the final result.
+
+    With ``watermark`` (e.g. "1 day") the aggregation runs in update mode
+    with a late-data bound — the state store can evict windows older than
+    max(event time) - watermark, which is what makes unbounded streams
+    feasible; without it, complete mode keeps all windows. Either way the
+    final table equals the batch aggregation (the oracle): the memory sink
+    rows are reduced to the latest emission per (window, type).
+
+    Output: (bucket_ms LONG, event_type STRING, cnt LONG).
+    """
+    src = _stream_source(spark, events_path)
+    # ts arrives as LONG ns (nanosAsLong); window() needs a timestamp.
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    withts = src.withColumn("__ts", ts)
+    if watermark is not None:
+        withts = withts.withWatermark("__ts", watermark)
+    agg = withts.groupBy(
+        F.window("__ts", f"{group_ms} milliseconds"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    mode = "update" if watermark is not None else "complete"
+    tbl = _run_to_memory(agg, query_name, mode, spark)
+    out = tbl.select(
         F.unix_millis(F.col("window.start")).alias("bucket_ms"),
         "event_type",
         "cnt",
+    )
+    if watermark is not None:
+        # Update mode re-emits a row per batch it changed in; keep the last.
+        out = (
+            out.groupBy("bucket_ms", "event_type")
+            .agg(F.max_by("cnt", "cnt").alias("cnt"))
+        )
+    return out
+
+
+_SESS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_sessions", LongType()),
+    ]
+)
+# State per user: (last_ts_us, last_event_id, n_events, n_sessions)
+_SESS_STATE = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_sessions", LongType()),
+    ]
+)
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    events_path: str,
+    gap_us: int = 1_800_000_000,
+    query_name: str = "stream_sessionize",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user session counting with an inactivity gap, state = (last event
+    time, running counts) per user — the shape the reference could never
+    express (its only state is the per-bucket reducer pipeline).
+
+    Arrow-batched per group; state is three longs per user, so the state
+    store stays tiny at any cardinality. Within a micro-batch events are
+    sorted by (ts, event_id) — correct as long as batches arrive in time
+    order per user (file/Kafka sources with event-time partitioning; a
+    production pipeline would add a watermark + buffer for disorder).
+
+    Output: (user_id, n_events, n_sessions), equal to the batch
+    sessionization on the same data (the oracle).
+    """
+    src = _stream_source(spark, events_path).select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts, n_events, n_sessions = state.get
+        else:
+            last_ts, n_events, n_sessions = None, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for ts_us in rows["ts_us"]:
+            if last_ts is None or ts_us - last_ts > gap_us:
+                n_sessions += 1
+            n_events += 1
+            last_ts = ts_us
+        state.update((int(last_ts), int(n_events), int(n_sessions)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    agg = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = _run_to_memory(agg, query_name, "update", spark)
+    # Latest emission per user (update mode re-emits per batch).
+    return tbl.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_sessions").alias("n_sessions"),
     )

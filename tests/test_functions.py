@@ -146,3 +146,38 @@ class TestSparkTimeFns:
             ).collect()
         ]
         assert got == keys
+
+
+class TestIdivBoundary:
+    """Regression: decimal division's scale-6 rounding must not shift
+    bucket boundaries (found by hypothesis: ts 5 µs below a 10 s bucket
+    edge rounded up into the next bucket)."""
+
+    def test_bucket_edge_just_below(self, spark):
+        from seriesly_spark.functions.bucketing import bucket_ms_col, idiv
+
+        rows = [
+            (29_999_995_000,),  # 5 µs below the 30 s edge -> bucket 20000
+            (29_999_999_999,),  # 1 ns below               -> bucket 20000
+            (30_000_000_000,),  # exactly the edge          -> bucket 30000
+            (1_699_999_999_999_999_500,),  # ns-epoch, 500 ns below a second
+        ]
+        df = spark.createDataFrame(rows, "ts_ns long")
+        got = df.select(
+            bucket_ms_col(F.col("ts_ns"), 10_000).alias("b"),
+            idiv(F.col("ts_ns"), 1_000_000_000).alias("s"),
+        ).collect()
+        assert [r.b for r in got] == [20000, 20000, 30000, 1_699_999_990_000]
+        assert [r.s for r in got] == [29, 29, 30, 1_699_999_999]
+
+    def test_negative_ns(self, spark):
+        from seriesly_spark.functions.bucketing import bucket_ms_col
+
+        df = spark.createDataFrame([(-1,), (-10_000_000_001,)], "ts_ns long")
+        got = [
+            r.b
+            for r in df.select(
+                bucket_ms_col(F.col("ts_ns"), 10_000).alias("b")
+            ).collect()
+        ]
+        assert got == [-10000, -20000]  # floor, not truncation
