@@ -377,6 +377,44 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q1_SQL)
 
 
+_TPCH_Q3_SQL = f"""
+SELECT l_orderkey,
+  round({_dsum('l_extendedprice * (1 - l_discount)')}, 6) AS revenue,
+  o_orderdate, count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: selective dim filter -> broadcast join
+    into the fact -> group + top-10 (partial take, no global sort)."""
+    for t in ("customer", "orders", "lineitem"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q3_SQL)
+
+
+_TPCH_Q6_SQL = f"""
+SELECT round({_dsum('l_extendedprice * l_discount')}, 6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue: every predicate reaches the parquet scan
+    (PushedFilters), 2-column read, single partial+final agg."""
+    _table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_TPCH_Q6_SQL)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup survivors: min doc_id per content hash (16-byte shuffle
     keys, map-side partial min — scales to any corpus)."""
@@ -598,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r03_rate_family": q_r03_rate_family,
         "t01_parse_time": q_t01_parse_time,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "text_fingerprint": q_text_fingerprint,
@@ -709,6 +749,8 @@ FROM b LEFT JOIN r USING (event_type, bucket_ms)
             f"SELECT * FROM (VALUES\n  {t01_values}\n) AS t(input, ts_ns, canonical)"
         ),
         "tpch_q1": _TPCH_Q1_SQL,
+        "tpch_q3": _TPCH_Q3_SQL,
+        "tpch_q6": _TPCH_Q6_SQL,
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
         ),

@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "r02_obj_keys",
     "r03_rate_family",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
     "dedup_exact",
     "text_stats",
     "text_fingerprint",

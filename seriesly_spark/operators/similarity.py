@@ -132,24 +132,28 @@ def lsh_signature(
     """
     w = rademacher_weights(planes, dim)
     vectors = spread(vectors)
-    zero = F.lit(0).cast(_DEC)
-    sig = None
-    for p in range(planes):
-        wp = F.array(*[F.lit(x) for x in w[p]])
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                wp,
-                lambda x, s: (x.cast("double") * s).cast(_DEC),
-            ),
-            zero,
-            lambda acc, x: (acc + x).cast(_DEC),
-        ).cast("double")
-        bit = F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = bit if sig is None else sig + bit
-    return vectors.select(F.col(id_col), sig.alias("lsh_sig"))
+    # The weight matrix rides as broadcast DATA (one row), not as plan
+    # literals: 32 planes x 64 literals plus per-plane lambda trees made
+    # Catalyst analysis itself a multi-second cost per query. One small
+    # expression over w[p] keeps the plan tiny; the cross join is a 1-row
+    # broadcast.
+    wdf = vectors.sparkSession.createDataFrame(
+        [([[float(x) for x in row] for row in w],)], "__w array<array<double>>"
+    )
+    sig = F.expr(
+        f"""aggregate(sequence(0, {planes - 1}), cast(0 as bigint),
+          (acc, p) -> acc + IF(
+            cast(aggregate(
+              zip_with({vec_col}, __w[p],
+                       (x, s) -> cast(cast(x as double) * s as {_DEC})),
+              cast(0 as {_DEC}),
+              (a, b) -> cast(a + b as {_DEC})) as double) >= 0,
+            shiftleft(cast(1 as bigint), p), cast(0 as bigint)))"""
+    )
+    return (
+        vectors.crossJoin(F.broadcast(wdf))
+        .select(F.col(id_col), sig.alias("lsh_sig"))
+    )
 
 
 def _band_chunks(planes: int, bands: int, sig_col: str = "lsh_sig") -> list[Column]:
@@ -241,10 +245,16 @@ def ann_topk_lsh(
     oracle replicates the identical bucketing so results still compare
     exactly."""
     sig = lsh_signature(vectors, planes, dim, id_col, vec_col)
-    banded = sig.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array(*_band_chunks(planes, bands))).alias("bc"),
-    ).select("id", "bc.band", "bc.chunk")
+    # Probe side and corpus side both read the signatures — persist so the
+    # plane projections run once (see cosine_near_dup_pairs).
+    banded = (
+        sig.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(*_band_chunks(planes, bands))).alias("bc"),
+        )
+        .select("id", "bc.band", "bc.chunk")
+        .persist()
+    )
     qb = F.broadcast(
         banded.where(F.col("id") == query_id).select("band", "chunk")
     )
