@@ -29,7 +29,11 @@ from seriesly_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash32_md5,
 )
-from seriesly_spark.operators.multimodal import payload_metadata
+from seriesly_spark.operators.multimodal import (
+    frame_sample,
+    payload_features,
+    payload_metadata,
+)
 from seriesly_spark.operators.similarity import (
     ann_topk_cosine,
     ann_topk_lsh,
@@ -337,6 +341,48 @@ _T01_CASES = [
 ]
 
 
+# P1/P2/T3 fixture: nested + RFC 6901-escaped pointers, mixed-type scalars,
+# missing fields, and the _id pseudo-pointer. ts values carry ns fractions
+# so canonical-key trailing-zero trimming is exercised (reference
+# query_test.go:242-264 uses the same reddit-listing pointer shapes).
+_P01_DOCS = [
+    (
+        1_346_189_075_374_651_880,
+        '{"kind": "Listing", "data": {"children": '
+        '[{"data": {"score": 5}}, {"data": {"score": 7}}]}, '
+        '"a/b": 1, "m~n": 2}',
+    ),
+    (
+        1_346_189_076_000_000_000,
+        '{"kind": "Listing2", "data": {"children": [{"data": {"score": "12"}}]}}',
+    ),
+    (1_346_189_077_500_000_000, '{"other": true}'),
+]
+
+
+def q_p01_multi_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+T3: one-pass multi-pointer extraction — nested array pointer,
+    ~1/~0 escapes, missing fields, string-number coercion, and the _id
+    pseudo-pointer rendered as the canonical RFC3339Nano key (reference
+    query.go:70-145, handlers.go:63-72)."""
+    _prep(spark)
+    df = spark.createDataFrame(_P01_DOCS, "ts_ns long, doc string")
+    q = SerieslyQuery(
+        group_ms=3_600_000,
+        fields=[
+            ("/kind", "any"),
+            ("/data/children/0/data/score", "sum"),
+            ("/data/children/1/data/score", "count"),
+            ("/a~1b", "count"),
+            ("/m~0n", "count"),
+            ("_id", "any"),
+        ],
+        aliases=["any_kind", "sum_score", "cnt_score1", "cnt_slash",
+                 "cnt_tilde", "any_id"],
+    )
+    return seriesly_query(df, q, doc_col="doc", ts_ns_col="ts_ns")
+
+
 def q_t01_parse_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1-T3: multi-format timestamp parsing + canonical key rendering
     (reference timelib/time.go:130-157, handlers.go:63-72). The Spark side
@@ -623,6 +669,18 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/chunk sampling: payload -> one row per 256-byte slice, the
+    video-frame/audio-window plan shape (Arrow-batched explode)."""
+    return frame_sample(_table(spark, sf_dir, "documents"), frame_size=256)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction plumbing: payload -> 8-dim float vector via
+    mapInPandas (deterministic stub in place of a real encoder)."""
+    return payload_features(_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s01_range_read": q_s01_range_read,
@@ -635,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r02_obj_keys": q_r02_obj_keys,
         "r03_rate_family": q_r03_rate_family,
         "t01_parse_time": q_t01_parse_time,
+        "p01_multi_pointer": q_p01_multi_pointer,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
@@ -660,6 +719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_watermarked_agg": q_streaming_watermarked_agg,
         "streaming_sessionize": q_streaming_sessionize,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -748,6 +809,17 @@ FROM b LEFT JOIN r USING (event_type, bucket_ms)
         "t01_parse_time": (
             f"SELECT * FROM (VALUES\n  {t01_values}\n) AS t(input, ts_ns, canonical)"
         ),
+        # Expected row derived from the reference semantics by hand:
+        # any=first non-nil in key order; sum accepts 5 (number) + "12"
+        # (numeric string); /data/children/1/... exists in doc 1 only;
+        # escaped pointers hit the literal keys "a/b" / "m~n"; _id renders
+        # the ns key with trailing fractional zeros stripped.
+        "p01_multi_pointer": """
+SELECT 1346187600000 AS bucket_ms, 'Listing' AS any_kind,
+  17.0 AS sum_score, 1::BIGINT AS cnt_score1, 1::BIGINT AS cnt_slash,
+  1::BIGINT AS cnt_tilde,
+  '2012-08-28T21:24:35.37465188Z' AS any_id
+""",
         "tpch_q1": _TPCH_Q1_SQL,
         "tpch_q3": _TPCH_Q3_SQL,
         "tpch_q6": _TPCH_Q6_SQL,
@@ -911,6 +983,20 @@ SELECT doc_id, octet_length(encode(text)) AS n_bytes,
   (octet_length(encode(text)) // 256) % 256 AS height,
   1::BIGINT AS n_frames
 FROM documents
+""",
+        "multimodal_frames": """
+WITH t AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+f AS (SELECT doc_id, nb,
+        unnest(range(0, greatest(cast(ceil(nb / 256.0) as BIGINT), 1))) AS frame_id
+      FROM t)
+SELECT doc_id, frame_id, least(nb - frame_id * 256, 256) AS frame_len FROM f
+""",
+        "multimodal_features": """
+WITH t AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+SELECT doc_id,
+  list_transform(range(1, 9),
+    i -> cast(cast((nb * i) % 97 as double) / 97.0 as FLOAT)) AS feature
+FROM t
 """,
         "lang_id": """
 WITH s AS (

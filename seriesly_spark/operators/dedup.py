@@ -63,12 +63,21 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) with word-n-gram Jaccard >= threshold.
 
     Plan shape: explode distinct shingles -> equi-join on the shingle hash
     (co-partitioned shuffle, no cross product) -> per-pair intersection
     count -> |A∪B| = |A|+|B|-|A∩B|. Output: a, b, round(jaccard, 6).
+
+    ``max_df``: at corpus scale, ultra-frequent shingles ("of the the")
+    appear in a large fraction of documents and make their join buckets
+    quadratic — the standard mitigation is to drop shingles with document
+    frequency above a cap before the join (they carry no dedup signal).
+    This prunes the skewed buckets at the cost of slightly *underestimating*
+    jaccard (set sizes still count the dropped shingles); leave None for
+    the exact oracle-checked definition.
     """
     sh = spread(docs).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
@@ -84,6 +93,14 @@ def ngram_jaccard_pairs(
         .withColumn("g", F.xxhash64("g"))
         .persist()
     )
+    if max_df is not None:
+        keep = (
+            exploded.groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("g")
+        )
+        exploded = exploded.join(keep, "g")
     a = exploded.select(
         F.col("id").alias("a"), F.col("sz").alias("sza"), "g"
     )

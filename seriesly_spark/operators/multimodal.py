@@ -51,3 +51,68 @@ def payload_metadata(
             )
 
     return src.mapInPandas(extract, META_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_id long, frame_len long"
+
+
+def frame_sample(
+    docs: DataFrame,
+    frame_size: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame/chunk sampling over an opaque payload: one output row per
+    fixed-size slice (video frame / audio window analogue). The byte
+    slicing is real; a codec would replace the slice with a decoded frame.
+    Row explosion happens inside the Arrow batch (no per-row Python calls,
+    no JVM<->Python chatter per frame)."""
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.encode(text_col, "UTF-8").alias("payload")
+    )
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, lens = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, max(len(b), 1), frame_size):
+                    frame = b[i : i + frame_size]
+                    ids.append(doc_id)
+                    fids.append(i // frame_size)
+                    lens.append(len(frame))
+            yield pd.DataFrame({"doc_id": ids, "frame_id": fids, "frame_len": lens})
+
+    return src.mapInPandas(explode_frames, FRAME_SCHEMA)
+
+
+EMBED_DIM = 8
+EMBED_SCHEMA = "doc_id long, feature array<float>"
+
+
+def payload_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-extraction plumbing: payload -> fixed-dim float vector via
+    mapInPandas (the resize/encode/embed stage shape). The model call is
+    STUBBED with a deterministic function of the byte length so the oracle
+    can verify the batch plumbing end-to-end; swapping in a real encoder
+    changes only the function body."""
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.encode(text_col, "UTF-8").alias("payload")
+    )
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feature": [
+                        [float((nb * (i + 1)) % 97) / 97.0 for i in range(EMBED_DIM)]
+                        for nb in n
+                    ],
+                }
+            )
+
+    return src.mapInPandas(embed, EMBED_SCHEMA)

@@ -123,3 +123,51 @@ class TestLatestByKey:
         )
         got = {r.k: (r.seq, r.v) for r in latest_by_key(df, ["k"], "seq").collect()}
         assert got == {1: (2, "new"), 2: (5, "only")}
+
+
+class TestMultimodalPlumbing:
+    def test_frame_sample_boundaries(self, spark):
+        from seriesly_spark.operators.multimodal import frame_sample
+
+        df = spark.createDataFrame(
+            [(1, "x" * 10), (2, "y" * 4), (3, "")], "doc_id long, text string"
+        )
+        got = sorted(
+            (r.doc_id, r.frame_id, r.frame_len)
+            for r in frame_sample(df, frame_size=4).collect()
+        )
+        assert got == [
+            (1, 0, 4), (1, 1, 4), (1, 2, 2),   # 10 bytes -> 4+4+2
+            (2, 0, 4),                          # exact fit -> one frame
+            (3, 0, 0),                          # empty payload -> one empty frame
+        ]
+
+    def test_payload_features_deterministic(self, spark):
+        from seriesly_spark.operators.multimodal import payload_features
+
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        (row,) = payload_features(df).collect()
+        assert len(row.feature) == 8
+        assert abs(row.feature[0] - (3 % 97) / 97.0) < 1e-6
+
+
+class TestJaccardMaxDf:
+    def test_max_df_prunes_hot_shingles(self, spark):
+        from seriesly_spark.operators.dedup import ngram_jaccard_pairs
+
+        # Docs 1/2 share a unique phrase; the "common common common" shingle
+        # appears in all docs (a hot bucket at scale).
+        rows = [
+            (1, "alpha beta gamma common common common"),
+            (2, "alpha beta gamma common common common"),
+            (3, "zeta eta theta common common common"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        full = {(r.a, r.b) for r in ngram_jaccard_pairs(df, threshold=0.1).collect()}
+        assert (1, 2) in full and (1, 3) in full  # common shingles link 1-3 too
+        capped = {
+            (r.a, r.b)
+            for r in ngram_jaccard_pairs(df, threshold=0.1, max_df=2).collect()
+        }
+        assert (1, 2) in capped      # unique phrase survives the cap
+        assert (1, 3) not in capped  # only linked via pruned hot shingles
