@@ -23,15 +23,80 @@ This engine pairs each parseable sample with the *next parseable sample* in
 the series, wherever it lives. Both behaviors agree on every corpus where
 samples are uniformly parseable (the common counter case and the
 reference's own tests).
+
+Scale note — the no-series case: ``lead()`` with no PARTITION BY moves the
+whole sample set to one partition. For that case ``_global_pairs_scalable``
+keeps the pairing distributed: range-partition by ts (contiguous time
+slices per partition, equal keys co-located), compute consecutive pairs
+*inside* each partition with an Arrow-batched ``mapInPandas`` (embarrass-
+ingly parallel), and stitch the one missing pair per partition boundary
+from each partition's (first, last) sample — a per-partition aggregate of
+two tiny structs, paired driver-side (O(partitions) rows). Pair values are
+bit-identical to the window path (same IEEE double arithmetic).
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from seriesly_spark.functions.bucketing import bucket_ms_col
 from seriesly_spark.operators.reducers import REDUCERS
+
+_PAIR_SCHEMA = "ts_ns long, x double, next_ts_ns long, next_x double"
+
+
+def _global_pairs_scalable(samples: DataFrame) -> DataFrame:
+    """(ts_ns, x) -> consecutive-pair rows, distributed (see module doc)."""
+    spark = samples.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    s = samples.repartitionByRange(n, "ts_ns").sortWithinPartitions("ts_ns")
+    # Two passes over the range-shuffled samples (pairs + boundary marks);
+    # persist the 16-byte rows so the shuffle runs once.
+    s = s.persist()
+
+    def intra(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if len(pdf) < 2:
+            return
+        yield pd.DataFrame(
+            {
+                "ts_ns": pdf["ts_ns"].iloc[:-1].to_numpy(),
+                "x": pdf["x"].iloc[:-1].to_numpy(),
+                "next_ts_ns": pdf["ts_ns"].iloc[1:].to_numpy(),
+                "next_x": pdf["x"].iloc[1:].to_numpy(),
+            }
+        )
+
+    pairs = s.mapInPandas(intra, _PAIR_SCHEMA)
+
+    marks = (
+        s.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(
+            F.min_by(F.struct("ts_ns", "x"), "ts_ns").alias("first"),
+            F.max_by(F.struct("ts_ns", "x"), "ts_ns").alias("last"),
+        )
+        .orderBy("pid")
+        .collect()
+    )
+    boundary = [
+        (
+            int(marks[i]["last"]["ts_ns"]),
+            float(marks[i]["last"]["x"]),
+            int(marks[i + 1]["first"]["ts_ns"]),
+            float(marks[i + 1]["first"]["x"]),
+        )
+        for i in range(len(marks) - 1)
+    ]
+    if boundary:
+        pairs = pairs.union(spark.createDataFrame(boundary, _PAIR_SCHEMA))
+    return pairs
 
 
 def rate_aggregate(
@@ -55,14 +120,19 @@ def rate_aggregate(
         *series_cols, "ts_ns", F.col(f"nv{i0}").alias("x")
     ).where(F.col("x").isNotNull())
 
-    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy("ts_ns")
-    paired = samples.select(
-        *series_cols,
-        "ts_ns",
-        "x",
-        F.lead("ts_ns").over(w).alias("next_ts_ns"),
-        F.lead("x").over(w).alias("next_x"),
-    )
+    if series_cols:
+        w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy("ts_ns")
+        paired = samples.select(
+            *series_cols,
+            "ts_ns",
+            "x",
+            F.lead("ts_ns").over(w).alias("next_ts_ns"),
+            F.lead("x").over(w).alias("next_x"),
+        )
+    else:
+        # No series to partition the window by: the distributed pairing
+        # path (identical pairs, identical double arithmetic).
+        paired = _global_pairs_scalable(samples)
     rate = (F.col("next_x") - F.col("x")) / (
         (F.col("next_ts_ns") - F.col("ts_ns")) / F.lit(1e9)
     )

@@ -171,3 +171,22 @@ class TestJaccardMaxDf:
         }
         assert (1, 2) in capped      # unique phrase survives the cap
         assert (1, 3) not in capped  # only linked via pruned hot shingles
+
+
+class TestLshImplParity:
+    def test_pandas_and_expr_signatures_identical(self, spark):
+        import random
+
+        from seriesly_spark.operators.similarity import lsh_signature
+
+        rnd = random.Random(7)
+        rows = [
+            (i, [rnd.uniform(-2, 2) for _ in range(64)]) for i in range(200)
+        ]
+        rows.append((200, [0.0] * 64))       # zero vector: proj == 0 -> bit set
+        rows.append((201, [1e-9] * 64))      # near-zero projections
+        df = _vecs(spark, rows)
+        a = {r.vec_id: r.lsh_sig for r in lsh_signature(df, 32, 64, impl="pandas").collect()}
+        b = {r.vec_id: r.lsh_sig for r in lsh_signature(df, 32, 64, impl="expr").collect()}
+        assert a == b
+        assert a[200] == (1 << 32) - 1  # all projections 0 -> all bits set
