@@ -23,11 +23,13 @@ from pyspark.sql import functions as F
 
 from seriesly_spark.functions.timeparse import canonical_key, parse_any_ts_ns
 from seriesly_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
     hamming_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash32_md5,
+    word_shingles,
 )
 from seriesly_spark.operators.multimodal import (
     frame_sample,
@@ -516,6 +518,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(fp, 32, max_hamming=3, bands=4)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: MinHash-LSH candidate pairs -> iterative
+    min-label connected components; cluster_id = surviving (min) doc_id.
+    The oracle computes the same transitive closure with a recursive CTE."""
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=3, bands=16)
+    nodes = docs.select("doc_id").where(
+        F.size(word_shingles("text", 3)) > 0
+    )
+    return connected_components(nodes, pairs, id_col="doc_id")
+
+
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors of vec_id=0 (broadcast query
     row, one corpus pass, partial top-k)."""
@@ -705,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_ivf": q_ann_ivf,
@@ -876,6 +891,25 @@ sig AS (
 )
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE g AS ({_GRAMS_SQL}),
+sig AS (
+  SELECT doc_id, band,
+    list_min(list_transform(grams, x -> md5(band::VARCHAR || '|' || x))) AS sig
+  FROM g, unnest(range(0, 16)) AS u(band)
+),
+e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+    AND a.doc_id <> b.doc_id
+),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM g
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+)
+SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
 """,
         "dedup_simhash": f"""
 WITH f AS ({_SIMHASH32_SQL})

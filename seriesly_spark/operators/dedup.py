@@ -174,6 +174,79 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster assignment over near-dup candidate pairs: every node gets
+    the minimum node id reachable through the pair graph (the survivor of
+    its duplicate cluster). Iterative min-label propagation — the classic
+    large-graph connected-components loop, expressed as joins:
+
+        label <- min(label, min over neighbors' labels)
+
+    Each iteration is one equi-join + aggregate (shuffle on node id); the
+    driver only ever sees a single convergence count per round, never the
+    data. Converges in O(diameter) rounds — near-dup clusters are shallow
+    (pairs come from banding), so 2-4 rounds in practice; ``max_iter``
+    bounds adversarial chains. Input ``nodes``: one column ``id_col``;
+    ``pairs``: columns (a, b). Output: (id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("u"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # (1) neighbor-min: pull the smallest label one hop away.
+        neigh = (
+            edges.join(labels.withColumnRenamed("u", "v2"), edges["v"] == F.col("v2"))
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = (
+            labels.join(neigh, "u", "left")
+            .select(
+                "u",
+                F.col("label").alias("old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("mid"),
+            )
+            .persist()
+        )
+        # (2) pointer jumping: label <- label's label. Labels are node ids
+        # and only ever decrease, so following one level of indirection
+        # compresses chains — convergence in O(log diameter) rounds instead
+        # of O(diameter) (a 490-node chain converges in ~9 rounds, not 490).
+        l2 = stepped.select(F.col("u").alias("lu"), F.col("mid").alias("lmid"))
+        # localCheckpoint (eager) materializes the round AND truncates the
+        # lineage — without it the logical plan nests once per iteration
+        # until planning itself blows up (observed: OOM building the AQE
+        # explain string around round 10).
+        new_labels = (
+            stepped.join(l2, stepped["mid"] == l2["lu"], "left")
+            .select(
+                "u",
+                "old",
+                F.coalesce(F.least("mid", "lmid"), F.col("mid")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where(F.col("label") != F.col("old")).count()
+        stepped.unpersist()
+        labels = new_labels.select("u", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -190,3 +190,19 @@ class TestLshImplParity:
         b = {r.vec_id: r.lsh_sig for r in lsh_signature(df, 32, 64, impl="expr").collect()}
         assert a == b
         assert a[200] == (1 << 32) - 1  # all projections 0 -> all bits set
+
+
+class TestConnectedComponents:
+    def test_min_label_clusters(self, spark):
+        from seriesly_spark.operators.dedup import connected_components
+
+        nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+        # components: {0,1,2,3} (chain), {4,5}, {6} isolated
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (0, 3), (4, 5)], "a long, b long"
+        )
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(nodes, pairs).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
