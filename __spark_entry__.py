@@ -31,6 +31,7 @@ from seriesly_spark.operators.dedup import (
     simhash32_md5,
     word_shingles,
 )
+from seriesly_spark.operators.joins import asof_join
 from seriesly_spark.operators.multimodal import (
     frame_sample,
     payload_features,
@@ -536,6 +537,26 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_cosine(_table(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase paired with the user's most recent view at
+    or before it (cross-series alignment the reference pushes client-side,
+    SURVEY §2.3). Right side deduped per (user, ts) for determinism."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    right = latest_by_key(
+        ev.where(F.col("event_type") == "view").select(
+            "user_id", "ts_us", "event_id", "value"
+        ),
+        ["user_id", "ts_us"],
+        "event_id",
+    )
+    return asof_join(
+        left, right, on="ts_us", by=["user_id"], right_cols=["event_id", "value"]
+    )
+
+
 def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session counts with a 30-minute inactivity gap."""
     ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
@@ -727,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": q_token_counts_bpe,
         "hopping_window": q_hopping_window,
         "s04_upsert_lww": q_s04_upsert_lww,
+        "asof_join": q_asof_join,
         "sessionize_users": q_sessionize_users,
         "topk_events_per_type": q_topk_events_per_type,
         "revenue_by_nation": q_revenue_by_nation,
@@ -998,6 +1020,20 @@ SELECT (ts_ns // {DAY_MS * 1_000_000}) * {DAY_MS} AS bucket_ms,
   count(*) AS n_keys,
   round(cast(sum(cast(value as decimal(38,18))) as double), 6) AS sum_value
 FROM l GROUP BY 1
+""",
+        "asof_join": """
+WITH l AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
+  WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+    max(event_id) AS event_id, arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT l.user_id, l.ts_us, l.event_id, l.value,
+  r.event_id AS event_id_right, r.value AS value_right
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
 """,
         "sessionize_users": _SESSIONIZE_SQL,
         "streaming_sessionize": _SESSIONIZE_SQL,

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "token_counts_bpe",
     "hopping_window",
     "s04_upsert_lww",
+    "asof_join",
     "sessionize_users",
     "topk_events_per_type",
     "revenue_by_nation",

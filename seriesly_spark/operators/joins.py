@@ -1,0 +1,77 @@
+"""Temporal joins — the cross-series operations the reference pushes to the
+client (SURVEY §2.3: "cross-series math is done client-side", the cubism.js
+adapter issues one query per metric). First-class here.
+
+as-of join: for every left row, the most recent right row at or before its
+timestamp, per key — the canonical "align metric B to metric A's sample
+points" operation. Spark-first expression: tag both sides, union, one
+window over (key, ts) carrying the last-seen right payload forward, keep
+left rows. One shuffle on the key columns — same cost as a regular
+co-partitioned join; no range-join explosion, no per-row lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join (l.on >= r.on, latest r wins), left-outer.
+
+    ``on``: ordering column name present in both inputs (numeric or
+    timestamp). ``by``: equality key columns. ``right_cols``: right payload
+    columns to attach (default: all non-key, non-ts columns), each renamed
+    with ``suffix``.
+
+    Determinism: if the right side can hold several rows at the same
+    (key, ts), deduplicate it first (e.g. sources.tables.latest_by_key) —
+    ties inside one timestamp have no defined winner in any engine's as-of.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*by, on)]
+    lcols = left.columns
+
+    tagged_l = left.select(
+        *by,
+        F.col(on).alias("__ts"),
+        F.lit(1).alias("__src"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        F.lit(None).cast(
+            right.select(F.struct(*right_cols).alias("s")).schema["s"].dataType
+        ).alias("__r"),
+    )
+    tagged_r = right.select(
+        *by,
+        F.col(on).alias("__ts"),
+        F.lit(0).alias("__src"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("__l"),
+        F.struct(*right_cols).alias("__r"),
+    )
+    u = tagged_l.unionByName(tagged_r)
+    # Right rows sort before left rows at equal ts (__src 0 < 1), so a left
+    # row matches a right row with the exact same timestamp (l.ts >= r.ts).
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__ts", "__src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried: Column = F.last("__r", ignorenulls=True).over(w)
+    out = (
+        u.withColumn("__m", carried)
+        .where(F.col("__src") == 1)
+        .select(
+            "__l.*",
+            *[F.col(f"__m.{c}").alias(c + suffix) for c in right_cols],
+        )
+    )
+    return out

@@ -206,3 +206,26 @@ class TestConnectedComponents:
             for r in connected_components(nodes, pairs).collect()
         }
         assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+class TestAsofJoin:
+    def test_backward_asof_semantics(self, spark):
+        from seriesly_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100, "l1"), (1, 200, "l2"), (2, 50, "l3")],
+            "k long, t long, lv string",
+        )
+        right = spark.createDataFrame(
+            [(1, 100, "r@100"), (1, 150, "r@150"), (1, 300, "r@300")],
+            "k long, t long, rv string",
+        )
+        got = {
+            r.lv: r.rv_right
+            for r in asof_join(left, right, on="t", by=["k"], right_cols=["rv"]).collect()
+        }
+        assert got == {
+            "l1": "r@100",   # equal ts matches (l.t >= r.t)
+            "l2": "r@150",   # latest at-or-before 200
+            "l3": None,      # no right row for key 2 -> left outer null
+        }
