@@ -31,7 +31,7 @@ from seriesly_spark.operators.dedup import (
     simhash32_md5,
     word_shingles,
 )
-from seriesly_spark.operators.joins import asof_join
+from seriesly_spark.operators.joins import asof_join, range_join
 from seriesly_spark.operators.multimodal import (
     frame_sample,
     payload_features,
@@ -557,6 +557,22 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within 1h of an error by the same user —
+    bucketized equi-join, not a per-key cross product."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id"
+    )
+    right = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts_us", "event_id"
+    )
+    return range_join(
+        left, right, on="ts_us", by=["user_id"], max_dt=3_600_000_000,
+        right_cols=["event_id"],
+    ).drop("ts_us_right")
+
+
 def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session counts with a 30-minute inactivity gap."""
     ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
@@ -749,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window": q_hopping_window,
         "s04_upsert_lww": q_s04_upsert_lww,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "sessionize_users": q_sessionize_users,
         "topk_events_per_type": q_topk_events_per_type,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1034,6 +1051,19 @@ SELECT l.user_id, l.ts_us, l.event_id, l.value,
   r.event_id AS event_id_right, r.value AS value_right
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+""",
+        "range_join": """
+WITH l AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+  WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, epoch_us(ts) AS rt, event_id AS event_id_right FROM events
+  WHERE event_type = 'error'
+)
+SELECT l.user_id, l.ts_us, l.event_id, r.event_id_right,
+  l.ts_us - r.rt AS dt
+FROM l JOIN r ON l.user_id = r.user_id
+  AND abs(l.ts_us - r.rt) <= 3600000000
 """,
         "sessionize_users": _SESSIONIZE_SQL,
         "streaming_sessionize": _SESSIONIZE_SQL,

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "hopping_window",
     "s04_upsert_lww",
     "asof_join",
+    "range_join",
     "sessionize_users",
     "topk_events_per_type",
     "revenue_by_nation",

@@ -229,3 +229,24 @@ class TestAsofJoin:
             "l2": "r@150",   # latest at-or-before 200
             "l3": None,      # no right row for key 2 -> left outer null
         }
+
+
+class TestRangeJoin:
+    def test_window_pairs(self, spark):
+        from seriesly_spark.operators.joins import range_join
+
+        left = spark.createDataFrame(
+            [(1, 100, "l1"), (1, 1000, "l2")], "k long, t long, lid string"
+        )
+        right = spark.createDataFrame(
+            [(1, 90, "r1"), (1, 210, "r2"), (1, 2000, "r3"), (2, 100, "r4")],
+            "k long, t long, rid string",
+        )
+        got = {
+            (r.lid, r.rid_right, r.dt)
+            for r in range_join(
+                left, right, on="t", by=["k"], max_dt=100, right_cols=["rid"]
+            ).collect()
+        }
+        # l1@100: r1@90 (dt=10), r2@210 is 110 away -> excluded; r4 other key
+        assert got == {("l1", "r1", 10)}
