@@ -16,6 +16,56 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    max_dt: int,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Interval join: all (l, r) pairs with the same key and
+    ``|l.on - r.on| <= max_dt`` — "events within Δt of each other".
+
+    Naive SQL (`l.t BETWEEN r.t - Δ AND r.t + Δ`) plans as a key-equi join
+    with a range *filter*, which degenerates to per-key cross products.
+    Here both sides are bucketized to width ``max_dt`` and the left side
+    expands to its bucket ± 1 (any qualifying pair is at most one bucket
+    apart) — the join becomes a plain equi-join on (key, bucket), shuffled
+    and co-partitioned, with the exact |dt| predicate applied after. 3x row
+    expansion on one side buys co-location; skew follows key+bucket, which
+    AQE splits. Output: left columns + right payload (suffixed) + dt.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*by, on)]
+    lb = left.withColumn(
+        "__b",
+        F.explode(
+            F.array(
+                (F.col(on) / max_dt).cast("long") - 1,
+                (F.col(on) / max_dt).cast("long"),
+                (F.col(on) / max_dt).cast("long") + 1,
+            )
+        ),
+    )
+    rb = right.select(
+        *[F.col(c).alias(f"__by_{c}") for c in by],
+        (F.col(on) / max_dt).cast("long").alias("__b"),
+        F.col(on).alias("__rt"),
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+    )
+    cond = [lb[c] == rb[f"__by_{c}"] for c in by] + [lb["__b"] == rb["__b"]]
+    dt = F.col(on) - F.col("__rt")
+    return (
+        lb.join(rb, cond)
+        .where(F.abs(dt) <= max_dt)
+        .drop("__b", *[f"__by_{c}" for c in by])
+        .withColumn("dt", dt)
+        .drop("__rt")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
