@@ -537,6 +537,34 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_cosine(_table(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of value per event_type (linear interpolation —
+    identical definition in Spark percentile() and DuckDB quantile_cont).
+    The dashboard aggregate the reference's closed reducer set never had;
+    at scale swap in approx_percentile (t-digest sketch, mergeable)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event_type (bin = floor(value/100)):
+    a groupBy on (type, bin) — map-side partial counts, 12-byte shuffle
+    keys; the shape behind every latency/size distribution dashboard."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 100).cast("long").alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase paired with the user's most recent view at
     or before it (cross-series alignment the reference pushes client-side,
@@ -766,6 +794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s04_upsert_lww": q_s04_upsert_lww,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "percentiles": q_percentiles,
+        "value_histogram": q_value_histogram,
         "sessionize_users": q_sessionize_users,
         "topk_events_per_type": q_topk_events_per_type,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1051,6 +1081,18 @@ SELECT l.user_id, l.ts_us, l.event_id, l.value,
   r.event_id AS event_id_right, r.value AS value_right
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+""",
+        "percentiles": """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.95), 6) AS p95,
+  round(quantile_cont(value, 0.99), 6) AS p99,
+  count(*) AS n
+FROM events GROUP BY event_type
+""",
+        "value_histogram": """
+SELECT event_type, cast(floor(value / 100) as BIGINT) AS bin, count(*) AS cnt
+FROM events GROUP BY 1, 2
 """,
         "range_join": """
 WITH l AS (

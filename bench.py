@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "asof_join",
     "range_join",
     "sessionize_users",
+    "percentiles",
+    "value_histogram",
     "topk_events_per_type",
     "revenue_by_nation",
     "multimodal_meta",
