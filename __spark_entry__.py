@@ -37,6 +37,11 @@ from seriesly_spark.operators.multimodal import (
     payload_features,
     payload_metadata,
 )
+from seriesly_spark.operators.sampling import (
+    contamination_overlap,
+    hash_split,
+    vocab_topk,
+)
 from seriesly_spark.operators.similarity import (
     ann_topk_cosine,
     ann_topk_lsh,
@@ -760,6 +765,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_features(_table(spark, sf_dir, "documents"))
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: split is a pure function
+    of md5(doc_id), so it is reproducible across runs/engines/partitions.
+    Narrow map + one tiny aggregate — no shuffle of the data itself."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 tokens by occurrence (vocabulary first pass).
+    Map-side partial counts; only (token, count) pairs shuffle."""
+    return vocab_topk(_table(spark, sf_dir, "documents"), k=100)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: per probe doc (doc_id % 10 == 0), fraction
+    of its trigram shingles present anywhere in the rest of the corpus —
+    shingle equi-join against the distinct corpus set, never pairwise."""
+    docs = _table(spark, sf_dir, "documents")
+    return contamination_overlap(docs, F.col("doc_id") % 10 == 0, n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s01_range_read": q_s01_range_read,
@@ -805,6 +836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
+        "hash_split": q_hash_split,
+        "vocab_topk": q_vocab_topk,
+        "contamination": q_contamination,
     }
 
 
@@ -1139,6 +1173,37 @@ SELECT doc_id,
   list_transform(range(1, 9),
     i -> cast(cast((nb * i) % 97 as double) / 97.0 as FLOAT)) AS feature
 FROM t
+""",
+        "hash_split": """
+WITH k AS (SELECT md5(cast(doc_id as varchar)) AS h FROM documents),
+b AS (
+  SELECT ((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) * 16
+          + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) * 16
+          + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100 AS v
+  FROM k)
+SELECT CASE WHEN v < 98 THEN 'train' WHEN v < 99 THEN 'val' ELSE 'test' END
+         AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1
+""",
+        "vocab_topk": """
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents)
+GROUP BY token ORDER BY cnt DESC, token LIMIT 100
+""",
+        "contamination": f"""
+WITH g AS ({_GRAMS_SQL}),
+p AS (SELECT doc_id, len(grams) AS n_shingles, unnest(grams) AS g
+      FROM g WHERE doc_id % 10 = 0 AND len(grams) > 0),
+c AS (SELECT DISTINCT unnest(grams) AS g
+      FROM g WHERE doc_id % 10 <> 0),
+h AS (SELECT g, 1 AS hit FROM c)
+SELECT p.doc_id, any_value(p.n_shingles) AS n_shingles,
+  round(count(h.hit) / any_value(p.n_shingles), 6) AS overlap
+FROM p LEFT JOIN h ON p.g = h.g
+GROUP BY p.doc_id
 """,
         "lang_id": """
 WITH s AS (

@@ -1,0 +1,111 @@
+"""Dataset splitting and corpus-statistics operators for training-data
+pipelines.
+
+hash_split: the production answer to "reproducible train/val/test" — the
+split is a pure function of the row's id (first 16 bits of md5, mod 100),
+so it is stable across runs, engines, partitionings and re-ingests, needs
+no stored split table, and co-assigns nothing by accident. Group-level
+splits (all of a user's docs in one split) fall out of hashing the group
+key instead of the row key. No RNG state, no sampleBy — engine-portable
+by construction.
+
+vocab_topk: global token frequencies (the vocabulary/BPE-training first
+pass): explode -> count -> top-k. Map-side partial counts do the heavy
+lifting; only (token, partial-count) pairs shuffle.
+
+contamination_overlap: fraction of each probe document's shingles that
+appear anywhere in the rest of the corpus — the decontamination check run
+before training on scraped data (does this eval document leak into the
+corpus?). Shingle equi-join against the distinct corpus shingle set; never
+a pairwise comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from seriesly_spark.operators.dedup import word_shingles
+
+
+def _md5_bucket(key: Column, salt: str, buckets: int = 100) -> Column:
+    """First 4 hex nibbles of md5(salt || key) as an int, mod buckets —
+    identical arithmetic is expressible in any engine with md5+substr."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")).cast("binary"))
+    nib = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+    v = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    return v % buckets
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Assign a deterministic split label per row: md5-bucket the key into
+    [0, 100) and carve ranges by weight (percent, must sum to 100).
+    Hash the GROUP key (user_id, source domain, ...) to keep groups intact.
+    """
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    if sum(weights.values()) != 100:
+        raise ValueError("weights must sum to 100")
+    b = _md5_bucket(F.col(key_col), salt)
+    expr = None
+    lo = 0
+    for name, w in weights.items():
+        cond = b < lo + w
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    return df.withColumn("split", expr)
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k corpus tokens by total occurrences (count desc, token asc)."""
+    toks = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    return (
+        docs.select(toks)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(k)
+    )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    probe_filter: Column,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per probe document: the fraction of its distinct word-n-gram
+    shingles that occur in the NON-probe part of the corpus. Output:
+    (doc_id, n_shingles, overlap) for probes with >= 1 shingle."""
+    sh = docs.select(
+        F.col(id_col),
+        probe_filter.alias("__probe"),
+        word_shingles(text_col, n).alias("grams"),
+    )
+    probe = (
+        sh.where(F.col("__probe") & (F.size("grams") > 0))
+        .select(id_col, F.size("grams").alias("n_shingles"), F.explode("grams").alias("g"))
+    )
+    corpus = (
+        sh.where(~F.col("__probe"))
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    hit = corpus.withColumn("__hit", F.lit(1))
+    return (
+        probe.join(hit, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.round(
+                F.count("__hit") / F.first("n_shingles"), 6
+            ).alias("overlap"),
+        )
+    )

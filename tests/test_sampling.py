@@ -1,0 +1,81 @@
+"""Unit tests for the dataset-splitting / corpus-statistics operators
+(hash_split, vocab_topk, contamination_overlap). The oracle suite
+(test_entry_oracle) proves cross-engine equality on the driver tables;
+these pin the semantics on micro-inputs computable by eye."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from seriesly_spark.operators.sampling import (
+    contamination_overlap,
+    hash_split,
+    vocab_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestHashSplit:
+    def test_matches_md5_reference(self, spark):
+        df = _docs(spark, [(i, "x") for i in range(200)])
+        got = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+        for i in range(200):
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+            want = "train" if b < 98 else ("val" if b < 99 else "test")
+            assert got[i] == want, (i, b)
+
+    def test_deterministic_and_total(self, spark):
+        df = _docs(spark, [(i, "x") for i in range(500)])
+        a = hash_split(df, "doc_id", salt="s1").collect()
+        b = hash_split(df, "doc_id", salt="s1").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert all(r.split in ("train", "val", "test") for r in a)
+
+    def test_salt_changes_assignment(self, spark):
+        df = _docs(spark, [(i, "x") for i in range(500)])
+        a = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+        b = {
+            r.doc_id: r.split
+            for r in hash_split(df, "doc_id", salt="other").collect()
+        }
+        assert a != b
+
+    def test_custom_weights_and_validation(self, spark):
+        df = _docs(spark, [(i, "x") for i in range(100)])
+        out = hash_split(df, "doc_id", weights={"a": 50, "b": 50})
+        assert set(r.split for r in out.collect()) <= {"a", "b"}
+        with pytest.raises(ValueError):
+            hash_split(df, "doc_id", weights={"a": 60, "b": 50})
+
+
+class TestVocabTopk:
+    def test_counts_and_tiebreak(self, spark):
+        df = _docs(spark, [(1, "a b a"), (2, "b c a"), (3, "c b")])
+        rows = vocab_topk(df, k=2).collect()
+        # a=3, b=3 (tie -> token asc), c=2
+        assert [(r.token, r.cnt) for r in rows] == [("a", 3), ("b", 3)]
+
+
+class TestContamination:
+    def test_overlap_fraction(self, spark):
+        # probe doc 0: trigrams {"a b c", "b c d"}; corpus doc 1 contains
+        # "a b c" but not "b c d" -> overlap 0.5
+        df = _docs(spark, [(0, "a b c d"), (1, "x a b c y")])
+        rows = contamination_overlap(df, F.col("doc_id") == 0, n=3).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.doc_id, r.n_shingles, r.overlap) == (0, 2, 0.5)
+
+    def test_clean_probe_is_zero(self, spark):
+        df = _docs(spark, [(0, "p q r s"), (1, "x y z w")])
+        r = contamination_overlap(df, F.col("doc_id") == 0, n=3).collect()[0]
+        assert r.overlap == 0.0
+
+    def test_short_probe_dropped(self, spark):
+        # fewer than n tokens -> no shingles -> no output row
+        df = _docs(spark, [(0, "a b"), (1, "x y z w")])
+        assert contamination_overlap(df, F.col("doc_id") == 0, n=3).count() == 0
