@@ -39,7 +39,9 @@ from seriesly_spark.operators.multimodal import (
 )
 from seriesly_spark.operators.sampling import (
     contamination_overlap,
+    hash_sample,
     hash_split,
+    stratified_sample,
     vocab_topk,
 )
 from seriesly_spark.operators.similarity import (
@@ -124,6 +126,15 @@ def _dsum(expr: str) -> str:
 def _bucket(ts_ns: str, group_ms: int) -> str:
     return f"(({ts_ns}) // {group_ms * 1_000_000}) * {group_ms}"
 
+
+# 16-bit md5 key hash over hex string `h`, the DuckDB mirror of
+# operators.sampling._md5_u16 (deterministic sampling / splits).
+_MD5_U16_SQL = (
+    "((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) * 16"
+    " + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) * 16"
+    " + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))"
+)
 
 # Distinct word-3-gram shingles per document (docs with >= 3 tokens), the
 # DuckDB mirror of operators.dedup.word_shingles.
@@ -791,6 +802,48 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_overlap(docs, F.col("doc_id") % 10 == 0, n=3)
 
 
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample of events keyed by event_id —
+    a narrow filter (no RNG, no shuffle), reproducible on any engine."""
+    ev = _events(spark, sf_dir)
+    return hash_sample(ev.select("event_id", "value"), "event_id", 0.1)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (hash-based sampleBy): rare
+    strata kept at high rates, common ones downsampled."""
+    ev = _events(spark, sf_dir)
+    return stratified_sample(
+        ev.select("event_id", "event_type"), "event_type", "event_id",
+        {"purchase": 0.5, "error": 0.25, "view": 0.05},
+    )
+
+
+def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (event_type, day): per-type-per-day, per-type, and grand
+    totals in ONE pass — partial aggregation handles all grouping sets
+    without re-reading the input (a capability gap of the reference)."""
+    ev = _events(spark, sf_dir)
+    day_ns = DAY_MS * 1_000_000
+    dec_sum = F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+    return (
+        ev.withColumn("bucket_ms", F.expr(f"(ts_ns div {day_ns}) * {DAY_MS}"))
+        .rollup("event_type", "bucket_ms")
+        .agg(F.count("*").alias("cnt"), F.round(dec_sum, 6).alias("sum_value"))
+    )
+
+
+def q_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra across series (reference gap): users with purchases
+    split into those who also errored (INTERSECT) vs not (EXCEPT)."""
+    ev = _events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    e = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    both = p.intersect(e).withColumn("tag", F.lit("both"))
+    only = p.exceptAll(e).withColumn("tag", F.lit("purchase_only"))
+    return both.unionByName(only)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s01_range_read": q_s01_range_read,
@@ -839,6 +892,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "vocab_topk": q_vocab_topk,
         "contamination": q_contamination,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
+        "rollup_daily": q_rollup_daily,
+        "setops_users": q_setops_users,
     }
 
 
@@ -1174,18 +1231,44 @@ SELECT doc_id,
     i -> cast(cast((nb * i) % 97 as double) / 97.0 as FLOAT)) AS feature
 FROM t
 """,
-        "hash_split": """
+        "hash_split": f"""
 WITH k AS (SELECT md5(cast(doc_id as varchar)) AS h FROM documents),
-b AS (
-  SELECT ((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) * 16
-          + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) * 16
-          + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100 AS v
-  FROM k)
+b AS (SELECT {_MD5_U16_SQL} % 100 AS v FROM k)
 SELECT CASE WHEN v < 98 THEN 'train' WHEN v < 99 THEN 'val' ELSE 'test' END
          AS split,
        count(*) AS n_docs
 FROM b GROUP BY 1
+""",
+        "sample_hash": f"""
+WITH k AS (SELECT event_id, value,
+             md5(cast(event_id as varchar)) AS h FROM events)
+SELECT event_id, value FROM k
+WHERE {_MD5_U16_SQL} < {int(round(0.1 * 65536))}
+""",
+        "sample_stratified": f"""
+WITH k AS (SELECT event_id, event_type,
+             md5(cast(event_id as varchar)) AS h FROM events)
+SELECT event_id, event_type FROM k
+WHERE {_MD5_U16_SQL} < CASE event_type
+  WHEN 'purchase' THEN {int(round(0.5 * 65536))}
+  WHEN 'error' THEN {int(round(0.25 * 65536))}
+  WHEN 'view' THEN {int(round(0.05 * 65536))}
+  ELSE -1 END
+""",
+        "rollup_daily": f"""
+WITH e AS (SELECT event_type,
+             {_bucket('epoch_us(ts)*1000', DAY_MS)} AS bucket_ms, value
+           FROM events)
+SELECT event_type, bucket_ms, count(*) AS cnt,
+       round({_dsum('value')}, 6) AS sum_value
+FROM e GROUP BY ROLLUP (event_type, bucket_ms)
+""",
+        "setops_users": """
+WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+er AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT user_id, 'both' AS tag FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM er)
+UNION ALL
+SELECT user_id, 'purchase_only' AS tag FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM er)
 """,
         "vocab_topk": """
 SELECT token, count(*) AS cnt

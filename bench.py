@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "topk_events_per_type",
     "revenue_by_nation",
     "multimodal_meta",
+    "hash_split",
+    "vocab_topk",
+    "contamination",
+    "sample_hash",
+    "rollup_daily",
+    "setops_users",
 ]
 
 

@@ -26,15 +26,49 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from seriesly_spark.operators.dedup import word_shingles
+from seriesly_spark.operators.util import spread
 
 
-def _md5_bucket(key: Column, salt: str, buckets: int = 100) -> Column:
-    """First 4 hex nibbles of md5(salt || key) as an int, mod buckets —
+def _md5_u16(key: Column, salt: str) -> Column:
+    """First 4 hex nibbles of md5(salt || key) as an int in [0, 65536) —
     identical arithmetic is expressible in any engine with md5+substr."""
     h = F.md5(F.concat(F.lit(salt), key.cast("string")).cast("binary"))
     nib = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
-    v = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
-    return v % buckets
+    return ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+
+
+def _md5_bucket(key: Column, salt: str, buckets: int = 100) -> Column:
+    return _md5_u16(key, salt) % buckets
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff the 16-bit md5 value
+    of its key falls below fraction * 65536. Unlike df.sample(), the kept
+    set is a pure function of the keys — stable across runs, engines and
+    partitionings, and resolution-consistent (a 10% sample is a superset
+    of a 5% sample with the same salt)."""
+    return df.where(_md5_u16(F.col(key_col), salt) < int(round(fraction * 65536)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the hash-based analogue of
+    df.sampleBy): each stratum keeps its own fraction; strata absent from
+    the dict are dropped. One narrow filter — no shuffle, no RNG state."""
+    v = _md5_u16(F.col(key_col), salt)
+    thr = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        t = F.lit(int(round(frac * 65536)))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    return df.where(v < thr)
 
 
 def hash_split(
@@ -66,7 +100,7 @@ def vocab_topk(
     """Top-k corpus tokens by total occurrences (count desc, token asc)."""
     toks = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
     return (
-        docs.select(toks)
+        spread(docs).select(toks)
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "token")
@@ -84,11 +118,13 @@ def contamination_overlap(
     """Per probe document: the fraction of its distinct word-n-gram
     shingles that occur in the NON-probe part of the corpus. Output:
     (doc_id, n_shingles, overlap) for probes with >= 1 shingle."""
-    sh = docs.select(
+    # persist(): both the probe and corpus branches read this subtree —
+    # without it the shingle generation runs twice (spillable, array rows).
+    sh = spread(docs).select(
         F.col(id_col),
         probe_filter.alias("__probe"),
         word_shingles(text_col, n).alias("grams"),
-    )
+    ).persist()
     probe = (
         sh.where(F.col("__probe") & (F.size("grams") > 0))
         .select(id_col, F.size("grams").alias("n_shingles"), F.explode("grams").alias("g"))

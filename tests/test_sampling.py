@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 
 from seriesly_spark.operators.sampling import (
     contamination_overlap,
+    hash_sample,
     hash_split,
+    stratified_sample,
     vocab_topk,
 )
 
@@ -50,6 +52,30 @@ class TestHashSplit:
         assert set(r.split for r in out.collect()) <= {"a", "b"}
         with pytest.raises(ValueError):
             hash_split(df, "doc_id", weights={"a": 60, "b": 50})
+
+
+class TestHashSample:
+    def test_matches_md5_reference_and_nests(self, spark):
+        df = _docs(spark, [(i, "x") for i in range(2000)])
+        kept10 = {r.doc_id for r in hash_sample(df, "doc_id", 0.1).collect()}
+        kept05 = {r.doc_id for r in hash_sample(df, "doc_id", 0.05).collect()}
+        for i in kept10:
+            v = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+            assert v < round(0.1 * 65536)
+        # resolution consistency: smaller sample nests inside larger
+        assert kept05 <= kept10
+        assert 0.05 < len(kept10) / 2000 < 0.2
+
+    def test_stratified_rates_and_drop(self, spark):
+        rows = [(i, "a" if i % 2 else "b") for i in range(1000)]
+        rows += [(i + 1000, "c") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = stratified_sample(df, "text", "doc_id", {"a": 1.0, "b": 0.1})
+        got = out.groupBy("text").count().collect()
+        by = {r.text: r["count"] for r in got}
+        assert by["a"] == 500          # fraction 1.0 keeps everything
+        assert 10 <= by.get("b", 0) <= 120
+        assert "c" not in by           # stratum absent from dict -> dropped
 
 
 class TestVocabTopk:
