@@ -48,13 +48,17 @@ from seriesly_spark.operators.similarity import (
     ann_topk_cosine,
     ann_topk_lsh,
     cosine_near_dup_pairs,
+    embedding_centroids,
     ivf_topk,
     rademacher_weights,
 )
 from seriesly_spark.operators.textstats import (
     BPE_ISH_RE,
+    STOPWORDS,
+    clean_text,
     fingerprint,
     lang_id,
+    repetition_stats,
     text_stats,
     token_counts_bpe,
 )
@@ -844,6 +848,24 @@ def q_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only)
 
 
+def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (dup-2-gram fraction,
+    top-token share) — narrow per-row array expressions, no shuffle."""
+    return repetition_stats(_table(spark, sf_dir, "documents"))
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pass: lowercase, URL/email redaction, stopword drop —
+    two regex passes + one array filter per doc, all JVM-side."""
+    return clean_text(_table(spark, sf_dir, "documents"))
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus (k-means/IVF training
+    reduction); map-side partial agg keeps shuffle at labels x dims rows."""
+    return embedding_centroids(_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s01_range_read": q_s01_range_read,
@@ -896,6 +918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "rollup_daily": q_rollup_daily,
         "setops_users": q_setops_users,
+        "rep_stats": q_rep_stats,
+        "clean_text": q_clean_text,
+        "embedding_centroids": q_embedding_centroids,
     }
 
 
@@ -1269,6 +1294,43 @@ er AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
 SELECT user_id, 'both' AS tag FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM er)
 UNION ALL
 SELECT user_id, 'purchase_only' AS tag FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM er)
+""",
+        "rep_stats": r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, toks, len(toks) AS n,
+        list_transform(generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1]) AS g2
+      FROM t)
+SELECT doc_id, n AS n_tokens, len(g2) AS n_2grams,
+  CASE WHEN len(g2) > 0
+       THEN round(1 - len(list_distinct(g2)) / len(g2), 6) END
+    AS dup_2gram_ratio,
+  round(list_max(list_transform(list_distinct(toks),
+          d -> len(list_filter(toks, x -> x = d)))) / n, 6)
+    AS top_token_ratio
+FROM g
+""",
+        "clean_text": rf"""
+WITH s AS (SELECT doc_id,
+  regexp_replace(regexp_replace(lower(trim(text)),
+    'https?://\S+', '<url>', 'g'), '\S+@\S+\.\S+', '<email>', 'g') AS s
+  FROM documents),
+k AS (SELECT doc_id,
+  list_filter(string_split_regex(s, '\s+'),
+    x -> x NOT IN ({", ".join(f"'{w}'" for w in STOPWORDS)})) AS keep
+  FROM s)
+SELECT doc_id, array_to_string(keep, ' ') AS text_clean,
+       len(keep) AS n_tokens_clean
+FROM k
+""",
+        "embedding_centroids": f"""
+WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS v
+           FROM embeddings)
+SELECT label, dim,
+       round({_dsum('cast(v as double)')} / count(*), 6) AS centroid
+FROM e GROUP BY label, dim
 """,
         "vocab_topk": """
 SELECT token, count(*) AS cnt

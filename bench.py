@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "sample_hash",
     "rollup_daily",
     "setops_users",
+    "rep_stats",
+    "clean_text",
+    "embedding_centroids",
 ]
 
 

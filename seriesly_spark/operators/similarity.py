@@ -441,3 +441,22 @@ def ivf_probe(
         F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
     )
     return sims.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def embedding_centroids(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label, per-dimension centroid of an embedding corpus — the
+    reduction at the heart of k-means / IVF training. posexplode fans each
+    vector into (label, dim, value) rows, but the hash aggregate's partial
+    (map-side) phase collapses them to labels x dims rows per task before
+    the shuffle, so shuffle volume is independent of corpus size. Sums are
+    decimal-accumulated (order-independent) then rounded for cross-engine
+    stability."""
+    ex = emb.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("dim", "v")
+    )
+    dec_sum = F.sum(F.col("v").cast("double").cast("decimal(38,18)"))
+    return ex.groupBy("label", "dim").agg(
+        F.round(dec_sum.cast("double") / F.count(F.lit(1)), 6).alias("centroid")
+    )

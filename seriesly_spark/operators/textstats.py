@@ -122,3 +122,51 @@ def lang_id(
         F.col(id_col),
         F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality metrics per document: the fraction
+    of word-2-grams that are duplicates (1 - distinct/total; null when the
+    doc has < 2 tokens) and the frequency share of the single most common
+    token. Pure per-row array expressions — a narrow map stage with no
+    shuffle, so it scales linearly with the corpus regardless of document
+    count (the O(types x tokens) top-token scan is bounded by document
+    length, not data size)."""
+    t = tokens(text_col)
+    n = F.size(t)
+    k = F.greatest(n - F.lit(1), F.lit(0))
+    grams2 = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
+    )
+    dup_ratio = F.when(k > 0, F.round(1 - F.size(F.array_distinct(grams2)) / k, 6))
+    top_cnt = F.array_max(
+        F.transform(F.array_distinct(t), lambda d: F.size(F.filter(t, lambda x: x == d)))
+    )
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        k.alias("n_2grams"),
+        dup_ratio.alias("dup_2gram_ratio"),
+        F.round(top_cnt / n, 6).alias("top_token_ratio"),
+    )
+
+
+def clean_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalization pass of a training-data pipeline: lowercase, redact
+    URLs/emails to fixed placeholders, collapse whitespace, drop stopword
+    tokens. All vectorized JVM string/array expressions (two regex passes +
+    one array filter per doc) — narrow, no shuffle, no Python."""
+    s = F.lower(F.trim(F.col(text_col)))
+    s = F.regexp_replace(s, r"https?://\S+", "<url>")
+    s = F.regexp_replace(s, r"\S+@\S+\.\S+", "<email>")
+    keep = F.filter(F.split(s, r"\s+"), lambda x: ~x.isin(*STOPWORDS))
+    return docs.select(
+        F.col(id_col),
+        F.array_join(keep, " ").alias("text_clean"),
+        F.size(keep).alias("n_tokens_clean"),
+    )

@@ -250,3 +250,48 @@ class TestRangeJoin:
         }
         # l1@100: r1@90 (dt=10), r2@210 is 110 away -> excluded; r4 other key
         assert got == {("l1", "r1", 10)}
+
+
+class TestRepetitionStats:
+    def test_dup_ratio_and_top_token(self, spark):
+        from seriesly_spark.operators.textstats import repetition_stats
+
+        df = spark.createDataFrame(
+            [(1, "a a a b"), (2, "x")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+        r1 = rows[1]
+        assert r1.n_tokens == 4 and r1.n_2grams == 3
+        # 2-grams: "a a", "a a", "a b" -> 2 distinct of 3
+        assert r1.dup_2gram_ratio == pytest.approx(1 - 2 / 3, abs=1e-6)
+        assert r1.top_token_ratio == pytest.approx(0.75)
+        r2 = rows[2]
+        assert r2.n_2grams == 0 and r2.dup_2gram_ratio is None
+        assert r2.top_token_ratio == pytest.approx(1.0)
+
+
+class TestCleanText:
+    def test_redaction_stopwords_case(self, spark):
+        from seriesly_spark.operators.textstats import clean_text
+
+        df = spark.createDataFrame(
+            [(1, "  The CAT  http://x.com/z a b@c.de end ")],
+            "doc_id long, text string",
+        )
+        r = clean_text(df).collect()[0]
+        assert r.text_clean == "cat <url> <email> end"
+        assert r.n_tokens_clean == 4
+
+
+class TestEmbeddingCentroids:
+    def test_per_label_dim_means(self, spark):
+        from seriesly_spark.operators.similarity import embedding_centroids
+
+        df = _vecs(spark, [(0, [1, 2]), (1, [3, 4]), (2, [10, 20])]).withColumn(
+            "label", (F.col("vec_id") < 2).cast("int")
+        )
+        got = {(r.label, r.dim): r.centroid for r in embedding_centroids(df).collect()}
+        assert got[(1, 0)] == pytest.approx(2.0)
+        assert got[(1, 1)] == pytest.approx(3.0)
+        assert got[(0, 0)] == pytest.approx(10.0)
+        assert got[(0, 1)] == pytest.approx(20.0)
