@@ -63,7 +63,9 @@ from seriesly_spark.operators.textstats import (
     token_counts_bpe,
 )
 from seriesly_spark.operators.windows import (
+    fill_gaps,
     hopping_window_agg,
+    moving_avg,
     sessionize,
     topk_per_group,
 )
@@ -848,6 +850,41 @@ def q_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only)
 
 
+H_MS = 3_600_000
+
+
+def _hourly_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly decimal-exact sum of value per event_type — the shared
+    bucketed series behind the gap-fill and moving-average queries."""
+    ev = _events(spark, sf_dir)
+    dec_sum = F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+    return (
+        ev.withColumn("bucket_ms", F.expr(f"(ts_ns div {H_MS * 1_000_000}) * {H_MS}"))
+        .groupBy("event_type", "bucket_ms")
+        .agg(F.round(dec_sum, 6).alias("sum_value"))
+    )
+
+
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified hourly series per event_type with forward-fill: the dense
+    time axis the reference leaves to its dashboard clients (empty buckets
+    simply don't appear in its output)."""
+    return fill_gaps(
+        _hourly_sums(spark, sf_dir), ["event_type"], "bucket_ms", "sum_value",
+        H_MS, how="ffill",
+    )
+
+
+def q_moving_avg_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 6-hour moving average per event_type — cross-bucket window
+    smoothing (inexpressible in the reference's one-bucket-at-a-time
+    model)."""
+    return moving_avg(
+        _hourly_sums(spark, sf_dir), ["event_type"], "bucket_ms", "sum_value",
+        6, out_col="mavg_6h",
+    )
+
+
 def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality metrics (dup-2-gram fraction,
     top-token share) — narrow per-row array expressions, no shuffle."""
@@ -921,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_stats": q_rep_stats,
         "clean_text": q_clean_text,
         "embedding_centroids": q_embedding_centroids,
+        "gapfill_hourly": q_gapfill_hourly,
+        "moving_avg_6h": q_moving_avg_6h,
     }
 
 
@@ -1331,6 +1370,35 @@ WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
 SELECT label, dim,
        round({_dsum('cast(v as double)')} / count(*), 6) AS centroid
 FROM e GROUP BY label, dim
+""",
+        "gapfill_hourly": f"""
+WITH b AS (SELECT event_type, {_bucket('epoch_us(ts)*1000', H_MS)} AS bucket_ms,
+             value FROM events),
+o AS (SELECT event_type, bucket_ms, round({_dsum('value')}, 6) AS sum_value
+      FROM b GROUP BY 1, 2),
+r AS (SELECT event_type, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+      FROM o GROUP BY 1),
+s AS (SELECT event_type, unnest(generate_series(lo, hi, {H_MS})) AS bucket_ms
+      FROM r)
+SELECT s.event_type, s.bucket_ms,
+  last_value(o.sum_value IGNORE NULLS) OVER (
+    PARTITION BY s.event_type ORDER BY s.bucket_ms
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+  o.sum_value IS NULL AS filled
+FROM s LEFT JOIN o
+  ON s.event_type = o.event_type AND s.bucket_ms = o.bucket_ms
+""",
+        "moving_avg_6h": f"""
+WITH b AS (SELECT event_type, {_bucket('epoch_us(ts)*1000', H_MS)} AS bucket_ms,
+             value FROM events),
+o AS (SELECT event_type, bucket_ms, round({_dsum('value')}, 6) AS sum_value
+      FROM b GROUP BY 1, 2)
+SELECT event_type, bucket_ms, sum_value,
+  round(cast(sum(cast(sum_value as decimal(38,18))) OVER w as double)
+        / count(*) OVER w, 6) AS mavg_6h
+FROM o
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ms
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
 """,
         "vocab_topk": """
 SELECT token, count(*) AS cnt

@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "rep_stats",
     "clean_text",
     "embedding_centroids",
+    "gapfill_hourly",
+    "moving_avg_6h",
 ]
 
 

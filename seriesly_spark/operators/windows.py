@@ -77,3 +77,82 @@ def sessionize(
             F.sum("__new").alias("n_sessions"),
         )
     )
+
+
+def fill_gaps(
+    bucketed: DataFrame,
+    series_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    step_ms: int,
+    how: str = "zero",
+) -> DataFrame:
+    """Densify a bucketed series: the reference (and seriesly queries here)
+    emit only buckets that contain documents; dashboards need the dense
+    time axis. Generates the full bucket spine per series between its min
+    and max bucket, left-joins the observed values, marks holes with a
+    ``filled`` flag, and fills them with 0.0 (``zero``) or the last
+    observed value (``ffill``).
+
+    Scale: the spine derives from a tiny per-series min/max aggregate and
+    explodes to range/step rows per series (narrow); the join shuffles on
+    (series, bucket) — the same key the upstream bucket agg already hashed
+    on — and AQE broadcasts the spine when it is small. ``ffill`` adds one
+    window pass partitioned by series (streaming frame, no extra sort at
+    scale beyond the shuffle's)."""
+    # persist(): the bucketed series feeds BOTH the spine min/max aggregate
+    # and the join's observed side — without it the (possibly expensive)
+    # upstream aggregation runs twice. The cached set is only series x
+    # buckets rows, tiny at any scale.
+    bucketed = bucketed.persist()
+    spine = (
+        bucketed.groupBy(*series_cols)
+        .agg(F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
+        .select(
+            *series_cols,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step_ms))
+            ).alias(bucket_col),
+        )
+    )
+    joined = spine.join(bucketed, [*series_cols, bucket_col], "left").withColumn(
+        "filled", F.col(value_col).isNull()
+    )
+    if how == "zero":
+        return joined.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(0.0)))
+    if how == "ffill":
+        w = (
+            Window.partitionBy(*series_cols)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return joined.withColumn(
+            value_col, F.last(value_col, ignorenulls=True).over(w)
+        )
+    raise ValueError(f"unknown fill mode: {how!r}")
+
+
+def moving_avg(
+    bucketed: DataFrame,
+    series_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    n: int,
+    out_col: str = "mavg",
+) -> DataFrame:
+    """Trailing n-bucket moving average per series (dashboard smoothing —
+    the cross-bucket window shape the reference cannot express). One
+    shuffle on the series key; the frame is evaluated streaming within the
+    sorted partition. The frame sum accumulates as DECIMAL(38,18) so the
+    result is independent of evaluation order (sliding-window aggregates
+    differ in FP summation order across engines)."""
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    dec_sum = F.sum(F.col(value_col).cast("decimal(38,18)")).over(w)
+    return bucketed.withColumn(
+        out_col,
+        F.round(dec_sum.cast("double") / F.count(F.lit(1)).over(w), 6),
+    )

@@ -295,3 +295,50 @@ class TestEmbeddingCentroids:
         assert got[(1, 1)] == pytest.approx(3.0)
         assert got[(0, 0)] == pytest.approx(10.0)
         assert got[(0, 1)] == pytest.approx(20.0)
+
+
+class TestFillGaps:
+    def _series(self, spark):
+        return spark.createDataFrame(
+            [("a", 0, 1.0), ("a", 3000, 4.0), ("b", 1000, 2.0)],
+            "s string, bucket_ms long, v double",
+        )
+
+    def test_zero_fill_and_flag(self, spark):
+        from seriesly_spark.operators.windows import fill_gaps
+
+        out = fill_gaps(self._series(spark), ["s"], "bucket_ms", "v", 1000, "zero")
+        rows = {(r.s, r.bucket_ms): (r.v, r.filled) for r in out.collect()}
+        assert rows[("a", 0)] == (1.0, False)
+        assert rows[("a", 1000)] == (0.0, True)
+        assert rows[("a", 2000)] == (0.0, True)
+        assert rows[("a", 3000)] == (4.0, False)
+        assert rows[("b", 1000)] == (2.0, False)
+        assert len(rows) == 5  # b has a single bucket: no spine growth
+
+    def test_ffill(self, spark):
+        from seriesly_spark.operators.windows import fill_gaps
+
+        out = fill_gaps(self._series(spark), ["s"], "bucket_ms", "v", 1000, "ffill")
+        rows = {(r.s, r.bucket_ms): r.v for r in out.collect()}
+        assert rows[("a", 1000)] == 1.0 and rows[("a", 2000)] == 1.0
+
+    def test_bad_mode(self, spark):
+        from seriesly_spark.operators.windows import fill_gaps
+
+        with pytest.raises(ValueError):
+            fill_gaps(self._series(spark), ["s"], "bucket_ms", "v", 1000, "lerp")
+
+
+class TestMovingAvg:
+    def test_trailing_frame(self, spark):
+        from seriesly_spark.operators.windows import moving_avg
+
+        df = spark.createDataFrame(
+            [("a", i * 1000, float(i)) for i in range(4)],
+            "s string, bucket_ms long, v double",
+        )
+        out = moving_avg(df, ["s"], "bucket_ms", "v", 2, out_col="m")
+        rows = {r.bucket_ms: r.m for r in out.collect()}
+        assert rows[0] == 0.0 and rows[1000] == 0.5
+        assert rows[2000] == 1.5 and rows[3000] == 2.5
