@@ -486,6 +486,29 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q6_SQL)
 
 
+_TPCH_Q5_SQL = f"""
+SELECT n_name,
+       round({_dsum('l_extendedprice * (1 - l_discount)')}, 6) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: 6-way join. Catalyst reorders so
+    region/nation/supplier/customer broadcast into the two fact tables;
+    the lineitem-orders join is the only shuffle-worthy edge and AQE picks
+    its strategy from runtime sizes."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q5_SQL)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup survivors: min doc_id per content hash (16-byte shuffle
     keys, map-side partial min — scales to any corpus)."""
@@ -918,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p01_multi_pointer": q_p01_multi_pointer,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1061,6 +1085,7 @@ SELECT 1346187600000 AS bucket_ms, 'Listing' AS any_kind,
 """,
         "tpch_q1": _TPCH_Q1_SQL,
         "tpch_q3": _TPCH_Q3_SQL,
+        "tpch_q5": _TPCH_Q5_SQL,
         "tpch_q6": _TPCH_Q6_SQL,
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"

@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "r03_rate_family",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "tpch_q6",
     "dedup_exact",
     "text_stats",
