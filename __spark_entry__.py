@@ -685,9 +685,13 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: sign-LSH banding (32 planes, 4
-    bands) for candidates, exact cosine >= 0.9 to confirm — never O(n²)."""
+    bands) for candidates, exact cosine >= threshold to confirm — never
+    O(n²). Production near-dup uses ~0.9; the synthetic corpus has no true
+    near-dups (max candidate cosine ~0.48), so the gate runs at 0.4 to keep
+    the confirm stage non-vacuous (both engines must agree on the
+    surviving pairs AND their cosine values)."""
     return cosine_near_dup_pairs(
-        _table(spark, sf_dir, "embeddings"), threshold=0.9, planes=32, bands=4
+        _table(spark, sf_dir, "embeddings"), threshold=0.4, planes=32, bands=4
     )
 
 
@@ -1186,7 +1190,7 @@ sims AS (
   FROM cand c
   JOIN embeddings ea ON ea.vec_id = c.a
   JOIN embeddings eb ON eb.vec_id = c.b)
-SELECT a, b, cos_sim FROM sims WHERE cos_sim >= 0.9
+SELECT a, b, cos_sim FROM sims WHERE cos_sim >= 0.4
 """,
         "ann_topk_lsh": f"""
 WITH {_lsh_cte()},
