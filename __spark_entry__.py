@@ -912,6 +912,22 @@ def q_moving_avg_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day distinct-user cardinality per event type. Plan: Spark
+    expands to a partial-distinct aggregate (dedup on (type, day, user))
+    before the count, so the shuffle carries deduplicated keys, not events.
+    At 100 TB the drop-in scale path is approx_count_distinct (HLL++,
+    fixed-size sketch, one exchange) — kept exact here because the oracle
+    gate hash-compares values."""
+    ev = _events(spark, sf_dir)
+    day_ns = DAY_MS * 1_000_000
+    return (
+        ev.withColumn("bucket_ms", F.expr(f"(ts_ns div {day_ns}) * {DAY_MS}"))
+        .groupBy("event_type", "bucket_ms")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality metrics (dup-2-gram fraction,
     top-token share) — narrow per-row array expressions, no shuffle."""
@@ -988,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "gapfill_hourly": q_gapfill_hourly,
         "moving_avg_6h": q_moving_avg_6h,
+        "distinct_users_daily": q_distinct_users_daily,
     }
 
 
@@ -1428,6 +1445,11 @@ SELECT event_type, bucket_ms, sum_value,
 FROM o
 WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ms
              ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+""",
+        "distinct_users_daily": f"""
+SELECT event_type, {_bucket('epoch_us(ts)*1000', DAY_MS)} AS bucket_ms,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
 """,
         "vocab_topk": """
 SELECT token, count(*) AS cnt

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "embedding_centroids",
     "gapfill_hourly",
     "moving_avg_6h",
+    "distinct_users_daily",
 ]
 
 
