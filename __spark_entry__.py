@@ -58,6 +58,7 @@ from seriesly_spark.operators.textstats import (
     clean_text,
     fingerprint,
     lang_id,
+    quality_filter,
     repetition_stats,
     text_stats,
     token_counts_bpe,
@@ -912,6 +913,13 @@ def q_moving_avg_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style quality gate (token band, stopword ratio,
+    dup-2-gram ratio, top-token share) in ONE narrow pass; the oracle
+    recomputes it by joining the proven text_stats + rep_stats SQL."""
+    return quality_filter(_table(spark, sf_dir, "documents"))
+
+
 def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-day distinct-user cardinality per event type. Plan: Spark
     expands to a partial-distinct aggregate (dedup on (type, day, user))
@@ -1005,10 +1013,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_hourly": q_gapfill_hourly,
         "moving_avg_6h": q_moving_avg_6h,
         "distinct_users_daily": q_distinct_users_daily,
+        "quality_filter": q_quality_filter,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # quality_filter: recompose from the two proven stat SQLs so the
+    # composite can never drift from its components.
+    d["quality_filter"] = f"""
+WITH ts AS ({d['text_stats']}), rs AS ({d['rep_stats']})
+SELECT t.doc_id,
+  t.n_tokens BETWEEN 20 AND 200 AS tok_ok,
+  t.stop_ratio < 0.10 AS stop_ok,
+  coalesce(r.dup_2gram_ratio < 0.10, false) AS dup_ok,
+  r.top_token_ratio < 0.12 AS top_ok,
+  (t.n_tokens BETWEEN 20 AND 200) AND t.stop_ratio < 0.10
+    AND coalesce(r.dup_2gram_ratio < 0.10, false)
+    AND r.top_token_ratio < 0.12 AS keep
+FROM ts t JOIN rs r ON t.doc_id = r.doc_id
+"""
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     b_day = _bucket("ts_ns", DAY_MS)
     b_h6 = _bucket("ts_ns", H6_MS)
     t01_values = ",\n  ".join(

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "gapfill_hourly",
     "moving_avg_6h",
     "distinct_users_daily",
+    "quality_filter",
 ]
 
 

@@ -182,3 +182,56 @@ def clean_text(
         F.array_join(keep, " ").alias("text_clean"),
         F.size(keep).alias("n_tokens_clean"),
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 200,
+    max_stop_ratio: float = 0.10,
+    max_dup_2gram: float = 0.10,
+    max_top_token: float = 0.12,
+) -> DataFrame:
+    """Composite Gopher-style quality gate: token-count band, stopword
+    ratio, duplicate-2-gram ratio, top-token share — one boolean per rule
+    plus the conjunction (``keep``). Computed in a SINGLE narrow pass over
+    the text (the formulas are exactly text_stats' stop_ratio and
+    repetition_stats' ratios, rounded identically) — deliberately NOT a
+    join of the two stat operators, which would scan the corpus twice and
+    shuffle on doc_id for row-local arithmetic."""
+    t = tokens(text_col)
+    n = F.size(t)
+    stop_ratio = F.round(F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))) / n, 6)
+    k = F.greatest(n - F.lit(1), F.lit(0))
+    grams2 = F.zip_with(
+        F.slice(t, 1, k), F.slice(t, 2, k), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    dup_ratio = F.when(k > 0, F.round(1 - F.size(F.array_distinct(grams2)) / k, 6))
+
+    def _runs(a, x):
+        run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
+        )
+
+    top_cnt = F.aggregate(
+        F.array_sort(t),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        _runs,
+    )["best"]
+    top_ratio = F.round(top_cnt / n, 6)
+
+    tok_ok = (n >= min_tokens) & (n <= max_tokens)
+    stop_ok = stop_ratio < max_stop_ratio
+    dup_ok = F.coalesce(dup_ratio < max_dup_2gram, F.lit(False))
+    top_ok = top_ratio < max_top_token
+    return docs.select(
+        F.col(id_col),
+        tok_ok.alias("tok_ok"),
+        stop_ok.alias("stop_ok"),
+        dup_ok.alias("dup_ok"),
+        top_ok.alias("top_ok"),
+        (tok_ok & stop_ok & dup_ok & top_ok).alias("keep"),
+    )

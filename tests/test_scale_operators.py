@@ -342,3 +342,22 @@ class TestMovingAvg:
         rows = {r.bucket_ms: r.m for r in out.collect()}
         assert rows[0] == 0.0 and rows[1000] == 0.5
         assert rows[2000] == 1.5 and rows[3000] == 2.5
+
+
+class TestQualityFilter:
+    def test_rules_and_conjunction(self, spark):
+        from seriesly_spark.operators.textstats import quality_filter
+
+        good = " ".join(f"tok{i}" for i in range(30))      # varied, no stopwords
+        repetitive = " ".join(["dup dup"] * 20)            # dup 2-grams + top share
+        short = "one two three"                            # under token band
+        stoppy = " ".join(["the"] * 10 + [f"w{i}" for i in range(20)])
+        df = spark.createDataFrame(
+            [(1, good), (2, repetitive), (3, short), (4, stoppy)],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in quality_filter(df).collect()}
+        assert rows[1].keep
+        assert not rows[2].dup_ok and not rows[2].keep
+        assert not rows[3].tok_ok and not rows[3].keep
+        assert not rows[4].stop_ok and not rows[4].keep
