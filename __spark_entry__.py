@@ -318,7 +318,17 @@ def q_r01_list_reducers(spark: SparkSession, sf_dir: str) -> DataFrame:
         fields=[("/k", "any"), ("/k", "distinct"), ("/k", "identity")],
         aliases=["any_k", "distinct_k", "identity_k"],
     )
-    return seriesly_query(ev, q, doc_col="props", ts_col="ts")
+    res = seriesly_query(ev, q, doc_col="props", ts_col="ts")
+    # ARRAY outputs are serialized to deterministic JSON text so the driver
+    # canonicalizer (pandas sort/hash, cannot handle list cells) stays happy;
+    # Spark to_json and DuckDB to_json render string lists identically
+    # (compact, null elements kept, quotes escaped, unicode verbatim).
+    return res.select(
+        "bucket_ms",
+        "any_k",
+        F.to_json("distinct_k").alias("distinct_k"),
+        F.to_json("identity_k").alias("identity_k"),
+    )
 
 
 def q_r02_obj_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,7 +339,13 @@ def q_r02_obj_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         fields=[("", "obj_keys"), ("", "obj_distinct_keys")],
         aliases=["keys_all", "keys_uniq"],
     )
-    return seriesly_query(ev, q, doc_col="props", ts_col="ts")
+    res = seriesly_query(ev, q, doc_col="props", ts_col="ts")
+    # Serialized to JSON text for driver canonicalization (see q_r01 note).
+    return res.select(
+        "bucket_ms",
+        F.to_json("keys_all").alias("keys_all"),
+        F.to_json("keys_uniq").alias("keys_uniq"),
+    )
 
 
 def q_r03_rate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,8 +822,20 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction plumbing: payload -> 8-dim float vector via
-    mapInPandas (deterministic stub in place of a real encoder)."""
-    return payload_features(_table(spark, sf_dir, "documents"))
+    mapInPandas (deterministic stub in place of a real encoder). The float
+    vector is rendered to a fixed "%.6f,..." string for the driver
+    canonicalizer (raw float arrays are both unhashable for pandas and
+    format-unstable across engines)."""
+    feats = payload_features(_table(spark, sf_dir, "documents"))
+    return feats.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature", lambda x: F.format_string("%.6f", x.cast("double"))
+            ),
+        ).alias("feature"),
+    )
 
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,15 +1116,17 @@ FROM e GROUP BY 1
 WITH e AS ({_E})
 SELECT {b_day} AS bucket_ms,
   arg_min(v, ts_ns) FILTER (WHERE v IS NOT NULL) AS any_k,
-  list_sort(list(DISTINCT v)) AS distinct_k,
-  list(v ORDER BY ts_ns, v) AS identity_k
+  cast(to_json(list_sort(list(DISTINCT v))) as varchar) AS distinct_k,
+  cast(to_json(list(v ORDER BY ts_ns, v)) as varchar) AS identity_k
 FROM e GROUP BY 1
 """,
         "r02_obj_keys": f"""
 WITH e AS (SELECT epoch_us(ts)*1000 AS ts_ns, props FROM events)
 SELECT {b_day} AS bucket_ms,
-  flatten(list(json_keys(props) ORDER BY ts_ns)) AS keys_all,
-  list_sort(list_distinct(flatten(list(json_keys(props))))) AS keys_uniq
+  cast(to_json(flatten(list(json_keys(props) ORDER BY ts_ns))) as varchar)
+    AS keys_all,
+  cast(to_json(list_sort(list_distinct(flatten(list(json_keys(props)))))) as varchar)
+    AS keys_uniq
 FROM e GROUP BY 1
 """,
         "r03_rate_family": f"""
@@ -1365,8 +1395,9 @@ SELECT doc_id, frame_id, least(nb - frame_id * 256, 256) AS frame_len FROM f
         "multimodal_features": """
 WITH t AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
 SELECT doc_id,
-  list_transform(range(1, 9),
-    i -> cast(cast((nb * i) % 97 as double) / 97.0 as FLOAT)) AS feature
+  array_to_string(list_transform(range(1, 9),
+    i -> printf('%.6f', cast(cast(cast((nb * i) % 97 as double) / 97.0
+                                  as FLOAT) as double))), ',') AS feature
 FROM t
 """,
         "hash_split": f"""

@@ -7,6 +7,7 @@ import math
 import os
 
 import duckdb
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -57,6 +58,12 @@ def test_query_matches_oracle(spark, duck, name):
     sdf = qfn(spark, SF_DIR)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
+    # Replicate the driver's canonicalizer: pandas sort_values over every
+    # column crashes on list/dict cells ("unhashable type"), so any query
+    # emitting a raw ARRAY/MAP/STRUCT column must serialize it (to_json)
+    # before it reaches the gate. This sort IS that check.
+    if s_rows:
+        pd.DataFrame(s_rows, columns=s_cols).sort_values(by=sorted(s_cols))
     if sql is None:
         assert len(s_rows) >= 0  # rows-only check (non-SQL-expressible op)
         return
@@ -69,6 +76,18 @@ def test_query_matches_oracle(spark, duck, name):
     dn = _norm_rows(d_cols, d_rows)
     mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
     assert not mismatches, f"{name}: first mismatches: {mismatches[:3]}"
+
+
+def test_query_and_oracle_keys_align():
+    """Every oracle entry must name a registered query, and every query
+    must carry an oracle (rows-only checks need an explicit waiver here)."""
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert o - q == set(), f"oracle_sql keys without a query: {sorted(o - q)}"
+    rows_only_waivers = set()  # none today: all queries are oracle-checked
+    assert q - o == rows_only_waivers, (
+        f"queries without oracle_sql: {sorted(q - o - rows_only_waivers)}"
+    )
 
 
 def test_entry_smoke(spark):
