@@ -16,6 +16,10 @@ Oracle-alignment conventions (see .claude/skills/verify/SKILL.md):
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,6 +74,9 @@ from seriesly_spark.operators.windows import (
     sessionize,
     topk_per_group,
 )
+from seriesly_spark.db import SerieslyDB
+from seriesly_spark.plans.cache import QueryCache
+from seriesly_spark.plans.limits import QueryTimeout, run_with_timeout
 from seriesly_spark.plans.query import SerieslyQuery, seriesly_query
 from seriesly_spark.sources.tables import latest_by_key, load_table
 from seriesly_spark.streaming.ingest import (
@@ -982,6 +989,225 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_centroids(_table(spark, sf_dir, "embeddings"))
 
 
+# ---------------------------------------------------------------------------
+# Effect-visible gate queries for the operational surface (S7/S8/S13/S14/
+# P8/C1). Each drives the REAL SerieslyDB / QueryCache / timeout machinery
+# against a scratch database seeded with a deterministic prefix of the
+# events table, then returns the observed effects as a small local
+# DataFrame; the oracle predicts the same numbers from events.parquet
+# alone. The seed collect is a bounded test fixture (<=200 rows), not a
+# data-path operator.
+
+
+def _event_doc_pairs(
+    spark: SparkSession, sf_dir: str, n: int
+) -> list[tuple[int, str]]:
+    """First ``n`` events by (ts, event_id) as (ts_ns, doc) write pairs —
+    µs-derived ns keys so oracle arithmetic matches (DuckDB truncates the
+    parquet ns timestamps to µs)."""
+    ev = _events(spark, sf_dir)
+    rows = (
+        ev.orderBy("ts", "event_id")
+        .limit(n)
+        .select(F.unix_micros("ts").alias("us"), "props")
+        .collect()
+    )
+    return [(r.us * 1000, r.props) for r in rows]
+
+
+def _scratch_db(spark: SparkSession) -> tuple[SerieslyDB, str]:
+    root = tempfile.mkdtemp(prefix="seriesly-gate-")
+    return SerieslyDB(spark, root), root
+
+
+def q_s07_compact_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: compaction reclaims superseded revisions and merges partition
+    files (reference database.go:136-171 — couch-file rewrite drops old
+    revisions). Seed 200 docs, overwrite the lower half of the distinct
+    keys, then measure live/physical doc counts before and after
+    ``compact``: live counts are unchanged, physical rows shrink to one
+    per key, and every partition ends at exactly one file."""
+    pairs = _event_doc_pairs(spark, sf_dir, 200)
+    dbs, root = _scratch_db(spark)
+    try:
+        dbs.create("g")
+        dbs.write_batch("g", pairs)
+        keys = sorted({ns for ns, _ in pairs})
+        overwrite = keys[: len(keys) // 2]
+        if overwrite:
+            dbs.write_batch("g", [(k, '{"rev": 2}') for k in overwrite])
+        gpath = os.path.join(root, "g")
+        live_before = dbs.df("g").count()
+        phys_before = spark.read.parquet(gpath).count()
+        dbs.compact("g")
+        live_after = dbs.df("g").count()
+        phys_after = spark.read.parquet(gpath).count()
+        info = dbs.info("g")
+        merged = bool(info["n_files"] == info["n_partitions"])
+        return spark.createDataFrame(
+            [(live_before, phys_before, live_after, phys_after, merged)],
+            "live_before long, phys_before long, live_after long, "
+            "phys_after long, one_file_per_partition boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_s08_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: create/list/exists/drop round-trip plus a write-then-get through
+    a created database (reference database.go:85-134, handlers.go:28-44).
+    The doc read back must be byte-identical to the first event's props."""
+    ((ns, doc),) = _event_doc_pairs(spark, sf_dir, 1)
+    dbs, root = _scratch_db(spark)
+    try:
+        for name in ("gate_a", "gate_b", "gate_c"):
+            dbs.create(name)
+        n_dbs = len(dbs.list())
+        dbs.write("gate_b", doc, ts=ns)
+        got = dbs.get("gate_b", ns)
+        dbs.drop("gate_c")
+        n_after_drop = len(dbs.list())
+        return spark.createDataFrame(
+            [(n_dbs, n_after_drop, dbs.exists("gate_b"), dbs.exists("gate_c"), got)],
+            "n_dbs long, n_after_drop long, exists_kept boolean, "
+            "exists_dropped boolean, doc string",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_s13_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: the changes feed the reference 501s (handlers.go:455-457), made
+    real as a file-stream source. Append 100 docs, drain the stream, append
+    50 more, drain again: the feed must deliver exactly the appended rows
+    (content-checked via summed doc lengths), incrementally."""
+    pairs = _event_doc_pairs(spark, sf_dir, 150)
+    first, second = pairs[:100], pairs[100:]
+    dbs, root = _scratch_db(spark)
+    qname = f"gate_changes_{uuid.uuid4().hex[:8]}"
+    try:
+        dbs.create("g")
+        dbs.write_batch("g", first)
+        stream = (
+            dbs.changes("g")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            stream.processAllAvailable()
+            r1 = spark.sql(
+                f"SELECT count(*) AS n, sum(length(doc)) AS l FROM {qname}"
+            ).first()
+            dbs.write_batch("g", second)
+            stream.processAllAvailable()
+            r2 = spark.sql(
+                f"SELECT count(*) AS n, sum(length(doc)) AS l FROM {qname}"
+            ).first()
+        finally:
+            stream.stop()
+        return spark.createDataFrame(
+            [(int(r1.n), int(r1.l), int(r2.n) - int(r1.n), int(r2.l) - int(r1.l))],
+            "n_first long, len_first long, n_incremental long, len_incremental long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_s14_single_doc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: single-doc delete (501 in the reference, handlers.go:459-461)
+    via ``delete_range(k, k)``: exactly the middle key disappears; the
+    survivors are fingerprinted with a modular key sum."""
+    pairs = _event_doc_pairs(spark, sf_dir, 50)
+    keys = sorted({ns for ns, _ in pairs})
+    target = keys[len(keys) // 2]
+    dbs, root = _scratch_db(spark)
+    try:
+        dbs.create("g")
+        dbs.write_batch("g", pairs)
+        live_before = dbs.df("g").count()
+        dbs.delete_range("g", target, target)
+        after = dbs.df("g")
+        stats = after.agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("ts_ns % 1000000007")).alias("modsum"),
+            F.sum((F.col("ts_ns") == target).cast("long")).alias("hits"),
+        ).first()
+        return spark.createDataFrame(
+            [(live_before, int(stats.n), bool(stats.hits), int(stats.modsum))],
+            "live_before long, live_after long, target_present boolean, "
+            "modsum_after long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_p08_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: query deadline (reference maxQueryTime, query.go:219-227). A
+    deliberately unfinishable action (triple self-cross-join count) under a
+    1 ms deadline must raise QueryTimeout via job-group cancellation; the
+    same session then answers a real aggregate under a generous deadline."""
+    ev = _events(spark, sf_dir)
+    e1 = ev.select("event_id")
+    slow = (
+        e1.crossJoin(e1.select(F.col("event_id").alias("e2")))
+        .crossJoin(e1.select(F.col("event_id").alias("e3")))
+        .agg(F.count("*"))
+    )
+    timed_out = False
+    try:
+        run_with_timeout(spark, lambda: slow.collect(), timeout_s=0.001)
+    except QueryTimeout:
+        timed_out = True
+    rows = run_with_timeout(
+        spark,
+        lambda: ev.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect(),
+        timeout_s=300,
+    )
+    return spark.createDataFrame(
+        [(timed_out, r.event_type, r.cnt) for r in rows],
+        "timed_out boolean, event_type string, cnt long",
+    )
+
+
+def q_c01_cache_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: result memoization (reference cache.go:54-155). The same query
+    twice on an unchanged db: second serve comes from the cache parquet and
+    is row-identical; one append then invalidates (version key changes) and
+    the recompute sees the new doc. hits/misses counters and the final
+    (invalidated, recomputed) per-bucket aggregate are all oracle-checked."""
+    pairs = _event_doc_pairs(spark, sf_dir, 200)
+    dbs, root = _scratch_db(spark)
+    try:
+        dbs.create("g")
+        dbs.write_batch("g", pairs)
+        cache = QueryCache(dbs, os.path.join(root, ".cache"))
+        q = SerieslyQuery(
+            group_ms=DAY_MS,
+            fields=[("/k", "count"), ("/k", "sum")],
+            aliases=["cnt", "sum_k"],
+        )
+        r1 = sorted(map(tuple, cache.query("g", q, exact_sums=True).collect()))
+        r2 = sorted(map(tuple, cache.query("g", q, exact_sums=True).collect()))
+        identical = r1 == r2
+        new_key = max(ns for ns, _ in pairs) + 1_000_000  # +1 ms: fresh key
+        dbs.write("g", '{"k": 1}', ts=new_key)
+        r3 = cache.query("g", q, exact_sums=True)
+        return r3.select(
+            "bucket_ms",
+            "cnt",
+            F.round("sum_k", 6).alias("sum_k"),
+            F.lit(cache.hits).cast("long").alias("hits"),
+            F.lit(cache.misses).cast("long").alias("misses"),
+            F.lit(identical).alias("hit_identical"),
+        ).localCheckpoint()  # materialize before the scratch dir is removed
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s01_range_read": q_s01_range_read,
@@ -1042,6 +1268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_6h": q_moving_avg_6h,
         "distinct_users_daily": q_distinct_users_daily,
         "quality_filter": q_quality_filter,
+        "s07_compact_effect": q_s07_compact_effect,
+        "s08_ddl_roundtrip": q_s08_ddl_roundtrip,
+        "s13_changes_feed": q_s13_changes_feed,
+        "s14_single_doc_delete": q_s14_single_doc_delete,
+        "p08_timeout": q_p08_timeout,
+        "c01_cache_hit": q_c01_cache_hit,
     }
 
 
@@ -1547,5 +1779,66 @@ SELECT doc_id,
        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
        ELSE 'fr' END AS lang_pred
 FROM sc
+""",
+        # -- Operational-surface effects (S7/S8/S13/S14/P8/C1): the oracle
+        # predicts what the scratch-db machinery must observe, from
+        # events.parquet alone (same (ts, event_id)-ordered prefixes).
+        "s07_compact_effect": """
+WITH s AS (SELECT epoch_us(ts)*1000 AS ts_ns
+           FROM (SELECT ts, event_id FROM events ORDER BY ts, event_id LIMIT 200)),
+k AS (SELECT count(*) AS n_rows, count(DISTINCT ts_ns) AS nk FROM s)
+SELECT nk AS live_before,
+       n_rows + nk // 2 AS phys_before,
+       nk AS live_after,
+       nk AS phys_after,
+       true AS one_file_per_partition
+FROM k
+""",
+        "s08_ddl_roundtrip": """
+SELECT 3::BIGINT AS n_dbs, 2::BIGINT AS n_after_drop,
+       true AS exists_kept, false AS exists_dropped,
+       (SELECT props FROM events ORDER BY ts, event_id LIMIT 1) AS doc
+""",
+        "s13_changes_feed": """
+WITH s AS (SELECT props, row_number() OVER (ORDER BY ts, event_id) AS rn
+           FROM events)
+SELECT cast((SELECT count(*) FROM s WHERE rn <= 100) as BIGINT) AS n_first,
+       cast((SELECT sum(length(props)) FROM s WHERE rn <= 100) as BIGINT)
+         AS len_first,
+       cast((SELECT count(*) FROM s WHERE rn > 100 AND rn <= 150) as BIGINT)
+         AS n_incremental,
+       cast((SELECT sum(length(props)) FROM s WHERE rn > 100 AND rn <= 150)
+            as BIGINT) AS len_incremental
+""",
+        "s14_single_doc_delete": """
+WITH s AS (SELECT DISTINCT epoch_us(ts)*1000 AS ts_ns
+           FROM (SELECT ts, event_id FROM events ORDER BY ts, event_id LIMIT 50)),
+o AS (SELECT ts_ns, row_number() OVER (ORDER BY ts_ns) AS rn FROM s),
+t AS (SELECT ts_ns FROM o WHERE rn = (SELECT count(*) // 2 + 1 FROM o))
+SELECT (SELECT count(*) FROM o) AS live_before,
+       (SELECT count(*) FROM o) - 1 AS live_after,
+       false AS target_present,
+       (SELECT cast(sum(ts_ns % 1000000007) as BIGINT) FROM o
+        WHERE ts_ns <> (SELECT ts_ns FROM t)) AS modsum_after
+""",
+        "p08_timeout": """
+SELECT true AS timed_out, event_type, count(*) AS cnt
+FROM events GROUP BY event_type
+""",
+        "c01_cache_hit": f"""
+WITH s AS (SELECT props, epoch_us(ts)*1000 AS ts_ns,
+             row_number() OVER (ORDER BY ts, event_id) AS rn
+           FROM events),
+f AS (SELECT * FROM s WHERE rn <= 200),
+l AS (SELECT ts_ns, arg_max(props, rn) AS doc FROM f GROUP BY ts_ns),
+x AS (SELECT ts_ns, doc FROM l
+      UNION ALL
+      SELECT (SELECT max(ts_ns) + 1000000 FROM f), '{{"k": 1}}'),
+v AS (SELECT ts_ns, json_extract_string(doc, '$.k') AS v,
+        TRY_CAST(json_extract_string(doc, '$.k') AS DOUBLE) AS nv FROM x)
+SELECT {b_day} AS bucket_ms, count(v) AS cnt,
+  round(CASE WHEN count(nv) = 0 THEN 0.0 ELSE {_dsum('nv')} END, 6) AS sum_k,
+  1::BIGINT AS hits, 2::BIGINT AS misses, true AS hit_identical
+FROM v GROUP BY 1
 """,
     }
