@@ -432,6 +432,65 @@ def q_p01_multi_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seriesly_query(df, q, doc_col="doc", ts_ns_col="ts_ns")
 
 
+# P2 fixture: exotic float shapes whose Go %v rendering differs from both
+# the raw JSON text and Spark's get_json_object re-rendering (which turns
+# 1e-07 into "1.0E-7"). Expected strings are hand-derived from Go
+# strconv.FormatFloat(x, 'g', -1, 64) semantics (reference query.go:135-143;
+# the formatter itself is golden-tested in tests/test_functions.py).
+_P02_DOCS = [
+    (1_346_189_075_000_000_000, '{"n": 1000000.0}'),   # %v -> 1e+06
+    (1_346_189_076_000_000_000, '{"n": 1e-07}'),       # %v -> 1e-07
+    (1_346_189_077_000_000_000, '{"n": 0.0001}'),      # exp=-4: stays plain
+    (1_346_189_078_000_000_000, '{"n": 123456.789}'),  # exp=5: stays plain
+    (1_346_189_079_000_000_000, '{"n": 5}'),           # int -> "5"
+    (1_346_189_080_000_000_000, '{"n": -0.0}'),        # %v -> -0
+    (1_346_189_081_000_000_000, '{"n": true}'),        # non-numeric: verbatim
+    (1_346_189_082_000_000_000, '{"m": 1}'),           # missing -> nil entry
+]
+
+
+def q_p02_canonical_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: Go %v float canonicalization through any/distinct/identity with
+    ``canonical_numbers=True`` — 1000000.0 must surface as "1e+06", -0.0 as
+    "-0", while 0.0001 / 123456.789 stay plain (reference query.go:135-143
+    stringifies every scalar with %v before reducers see it)."""
+    _prep(spark)
+    df = spark.createDataFrame(_P02_DOCS, "ts_ns long, doc string")
+    q = SerieslyQuery(
+        group_ms=DAY_MS,
+        fields=[("/n", "any"), ("/n", "distinct"), ("/n", "identity")],
+        aliases=["any_n", "distinct_n", "identity_n"],
+    )
+    res = seriesly_query(
+        df, q, doc_col="doc", ts_ns_col="ts_ns", canonical_numbers=True
+    )
+    return res.select(
+        "bucket_ms",
+        "any_n",
+        F.to_json("distinct_n").alias("distinct_n"),
+        F.to_json("identity_n").alias("identity_n"),
+    )
+
+
+def q_p02_canonical_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3: equality filter against a %v-rendered value — fv=1e+06 must
+    match the document containing 1000000.0 (the filter-parity case the
+    raw JSON text misses; reference query.go:112-128 compares the %v
+    strings)."""
+    _prep(spark)
+    df = spark.createDataFrame(_P02_DOCS, "ts_ns long, doc string")
+    q = SerieslyQuery(
+        group_ms=DAY_MS,
+        fields=[("/n", "count"), ("/n", "identity")],
+        aliases=["cnt", "vals"],
+        filters=[("/n", "1e+06")],
+    )
+    res = seriesly_query(
+        df, q, doc_col="doc", ts_ns_col="ts_ns", canonical_numbers=True
+    )
+    return res.select("bucket_ms", "cnt", F.to_json("vals").alias("vals"))
+
+
 def q_t01_parse_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1-T3: multi-format timestamp parsing + canonical key rendering
     (reference timelib/time.go:130-157, handlers.go:63-72). The Spark side
@@ -1219,6 +1278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r01_list_reducers": q_r01_list_reducers,
         "r02_obj_keys": q_r02_obj_keys,
         "r03_rate_family": q_r03_rate_family,
+        "p02_canonical_numbers": q_p02_canonical_numbers,
+        "p02_canonical_filter": q_p02_canonical_filter,
         "t01_parse_time": q_t01_parse_time,
         "p01_multi_pointer": q_p01_multi_pointer,
         "tpch_q1": q_tpch_q1,
@@ -1383,6 +1444,18 @@ FROM b LEFT JOIN r USING (event_type, bucket_ms)
         "t01_parse_time": (
             f"SELECT * FROM (VALUES\n  {t01_values}\n) AS t(input, ts_ns, canonical)"
         ),
+        # Expected rows hand-derived from Go %v semantics over _P02_DOCS
+        # (list order = ts order for identity, null-first sorted for
+        # distinct, matching the engine's reducer contracts).
+        "p02_canonical_numbers": """
+SELECT 1346112000000::BIGINT AS bucket_ms, '1e+06' AS any_n,
+  '[null,"-0","0.0001","123456.789","1e+06","1e-07","5","true"]' AS distinct_n,
+  '["1e+06","1e-07","0.0001","123456.789","5","-0","true",null]' AS identity_n
+""",
+        "p02_canonical_filter": """
+SELECT 1346112000000::BIGINT AS bucket_ms, 1::BIGINT AS cnt,
+  '["1e+06"]' AS vals
+""",
         # Expected row derived from the reference semantics by hand:
         # any=first non-nil in key order; sum accepts 5 (number) + "12"
         # (numeric string); /data/children/1/... exists in doc 1 only;
