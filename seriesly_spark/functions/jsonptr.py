@@ -65,3 +65,26 @@ def extract_ptr(doc: Column, ptr: str) -> Column:
     missing/null -> nil; reference query.go:130-143).
     """
     return F.get_json_object(doc, ptr_to_jsonpath(ptr))
+
+
+def extract_ptr_from_variant(doc: Column, doc_v: Column, ptr: str) -> Column:
+    """Variant-backed pointer extraction (opt-in fast path): ``doc_v`` is
+    ``parse_json(doc)`` computed ONCE, and each pointer becomes one cheap
+    binary ``try_variant_get`` probe — ~1.5x faster than N
+    ``get_json_object`` re-parses on multi-pointer queries (PLANS.md).
+
+    ``try_variant_get(..., 'string')`` matches the reference value model
+    (string scalars dequoted, numbers/booleans rendered, object/array as
+    JSON text, missing and JSON null -> NULL) with two deviations, which is
+    why this stays opt-in:
+      * the Variant encoding normalizes numbers at parse time — trailing
+        ``.0`` is dropped (1000000.0 -> "1000000") and ``-0.0`` loses its
+        sign — so raw-text parity for exotic floats needs the default impl
+        (the %v canonicalizer cannot recover -0 from Variant);
+      * Variant objects store keys sorted, losing document key order, so
+        the whole-document pointer ("" -> obj_keys key-order semantics)
+        falls back to the raw JSON text column.
+    """
+    if ptr == "":
+        return doc  # structural fallback: preserve document key order
+    return F.try_variant_get(doc_v, ptr_to_jsonpath(ptr), "string")

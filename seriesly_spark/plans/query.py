@@ -36,6 +36,7 @@ Semantics pinned by the reference and preserved here:
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 from dataclasses import dataclass, field as dc_field
 from datetime import datetime, timezone
@@ -45,7 +46,7 @@ from pyspark.sql import functions as F
 
 from seriesly_spark.functions.bucketing import bucket_ms_col
 from seriesly_spark.functions.coerce import go_fmt_scalar, is_structural, to_num
-from seriesly_spark.functions.jsonptr import extract_ptr
+from seriesly_spark.functions.jsonptr import extract_ptr, extract_ptr_from_variant
 from seriesly_spark.functions.timeparse import canonical_key, ts_ns_from_timestamp
 from seriesly_spark.operators.rate import rate_aggregate
 from seriesly_spark.operators.reducers import _SENT, REDUCERS
@@ -120,6 +121,7 @@ def seriesly_query(
     series_cols: tuple[str, ...] = (),
     canonical_numbers: bool = False,
     exact_sums: bool = False,
+    extract_impl: str | None = None,
 ) -> DataFrame:
     """Compile a seriesly query over ``df`` into one result DataFrame.
 
@@ -127,7 +129,17 @@ def seriesly_query(
     (series, bucket_ms). ``series_cols`` generalizes the reference's
     one-database-per-query model to grouped series in one pass (and keeps
     the rate window partitioned at cluster scale).
+
+    ``extract_impl`` selects the pointer-extraction engine: ``"json"``
+    (default; ``get_json_object``, raw-text-faithful) or ``"variant"``
+    (one ``parse_json`` + binary probes per pointer — faster on
+    multi-pointer queries, with the documented Variant number/key-order
+    normalizations; see ``functions.jsonptr.extract_ptr_from_variant``).
+    Falls back to the ``SERIESLY_EXTRACT_IMPL`` env var when unset.
     """
+    impl = extract_impl or os.environ.get("SERIESLY_EXTRACT_IMPL", "json")
+    if impl not in ("json", "variant"):
+        raise ValueError(f"unknown extract_impl: {impl!r}")
     fields = query.fields
     if not fields:
         raise ValueError("at least one pointer is required")  # query.go:151
@@ -156,11 +168,20 @@ def seriesly_query(
         if ptr not in ptr_cols:
             ptr_cols[ptr] = f"e{len(ptr_cols)}"
 
+    # Variant path: parse the document ONCE into a binary Variant column;
+    # each pointer is then a cheap probe instead of a full JSON re-parse.
+    # (Physical-level subexpression elimination also dedupes the
+    # parse_json across the projection's variant_get calls.)
+    doc_v = F.parse_json(F.col(doc_col)) if impl == "variant" else None
+
     def extracted(ptr: str) -> Column:
         if ptr == "_id":
             # Pseudo-pointer: the document key (reference query.go:132-134).
             return canonical_key(F.col("ts_ns"))
-        c = extract_ptr(F.col(doc_col), ptr)
+        if impl == "variant":
+            c = extract_ptr_from_variant(F.col(doc_col), doc_v, ptr)
+        else:
+            c = extract_ptr(F.col(doc_col), ptr)
         if canonical_numbers:
             c = go_fmt_scalar(c)
         return c
