@@ -157,9 +157,38 @@ class SerieslyDB:
         self, name: str, from_ts=None, to_ts=None, limit: int | None = None
     ) -> "list[str]":
         """NDJSON lines '{"<key>": <doc>}' (reference _dump,
-        handlers.go:381-420). Collects — use only for bounded ranges."""
+        handlers.go:381-420). Collects — use only for bounded ranges; the
+        scale-out path is :meth:`dump_files`."""
         rows = self.all_docs(name, from_ts, to_ts, limit).collect()
         return ['{"%s": %s}' % (r.key, r.doc) for r in rows]
+
+    def dump_files(
+        self, name: str, out_dir: str, from_ts=None, to_ts=None
+    ) -> int:
+        """Distributed NDJSON dump: the same '{"<key>": <doc>}' lines as
+        :meth:`dump_lines`, written executor-side with ``df.write.text``
+        (no driver materialization — the 100 TB analogue of the
+        reference's incrementally streamed ``_dump``,
+        handlers.go:381-420). Files are key-ordered within and across
+        part files (range-partitioned by the sort); returns the row
+        count. Concatenating the sorted part files reproduces the
+        streamed dump byte-for-byte."""
+        out = (
+            self.df(name, from_ts, to_ts)
+            .orderBy("ts_ns")
+            .select(
+                F.concat(
+                    F.lit('{"'),
+                    canonical_key(F.col("ts_ns")),
+                    F.lit('": '),
+                    F.col("doc"),
+                    F.lit("}"),
+                ).alias("value")
+            )
+        )
+        out.write.mode("overwrite").text(out_dir)
+        written = self.spark.read.text(out_dir)
+        return written.count()
 
     # -- Maintenance (S6/S7/S9) --------------------------------------------
 
