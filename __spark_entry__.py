@@ -639,6 +639,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The max_df skew knob, oracle-checked: identical to
+    dedup_ngram_jaccard but shingles with document frequency > 4 are
+    dropped before the join (they carry no dedup signal and make their
+    join buckets quadratic — the 100 TB skew mitigation). Jaccard is then
+    computed over surviving shingles against the FULL set sizes, so it
+    underestimates; at sf0.01 the cap prunes ~11% of candidates and keeps
+    all 25 true pairs (PLANS.md has the measured sf0.1 curve)."""
+    return ngram_jaccard_pairs(
+        _table(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=4
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (16 bands, r=1, md5 signatures)."""
     return minhash_lsh_pairs(_table(spark, sf_dir, "documents"), n=3, bands=16)
@@ -1296,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "s06_bulk_delete_effect": q_s06_bulk_delete_effect,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
@@ -1518,6 +1532,18 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.grams, b.grams)) /
       (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
       6) >= 0.5
+""",
+        "dedup_ngram_jaccard_capped": f"""
+WITH g AS ({_GRAMS_SQL}),
+x AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS gr FROM g),
+d AS (SELECT gr FROM x GROUP BY gr HAVING count(*) <= 4),
+k AS (SELECT x.doc_id, x.sz, x.gr FROM x JOIN d USING (gr)),
+cand AS (SELECT a.doc_id AS a, b.doc_id AS b, a.sz AS sza, b.sz AS szb,
+           count(*) AS i
+         FROM k a JOIN k b ON a.gr = b.gr AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4)
+SELECT a, b, round(i / (sza + szb - i), 6) AS jaccard
+FROM cand WHERE round(i / (sza + szb - i), 6) >= 0.5
 """,
         "dedup_minhash_lsh": f"""
 WITH g AS ({_GRAMS_SQL}),

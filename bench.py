@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "lang_id",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk_cosine",
