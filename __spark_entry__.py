@@ -1249,6 +1249,69 @@ def q_p08_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s16_dump_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12+S16: gzip NDJSON backup and restore (reference
+    tools/dump/dump.go:45-115, tools/load/load.go:51-101, gzip sink
+    handlers.go:300-329). Dump a seeded db to .txt.gz part files, load
+    them into a fresh db (full, and again with the reference load tool's
+    min-time filter), and compare the restored dump line-for-line."""
+    import glob as _glob
+
+    from seriesly_spark import tools
+
+    pairs = _event_doc_pairs(spark, sf_dir, 100)
+    dbs, root = _scratch_db(spark)
+    try:
+        dbs.create("src")
+        dbs.write_batch("src", pairs)
+        counts = tools.dump(dbs, os.path.join(root, "backup"),
+                            compression="gzip")
+        gz = bool(_glob.glob(os.path.join(root, "backup", "src",
+                                          "part-*.txt.gz")))
+        dbs.create("dst")
+        n_full = tools.load_dump_dir(dbs, "dst",
+                                     os.path.join(root, "backup", "src"))
+        equal = dbs.dump_lines("dst") == dbs.dump_lines("src")
+        keys = sorted({ns for ns, _ in pairs})
+        cut = keys[len(keys) // 2]
+        dbs.create("dst2")
+        n_min = tools.load_dump_dir(dbs, "dst2",
+                                    os.path.join(root, "backup", "src"),
+                                    min_ts=cut)
+        return spark.createDataFrame(
+            [(counts["src"], gz, n_full, equal, n_min)],
+            "n_dumped long, gzip_parts boolean, n_loaded long, "
+            "lines_equal boolean, n_loaded_min_ts long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_s15_poll_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: poll-copy source (reference tools/sample/sample.go:56-104) —
+    fetch a file:// URL twice on a deterministic clock and store each body
+    as a now-keyed document; the keys and round-tripped body are checked."""
+    from pathlib import Path
+
+    from seriesly_spark import tools
+
+    dbs, root = _scratch_db(spark)
+    try:
+        src = Path(root) / "payload.json"
+        src.write_text('{"sampled": 1}')
+        dbs.create("g")
+        clock = iter([1_700_000_000.0, 1_700_000_001.0])
+        keys = tools.poll_copy(dbs, src.as_uri(), "g", rounds=2,
+                               clock=lambda: next(clock))
+        doc = dbs.get("g", keys[0])
+        return spark.createDataFrame(
+            [(len(keys), keys[0], keys[1], doc)],
+            "n_polls long, key0 long, key1 long, doc string",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_c01_cache_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: result memoization (reference cache.go:54-155). The same query
     twice on an unchanged db: second serve comes from the cache parquet and
@@ -1353,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s14_single_doc_delete": q_s14_single_doc_delete,
         "p08_timeout": q_p08_timeout,
         "c01_cache_hit": q_c01_cache_hit,
+        "s16_dump_load_roundtrip": q_s16_dump_load_roundtrip,
+        "s15_poll_copy": q_s15_poll_copy,
     }
 
 
@@ -1927,6 +1992,18 @@ SELECT (SELECT count(*) FROM o) AS live_before,
         "p08_timeout": """
 SELECT true AS timed_out, event_type, count(*) AS cnt
 FROM events GROUP BY event_type
+""",
+        "s16_dump_load_roundtrip": """
+WITH s AS (SELECT DISTINCT epoch_us(ts)*1000 AS ts_ns
+           FROM (SELECT ts, event_id FROM events ORDER BY ts, event_id LIMIT 100)),
+k AS (SELECT count(*) AS nk FROM s)
+SELECT nk AS n_dumped, true AS gzip_parts, nk AS n_loaded,
+       true AS lines_equal, nk - nk // 2 AS n_loaded_min_ts
+FROM k
+""",
+        "s15_poll_copy": """
+SELECT 2::BIGINT AS n_polls, 1700000000000000000::BIGINT AS key0,
+       1700000001000000000::BIGINT AS key1, '{"sampled": 1}' AS doc
 """,
         "c01_cache_hit": f"""
 WITH s AS (SELECT props, epoch_us(ts)*1000 AS ts_ns,

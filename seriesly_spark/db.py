@@ -163,7 +163,8 @@ class SerieslyDB:
         return ['{"%s": %s}' % (r.key, r.doc) for r in rows]
 
     def dump_files(
-        self, name: str, out_dir: str, from_ts=None, to_ts=None
+        self, name: str, out_dir: str, from_ts=None, to_ts=None,
+        compression: str | None = None,
     ) -> int:
         """Distributed NDJSON dump: the same '{"<key>": <doc>}' lines as
         :meth:`dump_lines`, written executor-side with ``df.write.text``
@@ -172,7 +173,13 @@ class SerieslyDB:
         handlers.go:381-420). Files are key-ordered within and across
         part files (range-partitioned by the sort); returns the row
         count. Concatenating the sorted part files reproduces the
-        streamed dump byte-for-byte."""
+        streamed dump byte-for-byte.
+
+        ``compression="gzip"`` is the engine-side analogue of the
+        reference's gzip encoding sink (S12, ``newGzippingWriter``,
+        handlers.go:300-329, and the dump tool's compressed backups,
+        tools/dump/dump.go:45-63): each part file is a ``.txt.gz``
+        stream, compressed executor-side."""
         out = (
             self.df(name, from_ts, to_ts)
             .orderBy("ts_ns")
@@ -186,7 +193,10 @@ class SerieslyDB:
                 ).alias("value")
             )
         )
-        out.write.mode("overwrite").text(out_dir)
+        w = out.write.mode("overwrite")
+        if compression:
+            w = w.option("compression", compression)
+        w.text(out_dir)
         written = self.spark.read.text(out_dir)
         return written.count()
 
