@@ -32,6 +32,7 @@ from seriesly_spark.operators.dedup import (
     hamming_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    paragraph_dedup,
     simhash32_md5,
     word_shingles,
 )
@@ -674,6 +675,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(word_shingles("text", 3)) > 0
     )
     return connected_components(nodes, pairs, id_col="doc_id")
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (CCNet/RefinedWeb line-dedup pass).
+    The synthetic corpus is single-paragraph and fully unique, so the gate
+    builds a non-vacuous multi-paragraph corpus deterministically: each
+    document becomes [its decade-leader's text, its own text] joined with
+    a blank line — every group of ≤10 docs then shares one paragraph, and
+    the leader document contains its own text twice. First occurrence
+    (lowest (doc_id, pos)) survives; documents are rebuilt in order."""
+    base = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    grouped = base.withColumn("g", F.floor(F.col("doc_id") / 10))
+    leaders = grouped.groupBy("g").agg(F.min("doc_id").alias("lid"))
+    ltext = base.select(
+        F.col("doc_id").alias("lid"), F.col("text").alias("ltext")
+    )
+    ldocs = leaders.join(ltext, "lid").select("g", "ltext")
+    corpus = grouped.join(ldocs, "g").select(
+        "doc_id", F.concat_ws("\n\n", "ltext", "text").alias("text")
+    )
+    return paragraph_dedup(corpus)
 
 
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1418,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c01_cache_hit": q_c01_cache_hit,
         "s16_dump_load_roundtrip": q_s16_dump_load_roundtrip,
         "s15_poll_copy": q_s15_poll_copy,
+        "dedup_paragraphs": q_dedup_paragraphs,
     }
 
 
@@ -2004,6 +2027,31 @@ FROM k
         "s15_poll_copy": """
 SELECT 2::BIGINT AS n_polls, 1700000000000000000::BIGINT AS key0,
        1700000001000000000::BIGINT AS key1, '{"sampled": 1}' AS doc
+""",
+        "dedup_paragraphs": """
+WITH base AS (SELECT doc_id, text FROM documents),
+l AS (SELECT doc_id // 10 AS g, min(doc_id) AS lid FROM base GROUP BY 1),
+ld AS (SELECT l.g, b.text AS ltext FROM l JOIN base b ON b.doc_id = l.lid),
+corpus AS (
+  SELECT b.doc_id, ld.ltext || chr(10) || chr(10) || b.text AS text
+  FROM base b JOIN ld ON b.doc_id // 10 = ld.g
+),
+p AS (
+  SELECT doc_id,
+         unnest(range(len(str_split(text, chr(10) || chr(10))))) AS pos,
+         unnest(str_split(text, chr(10) || chr(10))) AS para
+  FROM corpus
+),
+r AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1 AS keep
+  FROM p
+)
+SELECT doc_id, count(*) AS n_paras,
+       coalesce(sum(CASE WHEN keep THEN 1 END), 0)::BIGINT AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN para END,
+                           chr(10) || chr(10) ORDER BY pos), '') AS text
+FROM r GROUP BY doc_id
 """,
         "c01_cache_hit": f"""
 WITH s AS (SELECT props, epoch_us(ts)*1000 AS ts_ns,

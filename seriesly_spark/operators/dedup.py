@@ -371,3 +371,56 @@ def simhash_pairs(
     use simhash32_md5 + hamming_pairs when oracle portability matters)."""
     fp = simhash64(docs, text_col, id_col).withColumnRenamed(id_col, "doc_id")
     return hamming_pairs(fp, 64, max_hamming, bands)
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup — the line/paragraph pass of
+    CCNet / RefinedWeb-style training-data pipelines. A paragraph survives
+    only at its first occurrence across the whole corpus (lowest
+    ``(id, position)``); every document is rebuilt from its surviving
+    paragraphs in original order.
+
+    Scale shape: paragraphs are keyed by a 16-byte md5 digest, so the
+    winner aggregate shuffles digests + ``(id, pos)`` — never paragraph
+    text — and combines map-side. The rebuild moves each paragraph's text
+    through exactly one digest-partitioned equi-join plus one
+    ``groupBy(id)``; no window over the full corpus, no driver-side data.
+
+    Returns ``(id_col, n_paras, n_kept, text_col)`` with the rebuilt text
+    (empty paragraphs dedup like any other value; a document whose every
+    paragraph is a repeat rebuilds to the empty string).
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "para"),
+    ).withColumn("h", content_hash(F.col("para")))
+    # Both the winner aggregate and the rebuild join read the exploded
+    # paragraphs — persist so the scan + explode + digest runs once.
+    paras = paras.persist()
+    winners = (
+        paras.select("h", id_col, "pos")
+        .groupBy("h")
+        .agg(F.min(F.struct(id_col, "pos")).alias("w"))
+    )
+    kept = paras.join(winners, "h").withColumn(
+        "keep",
+        (F.col(f"w.{id_col}") == F.col(id_col)) & (F.col("w.pos") == F.col("pos")),
+    )
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "para")))
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias(text_col),
+    )

@@ -361,3 +361,22 @@ class TestQualityFilter:
         assert not rows[2].dup_ok and not rows[2].keep
         assert not rows[3].tok_ok and not rows[3].keep
         assert not rows[4].stop_ok and not rows[4].keep
+
+
+class TestParagraphDedup:
+    def test_first_occurrence_wins_corpus_wide(self, spark):
+        from seriesly_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a\n\nb\n\na"), (2, "b\n\nc"), (3, "c\n\nd\n\n"), (4, "")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+        # doc 1: intra-doc repeat of "a" dropped
+        assert (rows[1].n_paras, rows[1].n_kept, rows[1].text) == (3, 2, "a\n\nb")
+        # doc 2: "b" already seen at (1, 1)
+        assert rows[2].text == "c"
+        # doc 3: trailing empty paragraph is first "" occurrence -> kept
+        assert (rows[3].n_kept, rows[3].text) == (2, "d\n\n")
+        # doc 4: its only paragraph ("") is a repeat of (3, 2)
+        assert (rows[4].n_kept, rows[4].text) == (0, "")
