@@ -42,6 +42,10 @@ from seriesly_spark.operators.multimodal import (
     payload_features,
     payload_metadata,
 )
+from seriesly_spark.operators.sketches import (
+    approx_quantile_ranks,
+    hll_bucket_rollup,
+)
 from seriesly_spark.operators.sampling import (
     contamination_overlap,
     hash_sample,
@@ -1069,6 +1073,54 @@ def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL rollup — the 100 TB scale path behind
+    distinct_users_daily: per-day DataSketches HLL sketches of user_id,
+    estimated per day and unioned into the all-days estimate without
+    rescanning events. Estimates are engine-specific, so the gate
+    certifies in-engine: exact counts (one-pass Expand rollup) joined to
+    the estimates, with a boolean pinning each estimate inside HLL's
+    error envelope (±5% at the default lgConfigK=12)."""
+    ev = _events(spark, sf_dir)
+    day_ns = DAY_MS * 1_000_000
+    b = ev.withColumn("bucket_ms", F.expr(f"(ts_ns div {day_ns}) * {DAY_MS}"))
+    est = hll_bucket_rollup(b, "user_id", "bucket_ms")
+    exact = b.rollup("bucket_ms").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(
+        est, exact["bucket_ms"].eqNullSafe(est["bucket_ms"])
+    ).select(
+        exact["bucket_ms"],
+        "exact_users",
+        (
+            F.abs(
+                F.col("est_distinct").cast("double") / F.col("exact_users")
+                - 1.0
+            )
+            <= F.lit(0.05)
+        ).alias("est_ok"),
+    )
+
+
+def q_approx_pct_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-percentile certification — the scale path behind the exact
+    `percentiles` query. percentile_approx (mergeable rank sketch,
+    map-side partials) answers p50/p95 per event type; the query then
+    measures each answer's empirical rank and asserts it lands within
+    the sketch's rank-error bound (1/accuracy) plus discreteness slack."""
+    ev = _events(spark, sf_dir)
+    r = approx_quantile_ranks(
+        ev, "value", "event_type", [0.5, 0.95], accuracy=10_000
+    )
+    return r.select(
+        "event_type",
+        "n",
+        (F.abs(F.col("rank_0") - 0.5) <= F.lit(0.02)).alias("p50_rank_ok"),
+        (F.abs(F.col("rank_1") - 0.95) <= F.lit(0.02)).alias("p95_rank_ok"),
+    )
+
+
 def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality metrics (dup-2-gram fraction,
     top-token share) — narrow per-row array expressions, no shuffle."""
@@ -1441,6 +1493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s16_dump_load_roundtrip": q_s16_dump_load_roundtrip,
         "s15_poll_copy": q_s15_poll_copy,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "hll_rollup_users": q_hll_rollup_users,
+        "approx_pct_certify": q_approx_pct_certify,
     }
 
 
@@ -2052,6 +2106,19 @@ SELECT doc_id, count(*) AS n_paras,
        coalesce(string_agg(CASE WHEN keep THEN para END,
                            chr(10) || chr(10) ORDER BY pos), '') AS text
 FROM r GROUP BY doc_id
+""",
+        "hll_rollup_users": f"""
+SELECT {_bucket('epoch_us(ts)*1000', DAY_MS)} AS bucket_ms,
+       count(DISTINCT user_id) AS exact_users, true AS est_ok
+FROM events GROUP BY 1
+UNION ALL
+SELECT NULL::BIGINT AS bucket_ms, count(DISTINCT user_id) AS exact_users,
+       true AS est_ok
+FROM events
+""",
+        "approx_pct_certify": """
+SELECT event_type, count(*) AS n, true AS p50_rank_ok, true AS p95_rank_ok
+FROM events GROUP BY 1
 """,
         "c01_cache_hit": f"""
 WITH s AS (SELECT props, epoch_us(ts)*1000 AS ts_ns,

@@ -1,0 +1,90 @@
+"""Mergeable-sketch operators — the 100 TB scale path for distinct
+cardinality and percentiles.
+
+The exact gate queries (`distinct_users_daily`, `percentiles`) hash-match
+a SQL oracle, but at cluster scale a per-bucket exact distinct or exact
+percentile re-scans the fact table for every grain. Sketches fix the
+shape: build a fixed-size mergeable summary per bucket ONCE, then answer
+every coarser grain by merging summaries — never rescanning events.
+
+  * HLL (Apache DataSketches, built into Spark as ``hll_sketch_agg`` /
+    ``hll_union_agg``): per-bucket distinct sketches union into rollup
+    estimates. Relative error ~1.6% at the default lgConfigK=12, and the
+    sketch is exact in sparse mode at small cardinalities.
+  * ``percentile_approx`` (Greenwald-Khanna style): rank error bounded by
+    1/accuracy; the partial aggregate merges map-side like any other agg.
+
+Estimates are engine-specific, so driver gate queries cannot hash-compare
+them against DuckDB — instead the entry queries certify them in-engine:
+exact values computed alongside, plus booleans asserting the estimate
+lands inside the sketch's published error envelope.
+
+No analogue in the reference (its reducer set is exact-only,
+query.go:408-447); this extends SURVEY §2.3's gap list.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_bucket_rollup(
+    df: DataFrame, key_col: str, bucket_col: str
+) -> DataFrame:
+    """Per-bucket HLL distinct estimates plus the merged all-buckets
+    estimate (``bucket_col`` NULL), from ONE scan of ``df``: the rollup
+    row is a union of the per-bucket sketches, not a rescan. Returns
+    ``(bucket_col, est_distinct)``.
+    """
+    buckets = (
+        df.groupBy(bucket_col)
+        .agg(F.hll_sketch_agg(key_col).alias("sk"))
+        # read twice: per-bucket estimates and the union rollup
+        .persist()
+    )
+    per_bucket = buckets.select(
+        bucket_col, F.hll_sketch_estimate("sk").alias("est_distinct")
+    )
+    total = buckets.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct")
+    ).select(
+        F.lit(None).cast(dict(df.dtypes)[bucket_col]).alias(bucket_col),
+        "est_distinct",
+    )
+    return per_bucket.unionByName(total)
+
+
+def approx_quantile_ranks(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: Sequence[float],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Empirical rank of each ``percentile_approx`` answer: for every
+    group and target quantile q, the fraction of values <= the approximate
+    quantile. ``percentile_approx`` guarantees rank error <= 1/accuracy,
+    so ``rank_i`` lands within ``q ± (1/accuracy + 1/n)`` — a
+    falsifiable in-engine certificate that needs no second engine.
+    Returns ``(group_col, n, rank_0..rank_{len(qs)-1})``; the sketch
+    aggregate is mergeable (map-side partials), the tiny per-group answer
+    table is broadcast back for the rank pass.
+    """
+    ap = df.groupBy(group_col).agg(
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(float(q)) for q in qs]), F.lit(accuracy)
+        ).alias("ap")
+    )
+    joined = df.join(F.broadcast(ap), group_col)
+    ranks = [
+        F.avg((F.col(value_col) <= F.col("ap")[i]).cast("double")).alias(
+            f"rank_{i}"
+        )
+        for i in range(len(qs))
+    ]
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"), *ranks
+    )

@@ -380,3 +380,29 @@ class TestParagraphDedup:
         assert (rows[3].n_kept, rows[3].text) == (2, "d\n\n")
         # doc 4: its only paragraph ("") is a repeat of (3, 2)
         assert (rows[4].n_kept, rows[4].text) == (0, "")
+
+
+class TestSketches:
+    def test_hll_rollup_exact_at_small_cardinality(self, spark):
+        from seriesly_spark.operators.sketches import hll_bucket_rollup
+
+        df = spark.createDataFrame(
+            [(d, u) for d in (1, 2, 3) for u in range(d * 50)],
+            "day long, user long",
+        )
+        rows = {r.day: r.est_distinct for r in hll_bucket_rollup(df, "user", "day").collect()}
+        # HLL sparse mode is exact at these cardinalities; the None row is
+        # the union rollup (users of day 3 are a superset of days 1/2).
+        assert rows == {1: 50, 2: 100, 3: 150, None: 150}
+
+    def test_approx_quantile_ranks_hit_targets(self, spark):
+        from seriesly_spark.operators.sketches import approx_quantile_ranks
+
+        df = spark.createDataFrame(
+            [(g, float((i * 37) % 1000)) for g in ("a", "b") for i in range(500)],
+            "g string, v double",
+        )
+        for r in approx_quantile_ranks(df, "v", "g", [0.5, 0.95]).collect():
+            assert r.n == 500
+            assert abs(r.rank_0 - 0.5) <= 1e-4 + 1 / r.n
+            assert abs(r.rank_1 - 0.95) <= 1e-4 + 1 / r.n
