@@ -50,6 +50,7 @@ from seriesly_spark.operators.sampling import (
     contamination_overlap,
     hash_sample,
     hash_split,
+    mixture_sample,
     stratified_sample,
     vocab_topk,
 )
@@ -70,6 +71,7 @@ from seriesly_spark.operators.textstats import (
     quality_filter,
     repetition_stats,
     text_stats,
+    tfidf_top_terms,
     token_counts_bpe,
 )
 from seriesly_spark.operators.windows import (
@@ -1121,6 +1123,27 @@ def q_approx_pct_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix resampling toward a 4:3:2:1 target over four sources:
+    the limiting stratum keeps everything, the rest keep deterministic
+    md5-threshold subsets sized by integer arithmetic (no RNG state, no
+    driver-side data). Output = kept count per source."""
+    docs = _table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs, "source", "doc_id", {"src0": 4, "src1": 3, "src2": 2, "src3": 1}
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF top-5 distinctive terms. Scores round to 6
+    decimals BEFORE ranking so ln()'s last-ulp engine differences cannot
+    flip ranks; ties break on token."""
+    return tfidf_top_terms(
+        _table(spark, sf_dir, "documents"), k=5
+    ).withColumnRenamed("rank", "rnk")
+
+
 def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality metrics (dup-2-gram fraction,
     top-token share) — narrow per-row array expressions, no shuffle."""
@@ -1495,6 +1518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "hll_rollup_users": q_hll_rollup_users,
         "approx_pct_certify": q_approx_pct_certify,
+        "mixture_sample": q_mixture_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -2119,6 +2144,36 @@ FROM events
         "approx_pct_certify": """
 SELECT event_type, count(*) AS n, true AS p50_rank_ok, true AS p95_rank_ok
 FROM events GROUP BY 1
+""",
+        "mixture_sample": f"""
+WITH c AS (
+  SELECT source, count(*) AS n,
+         CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 3
+                     WHEN 'src2' THEN 2 WHEN 'src3' THEN 1 END AS w
+  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+  GROUP BY 1),
+m AS (SELECT n AS n_m, w AS w_m FROM c ORDER BY n::DOUBLE / w LIMIT 1),
+t AS (SELECT source, (65536 * w * n_m) // (w_m * n) AS thr FROM c, m),
+k AS (SELECT d.source, md5(cast(d.doc_id AS varchar)) AS h, t.thr
+      FROM documents d JOIN t USING (source))
+SELECT source, count(*) AS n_kept FROM k
+WHERE {_MD5_U16_SQL} < thr GROUP BY source
+""",
+        "tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents),
+n AS (SELECT count(*) AS n_docs FROM documents),
+df AS (SELECT token, count(*) AS doc_freq
+       FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+tf AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+s AS (SELECT source, token, tf, doc_freq,
+             round(tf * ln(n_docs::DOUBLE / doc_freq), 6) AS score
+      FROM tf JOIN df USING (token), n),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY source ORDER BY score DESC, token) AS rnk FROM s)
+SELECT source, token, tf, doc_freq, score, rnk FROM r WHERE rnk <= 5
 """,
         "c01_cache_hit": f"""
 WITH s AS (SELECT props, epoch_us(ts)*1000 AS ts_ns,

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from seriesly_spark.operators.util import spread
+
 # A small, fixed stopword list (order matters for nothing; membership only).
 STOPWORDS = (
     "the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "on",
@@ -234,4 +236,68 @@ def quality_filter(
         dup_ok.alias("dup_ok"),
         top_ok.alias("top_ok"),
         (tok_ok & stop_ok & dup_ok & top_ok).alias("keep"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Most-distinctive terms per group by TF-IDF:
+    ``score(term, group) = tf * ln(N_docs / doc_freq)`` with tf = total
+    occurrences of the term in the group and doc_freq = number of
+    documents (corpus-wide) containing it. The per-source profile pass of
+    a corpus audit (what vocabulary distinguishes each source).
+
+    Dataflow: one tokenize-explode subtree persisted (read by the tf and
+    doc-freq branches), token-keyed aggregates/join (map-side partials —
+    only (token, count) pairs shuffle, never text), 1-row N broadcast,
+    and a per-group top-k window over the tiny (group x term) aggregate.
+    Scores round to 6 decimals BEFORE ranking so ordering is stable
+    across engines (ln is not correctly-rounded; 1-ulp differences must
+    not flip ranks). Output: (group, token, tf, doc_freq, score, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .persist()
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    doc_freq = (
+        toks.select(id_col, "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    tf = toks.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(doc_freq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            group_col,
+            "token",
+            "tf",
+            "doc_freq",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")),
+                6,
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
     )

@@ -105,3 +105,36 @@ class TestContamination:
         # fewer than n tokens -> no shingles -> no output row
         df = _docs(spark, [(0, "a b"), (1, "x y z w")])
         assert contamination_overlap(df, F.col("doc_id") == 0, n=3).count() == 0
+
+
+class TestMixtureSample:
+    def test_limiting_stratum_keeps_all_and_ratios_hold(self, spark):
+        from seriesly_spark.operators.sampling import mixture_sample
+
+        # src a: 40 rows, b: 400, c: 400 — target 1:1:2 makes a limiting.
+        rows = (
+            [("a", i) for i in range(40)]
+            + [("b", 1000 + i) for i in range(400)]
+            + [("c", 2000 + i) for i in range(400)]
+        )
+        df = spark.createDataFrame(rows, "src string, id long")
+        out = mixture_sample(df, "src", "id", {"a": 1, "b": 1, "c": 2})
+        got = {r.src: r.cnt for r in out.groupBy("src").agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("cnt")
+        ).collect()}
+        assert got["a"] == 40  # limiting stratum: keeps everything
+        # b targets ~40, c targets ~80 (md5-Bernoulli, so approximate)
+        assert 20 <= got["b"] <= 60   # target 40, sigma ~5.7
+        assert 55 <= got["c"] <= 105  # target 80, sigma ~8
+
+    def test_absent_strata_drop_and_determinism(self, spark):
+        from seriesly_spark.operators.sampling import mixture_sample
+
+        df = spark.createDataFrame(
+            [("a", i) for i in range(10)] + [("x", 100 + i) for i in range(10)],
+            "src string, id long",
+        )
+        out1 = mixture_sample(df, "src", "id", {"a": 1}).collect()
+        out2 = mixture_sample(df, "src", "id", {"a": 1}).collect()
+        assert sorted(out1) == sorted(out2)
+        assert all(r.src == "a" for r in out1) and len(out1) == 10

@@ -406,3 +406,23 @@ class TestSketches:
             assert r.n == 500
             assert abs(r.rank_0 - 0.5) <= 1e-4 + 1 / r.n
             assert abs(r.rank_1 - 0.95) <= 1e-4 + 1 / r.n
+
+
+class TestTfidfTopTerms:
+    def test_distinctive_term_ranks_first(self, spark):
+        from seriesly_spark.operators.textstats import tfidf_top_terms
+
+        df = spark.createDataFrame(
+            [
+                (1, "zebra zebra zebra common", "a"),
+                (2, "common filler words here", "a"),
+                (3, "yak yak common filler", "b"),
+                (4, "words here common filler", "b"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        top = {
+            r.source: r.token
+            for r in tfidf_top_terms(df, k=1).collect()
+        }
+        assert top == {"a": "zebra", "b": "yak"}
