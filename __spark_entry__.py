@@ -88,6 +88,7 @@ from seriesly_spark.plans.query import SerieslyQuery, seriesly_query
 from seriesly_spark.sources.tables import latest_by_key, load_table
 from seriesly_spark.streaming.ingest import (
     streaming_bucket_counts,
+    streaming_dedup_counts,
     streaming_sessionize,
 )
 
@@ -895,6 +896,17 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup over an at-least-once replay: the
+    events file arrives twice in separate micro-batches;
+    dropDuplicatesWithinWatermark reconciles them through the state store.
+    Per-type counts equal the batch counts of the file read once."""
+    _prep(spark)
+    return streaming_dedup_counts(
+        spark, f"{sf_dir}/events.parquet", query_name="gate_stream_dedup"
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload -> mapInPandas metadata
     extraction (Arrow-batched; codec step stubbed, byte math real)."""
@@ -1520,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_pct_certify": q_approx_pct_certify,
         "mixture_sample": q_mixture_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -2158,6 +2171,9 @@ k AS (SELECT d.source, md5(cast(d.doc_id AS varchar)) AS h, t.thr
       FROM documents d JOIN t USING (source))
 SELECT source, count(*) AS n_kept FROM k
 WHERE {_MD5_U16_SQL} < thr GROUP BY source
+""",
+        "streaming_dedup": """
+SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
 """,
         "tfidf_top_terms": """
 WITH toks AS (

@@ -186,3 +186,41 @@ def streaming_sessionize(
         F.max("n_events").alias("n_events"),
         F.max("n_sessions").alias("n_sessions"),
     )
+
+
+def streaming_dedup_counts(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "2 days",
+    query_name: str = "stream_dedup",
+) -> DataFrame:
+    """Streaming ingest dedup: exactly-once-per-key results over an
+    at-least-once transport. The source replays the events file TWICE (two
+    staged copies, one micro-batch each via maxFilesPerTrigger=1), so every
+    event arrives in two different micro-batches;
+    ``dropDuplicatesWithinWatermark`` on event_id must reconcile them
+    across batches through the state store — an in-batch distinct cannot
+    pass this test.
+
+    State is one entry per key within the watermark horizon and is evicted
+    as event time advances — bounded state on an unbounded stream, which is
+    the property batch ``distinct`` does not have. Output: per-type counts
+    of the deduplicated stream; equals the batch counts of the file read
+    once (the oracle).
+    """
+    stream_dir = tempfile.mkdtemp(prefix="seriesly-dedup-")
+    for i in range(2):
+        os.symlink(events_path, os.path.join(stream_dir, f"replay{i}.parquet"))
+    schema = spark.read.parquet(events_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    deduped = (
+        src.withColumn("ev_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ev_time", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return _run_to_memory(agg, query_name, "complete", spark)
