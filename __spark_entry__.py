@@ -82,6 +82,11 @@ from seriesly_spark.operators.windows import (
     topk_per_group,
 )
 from seriesly_spark.db import SerieslyDB
+from seriesly_spark.sources.bucketed import (
+    drop_bucketed,
+    load_bucketed,
+    write_bucketed,
+)
 from seriesly_spark.plans.cache import QueryCache
 from seriesly_spark.plans.limits import QueryTimeout, run_with_timeout
 from seriesly_spark.plans.query import SerieslyQuery, seriesly_query
@@ -782,6 +787,45 @@ def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, user_col="user_id", ts_us_col="ts_us",
         gap_us=1_800_000_000, tiebreak_col="event_id",
     )
+
+
+def q_bucketed_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout sessionize: events are written bucketBy(user_id) +
+    sortBy once (the write-time shuffle), after which the whole
+    window+aggregate pipeline runs with ZERO exchanges — the plan is
+    inspected and the shuffle-freedom shipped as a driver-checked boolean.
+    Results must equal the plain (shuffling) sessionize oracle."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    root = tempfile.mkdtemp(prefix="seriesly-bucketed-")
+    table = "gate_ev_bucketed"
+    try:
+        write_bucketed(
+            ev.select("user_id", "event_id", "ts_us"),
+            table,
+            "user_id",
+            8,
+            sort_cols=["user_id", "ts_us"],
+            path=os.path.join(root, "ev"),
+        )
+        b = load_bucketed(spark, table)
+        sess = sessionize(
+            b, user_col="user_id", ts_us_col="ts_us",
+            gap_us=1_800_000_000, tiebreak_col="event_id",
+        )
+        plan = sess._jdf.queryExecution().executedPlan().toString()
+        no_shuffle = "Exchange" not in plan
+        rows = [
+            (r.user_id, r.n_events, r.n_sessions, no_shuffle)
+            for r in sess.collect()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "user_id long, n_events long, n_sessions long, "
+            "bucketed_no_shuffle boolean",
+        )
+    finally:
+        drop_bucketed(spark, table)
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1533,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "streaming_dedup": q_streaming_dedup,
+        "bucketed_sessionize": q_bucketed_sessionize,
     }
 
 
@@ -2175,6 +2220,11 @@ WHERE {_MD5_U16_SQL} < thr GROUP BY source
         "streaming_dedup": """
 SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
 """,
+        "bucketed_sessionize": _SESSIONIZE_SQL.replace(
+            "SELECT user_id, count(*) AS n_events",
+            "SELECT user_id, true AS bucketed_no_shuffle, "
+            "count(*) AS n_events",
+        ),
         "tfidf_top_terms": """
 WITH toks AS (
   SELECT doc_id, source,
