@@ -60,8 +60,11 @@ from seriesly_spark.operators.similarity import (
     cosine_near_dup_pairs,
     embedding_centroids,
     ivf_topk,
+    l2_normalize,
+    quantize_int8,
     rademacher_weights,
 )
+from seriesly_spark.operators.similarity import norm as simnorm
 from seriesly_spark.operators.textstats import (
     BPE_ISH_RE,
     STOPWORDS,
@@ -714,6 +717,45 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors of vec_id=0 (broadcast query
     row, one corpus pass, partial top-k)."""
     return ann_topk_cosine(_table(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization: unit vectors serialized as integer-micros JSON
+    (shortest-double JSON rendering differs across engines; scaled longs
+    do not), plus the decimal-accumulated norm of the result (1.0, or 0.0
+    for zero vectors) rounded to 6."""
+    emb = _table(spark, sf_dir, "embeddings")
+    u = l2_normalize(emb)
+    return u.select(
+        "vec_id",
+        F.to_json(
+            F.transform(
+                F.col("unit"),
+                lambda x: F.floor(x * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+                    "long"
+                ),
+            )
+        ).alias("u_e6"),
+        F.round(simnorm(F.col("unit")), 6).alias("unit_norm6"),
+    )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale, the quantized codes
+    as JSON, and the max reconstruction error (bounded by scale/2)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    qd = quantize_int8(emb)
+    err = F.zip_with(
+        F.col("embedding"),
+        F.col("q"),
+        lambda x, qi: F.abs(x.cast("double") - qi.cast("double") * F.col("scale")),
+    )
+    return qd.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale6"),
+        F.to_json(F.col("q")).alias("q_json"),
+        F.round(F.array_max(err), 6).alias("max_err6"),
+    )
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1578,6 +1620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "streaming_dedup": q_streaming_dedup,
         "bucketed_sessionize": q_bucketed_sessionize,
+        "embedding_normalize": q_embedding_normalize,
+        "embedding_quantize": q_embedding_quantize,
     }
 
 
@@ -2219,6 +2263,49 @@ WHERE {_MD5_U16_SQL} < thr GROUP BY source
 """,
         "streaming_dedup": """
 SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
+""",
+        "embedding_normalize": """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(cast(list_sum(list_transform(embedding,
+           x -> cast(cast(x as double) * cast(x as double)
+                     as decimal(38,18)))) as double)) AS nm
+  FROM embeddings),
+u AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CASE WHEN nm > 0 THEN cast(x as double) / nm
+                ELSE 0.0 END) AS unit
+  FROM n)
+SELECT vec_id,
+  to_json(list_transform(unit,
+    x -> cast(floor(x * 1000000 + 0.5) as bigint))) AS u_e6,
+  round(sqrt(cast(list_sum(list_transform(unit,
+    x -> cast(x * x as decimal(38,18)))) as double)), 6) AS unit_norm6
+FROM u
+""",
+        "embedding_quantize": """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+           x -> abs(cast(x as double)))) / 127.0 AS scale
+  FROM embeddings),
+q AS (
+  SELECT vec_id, scale, embedding,
+    list_transform(embedding,
+      x -> CASE WHEN scale > 0 THEN
+             cast(greatest(-127, least(127,
+               floor(cast(x as double) / scale + 0.5))) as int)
+           ELSE 0 END) AS qv
+  FROM s)
+SELECT vec_id, round(scale, 6) AS scale6, to_json(qv) AS q_json,
+  round(list_max(list_transform(embedding,
+    x -> abs(cast(x as double) -
+      (CASE WHEN scale > 0 THEN
+         cast(greatest(-127, least(127,
+           floor(cast(x as double) / scale + 0.5))) as int)
+       ELSE 0 END) * scale))), 6) AS max_err6
+FROM q
 """,
         "bucketed_sessionize": _SESSIONIZE_SQL.replace(
             "SELECT user_id, count(*) AS n_events",

@@ -426,3 +426,32 @@ class TestTfidfTopTerms:
             for r in tfidf_top_terms(df, k=1).collect()
         }
         assert top == {"a": "zebra", "b": "yak"}
+
+
+class TestEmbeddingQuantize:
+    def test_quantize_halfup_clamp_and_zero_vector(self, spark):
+        from seriesly_spark.operators.similarity import quantize_int8
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.27, 0.635])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+        assert rows[1].q == [95, 127]          # 3/4/5: max maps to 127
+        assert rows[2].q == [0, 0] and rows[2].scale == 0.0
+        assert rows[3].q == [-127, 64]         # 63.5 rounds half-up to 64
+        # reconstruction error bounded by scale/2 per element
+        r = rows[1]
+        errs = [abs(x - qi * r.scale) for x, qi in zip([3.0, 4.0], r.q)]
+        assert max(errs) <= r.scale / 2 + 1e-12
+
+    def test_l2_normalize_unit_and_zero(self, spark):
+        from seriesly_spark.operators.similarity import l2_normalize
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r.vec_id: r.unit for r in l2_normalize(df).collect()}
+        assert rows[1] == [0.6, 0.8]
+        assert rows[2] == [0.0, 0.0]
