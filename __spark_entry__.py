@@ -36,7 +36,7 @@ from seriesly_spark.operators.dedup import (
     simhash32_md5,
     word_shingles,
 )
-from seriesly_spark.operators.joins import asof_join, range_join
+from seriesly_spark.operators.joins import asof_join, range_join, salted_join
 from seriesly_spark.operators.multimodal import (
     frame_sample,
     payload_features,
@@ -717,6 +717,32 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors of vec_id=0 (broadcast query
     row, one corpus pass, partial top-k)."""
     return ann_topk_cosine(_table(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join on the 5-value event_type key (the canonical hot
+    key): events join a per-type dimension on (key, salt) so no reducer
+    owns a whole key; results must equal the plain join row-for-row.
+    Broadcast is disabled for the salted plan so the salt actually routes
+    the shuffle."""
+    ev = _events(spark, sf_dir)
+    dim = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("w"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = salted_join(
+            ev.select("event_id", "event_type"), dim, ["event_type"],
+            salt_from="event_id", n_salts=16,
+        )
+        out = j.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.first("w").alias("w6")
+        )
+        # materialize under the no-broadcast conf (the driver collects
+        # lazily, after the conf is restored)
+        rows = [(r.event_type, r.n, r.w6) for r in out.collect()]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return spark.createDataFrame(rows, "event_type string, n long, w6 double")
 
 
 def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1622,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_sessionize": q_bucketed_sessionize,
         "embedding_normalize": q_embedding_normalize,
         "embedding_quantize": q_embedding_quantize,
+        "salted_join": q_salted_join,
     }
 
 
@@ -2263,6 +2290,13 @@ WHERE {_MD5_U16_SQL} < thr GROUP BY source
 """,
         "streaming_dedup": """
 SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
+""",
+        "salted_join": """
+WITH dim AS (SELECT event_type, round(avg(value), 6) AS w
+             FROM events GROUP BY 1)
+SELECT e.event_type, count(*) AS n, first(dim.w) AS w6
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type
 """,
         "embedding_normalize": """
 WITH n AS (

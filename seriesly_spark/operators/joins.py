@@ -125,3 +125,38 @@ def asof_join(
         )
     )
     return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_from: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join: when the join key is low-cardinality or has
+    hot keys, a plain shuffle join serializes each hot key onto one
+    reducer. Salting splits every key into ``n_salts`` sub-partitions:
+    left rows get a deterministic salt from ``xxhash64(salt_from)`` (any
+    roughly-unique left column), the right side is replicated once per
+    salt with a ``sequence`` explode, and the join runs on
+    ``on + [salt]`` — parallelism becomes keys x salts and no reducer
+    sees a whole hot key.
+
+    Each left row carries exactly one salt, so inner/left results equal
+    the unsalted join row-for-row. Right/full-outer would surface each
+    unmatched right replica ``n_salts`` times — rejected.
+
+    This is the manual fallback for when AQE's skew-join splitting cannot
+    apply (e.g. the skew is in a broadcast-ineligible dimension or a
+    non-sort-merge plan); it composes with any downstream aggregate.
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer", "leftsemi"):
+        raise ValueError("salted_join preserves semantics for inner/left joins only")
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)).cast("int")
+    lhs = left.withColumn("__salt", salt)
+    rhs = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return lhs.join(rhs, [*on, "__salt"], how).drop("__salt")

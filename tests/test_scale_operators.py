@@ -455,3 +455,31 @@ class TestEmbeddingQuantize:
         rows = {r.vec_id: r.unit for r in l2_normalize(df).collect()}
         assert rows[1] == [0.6, 0.8]
         assert rows[2] == [0.0, 0.0]
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join_and_salts_the_shuffle(self, spark):
+        from seriesly_spark.operators.joins import salted_join
+        from seriesly_spark.sources.tables import load_table
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ev = load_table(spark, "/root/testdata/sf0.001", "events")
+            dim = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("w"))
+            sj = salted_join(
+                ev.select("event_id", "event_type"), dim, ["event_type"],
+                salt_from="event_id", n_salts=8,
+            )
+            plain = ev.select("event_id", "event_type").join(dim, "event_type")
+            assert sorted(map(tuple, sj.collect())) == sorted(map(tuple, plain.collect()))
+            plan = sj._jdf.queryExecution().executedPlan().toString()
+            assert "__salt" in plan  # the shuffle routes on (key, salt)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    def test_rejects_right_outer(self, spark):
+        from seriesly_spark.operators.joins import salted_join
+
+        df = spark.range(1).withColumnRenamed("id", "k")
+        with pytest.raises(ValueError):
+            salted_join(df, df, ["k"], salt_from="k", how="right")
