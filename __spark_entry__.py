@@ -91,6 +91,7 @@ from seriesly_spark.sources.bucketed import (
     write_bucketed,
 )
 from seriesly_spark.plans.cache import QueryCache
+from seriesly_spark.plans.rollup import ContinuousRollup
 from seriesly_spark.plans.limits import QueryTimeout, run_with_timeout
 from seriesly_spark.plans.query import SerieslyQuery, seriesly_query
 from seriesly_spark.sources.tables import latest_by_key, load_table
@@ -1533,6 +1534,56 @@ def q_s15_poll_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained continuous aggregate (plans/rollup.py) —
+    the upgrade over the reference's all-or-nothing result cache
+    (cache.go:54-155): seed 120 events across several dates, refresh
+    (all partitions computed), overwrite the newest key (LWW), refresh
+    again — the second refresh must rescan exactly ONE date partition,
+    with the rest served from the stored rollup; the maintained rollup
+    must equal a from-scratch recompute. Seeds are strided by event_id so
+    they span the full multi-day range (the first-N events all land on
+    one date, which would make 'incremental' vacuous)."""
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 83 == 0)
+    seed = (
+        ev.orderBy("ts", "event_id")
+        .limit(120)
+        .select(F.unix_micros("ts").alias("us"), "props")
+        .collect()
+    )
+    pairs = [(r.us * 1000, r.props) for r in seed]
+    dbs, root = _scratch_db(spark)
+    try:
+        dbs.create("m")
+        dbs.write_batch("m", pairs)
+        cr = ContinuousRollup(
+            dbs, "m", os.path.join(root, "ru"), DAY_MS, "/k"
+        )
+        r1 = cr.refresh()
+        max_key = max(ns for ns, _ in pairs)
+        dbs.write_batch("m", [(max_key, '{"k": 7}')])
+        r2 = cr.refresh()
+        maintained = {tuple(r) for r in cr.read().collect()}
+        fresh = ContinuousRollup(
+            dbs, "m", os.path.join(root, "ru_full"), DAY_MS, "/k"
+        )
+        fresh.refresh()
+        scratch = {tuple(r) for r in fresh.read().collect()}
+        matches = maintained == scratch
+        rows = [
+            (bm, c, sv, r1["changed"], r2["changed"], r2["unchanged"], matches)
+            for (bm, c, sv) in sorted(maintained)
+        ]
+        out = spark.createDataFrame(
+            rows,
+            "bucket_ms long, cnt long, sum_v double, r1_changed long, "
+            "r2_changed long, r2_unchanged long, matches_full boolean",
+        )
+        return out.withColumn("sum_v", F.round("sum_v", 6))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_c01_cache_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: result memoization (reference cache.go:54-155). The same query
     twice on an unchanged db: second serve comes from the cache parquet and
@@ -1649,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_normalize": q_embedding_normalize,
         "embedding_quantize": q_embedding_quantize,
         "salted_join": q_salted_join,
+        "continuous_rollup": q_continuous_rollup,
     }
 
 
@@ -2297,6 +2349,27 @@ WITH dim AS (SELECT event_type, round(avg(value), 6) AS w
 SELECT e.event_type, count(*) AS n, first(dim.w) AS w6
 FROM events e JOIN dim USING (event_type)
 GROUP BY e.event_type
+""",
+        "continuous_rollup": f"""
+WITH s AS (SELECT epoch_us(ts)*1000 AS ts_ns, props,
+                  row_number() OVER (ORDER BY ts, event_id) AS rn
+           FROM (SELECT * FROM events WHERE event_id % 83 = 0
+                 ORDER BY ts, event_id LIMIT 120)),
+lww AS (SELECT ts_ns, max_by(props, rn) AS doc FROM s GROUP BY ts_ns),
+patched AS (
+  SELECT ts_ns,
+         CASE WHEN ts_ns = (SELECT max(ts_ns) FROM lww)
+              THEN '{{"k": 7}}' ELSE doc END AS doc
+  FROM lww),
+b AS (SELECT {_bucket('ts_ns', DAY_MS)} AS bucket_ms,
+             TRY_CAST(json_extract_string(doc, '$.k') AS DOUBLE) AS nv
+      FROM patched),
+agg AS (SELECT bucket_ms, count(*) AS cnt, round({_dsum('nv')}, 6) AS sum_v
+        FROM b GROUP BY 1),
+d AS (SELECT count(DISTINCT ts_ns // {DAY_MS * 1_000_000}) AS nd FROM lww)
+SELECT bucket_ms, cnt, sum_v, nd AS r1_changed, 1::BIGINT AS r2_changed,
+       nd - 1 AS r2_unchanged, true AS matches_full
+FROM agg, d
 """,
         "embedding_normalize": """
 WITH n AS (
