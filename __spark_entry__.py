@@ -1534,6 +1534,27 @@ def q_s15_poll_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline COMPOSITION: Gopher quality gate
+    -> exact-dedup survivors -> deterministic hash split -> per-(split,
+    source) document and token totals. Each stage is an individually
+    certified operator; this gate certifies they compose (column
+    contracts, join keys, no double-counting). All narrow until the
+    16-byte dedup shuffle; one final rollup shuffle."""
+    docs = _table(spark, sf_dir, "documents")
+    keepers = quality_filter(docs).where("keep").select("doc_id")
+    corpus = docs.join(keepers, "doc_id")
+    surv = dedup_exact(corpus)
+    final = corpus.join(surv, "doc_id")
+    sp = hash_split(final, "doc_id")
+    return sp.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+
+
 def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained continuous aggregate (plans/rollup.py) —
     the upgrade over the reference's all-or-nothing result cache
@@ -1701,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "salted_join": q_salted_join,
         "continuous_rollup": q_continuous_rollup,
+        "pipeline_e2e": q_pipeline_e2e,
     }
 
 
@@ -1719,6 +1741,25 @@ SELECT t.doc_id,
     AND coalesce(r.dup_2gram_ratio < 0.10, false)
     AND r.top_token_ratio < 0.12 AS keep
 FROM ts t JOIN rs r ON t.doc_id = r.doc_id
+"""
+    # pipeline_e2e: quality gate -> exact-dedup survivors -> hash split ->
+    # per-(split, source) totals, recomposed from the proven pieces.
+    d["pipeline_e2e"] = f"""
+WITH q AS ({d['quality_filter']}),
+keepers AS (SELECT doc_id FROM q WHERE keep),
+corpus AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+surv AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+final AS (SELECT c.* FROM corpus c JOIN surv USING (doc_id)),
+sp AS (
+  SELECT source, text,
+         CASE WHEN bucket < 98 THEN 'train'
+              WHEN bucket < 99 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT source, text, {_MD5_U16_SQL} % 100 AS bucket
+        FROM (SELECT source, text,
+                     md5(cast(doc_id as varchar)) AS h FROM final)))
+SELECT split, source, count(*) AS n_docs,
+       sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS n_tokens
+FROM sp GROUP BY 1, 2
 """
     return d
 

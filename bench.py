@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "approx_pct_certify",
     "mixture_sample",
     "tfidf_top_terms",
+    "embedding_normalize",
+    "embedding_quantize",
+    "pipeline_e2e",
 ]
 
 
