@@ -59,6 +59,7 @@ from seriesly_spark.operators.similarity import (
     ann_topk_lsh,
     cosine_near_dup_pairs,
     embedding_centroids,
+    ann_topk_quantized,
     ivf_topk,
     l2_normalize,
     quantize_int8,
@@ -782,6 +783,16 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("scale"), 6).alias("scale6"),
         F.to_json(F.col("q")).alias("q_json"),
         F.round(F.array_max(err), 6).alias("max_err6"),
+    )
+
+
+def q_ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized ANN with exact re-rank: integer-dot candidate scan
+    over 4x-compressed codes, full-precision cosine only for the 4k
+    survivors. With expand=4 the result equals the exact scan — the
+    oracle IS the exact top-k SQL."""
+    return ann_topk_quantized(
+        _table(spark, sf_dir, "embeddings"), query_id=0, k=10
     )
 
 
@@ -1723,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "continuous_rollup": q_continuous_rollup,
         "pipeline_e2e": q_pipeline_e2e,
+        "ann_topk_quantized": q_ann_topk_quantized,
     }
 
 
@@ -1970,6 +1982,14 @@ FROM f a JOIN f b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.f, b.f)) <= 3
 """,
         "ann_topk_cosine": f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+    round({_VSUM_AB} / (sqrt({_VSUM_AA}) * sqrt({_VSUM_QQ})), 6) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> 0)
+SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
+""",
+        "ann_topk_quantized": f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 sims AS (
   SELECT e.vec_id,

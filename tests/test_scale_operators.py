@@ -483,3 +483,17 @@ class TestSaltedJoin:
         df = spark.range(1).withColumnRenamed("id", "k")
         with pytest.raises(ValueError):
             salted_join(df, df, ["k"], salt_from="k", how="right")
+
+
+class TestAnnTopkQuantized:
+    def test_matches_exact_topk(self, spark):
+        from seriesly_spark.operators.similarity import (
+            ann_topk_cosine,
+            ann_topk_quantized,
+        )
+        from seriesly_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        exact = [tuple(r) for r in ann_topk_cosine(emb, query_id=0, k=10).collect()]
+        quant = [tuple(r) for r in ann_topk_quantized(emb, query_id=0, k=10).collect()]
+        assert quant == exact  # expand=4 fully recovers the exact order here
