@@ -233,16 +233,38 @@ class SerieslyDB:
         if compact:
             self.compact(name)
 
-    def _rewrite_partition(self, name: str, date: str, transform) -> None:
+    def _rewrite_partition(
+        self, name: str, date: str, transform, target_bytes: int | None = None
+    ) -> None:
         path = self._path(name)
         part_dir = os.path.join(path, f"date={date}")
+        src_bytes = sum(
+            os.path.getsize(os.path.join(part_dir, f_))
+            for f_ in os.listdir(part_dir)
+            if f_.endswith(".parquet")
+        )
         cur = self.spark.read.schema(DOC_SCHEMA).parquet(part_dir)
         new = transform(cur)
         if new.isEmpty():
             shutil.rmtree(part_dir)
             return
+        # Without a target, match the reference's single-file couch rewrite
+        # (database.go:136-171). With one, split huge partitions into
+        # ~target-sized, ts_ns-RANGE-partitioned files so every output file
+        # covers a disjoint time slice (parquet min/max skipping stays as
+        # sharp as the single-file layout). Source bytes bound output bytes
+        # (compaction only drops rows), so the estimate errs toward
+        # slightly smaller files — the safe side.
+        n_out = 1
+        if target_bytes:
+            n_out = max(1, -(-src_bytes // target_bytes))
+        out = (
+            new.coalesce(1)
+            if n_out == 1
+            else new.repartitionByRange(n_out, "ts_ns")
+        )
         tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}")
-        new.coalesce(1).write.mode("overwrite").parquet(tmp)
+        out.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(part_dir)
         os.makedirs(part_dir, exist_ok=True)
         for f_ in os.listdir(tmp):
@@ -250,19 +272,31 @@ class SerieslyDB:
                 shutil.move(os.path.join(tmp, f_), os.path.join(part_dir, f_))
         shutil.rmtree(tmp, ignore_errors=True)
 
-    def compact(self, name: str) -> None:
+    def compact(self, name: str, target_file_bytes: int | None = None) -> None:
         """Merge each partition's files and fold superseded versions of a
         key into the survivor (S7: couch-file rewrite ≙ OPTIMIZE; also
         reclaims overwritten docs the way couchstore compaction drops old
-        revisions)."""
+        revisions). Default: one file per partition (reference parity).
+        ``target_file_bytes`` splits huge partitions into ~target-sized,
+        time-range-ordered files instead — at 100 TB a day can be far
+        bigger than one sane parquet file."""
         for part in self._partitions(name):
             d = part[len("date="):]
             self._rewrite_partition(
-                name, d, lambda df: latest_by_key(df, ["ts_ns"], "seq")
+                name,
+                d,
+                lambda df: latest_by_key(df, ["ts_ns"], "seq"),
+                target_bytes=target_file_bytes,
             )
 
     def info(self, name: str) -> dict:
-        """S9: doc_count (live keys), space_used, partition/file counts."""
+        """S9: doc_count (live keys), space_used, partition/file counts.
+
+        ``doc_count`` runs the LWW dedup (exact live keys — what the
+        reference reports from the couchstore header). At cluster scale
+        prefer a table format whose snapshot carries row counts, or the
+        continuous rollup's cnt partials (plans/rollup.py), and treat
+        this as the slow exact path."""
         path = self._path(name)
         n_files = space = 0
         for dirpath, _, files in os.walk(path):

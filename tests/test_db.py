@@ -208,3 +208,42 @@ class TestQueryPath:
         dbs.write("t", '{"v": 1}', ts="2024-01-01T00:00:00Z")
         q = SerieslyQuery(group_ms=86_400_000, fields=[("/v", "sum")], aliases=["s"])
         assert dbs.query("t", q).collect()[0].s == 1.0
+
+
+class TestCompactTargetSize:
+    def test_target_splits_partition_into_ranged_files(self, spark, tmp_path):
+        from seriesly_spark.db import SerieslyDB
+
+        dbs = SerieslyDB(spark, str(tmp_path))
+        dbs.create("t")
+        day = 86_400_000_000_000
+        docs = [(day + i * 1_000_000_000, '{"k": %d}' % i) for i in range(200)]
+        # several small files
+        for i in range(0, 200, 50):
+            dbs.write_batch("t", docs[i : i + 50])
+        before = dbs.info("t")
+        dbs.compact("t", target_file_bytes=2000)
+        after = dbs.info("t")
+        assert after["doc_count"] == before["doc_count"] == 200
+        assert after["n_files"] > 1  # split, not coalesced to one
+        # files cover disjoint, ordered ts ranges (range partitioning)
+        import pyarrow.parquet as pq
+        import glob, os
+        ranges = []
+        for f in glob.glob(os.path.join(str(tmp_path), "t", "date=*", "*.parquet")):
+            t = pq.read_table(f, columns=["ts_ns"])["ts_ns"].to_pylist()
+            ranges.append((min(t), max(t)))
+        ranges.sort()
+        for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2
+
+    def test_default_stays_single_file(self, spark, tmp_path):
+        from seriesly_spark.db import SerieslyDB
+
+        dbs = SerieslyDB(spark, str(tmp_path))
+        dbs.create("t")
+        day = 86_400_000_000_000
+        dbs.write_batch("t", [(day + i * 1_000_000_000, "{}") for i in range(20)])
+        dbs.write_batch("t", [(day + (20 + i) * 1_000_000_000, "{}") for i in range(20)])
+        dbs.compact("t")
+        assert dbs.info("t")["n_files"] == 1
