@@ -78,6 +78,7 @@ from seriesly_spark.operators.textstats import (
     tfidf_top_terms,
     token_counts_bpe,
 )
+from seriesly_spark.operators.packing import chunk_documents, pack_sequences
 from seriesly_spark.operators.windows import (
     fill_gaps,
     hopping_window_agg,
@@ -1651,6 +1652,28 @@ def q_c01_cache_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token context-window chunking (40 tokens, 8 overlap) — the
+    narrow, shuffle-free splitter feeding embedding / training jobs.
+    Every document emits >= 1 chunk; boundaries and the reassembled chunk
+    text are hash-checked against the oracle's list-slice arithmetic."""
+    d = chunk_documents(
+        _table(spark, sf_dir, "documents"), chunk_tokens=40, overlap=8
+    )
+    return d.withColumn("chunk_id", F.col("chunk_id").cast("bigint"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing into 48-token sequences, 2
+    shards per source (the 100 TB knob exercised, not defaulted away).
+    The (sequence x document) assignment table — offsets, slice lengths,
+    stream ids — is fully hash-checked; sequences fill to exactly 48
+    everywhere except each stream's tail."""
+    return pack_sequences(
+        _table(spark, sf_dir, "documents"), seq_len=48, shards=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s01_range_read": q_s01_range_read,
@@ -1735,6 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuous_rollup": q_continuous_rollup,
         "pipeline_e2e": q_pipeline_e2e,
         "ann_topk_quantized": q_ann_topk_quantized,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2495,6 +2520,37 @@ s AS (SELECT source, token, tf, doc_freq,
 r AS (SELECT *, row_number() OVER
         (PARTITION BY source ORDER BY score DESC, token) AS rnk FROM s)
 SELECT source, token, tf, doc_freq, score, rnk FROM r WHERE rnk <= 5
+""",
+        "chunk_documents": """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+c AS (SELECT doc_id, toks,
+        unnest(range(0, greatest(1,
+          cast(ceil((len(toks) - 8) / 32.0) as BIGINT)))) AS chunk_id
+      FROM t)
+SELECT doc_id, cast(chunk_id as BIGINT) AS chunk_id,
+  cast(chunk_id * 32 as BIGINT) AS start_tok,
+  cast(len(toks[chunk_id*32+1 : chunk_id*32+40]) as BIGINT) AS n_tok,
+  array_to_string(toks[chunk_id*32+1 : chunk_id*32+40], ' ') AS chunk_text
+FROM c
+""",
+        "pack_sequences": """
+WITH t AS (SELECT source AS part, cast(doc_id % 2 as BIGINT) AS shard, doc_id,
+             cast(len(regexp_split_to_array(trim(text), '\\s+')) as BIGINT) AS n
+           FROM documents),
+c AS (SELECT part, shard, doc_id, n,
+        cast(sum(n) OVER (PARTITION BY part, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as BIGINT)
+          AS gend
+      FROM t),
+s AS (SELECT part, shard, doc_id, n, gend, gend - n AS gs,
+        unnest(range((gend - n) // 48, (gend - 1) // 48 + 1)) AS seq_id
+      FROM c)
+SELECT part, shard, cast(seq_id as BIGINT) AS seq_id, doc_id,
+  cast(greatest(gs, seq_id * 48) - gs as BIGINT) AS doc_start_tok,
+  cast(least(gend, seq_id * 48 + 48) - greatest(gs, seq_id * 48) as BIGINT)
+    AS n_tok_in_seq
+FROM s
 """,
         "c01_cache_hit": f"""
 WITH s AS (SELECT props, epoch_us(ts)*1000 AS ts_ns,

@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "embedding_normalize",
     "embedding_quantize",
     "pipeline_e2e",
+    "chunk_documents",
+    "pack_sequences",
 ]
 
 
