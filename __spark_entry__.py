@@ -78,6 +78,13 @@ from seriesly_spark.operators.textstats import (
     tfidf_top_terms,
     token_counts_bpe,
 )
+from seriesly_spark.operators.analytics import (
+    cohort_retention,
+    ewma,
+    funnel_counts,
+    funnel_users,
+    zscore_outliers,
+)
 from seriesly_spark.operators.packing import chunk_documents, pack_sequences
 from seriesly_spark.operators.windows import (
     fill_gaps,
@@ -159,6 +166,38 @@ def _dsum(expr: str) -> str:
 def _bucket(ts_ns: str, group_ms: int) -> str:
     return f"(({ts_ns}) // {group_ms * 1_000_000}) * {group_ms}"
 
+
+# Strictly-ordered funnel stages (view -> click -> purchase): step i is
+# the earliest event of its type AFTER the user's step i-1 time — the
+# DuckDB mirror of operators.analytics.funnel_users' staged min-joins.
+_FUNNEL_SQL_CTE = """
+s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+"""
+
+# Truncated-EWMA numerator/denominator (k=6, halving integer weights 32..1,
+# head-renormalized): value x power-of-two weight is exact in double; the
+# decimal cast makes the sum order-independent — mirror of
+# operators.analytics.ewma.
+_EWMA_NUM = " + ".join(
+    "coalesce(cast({expr} * {w}.0 as decimal(38,18)), "
+    "cast(0 as decimal(38,18)))".format(
+        expr="sum_value" if j == 0 else f"lag(sum_value, {j}) OVER w",
+        w=1 << (5 - j),
+    )
+    for j in range(6)
+)
+_EWMA_DEN = " + ".join(
+    "(CASE WHEN {expr} IS NOT NULL THEN {w} ELSE 0 END)".format(
+        expr="sum_value" if j == 0 else f"lag(sum_value, {j}) OVER w",
+        w=1 << (5 - j),
+    )
+    for j in range(6)
+)
 
 # 16-bit md5 key hash over hex string `h`, the DuckDB mirror of
 # operators.sampling._md5_u16 (deterministic sampling / splits).
@@ -1674,6 +1713,67 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle over daily activity: users cohorted by first
+    active day, each (cohort, day-offset) cell counting still-active
+    users. One user-key shuffle (map-side distinct-day sets), never the
+    raw event stream."""
+    ev = _events(spark, sf_dir)
+    day_ns = DAY_MS * 1_000_000
+    b = ev.select(
+        "user_id", F.expr(f"(ts_ns div {day_ns}) * {DAY_MS}").alias("bucket_ms")
+    )
+    return cohort_retention(b, "user_id", "bucket_ms", DAY_MS)
+
+
+_FUNNEL = ["view", "click", "purchase"]
+
+
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view -> click -> purchase funnel totals. Stage
+    tables stay user-hash partitioned end to end; the unpivoted count
+    row certifies the whole cascade."""
+    ev = _events(spark, sf_dir)
+    return funnel_counts(ev, "user_id", "ts", "event_type", _FUNNEL)
+
+
+def q_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel conversion table (step timestamps, null after the
+    user stalls) — the detail behind q_funnel_counts, hash-checked at µs
+    precision."""
+    ev = _events(spark, sf_dir)
+    return funnel_users(ev, "user_id", "ts", "event_type", _FUNNEL)
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier flags (|z| >= 2.5). Decimal-exact
+    moments broadcast onto a narrow filter — the events never shuffle."""
+    ev = _events(spark, sf_dir)
+    return zscore_outliers(
+        ev, "value", ["event_type"], threshold=2.5, id_cols=["event_id"]
+    )
+
+
+def q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified hourly series with LINEAR interpolation across holes
+    (head/tail holes take the nearest observation) — the third fill mode
+    after zero/ffill, same spine + broadcast join plan."""
+    return fill_gaps(
+        _hourly_sums(spark, sf_dir), ["event_type"], "bucket_ms", "sum_value",
+        H_MS, how="linear",
+    )
+
+
+def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 6-bucket exponentially-weighted average (halving decay,
+    integer weights, head-renormalized) per event type — smoothing with
+    recency bias the reference's single-bucket model cannot express."""
+    return ewma(
+        _hourly_sums(spark, sf_dir), ["event_type"], "bucket_ms", "sum_value",
+        k=6, out_col="ewma_6",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s01_range_read": q_s01_range_read,
@@ -1760,6 +1860,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_quantized": q_ann_topk_quantized,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
+        "cohort_retention": q_cohort_retention,
+        "funnel_counts": q_funnel_counts,
+        "funnel_users": q_funnel_users,
+        "zscore_outliers": q_zscore_outliers,
+        "gapfill_linear": q_gapfill_linear,
+        "ewma_hourly": q_ewma_hourly,
     }
 
 
@@ -2520,6 +2626,83 @@ s AS (SELECT source, token, tf, doc_freq,
 r AS (SELECT *, row_number() OVER
         (PARTITION BY source ORDER BY score DESC, token) AS rnk FROM s)
 SELECT source, token, tf, doc_freq, score, rnk FROM r WHERE rnk <= 5
+""",
+        "cohort_retention": f"""
+WITH b AS (SELECT user_id, {_bucket('epoch_us(ts)*1000', DAY_MS)} AS bucket_ms
+           FROM events),
+ud AS (SELECT DISTINCT user_id, bucket_ms FROM b),
+c AS (SELECT user_id, min(bucket_ms) AS cohort_bucket FROM ud GROUP BY 1)
+SELECT c.cohort_bucket,
+       (ud.bucket_ms - c.cohort_bucket) // {DAY_MS} AS bucket_offset,
+       count(*) AS n_users
+FROM ud JOIN c USING (user_id) GROUP BY 1, 2
+""",
+        "funnel_counts": f"""
+WITH {_FUNNEL_SQL_CTE}
+SELECT * FROM (VALUES
+  (1, 'view', (SELECT count(*) FROM s1)),
+  (2, 'click', (SELECT count(*) FROM s2)),
+  (3, 'purchase', (SELECT count(*) FROM s3))) AS t(step_idx, step, n_users)
+""",
+        "funnel_users": f"""
+WITH {_FUNNEL_SQL_CTE}
+SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""",
+        "zscore_outliers": f"""
+WITH st AS (SELECT event_type, count(*) AS n,
+              {_dsum('value')} AS s,
+              cast(sum(cast(value * value as decimal(38,18))) as double) AS s2
+            FROM events GROUP BY 1),
+m AS (SELECT event_type, s / n AS mean,
+        sqrt(s2 / n - (s / n) * (s / n)) AS sd FROM st)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - m.mean) / m.sd, 6) AS z
+FROM events e JOIN m USING (event_type)
+WHERE abs(round((e.value - m.mean) / m.sd, 6)) >= 2.5
+""",
+        "gapfill_linear": f"""
+WITH b AS (SELECT event_type, {_bucket('epoch_us(ts)*1000', H_MS)} AS bucket_ms,
+             value FROM events),
+o AS (SELECT event_type, bucket_ms, round({_dsum('value')}, 6) AS sum_value
+      FROM b GROUP BY 1, 2),
+r AS (SELECT event_type, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+      FROM o GROUP BY 1),
+s AS (SELECT event_type, unnest(generate_series(lo, hi, {H_MS})) AS bucket_ms
+      FROM r),
+j AS (SELECT s.event_type, s.bucket_ms, o.sum_value AS v
+      FROM s LEFT JOIN o
+        ON s.event_type = o.event_type AND s.bucket_ms = o.bucket_ms),
+x AS (SELECT event_type, bucket_ms, v,
+        last_value(v IGNORE NULLS) OVER wb AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN bucket_ms END IGNORE NULLS)
+          OVER wb AS pb,
+        first_value(v IGNORE NULLS) OVER wf AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN bucket_ms END IGNORE NULLS)
+          OVER wf AS nb
+      FROM j
+      WINDOW wb AS (PARTITION BY event_type ORDER BY bucket_ms
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY bucket_ms
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type, bucket_ms,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN pv IS NULL THEN nv
+       WHEN nv IS NULL THEN pv
+       ELSE round(pv + (nv - pv) * (bucket_ms - pb) / (nb - pb), 6)
+  END AS sum_value,
+  v IS NULL AS filled
+FROM x
+""",
+        "ewma_hourly": f"""
+WITH b AS (SELECT event_type, {_bucket('epoch_us(ts)*1000', H_MS)} AS bucket_ms,
+             value FROM events),
+o AS (SELECT event_type, bucket_ms, round({_dsum('value')}, 6) AS sum_value
+      FROM b GROUP BY 1, 2)
+SELECT event_type, bucket_ms, sum_value,
+  round(cast({_EWMA_NUM} as double) / ({_EWMA_DEN}), 6) AS ewma_6
+FROM o
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ms)
 """,
         "chunk_documents": """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks

@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "pipeline_e2e",
     "chunk_documents",
     "pack_sequences",
+    "cohort_retention",
+    "funnel_counts",
+    "zscore_outliers",
+    "gapfill_linear",
+    "ewma_hourly",
 ]
 
 

@@ -1,0 +1,196 @@
+"""Event-analytics operators over bucketed series: cohort retention,
+ordered funnels, outlier flagging, and exponential smoothing.
+
+None of these exist in the reference — its query model is one tumbling
+bucket at a time (`reference query.go:228-275`), so anything relating a
+user's buckets to each other (retention), ordering events across types
+(funnel), or weighting a trailing window (EWMA) is out of reach there.
+Each is expressed as a composition of hash aggregates / window frames
+that shuffles on its natural key exactly once per stage.
+
+Cross-engine determinism rules (see SKILL.md / PLANS.md): sums accumulate
+as DECIMAL(38,18), float outputs round to 6, integer math stays integer
+(`idiv`, integer EWMA weights) so the DuckDB oracle can reproduce every
+bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from seriesly_spark.functions.bucketing import idiv
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    bucket_col: str,
+    step_ms: int,
+) -> DataFrame:
+    """Classic retention triangle: users are cohorted by their first
+    active bucket; each (cohort, offset) cell counts the cohort's users
+    still active ``offset`` buckets later.
+
+    Plan: ONE shuffle on the user key — ``collect_set(bucket)`` dedups
+    map-side, so what moves is each user's distinct-bucket set (bounded
+    by the date range, not event volume). The cohort minimum and offsets
+    derive from the set narrowly; the final (cohort, offset) aggregate
+    shuffles only cohort-cell partials.
+
+    Output: (cohort_bucket, bucket_offset, n_users).
+    """
+    days = (
+        df.select(F.col(user_col).alias("u"), F.col(bucket_col).alias("b"))
+        .groupBy("u")
+        .agg(F.collect_set("b").alias("bs"))
+        .select(F.array_min("bs").alias("cohort_bucket"), F.explode("bs").alias("b"))
+    )
+    return (
+        days.select(
+            "cohort_bucket",
+            idiv(F.col("b") - F.col("cohort_bucket"), step_ms).alias("bucket_offset"),
+        )
+        .groupBy("cohort_bucket", "bucket_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Strictly-ordered funnel totals: one row per step,
+    (step_idx, step, n_users) — how many users completed steps 1..i in
+    order. Derived from :func:`funnel_users` with a single global
+    count-non-null aggregate unpivoted via ``stack`` — no driver-side
+    actions, one plan."""
+    fu = funnel_users(df, user_col, ts_col, type_col, steps)
+    counts = fu.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(1, len(steps) + 1)]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{s}', n{i}" for i, s in enumerate(steps, start=1)
+    )
+    return counts.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_users)"
+    )
+
+
+def funnel_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Per-user funnel detail: one row per user who entered the funnel,
+    with each step's completion timestamp (null once the funnel stalls).
+    Same staged co-partitioned plan as :func:`funnel_counts`, but keeps
+    the per-step times and outer-joins the stages, so the caller gets the
+    full conversion table instead of counts. Output columns:
+    (user, t1..tk)."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    stage = (
+        df.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    out = stage
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = (
+            df.where(F.col(type_col) == s)
+            .join(
+                stage.select(user_col, F.col(f"t{i-1}").alias("__prev")),
+                user_col,
+            )
+            .where(F.col(ts_col) > F.col("__prev"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+        stage = nxt
+    return out
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    threshold: float = 2.5,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group z-score outlier flags: |value - mean| / stddev >=
+    ``threshold``. Population moments accumulate as DECIMAL(38,18) (sum
+    and sum-of-squares in one partial aggregate), so mean/variance — and
+    therefore every z — are bit-identical across engines; z rounds to 6.
+
+    Plan: one hash aggregate over the group key (tiny result), broadcast
+    back onto the scan — the data path is a narrow filter, no shuffle of
+    the events themselves. Output: id/group/value columns + z.
+    """
+    id_cols = id_cols or []
+    v = F.col(value_col)
+    # v*v is ONE correctly-rounded IEEE multiply (identical across
+    # engines); the decimal cast then makes the summation
+    # order-independent. decimal*decimal instead would hit Spark's
+    # precision-loss scale clamping, which DuckDB doesn't mirror.
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v.cast("decimal(38,18)")).cast("double").alias("__s"),
+        F.sum((v * v).cast("decimal(38,18)")).cast("double").alias("__s2"),
+    )
+    mean = F.col("__s") / F.col("__n")
+    var = F.col("__s2") / F.col("__n") - mean * mean
+    stats = stats.select(
+        *group_cols, mean.alias("__mean"), F.sqrt(var).alias("__sd")
+    )
+    z = (F.col(value_col) - F.col("__mean")) / F.col("__sd")
+    return (
+        df.join(F.broadcast(stats), group_cols)
+        .withColumn("z", F.round(z, 6))
+        .where(F.abs(F.col("z")) >= threshold)
+        .select(*id_cols, *group_cols, value_col, "z")
+    )
+
+
+def ewma(
+    bucketed: DataFrame,
+    series_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    k: int = 6,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average over the trailing
+    ``k`` buckets with integer halving weights 2^(k-1) ... 1 (decay 0.5
+    per bucket), renormalized over the lags that exist near the series
+    head. Weights are powers of two, so value x weight is an EXACT
+    double op (exponent shift, no rounding); each product then casts to
+    DECIMAL(38,18) so the sum is order-independent — the final division
+    is the only inexact op, bit-stable across engines (a float decay
+    like 0.9^j would not be: pow() is not correctly rounded). One
+    shuffle on the series key; the k lag() reads share one window sort.
+    """
+    if not 1 <= k <= 32:
+        raise ValueError("k must be in [1, 32]")
+    w = Window.partitionBy(*series_cols).orderBy(bucket_col)
+    num = None
+    den = None
+    for j in range(k):
+        weight = 1 << (k - 1 - j)
+        lagged = F.lag(value_col, j).over(w) if j else F.col(value_col)
+        term = F.coalesce(
+            (lagged * F.lit(float(weight))).cast("decimal(38,18)"),
+            F.lit(0).cast("decimal(38,18)"),
+        )
+        wterm = F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = wterm if den is None else den + wterm
+    return bucketed.withColumn(
+        out_col, F.round(num.cast("double") / den, 6)
+    )

@@ -91,8 +91,10 @@ def fill_gaps(
     emit only buckets that contain documents; dashboards need the dense
     time axis. Generates the full bucket spine per series between its min
     and max bucket, left-joins the observed values, marks holes with a
-    ``filled`` flag, and fills them with 0.0 (``zero``) or the last
-    observed value (``ffill``).
+    ``filled`` flag, and fills them with 0.0 (``zero``), the last
+    observed value (``ffill``), or the straight line between neighboring
+    observations (``linear`` — head/tail holes use the nearest
+    observation).
 
     Scale: the spine derives from a tiny per-series min/max aggregate and
     explodes to range/step rows per series (narrow); the join shuffles on
@@ -128,6 +130,41 @@ def fill_gaps(
         )
         return joined.withColumn(
             value_col, F.last(value_col, ignorenulls=True).over(w)
+        )
+    if how == "linear":
+        # Two frames over the same sort: last observed (value, bucket)
+        # looking back, first observed looking forward. Interpolation is
+        # pure IEEE arithmetic in a fixed order (identical in the DuckDB
+        # oracle); only interpolated cells are rounded — observed values
+        # pass through untouched.
+        wb = (
+            Window.partitionBy(*series_cols)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wf = (
+            Window.partitionBy(*series_cols)
+            .orderBy(bucket_col)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        obs_b = F.when(F.col(value_col).isNotNull(), F.col(bucket_col))
+        pv = F.last(value_col, ignorenulls=True).over(wb)
+        pb = F.last(obs_b, ignorenulls=True).over(wb)
+        nv = F.first(value_col, ignorenulls=True).over(wf)
+        nb = F.first(obs_b, ignorenulls=True).over(wf)
+        interp = F.round(
+            pv
+            + (nv - pv)
+            * (F.col(bucket_col) - pb)
+            / (nb - pb),
+            6,
+        )
+        return joined.withColumn(
+            value_col,
+            F.when(~F.col("filled"), F.col(value_col))
+            .when(pv.isNull(), nv)
+            .when(nv.isNull(), pv)
+            .otherwise(interp),
         )
     raise ValueError(f"unknown fill mode: {how!r}")
 

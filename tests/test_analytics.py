@@ -1,0 +1,190 @@
+"""Semantic edge cases for operators/analytics.py and the linear fill
+mode — ordering rules and renormalization behavior the oracle hash
+implies but doesn't state."""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from seriesly_spark.operators.analytics import (
+    cohort_retention,
+    ewma,
+    funnel_counts,
+    funnel_users,
+    zscore_outliers,
+)
+from seriesly_spark.operators.windows import fill_gaps
+
+D = 86_400_000
+
+
+def ts(h):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+
+
+class TestCohortRetention:
+    def test_triangle(self, spark):
+        rows = [
+            (1, 0), (1, D), (1, 3 * D),     # cohort day0, offsets 0,1,3
+            (2, D), (2, 2 * D),             # cohort day1, offsets 0,1
+            (3, 0),                          # cohort day0, offset 0
+        ]
+        df = spark.createDataFrame(rows, "user_id long, bucket_ms long")
+        out = {
+            (r.cohort_bucket, r.bucket_offset): r.n_users
+            for r in cohort_retention(df, "user_id", "bucket_ms", D).collect()
+        }
+        assert out == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (D, 0): 1, (D, 1): 1}
+
+    def test_duplicate_events_count_once(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0), (1, 0), (1, 0)], "user_id long, bucket_ms long"
+        )
+        out = cohort_retention(df, "user_id", "bucket_ms", D).collect()
+        assert [(r.cohort_bucket, r.bucket_offset, r.n_users) for r in out] == [
+            (0, 0, 1)
+        ]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+class TestFunnel:
+    STEPS = ["view", "click", "purchase"]
+
+    def test_order_enforced(self, spark):
+        rows = [
+            # user 1: full ordered funnel
+            (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+            # user 2: click BEFORE view -> stalls at view
+            (2, ts(1), "view"), (2, ts(0), "click"), (2, ts(5), "purchase"),
+            # user 3: no view at all -> never enters
+            (3, ts(0), "click"), (3, ts(1), "purchase"),
+        ]
+        out = {
+            r.step: r.n_users
+            for r in funnel_counts(
+                _ev(spark, rows), "user_id", "ts", "event_type", self.STEPS
+            ).collect()
+        }
+        # user 2 purchases after view but never clicks after view? click@0 < view@1
+        # -> stalls at step 1
+        assert out == {"view": 2, "click": 1, "purchase": 1}
+
+    def test_earliest_qualifying_times(self, spark):
+        rows = [
+            (1, ts(0), "view"), (1, ts(2), "click"), (1, ts(4), "click"),
+            (1, ts(3), "purchase"), (1, ts(5), "purchase"),
+        ]
+        r = funnel_users(
+            _ev(spark, rows), "user_id", "ts", "event_type", self.STEPS
+        ).collect()[0]
+        # click completes at h2; first purchase AFTER h2 is h3 (not h5)
+        assert (r.t1, r.t2, r.t3) == (ts(0), ts(2), ts(3))
+
+    def test_same_timestamp_not_after(self, spark):
+        rows = [(1, ts(0), "view"), (1, ts(0), "click")]
+        r = funnel_users(
+            _ev(spark, rows), "user_id", "ts", "event_type", self.STEPS
+        ).collect()[0]
+        assert r.t1 == ts(0) and r.t2 is None and r.t3 is None
+
+    def test_needs_two_steps(self, spark):
+        with pytest.raises(ValueError):
+            funnel_counts(_ev(spark, []), "user_id", "ts", "event_type", ["view"])
+
+
+class TestZscore:
+    def test_flags_only_outliers(self, spark):
+        vals = [10.0] * 10 + [20.0]
+        df = spark.createDataFrame(
+            [(i, "a", v) for i, v in enumerate(vals)],
+            "event_id long, event_type string, value double",
+        )
+        out = zscore_outliers(
+            df, "value", ["event_type"], threshold=2.5, id_cols=["event_id"]
+        ).collect()
+        assert [r.event_id for r in out] == [10]
+        # mean = 10.909..., sd = sqrt(82.6446/11); z ~ 3.162
+        assert out[0].z == pytest.approx(3.1623, abs=1e-3)
+
+    def test_groups_independent(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a", 10.0) for i in range(10)] + [(10, "a", 20.0)]
+            + [(i + 20, "b", float(v)) for i, v in enumerate([1, 2, 3, 2, 1, 2, 3])],
+            "event_id long, event_type string, value double",
+        )
+        out = zscore_outliers(
+            df, "value", ["event_type"], threshold=2.5, id_cols=["event_id"]
+        ).collect()
+        assert {r.event_type for r in out} == {"a"}
+
+
+class TestLinearFill:
+    def _series(self, spark, pts):
+        return spark.createDataFrame(
+            [("s", b, v) for b, v in pts],
+            "k string, bucket_ms long, v double",
+        )
+
+    def test_interpolates_straight_line(self, spark):
+        # observed at 0 -> 10.0 and 3000 -> 40.0; holes at 1000, 2000
+        df = self._series(spark, [(0, 10.0), (3000, 40.0)])
+        out = {
+            r.bucket_ms: (r.v, r.filled)
+            for r in fill_gaps(df, ["k"], "bucket_ms", "v", 1000, how="linear").collect()
+        }
+        assert out[0] == (10.0, False)
+        assert out[1000] == (20.0, True)
+        assert out[2000] == (30.0, True)
+        assert out[3000] == (40.0, False)
+
+    def test_multiple_segments(self, spark):
+        df = self._series(spark, [(0, 0.0), (2000, 4.0), (4000, 0.0)])
+        out = {
+            r.bucket_ms: r.v
+            for r in fill_gaps(df, ["k"], "bucket_ms", "v", 1000, how="linear").collect()
+        }
+        assert out == {0: 0.0, 1000: 2.0, 2000: 4.0, 3000: 2.0, 4000: 0.0}
+
+
+class TestEwma:
+    def _series(self, spark, vals):
+        return spark.createDataFrame(
+            [("s", i * 1000, float(v)) for i, v in enumerate(vals)],
+            "k string, bucket_ms long, v double",
+        )
+
+    def test_head_renormalized(self, spark):
+        out = ewma(
+            self._series(spark, [10, 10, 10]), ["k"], "bucket_ms", "v", k=6
+        ).collect()
+        # constant series -> ewma == value at every position regardless of
+        # how many lags exist yet
+        assert all(r.ewma == 10.0 for r in out)
+
+    def test_weights_halve(self, spark):
+        out = sorted(
+            ewma(self._series(spark, [0, 12]), ["k"], "bucket_ms", "v", k=2).collect(),
+            key=lambda r: r.bucket_ms,
+        )
+        # second bucket: (2*12 + 1*0) / 3 = 8
+        assert out[0].ewma == 0.0
+        assert out[1].ewma == 8.0
+
+    def test_truncation_at_k(self, spark):
+        out = sorted(
+            ewma(self._series(spark, [100, 0, 0]), ["k"], "bucket_ms", "v", k=2).collect(),
+            key=lambda r: r.bucket_ms,
+        )
+        # third bucket only sees lags 0..1 -> the 100 fell out of the window
+        assert out[2].ewma == 0.0
+
+    def test_k_bounds(self, spark):
+        with pytest.raises(ValueError):
+            ewma(self._series(spark, [1]), ["k"], "bucket_ms", "v", k=0)
