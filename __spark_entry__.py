@@ -107,6 +107,7 @@ from seriesly_spark.sources.tables import latest_by_key, load_table
 from seriesly_spark.streaming.ingest import (
     streaming_bucket_counts,
     streaming_dedup_counts,
+    streaming_join_pairs,
     streaming_sessionize,
 )
 
@@ -1713,6 +1714,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked range join (click-to-view attribution
+    within 1 h) run as a real Structured Streaming query in append mode;
+    the emitted pair set must equal the batch range-join oracle."""
+    _prep(spark)
+    return streaming_join_pairs(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        query_name=f"stream_join_{uuid.uuid4().hex[:8]}",
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention triangle over daily activity: users cohorted by first
     active day, each (cohort, day-offset) cell counting still-active
@@ -1866,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": q_zscore_outliers,
         "gapfill_linear": q_gapfill_linear,
         "ewma_hourly": q_ewma_hourly,
+        "streaming_join": q_streaming_join,
     }
 
 
@@ -2626,6 +2639,13 @@ s AS (SELECT source, token, tf, doc_freq,
 r AS (SELECT *, row_number() OVER
         (PARTITION BY source ORDER BY score DESC, token) AS rnk FROM s)
 SELECT source, token, tf, doc_freq, score, rnk FROM r WHERE rnk <= 5
+""",
+        "streaming_join": """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS dt_us
+FROM events v JOIN events c ON v.user_id = c.user_id
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
 """,
         "cohort_retention": f"""
 WITH b AS (SELECT user_id, {_bucket('epoch_us(ts)*1000', DAY_MS)} AS bucket_ms

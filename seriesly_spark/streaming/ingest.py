@@ -188,6 +188,134 @@ def streaming_sessionize(
     )
 
 
+def _staging_split_ts(
+    batch: DataFrame, left_type: str, right_type: str, horizon_ns: int
+) -> int:
+    """Pick the two-micro-batch split point for the stream-stream join
+    harness: just below the in-horizon right event nearest the overall
+    time midpoint, so at least one matched pair is GUARANTEED to span
+    the batch boundary (a naive midpoint can land in a pair desert and
+    make the cross-batch claim vacuous). Harness staging only — scalar
+    aggregates, not an operator data path. Falls back to the midpoint if
+    the file has no qualifying pair at all."""
+    lo, hi = batch.agg(F.min("ts"), F.max("ts")).first()
+    overall_mid = (int(lo) + int(hi)) // 2
+    v = batch.where(F.col("event_type") == left_type).select(
+        "user_id", F.col("ts").alias("vt")
+    )
+    c = batch.where(F.col("event_type") == right_type).select(
+        "user_id", F.col("ts").alias("ct")
+    )
+    pick = (
+        v.join(c, "user_id")
+        .where((F.col("ct") > F.col("vt")) & (F.col("ct") <= F.col("vt") + horizon_ns))
+        .select("ct", F.abs(F.col("ct") - overall_mid).alias("d"))
+        .orderBy("d", "ct")
+        .first()
+    )
+    return int(pick.ct) - 1 if pick is not None else overall_mid
+
+
+def streaming_join_pairs(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "view",
+    right_type: str = "click",
+    horizon_ms: int = 3_600_000,
+    watermark: str = "1 hour",
+    query_name: str = "stream_join",
+    stage_two_batches: bool = True,
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: every
+    ``right_type`` event is matched to the same user's ``left_type``
+    events in the preceding ``horizon_ms``. This is attribution — the
+    join shape the reference cannot express at all (one DB, one bucket
+    pipeline) and the canonical Structured Streaming stateful join:
+    watermarks on BOTH inputs plus the time-range predicate let the
+    engine evict left rows older than max(event time) - horizon - slack,
+    so state stays bounded on an unbounded stream.
+
+    Append mode: each matched pair is emitted exactly once. Output
+    (user_id, view_id, click_id, dt_us) equals the batch range-join on
+    the same file (the oracle).
+
+    ``stage_two_batches`` (default) splits the input at the midpoint of
+    its time range into two files processed as SEPARATE micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered): every view within the horizon
+    of the boundary must be matched to clicks that arrive one batch
+    later, so the pairs provably cross the state store — a single-batch
+    in-memory join cannot pass. The watermark math guarantees no false
+    eviction: after batch 1 the left-side keep threshold is
+    (batch-1 max event time) - watermark - horizon, strictly older than
+    any view still needed by batch 2's clicks.
+    """
+    if stage_two_batches:
+        batch = spark.read.parquet(events_path)
+        mid = _staging_split_ts(
+            batch, left_type, right_type, horizon_ms * 1_000_000
+        )
+        stage_dir = tempfile.mkdtemp(prefix="seriesly-sjoin-")
+        for i, pred in enumerate([F.col("ts") <= mid, F.col("ts") > mid]):
+            half_dir = os.path.join(stage_dir, f"half{i}")
+            batch.where(pred).coalesce(1).write.parquet(half_dir)
+            for f in os.listdir(half_dir):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(stage_dir, f"{i}.parquet")
+                    os.rename(os.path.join(half_dir, f), dst)
+                    # FileStreamSource orders by (mtime, path); pin the
+                    # halves a file-system tick apart so batch order is
+                    # deterministic.
+                    os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        schema = batch.schema
+
+        def _src() -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage_dir)
+            )
+
+    else:
+
+        def _src() -> DataFrame:
+            return _stream_source(spark, events_path)
+
+    lhs = (
+        _src()
+        .where(F.col("event_type") == left_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    rhs = (
+        _src()
+        .where(F.col("event_type") == right_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = lhs.join(
+        rhs,
+        [
+            lhs["user_id"] == rhs["user_id"],
+            rhs["r_ts"] > lhs["l_ts"],
+            rhs["r_ts"] <= lhs["l_ts"] + F.expr(f"INTERVAL {horizon_ms} MILLISECONDS"),
+        ],
+    ).select(
+        lhs["user_id"],
+        "view_id",
+        "click_id",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("dt_us"),
+    )
+    return _run_to_memory(joined, query_name, "append", spark)
+
+
 def streaming_dedup_counts(
     spark: SparkSession,
     events_path: str,
