@@ -85,6 +85,7 @@ from seriesly_spark.operators.analytics import (
     funnel_users,
     zscore_outliers,
 )
+from seriesly_spark.operators.clustering import kmeans_lloyd
 from seriesly_spark.operators.packing import chunk_documents, pack_sequences
 from seriesly_spark.operators.windows import (
     fill_gaps,
@@ -199,6 +200,39 @@ _EWMA_DEN = " + ".join(
     )
     for j in range(6)
 )
+
+def _km_round(i: int, ctab: str) -> str:
+    """One unrolled Lloyd round (assign -> mean -> codebook), the DuckDB
+    mirror of operators.clustering.kmeans_lloyd's loop body."""
+    return f"""
+d{i} AS (SELECT v.vec_id, {ctab}.cid,
+         cast(list_sum(list_transform(list_zip(v.embedding, {ctab}.cv),
+           p -> cast((cast(p[1] as double) - cast(p[2] as double))
+                   * (cast(p[1] as double) - cast(p[2] as double))
+                   as decimal(38,18)))) as double) AS d
+       FROM v, {ctab}),
+a{i} AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d{i}) WHERE rn = 1),
+m{i} AS (SELECT cid, dim,
+         cast(sum(cast(cast(val as double) as decimal(38,18))) as double)
+           / count(*) AS mean
+       FROM a{i} JOIN e USING (vec_id) GROUP BY 1, 2),
+c{i} AS (SELECT cid, list(mean ORDER BY dim) AS cv FROM m{i} GROUP BY cid)"""
+
+
+_KMEANS_SQL = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (SELECT vec_id AS cid,
+         list_transform(embedding, x -> cast(x as double)) AS cv
+       FROM v WHERE vec_id < 4),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        unnest(embedding) AS val FROM v),{_km_round(1, 'c0')},{_km_round(2, 'c1')},
+n AS (SELECT cid, count(*) AS n_members FROM a2 GROUP BY 1)
+SELECT m2.cid AS cluster, m2.dim, round(m2.mean, 6) AS centroid, n.n_members
+FROM m2 JOIN n USING (cid)
+"""
 
 # 16-bit md5 key hash over hex string `h`, the DuckDB mirror of
 # operators.sampling._md5_u16 (deterministic sampling / splits).
@@ -1714,6 +1748,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd rounds (k=4, seeded by the 4 smallest
+    vec_ids) over the embeddings corpus — codebook training for IVF /
+    semantic curation. The full trained codebook (per-dim centroids +
+    membership counts) hash-matches the oracle's unrolled SQL."""
+    return kmeans_lloyd(
+        _table(spark, sf_dir, "embeddings"), k=4, iterations=2
+    )
+
+
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked range join (click-to-view attribution
     within 1 h) run as a real Structured Streaming query in append mode;
@@ -1879,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_linear": q_gapfill_linear,
         "ewma_hourly": q_ewma_hourly,
         "streaming_join": q_streaming_join,
+        "kmeans_lloyd": q_kmeans_lloyd,
     }
 
 
@@ -2640,6 +2685,7 @@ r AS (SELECT *, row_number() OVER
         (PARTITION BY source ORDER BY score DESC, token) AS rnk FROM s)
 SELECT source, token, tf, doc_freq, score, rnk FROM r WHERE rnk <= 5
 """,
+        "kmeans_lloyd": _KMEANS_SQL,
         "streaming_join": """
 SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
        epoch_us(c.ts) - epoch_us(v.ts) AS dt_us

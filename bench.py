@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "zscore_outliers",
     "gapfill_linear",
     "ewma_hourly",
+    "kmeans_lloyd",
 ]
 
 

@@ -1,0 +1,101 @@
+"""Fixed-iteration Lloyd k-means over an embedding column — the
+clustering primitive behind semantic dedup / corpus curation and the
+trainer for the IVF codebook (operators/similarity.ivf_assign consumes
+exactly this output shape).
+
+Iteration count is a fixed parameter, not a convergence loop: the plan
+unrolls deterministically (oracle-reproducible, no data-dependent control
+flow), which is also how production pipelines run it (a few Lloyd rounds
+on a sample, then freeze the codebook).
+
+Numeric discipline (cross-engine bit-stability): squared-euclidean
+distances accumulate per-element double products as DECIMAL(38,18)
+(order-independent, same as the cosine family); per-(cluster, dim) means
+divide a decimal-exact sum by the member count — intermediates are never
+rounded, only the final centroid output is (round 6); argmin ties break
+on the lowest centroid id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from seriesly_spark.operators.similarity import _DEC, _dec_sum
+
+
+def _sqdist(a, b) -> "F.Column":
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ).cast(_DEC),
+    )
+    return _dec_sum(diffs)
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iterations`` Lloyd rounds with deterministic init (the
+    vectors with the ``k`` smallest ids seed the codebook, cluster id =
+    seed id). Returns the trained codebook with membership:
+    (cluster, dim, centroid, n_members).
+
+    Plan per round: the k-row centroid table broadcasts onto ONE corpus
+    scan (|corpus| x k candidate rows never shuffle — the argmin
+    ``min_by`` collapses them map-side in the per-vector aggregate);
+    the mean recompute posexplodes to (cluster, dim, value) but partial
+    aggregation reduces each task's output to k x dim rows before its
+    shuffle. The corpus projection is persisted once and re-read per
+    round — at 100 TB this is the standard cache-the-sample pattern
+    (train on a sample; the full-corpus pass is the final assignment).
+    """
+    if k < 1 or iterations < 1:
+        raise ValueError("k and iterations must be >= 1")
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist()
+    centroids = v.where(F.col("id") < k).select(
+        F.col("id").alias("cid"),
+        F.transform("v", lambda x: x.cast("double")).alias("cv"),
+    )
+    assigned = None
+    means = None
+    for _ in range(iterations):
+        scored = v.crossJoin(F.broadcast(centroids)).select(
+            "id", "v", "cid", _sqdist(F.col("v"), F.col("cv")).alias("__d")
+        )
+        assigned = scored.groupBy("id").agg(
+            F.min_by(
+                F.struct(F.col("v").alias("v"), F.col("cid").alias("cid")),
+                F.struct(F.col("__d").alias("d"), F.col("cid").alias("c")),
+            ).alias("__b")
+        ).select("id", F.col("__b.v").alias("v"), F.col("__b.cid").alias("cid"))
+        ex = assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+        means = ex.groupBy("cid", "dim").agg(
+            (
+                F.sum(F.col("val").cast("double").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean")
+        )
+        centroids = means.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "mean"))),
+                lambda s: s.getField("mean"),
+            ).alias("cv")
+        )
+    counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        means.join(counts, "cid")
+        .select(
+            F.col("cid").alias("cluster"),
+            "dim",
+            F.round("mean", 6).alias("centroid"),
+            "n_members",
+        )
+    )
