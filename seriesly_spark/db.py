@@ -42,7 +42,7 @@ import time
 import uuid
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from seriesly_spark.functions.timeparse import canonical_key
@@ -179,7 +179,11 @@ class SerieslyDB:
         reference's gzip encoding sink (S12, ``newGzippingWriter``,
         handlers.go:300-329, and the dump tool's compressed backups,
         tools/dump/dump.go:45-63): each part file is a ``.txt.gz``
-        stream, compressed executor-side."""
+        stream, compressed executor-side.
+
+        The returned count comes from an ``Observation`` metric on the
+        write job itself — no second scan of the dump output."""
+        obs = Observation()
         out = (
             self.df(name, from_ts, to_ts)
             .orderBy("ts_ns")
@@ -192,13 +196,13 @@ class SerieslyDB:
                     F.lit("}"),
                 ).alias("value")
             )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
         w = out.write.mode("overwrite")
         if compression:
             w = w.option("compression", compression)
         w.text(out_dir)
-        written = self.spark.read.text(out_dir)
-        return written.count()
+        return int(obs.get["n"])
 
     # -- Maintenance (S6/S7/S9) --------------------------------------------
 
@@ -316,8 +320,21 @@ class SerieslyDB:
 
     def changes(self, name: str) -> DataFrame:
         """Streaming DataFrame of appended documents (the feed the
-        reference never implemented): new parquet files in the db directory
-        become micro-batches."""
+        reference never implemented — 501 at handlers.go:455-457): new
+        parquet files in the db directory become micro-batches.
+
+        CONTRACT — append-only. The parquet file source tracks files, not
+        rows, so the feed surfaces INSERTS and UPSERT revisions (each
+        write_batch lands as new files) but NOT the effects of
+        ``delete_range``/``compact``, which rewrite or remove
+        already-seen files; a rewritten edge partition is seen AGAIN as
+        a whole (the new file), so consumers must apply the same LWW
+        collapse the batch reader uses, and deletes are only observable
+        as the absence of keys on a fresh batch read. Pinned by
+        tests/test_db.py::test_changes_feed_is_append_only. Surfacing
+        deletes/compaction as first-class change rows needs a log-backed
+        table format (e.g. Delta CDF) — out of scope for the parquet
+        layout, and beyond the reference (which has no feed at all)."""
         return (
             self.spark.readStream.schema(DOC_SCHEMA + ", date date")
             .option("basePath", self._path(name))

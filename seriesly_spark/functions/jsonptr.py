@@ -69,9 +69,12 @@ def extract_ptr(doc: Column, ptr: str) -> Column:
 
 def extract_ptr_from_variant(doc: Column, doc_v: Column, ptr: str) -> Column:
     """Variant-backed pointer extraction (opt-in fast path): ``doc_v`` is
-    ``parse_json(doc)`` computed ONCE, and each pointer becomes one cheap
-    binary ``try_variant_get`` probe — ~1.5x faster than N
+    ``try_parse_json(doc)`` computed ONCE, and each pointer becomes one
+    cheap binary ``try_variant_get`` probe — ~1.5x faster than N
     ``get_json_object`` re-parses on multi-pointer queries (PLANS.md).
+    Malformed document bodies parse to a NULL Variant, so every pointer
+    probe yields NULL — same degrade-to-nil as the json path and the
+    reference (query.go resolveFetch).
 
     ``try_variant_get(..., 'string')`` matches the reference value model
     (string scalars dequoted, numbers/booleans rendered, object/array as

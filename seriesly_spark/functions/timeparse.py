@@ -46,8 +46,12 @@ _ISO_FRAC_RE = r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})\.(\d{1,9})(Z|[+-]\d{2}:\
 
 
 def ts_ns_from_timestamp(ts: Column) -> Column:
-    """µs-precision timestamp -> ns epoch (lower 3 ns digits zero)."""
-    return (F.unix_micros(ts) * F.lit(1000)).cast(T.LongType())
+    """µs-precision timestamp -> ns epoch (lower 3 ns digits zero).
+
+    Accepts TIMESTAMP or TIMESTAMP_NTZ (unix_micros rejects NTZ; the
+    cast is a no-op on TIMESTAMP and value-preserving on NTZ under the
+    engine's UTC session timezone)."""
+    return (F.unix_micros(ts.cast("timestamp")) * F.lit(1000)).cast(T.LongType())
 
 
 def timestamp_from_ts_ns(ts_ns: Column) -> Column:

@@ -145,13 +145,21 @@ def zscore_outliers(
         F.sum((v * v).cast("decimal(38,18)")).cast("double").alias("__s2"),
     )
     mean = F.col("__s") / F.col("__n")
-    var = F.col("__s2") / F.col("__n") - mean * mean
+    # Clamp: rounding can drive a mathematically-zero variance a hair
+    # negative, and sqrt(neg) is NaN.
+    var = F.greatest(
+        F.col("__s2") / F.col("__n") - mean * mean, F.lit(0.0)
+    )
     stats = stats.select(
         *group_cols, mean.alias("__mean"), F.sqrt(var).alias("__sd")
     )
     z = (F.col(value_col) - F.col("__mean")) / F.col("__sd")
     return (
         df.join(F.broadcast(stats), group_cols)
+        # sd == 0 (constant group): z is ±Inf/NaN and NaN compares
+        # greater-than-everything in Spark/DuckDB, which would flag the
+        # whole group; a constant group has no outliers by definition.
+        .where(F.col("__sd") > 0)
         .withColumn("z", F.round(z, 6))
         .where(F.abs(F.col("z")) >= threshold)
         .select(*id_cols, *group_cols, value_col, "z")

@@ -45,8 +45,14 @@ def kmeans_lloyd(
 ) -> DataFrame:
     """Run ``iterations`` Lloyd rounds with deterministic init (the
     vectors with the ``k`` smallest ids seed the codebook, cluster id =
-    seed id). Returns the trained codebook with membership:
-    (cluster, dim, centroid, n_members).
+    seed id — ``orderBy(id).limit(k)``, so sparse / non-zero-based id
+    spaces still yield exactly k seeds). Returns the trained codebook
+    with membership: (cluster, dim, centroid, n_members).
+
+    A cluster that loses every member drops out of later rounds (its
+    mean is undefined); the codebook may therefore end with fewer than
+    ``k`` clusters. That matches textbook Lloyd — re-seeding empties is
+    a policy choice left to the caller.
 
     Plan per round: the k-row centroid table broadcasts onto ONE corpus
     scan (|corpus| x k candidate rows never shuffle — the argmin
@@ -56,17 +62,21 @@ def kmeans_lloyd(
     shuffle. The corpus projection is persisted once and re-read per
     round — at 100 TB this is the standard cache-the-sample pattern
     (train on a sample; the full-corpus pass is the final assignment).
+    The tiny per-round centroid table is eagerly ``localCheckpoint``-ed,
+    so round N's plan starts from materialized k x dim rows instead of
+    embedding rounds 1..N-1 — cost is linear in ``iterations`` and the
+    unrolled plan stays flat.
     """
     if k < 1 or iterations < 1:
         raise ValueError("k and iterations must be >= 1")
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist()
-    centroids = v.where(F.col("id") < k).select(
+    centroids = v.orderBy("id").limit(k).select(
         F.col("id").alias("cid"),
         F.transform("v", lambda x: x.cast("double")).alias("cv"),
     )
     assigned = None
     means = None
-    for _ in range(iterations):
+    for it in range(iterations):
         scored = v.crossJoin(F.broadcast(centroids)).select(
             "id", "v", "cid", _sqdist(F.col("v"), F.col("cv")).alias("__d")
         )
@@ -89,6 +99,10 @@ def kmeans_lloyd(
                 lambda s: s.getField("mean"),
             ).alias("cv")
         )
+        if it < iterations - 1:  # last round's codebook is never re-joined
+            # Truncate lineage: round N starts from materialized k x dim
+            # rows, not the unrolled plan of rounds 1..N-1.
+            centroids = centroids.localCheckpoint(eager=True)
     counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     return (
         means.join(counts, "cid")

@@ -172,7 +172,11 @@ def seriesly_query(
     # each pointer is then a cheap probe instead of a full JSON re-parse.
     # (Physical-level subexpression elimination also dedupes the
     # parse_json across the projection's variant_get calls.)
-    doc_v = F.parse_json(F.col(doc_col)) if impl == "variant" else None
+    # try_parse_json (not parse_json): malformed bodies must degrade to
+    # NULL pointers like the json path and the reference (query.go
+    # resolveFetch swallows parse errors), not fail the whole query —
+    # SerieslyDB/poll_copy can store arbitrary non-JSON bodies.
+    doc_v = F.try_parse_json(F.col(doc_col)) if impl == "variant" else None
 
     def extracted(ptr: str) -> Column:
         if ptr == "_id":

@@ -1,11 +1,13 @@
 """Loaders for the driver's testdata tables (TESTDATA.md).
 
-``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS); with
-``spark.sql.legacy.parquet.nanosAsLong`` (set in session.get_spark) it
-arrives as a LONG of ns-since-epoch — the engine's native ``ts_ns``.
-``load_events`` normalizes to both columns: ``ts`` (µs timestamp, for
-humans/joins) and ``ts_ns`` (LONG, for bucket math and key rendering),
-mirroring the engine's canonical event-table schema (SURVEY §7).
+``events.parquet`` has shipped ``ts`` in two physical forms across
+driver rounds: parquet TIMESTAMP(NANOS) (arrives as a LONG of ns with
+``spark.sql.legacy.parquet.nanosAsLong``, set in session.get_spark) and
+parquet timestamp[us] with no timezone (arrives as TIMESTAMP_NTZ).
+``normalize_events`` accepts all three arrival types (bigint ns,
+timestamp, timestamp_ntz) and normalizes to the engine's canonical
+event-table schema (SURVEY §7): ``ts`` (µs TIMESTAMP, session tz is
+UTC) + ``ts_ns`` (LONG ns epoch, for bucket math and key rendering).
 """
 
 from __future__ import annotations
@@ -32,11 +34,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
+    if "ts_ns" in df.columns:  # already normalized — idempotent
+        return df
     dtypes = dict(df.dtypes)
-    if dtypes.get("ts") == "bigint":
+    t = dtypes.get("ts")
+    if t == "bigint":  # ns epoch via legacy nanosAsLong
         return df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", timestamp_from_ts_ns(F.col("ts_ns"))
         )
+    if t == "timestamp_ntz":
+        # µs parquet timestamp without tz; session tz is UTC, so the cast
+        # is value-preserving (same µs instant, now comparable/joinable).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df.withColumn("ts_ns", ts_ns_from_timestamp(F.col("ts")))
 
 

@@ -20,6 +20,7 @@ handlers.go:455-457) is this same stream shape reading new files/offsets.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from typing import Iterator
 
@@ -33,19 +34,42 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from seriesly_spark.sources.tables import normalize_events
 
-def _stream_source(spark: SparkSession, events_path: str) -> DataFrame:
+
+def _rm_staging(path: "str | None") -> None:
+    """Remove a staging dir created by this module (symlinked copies —
+    rmtree deletes the links, never the linked data). None is a no-op."""
+    if path is not None:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _stream_source(
+    spark: SparkSession, events_path: str
+) -> "tuple[DataFrame, str | None]":
+    """Returns (stream df, staging dir to clean up or None). Callers
+    remove the staging dir in a finally block once the query drains —
+    the memory-sink result lives in driver memory, so post-drain reads
+    never touch the staged files."""
     schema = spark.read.parquet(events_path).schema
     stream_dir = events_path
+    staged = None
     if not os.path.isdir(events_path):
         # The file streaming source requires a directory; expose a single
         # parquet file through a symlinked staging dir (local-test path —
         # real deployments stream a directory/Kafka topic anyway).
-        stream_dir = tempfile.mkdtemp(prefix="seriesly-stream-")
+        stream_dir = staged = tempfile.mkdtemp(prefix="seriesly-stream-")
         os.symlink(
             events_path, os.path.join(stream_dir, os.path.basename(events_path))
         )
-    return spark.readStream.schema(schema).parquet(stream_dir)
+    # normalize_events is a pure projection, so it composes with streaming
+    # DataFrames: whatever physical ts form the files carry (LONG ns,
+    # timestamp, timestamp_ntz), downstream operators see the canonical
+    # (ts TIMESTAMP, ts_ns LONG) pair.
+    return (
+        normalize_events(spark.readStream.schema(schema).parquet(stream_dir)),
+        staged,
+    )
 
 
 def _run_to_memory(agg, query_name: str, output_mode: str, spark: SparkSession):
@@ -82,17 +106,19 @@ def streaming_bucket_counts(
 
     Output: (bucket_ms LONG, event_type STRING, cnt LONG).
     """
-    src = _stream_source(spark, events_path)
-    # ts arrives as LONG ns (nanosAsLong); window() needs a timestamp.
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
-    withts = src.withColumn("__ts", ts)
+    src, staged = _stream_source(spark, events_path)
+    # source is normalized: ts is a µs TIMESTAMP — window() takes it as-is.
+    withts = src.withColumn("__ts", F.col("ts"))
     if watermark is not None:
         withts = withts.withWatermark("__ts", watermark)
     agg = withts.groupBy(
         F.window("__ts", f"{group_ms} milliseconds"), "event_type"
     ).agg(F.count("*").alias("cnt"))
     mode = "update" if watermark is not None else "complete"
-    tbl = _run_to_memory(agg, query_name, mode, spark)
+    try:
+        tbl = _run_to_memory(agg, query_name, mode, spark)
+    finally:
+        _rm_staging(staged)
     out = tbl.select(
         F.unix_millis(F.col("window.start")).alias("bucket_ms"),
         "event_type",
@@ -144,10 +170,11 @@ def streaming_sessionize(
     Output: (user_id, n_events, n_sessions), equal to the batch
     sessionization on the same data (the oracle).
     """
-    src = _stream_source(spark, events_path).select(
+    raw, staged = _stream_source(spark, events_path)
+    src = raw.select(
         "user_id",
         "event_id",
-        F.expr("ts div 1000").alias("ts_us"),
+        F.expr("ts_ns div 1000").alias("ts_us"),
     )
 
     def update(
@@ -180,7 +207,10 @@ def streaming_sessionize(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    tbl = _run_to_memory(agg, query_name, "update", spark)
+    try:
+        tbl = _run_to_memory(agg, query_name, "update", spark)
+    finally:
+        _rm_staging(staged)
     # Latest emission per user (update mode re-emits per batch).
     return tbl.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -197,14 +227,15 @@ def _staging_split_ts(
     the batch boundary (a naive midpoint can land in a pair desert and
     make the cross-batch claim vacuous). Harness staging only — scalar
     aggregates, not an operator data path. Falls back to the midpoint if
-    the file has no qualifying pair at all."""
-    lo, hi = batch.agg(F.min("ts"), F.max("ts")).first()
+    the file has no qualifying pair at all. All math in ns on the
+    normalized ``ts_ns`` column."""
+    lo, hi = batch.agg(F.min("ts_ns"), F.max("ts_ns")).first()
     overall_mid = (int(lo) + int(hi)) // 2
     v = batch.where(F.col("event_type") == left_type).select(
-        "user_id", F.col("ts").alias("vt")
+        "user_id", F.col("ts_ns").alias("vt")
     )
     c = batch.where(F.col("event_type") == right_type).select(
-        "user_id", F.col("ts").alias("ct")
+        "user_id", F.col("ts_ns").alias("ct")
     )
     pick = (
         v.join(c, "user_id")
@@ -249,13 +280,15 @@ def streaming_join_pairs(
     (batch-1 max event time) - watermark - horizon, strictly older than
     any view still needed by batch 2's clicks.
     """
+    staged_dirs: "list[str]" = []
     if stage_two_batches:
-        batch = spark.read.parquet(events_path)
+        batch = normalize_events(spark.read.parquet(events_path))
         mid = _staging_split_ts(
             batch, left_type, right_type, horizon_ms * 1_000_000
         )
         stage_dir = tempfile.mkdtemp(prefix="seriesly-sjoin-")
-        for i, pred in enumerate([F.col("ts") <= mid, F.col("ts") > mid]):
+        staged_dirs.append(stage_dir)
+        for i, pred in enumerate([F.col("ts_ns") <= mid, F.col("ts_ns") > mid]):
             half_dir = os.path.join(stage_dir, f"half{i}")
             batch.where(pred).coalesce(1).write.parquet(half_dir)
             for f in os.listdir(half_dir):
@@ -269,7 +302,10 @@ def streaming_join_pairs(
         schema = batch.schema
 
         def _src() -> DataFrame:
-            return (
+            # staged halves were written post-normalization, so
+            # normalize_events is an idempotent no-op here; keep it so
+            # both branches yield the identical canonical schema.
+            return normalize_events(
                 spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", 1)
                 .parquet(stage_dir)
@@ -278,7 +314,10 @@ def streaming_join_pairs(
     else:
 
         def _src() -> DataFrame:
-            return _stream_source(spark, events_path)
+            df, st = _stream_source(spark, events_path)
+            if st is not None:
+                staged_dirs.append(st)
+            return df
 
     lhs = (
         _src()
@@ -286,7 +325,7 @@ def streaming_join_pairs(
         .select(
             "user_id",
             F.col("event_id").alias("view_id"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias("l_ts"),
+            F.col("ts").alias("l_ts"),
         )
         .withWatermark("l_ts", watermark)
     )
@@ -296,7 +335,7 @@ def streaming_join_pairs(
         .select(
             "user_id",
             F.col("event_id").alias("click_id"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias("r_ts"),
+            F.col("ts").alias("r_ts"),
         )
         .withWatermark("r_ts", watermark)
     )
@@ -313,7 +352,11 @@ def streaming_join_pairs(
         "click_id",
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("dt_us"),
     )
-    return _run_to_memory(joined, query_name, "append", spark)
+    try:
+        return _run_to_memory(joined, query_name, "append", spark)
+    finally:
+        for d in staged_dirs:
+            _rm_staging(d)
 
 
 def streaming_dedup_counts(
@@ -340,15 +383,18 @@ def streaming_dedup_counts(
     for i in range(2):
         os.symlink(events_path, os.path.join(stream_dir, f"replay{i}.parquet"))
     schema = spark.read.parquet(events_path).schema
-    src = (
+    src = normalize_events(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
     deduped = (
-        src.withColumn("ev_time", F.timestamp_micros(F.expr("ts div 1000")))
+        src.withColumn("ev_time", F.col("ts"))
         .withWatermark("ev_time", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    return _run_to_memory(agg, query_name, "complete", spark)
+    try:
+        return _run_to_memory(agg, query_name, "complete", spark)
+    finally:
+        _rm_staging(stream_dir)

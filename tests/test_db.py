@@ -179,6 +179,46 @@ class TestChangesFeed:
             q.stop()
         assert (n0, n1) == (1, 2)
 
+    def test_changes_feed_is_append_only(self, dbs):
+        """Pin the documented contract (db.changes): the feed surfaces
+        appends only. A delete that drops a whole partition produces NO
+        change rows (observable only on a fresh batch read); a delete
+        that rewrites an edge partition re-emits the rewritten file as
+        a whole (consumers re-apply the LWW collapse)."""
+        dbs.create("t")
+        dbs.write("t", _doc(1), ts="2024-01-01T00:00:00Z")
+        dbs.write("t", _doc(3), ts="2024-01-03T00:00:00Z")
+        dbs.write("t", _doc(5), ts="2024-01-05T00:00:00Z")
+        q = (
+            dbs.changes("t")
+            .writeStream.format("memory")
+            .queryName("t_changes_ao")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n0 = dbs.spark.table("t_changes_ao").count()
+            # Bounds on partition-free dates: 01-03 is dropped whole,
+            # nothing is rewritten — the feed must stay silent.
+            dbs.delete_range(
+                "t", "2024-01-02T00:00:00Z", "2024-01-04T00:00:00Z"
+            )
+            q.processAllAvailable()
+            n1 = dbs.spark.table("t_changes_ao").count()
+            # Bound inside the 01-05 partition: edge rewrite — the
+            # surviving file is seen AGAIN (here: its one kept row).
+            dbs.delete_range(
+                "t", "2024-01-05T12:00:00Z", "2024-01-06T00:00:00Z"
+            )
+            q.processAllAvailable()
+            n2 = dbs.spark.table("t_changes_ao").count()
+        finally:
+            q.stop()
+        assert (n0, n1) == (3, 3)  # partition drop emitted nothing
+        assert n2 == 4  # edge rewrite re-emitted the surviving row
+        assert dbs.df("t").count() == 2  # batch view shows the delete
+
 
 class TestQueryPath:
     def test_query_over_written_db(self, dbs):
