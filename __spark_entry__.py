@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from seriesly_spark.functions.bucketing import bucket_ms_col
 from seriesly_spark.functions.timeparse import canonical_key, parse_any_ts_ns
 from seriesly_spark.operators.dedup import (
     connected_components,
@@ -69,6 +70,7 @@ from seriesly_spark.operators.similarity import norm as simnorm
 from seriesly_spark.operators.textstats import (
     BPE_ISH_RE,
     STOPWORDS,
+    char_entropy,
     clean_text,
     fingerprint,
     lang_id,
@@ -83,6 +85,9 @@ from seriesly_spark.operators.analytics import (
     ewma,
     funnel_counts,
     funnel_users,
+    histogram,
+    mad_outliers,
+    pivot_counts,
     zscore_outliers,
 )
 from seriesly_spark.operators.clustering import kmeans_lloyd
@@ -1832,6 +1837,46 @@ def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per type: 10 bins over
+    [0, 500) with edge clamping — one conditional hash aggregate, no
+    second pass for bounds (caller-supplied constants)."""
+    return histogram(
+        _events(spark, sf_dir), "value", ["event_type"],
+        lo=0.0, hi=500.0, bins=10,
+    )
+
+
+def q_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity matrix: one row per day, one count column per event
+    type (explicit vocabulary, zero-filled) — Spark pivot compiling to a
+    single wide conditional aggregate."""
+    ev = _events(spark, sf_dir).withColumn(
+        "bucket_ms", bucket_ms_col(F.col("ts_ns"), DAY_MS)
+    )
+    return pivot_counts(
+        ev, "bucket_ms", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers via median absolute deviation (modified
+    z-score >= 3.5): two tiny exact-median aggregates broadcast back onto
+    a narrow filter — the robust sibling of zscore_outliers."""
+    ev = _events(spark, sf_dir)
+    return mad_outliers(
+        ev, "value", ["event_type"], threshold=3.5, id_cols=["event_id"]
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (gibberish /
+    boilerplate screen): partial aggregation collapses the char explosion
+    map-side to |alphabet| rows per doc."""
+    return char_entropy(_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -1883,6 +1928,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join": q_streaming_join,
         "kmeans_lloyd": q_kmeans_lloyd,
         # --- new round-3 queries: slots 40-50 of the driver window ---
+        "histogram_clamped": q_histogram_clamped,
+        "daily_type_pivot": q_daily_type_pivot,
+        "mad_outliers": q_mad_outliers,
+        "char_entropy": q_char_entropy,
         # --- driver-certified in r01/r02: tail (local gate still runs) ---
         "s01_range_read": q_s01_range_read,
         "s03_point_lookup": q_s03_point_lookup,
@@ -2830,5 +2879,53 @@ SELECT {b_day} AS bucket_ms, count(v) AS cnt,
   round(CASE WHEN count(nv) = 0 THEN 0.0 ELSE {_dsum('nv')} END, 6) AS sum_k,
   1::BIGINT AS hits, 2::BIGINT AS misses, true AS hit_identical
 FROM v GROUP BY 1
+""",
+        "histogram_clamped": """
+WITH b AS (SELECT event_type,
+             greatest(0, least(9,
+               cast(floor((value - 0.0) / 50.0) as int))) AS bin
+           FROM events WHERE value IS NOT NULL)
+SELECT event_type, bin, count(*) AS cnt,
+       round(0.0 + bin * 50.0, 6) AS bin_lo
+FROM b GROUP BY 1, 2
+""",
+        "daily_type_pivot": f"""
+WITH b AS (SELECT {_bucket('epoch_us(ts)*1000', DAY_MS)} AS bucket_ms,
+             event_type FROM events)
+SELECT bucket_ms,
+  count(*) FILTER (event_type = 'click') AS click,
+  count(*) FILTER (event_type = 'error') AS error,
+  count(*) FILTER (event_type = 'purchase') AS purchase,
+  count(*) FILTER (event_type = 'signup') AS signup,
+  count(*) FILTER (event_type = 'view') AS view
+FROM b GROUP BY 1
+""",
+        "mad_outliers": """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY 1),
+mad AS (SELECT e.event_type,
+          quantile_cont(abs(e.value - med.med), 0.5) AS mad,
+          any_value(med.med) AS med
+        FROM events e JOIN med USING (event_type) GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value,
+  round(0.6745 * (e.value - mad.med) / mad.mad, 6) AS mz
+FROM events e JOIN mad USING (event_type)
+WHERE mad.mad > 0
+  AND abs(round(0.6745 * (e.value - mad.med) / mad.mad, 6)) >= 3.5
+""",
+        "char_entropy": """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents),
+cc AS (SELECT doc_id, c, count(*) AS cnt
+       FROM ch WHERE c <> '' GROUP BY 1, 2),
+a AS (SELECT doc_id, cast(sum(cnt) as bigint) AS n_chars,
+        count(*) AS n_distinct_chars,
+        cast(sum(cast(cast(cnt as double) * log2(cast(cnt as double))
+          as decimal(38,18))) as double) AS clogc
+      FROM cc GROUP BY 1)
+SELECT doc_id, n_chars, n_distinct_chars,
+  round(log2(cast(n_chars as double)) - clogc / cast(n_chars as double), 6)
+    AS entropy
+FROM a
 """,
     }

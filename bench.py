@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "gapfill_linear",
     "ewma_hourly",
     "kmeans_lloyd",
+    "histogram_clamped",
+    "daily_type_pivot",
+    "mad_outliers",
+    "char_entropy",
 ]
 
 

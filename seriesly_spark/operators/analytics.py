@@ -202,3 +202,120 @@ def ewma(
     return bucketed.withColumn(
         out_col, F.round(num.cast("double") / den, 6)
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Equi-width histogram per group: ``bins`` buckets over [lo, hi),
+    out-of-range values clamped into the edge bins (so every row lands
+    somewhere — the feature-analysis convention, not SQL width_bucket's
+    overflow buckets). Bin index = floor((v - lo) / width), clamped to
+    [0, bins-1]; bin edges are computed from the SAME IEEE ops on both
+    engines, so assignment is bit-deterministic.
+
+    Bounds are caller-supplied constants, NOT a data-dependent min/max —
+    one pass, one hash aggregate on (group, bin) with map-side partials;
+    the shuffle carries at most |groups| x bins rows per task. Scale-safe
+    at any row count.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    width = (hi - lo) / bins
+    v = F.col(value_col).cast("double")
+    bin_ = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(bins - 1),
+            F.floor((v - F.lit(float(lo))) / F.lit(float(width))).cast("int"),
+        ),
+    )
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "bin_lo", F.round(F.lit(float(lo)) + F.col("bin") * F.lit(float(width)), 6)
+        )
+    )
+
+
+def pivot_counts(
+    df: DataFrame,
+    row_col: str,
+    pivot_col: str,
+    values: list[str],
+) -> DataFrame:
+    """Wide rollup: one row per ``row_col``, one count column per value of
+    ``pivot_col`` (explicit ``values`` list — no distinct-values pre-job,
+    which on an unbounded key would both cost a pass and produce an
+    unbounded schema). Empty cells are 0, not NULL.
+
+    Plan: Spark's pivot with explicit values compiles to ONE hash
+    aggregate with |values| conditional counts — identical shuffle shape
+    to a narrow groupBy, just wider partials. Scale-safe as long as
+    ``values`` is a small fixed vocabulary (event types, languages, ...).
+    """
+    if not values:
+        raise ValueError("values must be non-empty")
+    out = df.groupBy(row_col).pivot(pivot_col, values).count()
+    # count() leaves NULL where a (row, value) cell saw no rows.
+    return out.select(
+        row_col,
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(v) for v in values],
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    threshold: float = 3.5,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Robust per-group outliers via median absolute deviation: flag rows
+    where |0.6745 * (v - median) / MAD| >= ``threshold`` (the classic
+    modified z-score; 0.6745 rescales MAD to sigma-equivalents under
+    normality). Unlike mean/stddev z-scores, a few extreme values cannot
+    mask themselves by inflating the spread estimate.
+
+    Medians are EXACT (Spark ``percentile``, DuckDB ``quantile_cont`` —
+    both linear-interpolated, same IEEE arithmetic), computed in two
+    group aggregates: median of v, then median of |v - median|. Both
+    aggregate results are tiny (one row per group) and broadcast back
+    onto the scan, so the data path is a narrow filter — the events
+    themselves never shuffle. Zero-MAD (majority-constant) groups
+    produce no outliers, mirroring zscore_outliers' zero-sd guard.
+
+    Exact percentile holds all group values per partial — at extreme
+    per-group cardinality swap in approx_percentile (sketch-mergeable,
+    see operators/sketches.py) and re-certify with its error envelope.
+    """
+    id_cols = id_cols or []
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    dev = (
+        df.join(F.broadcast(med), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad"),
+            F.first("__med").alias("__med"),
+        )
+    )
+    z = F.lit(0.6745) * (v - F.col("__med")) / F.col("__mad")
+    return (
+        df.join(F.broadcast(dev), group_cols)
+        .where(F.col("__mad") > 0)
+        .withColumn("mz", F.round(z, 6))
+        .where(F.abs(F.col("mz")) >= threshold)
+        .select(*id_cols, *group_cols, value_col, "mz")
+    )

@@ -301,3 +301,47 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
     )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (bits
+    per char) — the classic gibberish / boilerplate screen: natural text
+    sits around 4-4.5 bits, single-char spam near 0, uniform random bytes
+    near 8. Output: (id, n_chars, n_distinct_chars, entropy).
+
+    Plan: explode to (doc, char) and count — the per-(doc, char) hash
+    aggregate collapses map-side to at most |alphabet| rows per document
+    before its shuffle (NOT |text| rows: partial aggregation does the
+    squashing), then a per-doc aggregate folds the counts via the
+    count-space identity H = log2(n) - sum(c * log2 c) / n (one pass, no
+    nested aggregate, no p=c/n intermediate). Each c*log2(c) term casts
+    to DECIMAL(38,18) so the sum is order-independent; only log2 itself
+    is engine-library float math, and the round-6 output absorbs its
+    last-ulp wiggle.
+    """
+    ch = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "")).alias("__ch"),
+        )
+        .where(F.col("__ch") != "")
+        .groupBy(id_col, "__ch")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    c = F.col("__c").cast("double")
+    agg = ch.groupBy(id_col).agg(
+        F.sum("__c").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum((c * F.log2(c)).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("__clogc"),
+    )
+    n = F.col("n_chars").cast("double")
+    return agg.select(
+        id_col,
+        "n_chars",
+        "n_distinct_chars",
+        F.round(F.log2(n) - F.col("__clogc") / n, 6).alias("entropy"),
+    )

@@ -188,3 +188,84 @@ class TestEwma:
     def test_k_bounds(self, spark):
         with pytest.raises(ValueError):
             ewma(self._series(spark, [1]), ["k"], "bucket_ms", "v", k=0)
+
+
+class TestHistogram:
+    def test_clamps_out_of_range_into_edge_bins(self, spark):
+        from seriesly_spark.operators.analytics import histogram
+
+        rows = [("a", -10.0), ("a", 0.0), ("a", 49.9), ("a", 250.0),
+                ("a", 500.0), ("a", 9999.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {
+            (r.bin, r.bin_lo): r.cnt
+            for r in histogram(df, "v", ["g"], lo=0.0, hi=500.0, bins=10).collect()
+        }
+        # -10 and 0 and 49.9 -> bin 0; 250 -> bin 5; 500 and 9999 clamp to 9.
+        assert out == {(0, 0.0): 3, (5, 250.0): 1, (9, 450.0): 2}
+
+    def test_null_values_dropped(self, spark):
+        from seriesly_spark.operators.analytics import histogram
+
+        df = spark.createDataFrame(
+            [("a", None), ("a", 1.0)], "g string, v double"
+        )
+        out = histogram(df, "v", ["g"], lo=0.0, hi=10.0, bins=2).collect()
+        assert [(r.bin, r.cnt) for r in out] == [(0, 1)]
+
+
+class TestPivotCounts:
+    def test_zero_fills_missing_cells(self, spark):
+        from seriesly_spark.operators.analytics import pivot_counts
+
+        rows = [(1, "x"), (1, "x"), (2, "y")]
+        df = spark.createDataFrame(rows, "day long, t string")
+        out = {
+            r.day: (r.x, r.y, r.z)
+            for r in pivot_counts(df, "day", "t", ["x", "y", "z"]).collect()
+        }
+        assert out == {1: (2, 0, 0), 2: (0, 1, 0)}
+
+    def test_unlisted_values_ignored(self, spark):
+        from seriesly_spark.operators.analytics import pivot_counts
+
+        df = spark.createDataFrame([(1, "x"), (1, "other")], "day long, t string")
+        out = pivot_counts(df, "day", "t", ["x"]).collect()
+        assert [(r.day, r.x) for r in out] == [(1, 1)]
+
+
+class TestMadOutliers:
+    def test_flags_extreme_value_zscore_would_mask(self, spark):
+        from seriesly_spark.operators.analytics import mad_outliers
+
+        # 9 values near 10 plus one at 1000: MAD stays ~1, so the spike
+        # is flagged, while its own pull on stddev keeps plain z < 3.
+        rows = [(i, "a", 9.0 + (i % 3)) for i in range(9)] + [(99, "a", 1000.0)]
+        df = spark.createDataFrame(rows, "event_id long, g string, v double")
+        out = mad_outliers(df, "v", ["g"], threshold=3.5, id_cols=["event_id"])
+        assert [r.event_id for r in out.collect()] == [99]
+
+    def test_zero_mad_group_produces_no_outliers(self, spark):
+        from seriesly_spark.operators.analytics import mad_outliers
+
+        df = spark.createDataFrame(
+            [(i, "a", 5.0) for i in range(6)] + [(9, "a", 6.0)],
+            "event_id long, g string, v double",
+        )
+        # Median 5, MAD 0 (majority constant): guard must yield nothing,
+        # not a division-by-zero flag of the whole group.
+        assert mad_outliers(df, "v", ["g"]).collect() == []
+
+
+class TestCharEntropy:
+    def test_known_distributions(self, spark):
+        from seriesly_spark.operators.textstats import char_entropy
+
+        df = spark.createDataFrame(
+            [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id long, text string"
+        )
+        out = {r.doc_id: (r.n_chars, r.n_distinct_chars, r.entropy)
+               for r in char_entropy(df).collect()}
+        assert out[1] == (4, 1, 0.0)       # constant -> 0 bits
+        assert out[2] == (4, 2, 1.0)       # uniform over 2 -> 1 bit
+        assert out[3] == (4, 4, 2.0)       # uniform over 4 -> 2 bits
