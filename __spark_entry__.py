@@ -39,7 +39,9 @@ from seriesly_spark.operators.dedup import (
 )
 from seriesly_spark.operators.joins import asof_join, range_join, salted_join
 from seriesly_spark.operators.multimodal import (
+    encode_ppm,
     frame_sample,
+    image_channel_stats,
     payload_features,
     payload_metadata,
 )
@@ -1877,6 +1879,38 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(_table(spark, sf_dir, "documents"))
 
 
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, certified: each document manufactures a binary
+    PPM(P6) payload with pixel (r, c, ch) = (doc_id*31 + r*7 + c*3 +
+    ch*11) % 256 at (w, h) = (4 + id%5, 3 + id%4); the engine then
+    PARSES those bytes back (pure-numpy decoder, operators/multimodal
+    decode_ppm) and reports dimensions + channel means. The oracle
+    computes the same means in closed form — any corruption in the
+    encode -> binary column -> Arrow batch -> decode -> stats path
+    breaks the hash match. Both stages are mapInPandas; the binary
+    never leaves the executor."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                arr = ((d * 31 + r * 7 + c * 3 + ch * 11) % 256).astype(np.uint8)
+                payloads.append(encode_ppm(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(make, "doc_id long, payload binary")
+    return image_channel_stats(imgs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -1932,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_type_pivot": q_daily_type_pivot,
         "mad_outliers": q_mad_outliers,
         "char_entropy": q_char_entropy,
+        "image_decode_stats": q_image_decode_stats,
         # --- driver-certified in r01/r02: tail (local gate still runs) ---
         "s01_range_read": q_s01_range_read,
         "s03_point_lookup": q_s03_point_lookup,
@@ -2927,5 +2962,20 @@ SELECT doc_id, n_chars, n_distinct_chars,
   round(log2(cast(n_chars as double)) - clogc / cast(n_chars as double), 6)
     AS entropy
 FROM a
+""",
+        "image_decode_stats": """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+           FROM documents),
+px AS (SELECT doc_id, w, h, r.r AS r, c.c AS c
+       FROM d, unnest(generate_series(0, h - 1)) AS r(r),
+              unnest(generate_series(0, w - 1)) AS c(c))
+SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+  round(sum((doc_id*31 + r*7 + c*3) % 256) /
+        (any_value(w) * any_value(h)), 6) AS mean_r,
+  round(sum((doc_id*31 + r*7 + c*3 + 11) % 256) /
+        (any_value(w) * any_value(h)), 6) AS mean_g,
+  round(sum((doc_id*31 + r*7 + c*3 + 22) % 256) /
+        (any_value(w) * any_value(h)), 6) AS mean_b
+FROM px GROUP BY doc_id
 """,
     }

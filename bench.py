@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "daily_type_pivot",
     "mad_outliers",
     "char_entropy",
+    "image_decode_stats",
 ]
 
 

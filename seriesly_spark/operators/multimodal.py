@@ -3,16 +3,19 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct alongside. The Spark-side machinery that matters at scale —
 schema, Arrow batch shape, ``mapInPandas`` signatures, partition-friendly
-layout — is real and tested; the actual codec step is STUBBED
-(``decode_image`` raises NotImplementedError: the image/audio libraries are
-not in this container) behind a deterministic byte-level metadata
-extractor, so the pipeline shape is verifiable end-to-end.
+layout — is real and tested. The codec layer is REAL for binary PPM (P6)
+images (pure-numpy parser, no external library) and gated for everything
+else: ``decode_image`` dispatches P6 payloads to the built-in parser,
+tries PIL if installed for other formats, and raises NotImplementedError
+otherwise (JPEG/PNG/libav are not in this container). The byte-level
+metadata/frame/feature extractors below remain codec-free plumbing.
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -20,10 +23,66 @@ from pyspark.sql import functions as F
 META_SCHEMA = "doc_id long, n_bytes long, width long, height long, n_frames long"
 
 
-def decode_image(payload: bytes):  # pragma: no cover - deliberate stub
-    """Real decoder entry point (PIL/libav territory). Not available in
-    this environment; the plumbing below uses byte-derived fake metadata."""
-    raise NotImplementedError("image/audio codecs are not available in this container")
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    """Serialize an (h, w, 3) uint8 array as binary PPM (P6) — the
+    simplest real raster format, writable/parsable without any imaging
+    library. Used by tests and the decode gate to manufacture genuine
+    image payloads."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> "np.ndarray":
+    """Parse a binary PPM (P6) payload to an (h, w, 3) uint8 array.
+    Strict: malformed headers/short payloads raise ValueError (callers
+    that want degrade-to-null wrap this — the analytics convention is
+    explicit, not silent, corruption handling)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # Header = magic, width, height, maxval as whitespace-separated
+    # tokens (comments unsupported — this is a data-plane codec, not a
+    # general reader), then ONE whitespace byte, then raw RGB.
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    raw = payload[pos : pos + w * h * 3]
+    if len(raw) != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode an image payload to an (h, w, 3) uint8 array. P6 PPM is
+    decoded by the built-in pure-numpy parser; other formats dispatch to
+    PIL when available and raise NotImplementedError here (this
+    container has no imaging libraries — reinstalling PIL makes
+    JPEG/PNG work with no other change)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    try:  # pragma: no cover - PIL absent in this environment
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        raise NotImplementedError(
+            "only PPM(P6) decodes built-in; JPEG/PNG need PIL, which is "
+            "not available in this container"
+        )
 
 
 def payload_metadata(
@@ -116,3 +175,54 @@ def payload_features(
             )
 
     return src.mapInPandas(embed, EMBED_SCHEMA)
+
+
+IMG_STATS_SCHEMA = (
+    "doc_id long, width long, height long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def image_channel_stats(
+    images: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL decode stage: parse each binary image payload (PPM built-in;
+    see decode_image) inside Arrow-batched ``mapInPandas`` and emit
+    dimensions + per-channel means. Channel means are computed as exact
+    integer sums divided once (doubles that are bit-identical to any
+    engine summing the same pixels), rounded to 6.
+
+    This is the canonical decode->stats plan at 100 TB: the binary column
+    never leaves the executor, one Python worker per core decodes its
+    Arrow batches, output is a narrow row per image — no shuffle at all.
+    """
+    src = images.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                arr = decode_image(bytes(payload))
+                h, w, _ = arr.shape
+                npx = h * w
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[name].append(
+                        round(int(arr[:, :, ch].sum(dtype=np.int64)) / npx, 6)
+                    )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(stats, IMG_STATS_SCHEMA)
+
+
+def resize_nearest(arr: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Nearest-neighbor resize (pure numpy index mapping — the resize
+    stage of a decode->resize->encode pipeline, PIL-free). Source pixel
+    for output (r, c) = floor(r * h / out_h), floor(c * w / out_w)."""
+    h, w, _ = arr.shape
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return arr[ri[:, None], ci[None, :], :]

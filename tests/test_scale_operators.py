@@ -497,3 +497,61 @@ class TestAnnTopkQuantized:
         exact = [tuple(r) for r in ann_topk_cosine(emb, query_id=0, k=10).collect()]
         quant = [tuple(r) for r in ann_topk_quantized(emb, query_id=0, k=10).collect()]
         assert quant == exact  # expand=4 fully recovers the exact order here
+
+
+class TestPpmCodec:
+    def test_roundtrip(self):
+        import numpy as np
+
+        from seriesly_spark.operators.multimodal import decode_ppm, encode_ppm
+
+        arr = (np.arange(5 * 4 * 3) % 256).astype(np.uint8).reshape(5, 4, 3)
+        out = decode_ppm(encode_ppm(arr))
+        assert out.shape == (5, 4, 3)
+        assert (out == arr).all()
+
+    def test_malformed_raises(self):
+        import pytest as _pytest
+
+        from seriesly_spark.operators.multimodal import decode_image, decode_ppm
+
+        with _pytest.raises(ValueError):
+            decode_ppm(b"P6\n4 5\n255\nshort")
+        with _pytest.raises(ValueError):
+            decode_ppm(b"P3\n1 1\n255\n000")  # ASCII PPM is not P6
+        with _pytest.raises((NotImplementedError, ValueError)):
+            decode_image(b"\x89PNG....")  # no PIL in this container
+
+    def test_resize_nearest(self):
+        import numpy as np
+
+        from seriesly_spark.operators.multimodal import resize_nearest
+
+        arr = np.zeros((4, 4, 3), dtype=np.uint8)
+        arr[2:, 2:, :] = 255  # bottom-right quadrant white
+        small = resize_nearest(arr, 2, 2)
+        assert small.shape == (2, 2, 3)
+        assert small[0, 0, 0] == 0 and small[1, 1, 0] == 255
+
+    def test_channel_stats_match_numpy(self, spark):
+        import numpy as np
+
+        from seriesly_spark.operators.multimodal import (
+            encode_ppm,
+            image_channel_stats,
+        )
+
+        rng = np.random.default_rng(7)
+        arrs = [rng.integers(0, 256, (3, 5, 3), dtype=np.uint8) for _ in range(3)]
+        df = spark.createDataFrame(
+            [(i, bytearray(encode_ppm(a))) for i, a in enumerate(arrs)],
+            "doc_id long, payload binary",
+        )
+        got = {r.doc_id: r for r in image_channel_stats(df).collect()}
+        for i, a in enumerate(arrs):
+            r = got[i]
+            assert (r.width, r.height) == (5, 3)
+            for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                assert getattr(r, name) == round(
+                    int(a[:, :, ch].sum()) / 15, 6
+                )
