@@ -74,6 +74,7 @@ from seriesly_spark.operators.textstats import (
     STOPWORDS,
     char_entropy,
     clean_text,
+    collocation_pmi,
     fingerprint,
     lang_id,
     quality_filter,
@@ -1911,6 +1912,15 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_channel_stats(imgs)
 
 
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 adjacent-bigram collocations by PMI (min_count=2, Church &
+    Hanks hapax correction): narrow in-document bigram formation, two
+    vocabulary-sized hash aggregates, (token, count)-only joins."""
+    return collocation_pmi(
+        _table(spark, sf_dir, "documents"), k=10, min_count=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -1967,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "char_entropy": q_char_entropy,
         "image_decode_stats": q_image_decode_stats,
+        "collocation_pmi": q_collocation_pmi,
         # --- driver-certified in r01/r02: tail (local gate still runs) ---
         "s01_range_read": q_s01_range_read,
         "s03_point_lookup": q_s03_point_lookup,
@@ -2977,5 +2988,24 @@ SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
   round(sum((doc_id*31 + r*7 + c*3 + 22) % 256) /
         (any_value(w) * any_value(h)), 6) AS mean_b
 FROM px GROUP BY doc_id
+""",
+        "collocation_pmi": """
+WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+u AS (SELECT unnest(toks) AS w FROM t),
+uc AS (SELECT w, count(*) AS c_w FROM u GROUP BY 1),
+bp AS (SELECT toks[i] AS x, toks[i + 1] AS y
+       FROM t, unnest(range(1, len(toks))) AS r(i)),
+bc AS (SELECT x, y, count(*) AS c_xy FROM bp GROUP BY 1, 2
+       HAVING count(*) >= 2),
+n AS (SELECT cast(sum(greatest(len(toks) - 1, 0)) as bigint) AS n_bigrams
+      FROM t),
+s AS (SELECT x, y, c_xy, ux.c_w AS c_x, uy.c_w AS c_y,
+        round(log2(cast(n_bigrams as double) * c_xy /
+                   (cast(ux.c_w as double) * uy.c_w)), 6) AS pmi
+      FROM bc JOIN uc ux ON bc.x = ux.w JOIN uc uy ON bc.y = uy.w, n),
+r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, x, y) AS rank
+      FROM s)
+SELECT x, y, c_xy, c_x, c_y, pmi, rank FROM r WHERE rank <= 10
 """,
     }

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "mad_outliers",
     "char_entropy",
     "image_decode_stats",
+    "collocation_pmi",
 ]
 
 

@@ -345,3 +345,79 @@ def char_entropy(
         "n_distinct_chars",
         F.round(F.log2(n) - F.col("__clogc") / n, 6).alias("entropy"),
     )
+
+
+def collocation_pmi(
+    docs: DataFrame,
+    k: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual information:
+    ``pmi(x, y) = log2(n_bigrams * c_xy / (c_x * c_y))`` over corpus-wide
+    counts, with ``min_count`` pruning rare bigrams (raw PMI is maximized
+    by hapax pairs — the standard Church & Hanks correction). The
+    collocation pass of corpus analysis: which word pairs travel together
+    far more than chance.
+
+    Dataflow: bigram formation is a narrow array transform inside each
+    document (no shuffle — ``transform`` over token indices); counts are
+    two hash aggregates whose partials collapse map-side to vocabulary
+    size, and the bigram->unigram joins move only (token, count) pairs.
+    Unigram counts for x and y attach via two equi-joins on the bigram
+    table (already collapsed to distinct bigrams, NOT the corpus). PMI
+    rounds to 6 BEFORE the rank window so ordering cannot flip on log
+    last-ulps; ties break lexicographically. Output:
+    (x, y, c_xy, c_x, c_y, pmi, rank).
+    """
+    t = tokens(text_col)
+    toks = docs.select(t.alias("__t")).persist()
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.slice("__t", 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                    lambda x, i: F.struct(
+                        x.alias("x"), F.col("__t")[i + 1].alias("y")
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.x", "b.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+    )
+    n_bi = toks.select(
+        F.sum(F.greatest(F.size("__t") - 1, F.lit(0))).alias("n_bigrams")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        bi.join(uni.select(F.col("w").alias("x"), F.col("c_w").alias("c_x")), "x")
+        .join(uni.select(F.col("w").alias("y"), F.col("c_w").alias("c_y")), "y")
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "x", "y", "c_xy", "c_x", "c_y",
+            F.round(
+                F.log2(
+                    F.col("n_bigrams").cast("double") * F.col("c_xy")
+                    / (F.col("c_x").cast("double") * F.col("c_y"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    # Top-k FIRST via sort+limit (TakeOrderedAndProject: per-partition
+    # partial top-k merged at the driver — no global sort of the scored
+    # table), THEN rank the k survivors with a window that only ever
+    # sees k rows. A bare row_number window here would single-partition
+    # the whole vocabulary-squared candidate table.
+    top = scored.orderBy(F.desc("pmi"), "x", "y").limit(k)
+    w = Window.orderBy(F.desc("pmi"), "x", "y")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

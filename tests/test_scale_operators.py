@@ -555,3 +555,25 @@ class TestPpmCodec:
                 assert getattr(r, name) == round(
                     int(a[:, :, ch].sum()) / 15, 6
                 )
+
+
+class TestCollocationPmi:
+    def test_hapax_pruned_and_collocation_ranks_first(self, spark):
+        from seriesly_spark.operators.textstats import collocation_pmi
+
+        # "new york" always travels together (3x); "the cat"/"the dog"
+        # share a promiscuous left word; "rare pair" occurs once (hapax).
+        docs = spark.createDataFrame(
+            [
+                ("new york new york is big",),
+                ("the cat and the dog saw new york",),
+                ("rare pair",),
+            ],
+            "text string",
+        )
+        out = collocation_pmi(docs, k=5, min_count=2).collect()
+        assert all((r.x, r.y) != ("rare", "pair") for r in out)  # pruned
+        assert (out[0].x, out[0].y) == ("new", "york")  # tightest pair
+        assert out[0].c_xy == 3
+        ranks = [r.rank for r in out]
+        assert ranks == sorted(ranks)
