@@ -34,6 +34,7 @@ from seriesly_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     paragraph_dedup,
+    semantic_dedup,
     simhash32_md5,
     word_shingles,
 )
@@ -241,6 +242,60 @@ n AS (SELECT cid, count(*) AS n_members FROM a3 GROUP BY 1)
 SELECT m3.cid AS cluster, m3.dim, round(m3.mean, 6) AS centroid, n.n_members
 FROM m3 JOIN n USING (cid)
 """
+
+def _dotsql(a: str, b: str) -> str:
+    """Decimal-accumulated dot product, the DuckDB mirror of
+    operators.similarity.dot."""
+    return (
+        f"cast(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> cast(cast(p[1] as double) * cast(p[2] as double) "
+        f"as decimal(38,18)))) as double)"
+    )
+
+
+def _n2sql(a: str) -> str:
+    """Decimal-accumulated squared norm (similarity.norm2 mirror)."""
+    return (
+        f"cast(list_sum(list_transform({a}, "
+        f"x -> cast(cast(x as double) * cast(x as double) "
+        f"as decimal(38,18)))) as double)"
+    )
+
+
+def _cossql(a: str, b: str) -> str:
+    return f"round({_dotsql(a, b)} / (sqrt({_n2sql(a)}) * sqrt({_n2sql(b)})), 6)"
+
+
+# SemDeDup oracle: unrolled 2-round kmeans codebook (round-6 centroids,
+# mirroring kmeans_lloyd's output rounding), max-cosine assignment
+# (ivf_assign mirror), in-cluster pairwise cosine >= tau, greater id of
+# any flagged pair = duplicate.
+_SEMDEDUP_SQL = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (SELECT vec_id AS cid,
+         list_transform(embedding, x -> cast(x as double)) AS cv
+       FROM v ORDER BY vec_id LIMIT 4),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        unnest(embedding) AS val FROM v),{_km_round(1, 'c0')},{_km_round(2, 'c1')},
+cr AS (SELECT cid, list(round(mean, 6) ORDER BY dim) AS cv
+       FROM m2 GROUP BY cid),
+sc AS (SELECT v.vec_id, cr.cid,
+         {_cossql('v.embedding', 'cr.cv')} AS sim
+       FROM v, cr),
+asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid, row_number() OVER
+            (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM sc)
+        WHERE rn = 1),
+av AS (SELECT asg.vec_id, asg.cid, v.embedding
+       FROM asg JOIN v USING (vec_id)),
+losers AS (SELECT DISTINCT b.vec_id
+           FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE {_cossql('a.embedding', 'b.embedding')} >= 0.4)
+SELECT av.vec_id, av.cid AS cluster,
+       av.vec_id IN (SELECT vec_id FROM losers) AS is_dup
+FROM av
+"""
+
 
 # 16-bit md5 key hash over hex string `h`, the DuckDB mirror of
 # operators.sampling._md5_u16 (deterministic sampling / splits).
@@ -1921,6 +1976,17 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition: 2-round kmeans codebook -> max-cosine
+    assignment -> in-cluster pairwise cosine >= tau -> keep-lowest-id.
+    tau=0.4 on this corpus (no planted near-dups; max pair cosine ~0.51
+    — same stance as dedup_cosine_pairs) so the flag set is non-vacuous.
+    Pairwise work is bounded per cluster, never corpus-quadratic."""
+    return semantic_dedup(
+        _table(spark, sf_dir, "embeddings"), k=4, iterations=2, tau=0.4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -1978,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "image_decode_stats": q_image_decode_stats,
         "collocation_pmi": q_collocation_pmi,
+        "semantic_dedup": q_semantic_dedup,
         # --- driver-certified in r01/r02: tail (local gate still runs) ---
         "s01_range_read": q_s01_range_read,
         "s03_point_lookup": q_s03_point_lookup,
@@ -3008,4 +3075,5 @@ r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, x, y) AS rank
       FROM s)
 SELECT x, y, c_xy, c_x, c_y, pmi, rank FROM r WHERE rank <= 10
 """,
+        "semantic_dedup": _SEMDEDUP_SQL,
     }

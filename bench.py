@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "char_entropy",
     "image_decode_stats",
     "collocation_pmi",
+    "semantic_dedup",
 ]
 
 

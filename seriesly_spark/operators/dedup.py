@@ -424,3 +424,74 @@ def paragraph_dedup(
             sep,
         ).alias(text_col),
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): train a k-means codebook, assign every embedding
+    to its max-cosine centroid, and ONLY WITHIN each cluster flag pairs
+    with cosine >= ``tau``; a vector is a duplicate if it is the greater
+    id of any flagged pair (deterministic keep-lowest-id policy — chains
+    can over-remove relative to connected-components-keep-min, which is
+    the documented SemDeDup trade: cheap, local, deterministic).
+
+    THE scale property: pairwise comparison is bounded per cluster
+    (sum of |cluster|^2), never corpus-quadratic — the codebook is the
+    knob that caps the blast radius, exactly as in the paper (they run
+    100k clusters over 5B embeddings). Composition of proven operators:
+    clustering.kmeans_lloyd (broadcast codebook rounds) +
+    similarity.ivf_assign (broadcast argmax) + one equi-join on the
+    cluster id. Output: (id, cluster, is_dup) for every input vector.
+    """
+    from seriesly_spark.operators.clustering import kmeans_lloyd
+    from seriesly_spark.operators.similarity import cosine, ivf_assign
+
+    cb = kmeans_lloyd(
+        vectors, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    codebook = (
+        cb.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s.getField("centroid"),
+            ).alias(vec_col)
+        )
+        .select(F.col("cluster").alias("centroid_id"), vec_col)
+    )
+    assigned = ivf_assign(
+        vectors, codebook, id_col=id_col, vec_col=vec_col
+    ).persist()
+    a = assigned.select(
+        F.col("centroid_id").alias("__cid"),
+        F.col(id_col).alias("__a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        F.col("centroid_id").alias("__cid"),
+        F.col(id_col).alias("__b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    losers = (
+        a.join(b, "__cid")
+        .where(F.col("__a") < F.col("__b"))
+        .where(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= tau)
+        .select(F.col("__b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(losers, id_col, "left")
+        .select(
+            id_col,
+            F.col("centroid_id").alias("cluster"),
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -577,3 +577,41 @@ class TestCollocationPmi:
         assert out[0].c_xy == 3
         ranks = [r.rank for r in out]
         assert ranks == sorted(ranks)
+
+
+class TestSemanticDedup:
+    def test_clone_flagged_original_kept(self, spark):
+        from seriesly_spark.operators.dedup import semantic_dedup
+
+        base = [float(x) for x in (1, 0, 0, 0)]
+        near = [0.99, 0.01, 0.0, 0.0]          # cosine ~0.9999 with base
+        far1 = [0.0, 1.0, 0.0, 0.0]
+        far2 = [0.0, 0.0, 1.0, 0.0]
+        df = spark.createDataFrame(
+            [(0, base), (1, near), (2, far1), (3, far2)],
+            "vec_id long, embedding array<double>",
+        )
+        # k=1: one cluster = plain pairwise over all 4 (k=4 would give
+        # every vector its own singleton cluster and flag nothing —
+        # cluster-bounded comparison is the operator's whole point).
+        out = {r.vec_id: r.is_dup
+               for r in semantic_dedup(df, k=1, iterations=1, tau=0.95).collect()}
+        assert out == {0: False, 1: True, 2: False, 3: False}
+
+    def test_cross_cluster_pairs_never_compared(self, spark):
+        from seriesly_spark.operators.dedup import semantic_dedup
+
+        # Identical vectors seeded as DIFFERENT initial centroids stay in
+        # separate clusters (argmax tie-break is id asc per vector, but
+        # each seeds its own cluster and assignment ties break low) —
+        # with k=2 both land in cluster 0 and ARE compared; sanity-check
+        # the flag still fires only within a shared cluster.
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = semantic_dedup(df, k=2, iterations=1, tau=0.99)
+        rows = {r.vec_id: (r.cluster, r.is_dup) for r in out.collect()}
+        assert rows[0][0] == rows[1][0]          # clones share a cluster
+        assert rows[0][1] is False and rows[1][1] is True
+        assert rows[2][1] is False
