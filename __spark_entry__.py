@@ -92,6 +92,7 @@ from seriesly_spark.operators.analytics import (
     histogram,
     mad_outliers,
     pivot_counts,
+    quantile_transform,
     zscore_outliers,
 )
 from seriesly_spark.operators.clustering import kmeans_lloyd
@@ -99,8 +100,11 @@ from seriesly_spark.operators.packing import chunk_documents, pack_sequences
 from seriesly_spark.operators.windows import (
     fill_gaps,
     hopping_window_agg,
+    minmax_downsample,
     moving_avg,
+    series_gaps,
     sessionize,
+    time_weighted_avg,
     topk_per_group,
 )
 from seriesly_spark.db import SerieslyDB
@@ -1976,6 +1980,39 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted average per event type (LOCF weighting):
+    irregular samples hold their value until the next sample or the
+    bucket edge — burst-robust, unlike the count-weighted mean."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    return time_weighted_avg(
+        ev, ["event_type"], "ts_us", "value", H_MS, tiebreak_col="event_id"
+    )
+
+
+def q_series_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collector-outage detection: every >1h hole between consecutive
+    samples of a type (single lead() window, integer math)."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    return series_gaps(ev, ["event_type"], "ts_us", 3_600_000_000)
+
+
+def q_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extrema-preserving hourly downsample (render-safe plotting
+    reduction): one struct-min/max hash aggregate, no sort."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    return minmax_downsample(ev, ["event_type"], "ts_us", "value", H_MS)
+
+
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type percent-rank normalization of event values (exact
+    distribution-free feature rescaling, ties share ranks)."""
+    ev = _events(spark, sf_dir)
+    return quantile_transform(
+        ev, "value", ["event_type"], id_cols=["event_id"]
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup composition: 2-round kmeans codebook -> max-cosine
     assignment -> in-cluster pairwise cosine >= tau -> keep-lowest-id.
@@ -2045,6 +2082,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stats": q_image_decode_stats,
         "collocation_pmi": q_collocation_pmi,
         "semantic_dedup": q_semantic_dedup,
+        "time_weighted_avg": q_time_weighted_avg,
+        "series_gaps": q_series_gaps,
+        "minmax_downsample": q_minmax_downsample,
+        "quantile_transform": q_quantile_transform,
         # --- driver-certified in r01/r02: tail (local gate still runs) ---
         "s01_range_read": q_s01_range_read,
         "s03_point_lookup": q_s03_point_lookup,
@@ -3076,4 +3117,47 @@ r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, x, y) AS rank
 SELECT x, y, c_xy, c_x, c_y, pmi, rank FROM r WHERE rank <= 10
 """,
         "semantic_dedup": _SEMDEDUP_SQL,
+        "time_weighted_avg": f"""
+WITH s AS (SELECT event_type, event_id, epoch_us(ts) AS t, value
+           FROM events),
+l AS (SELECT event_type, t, value, t // {H_MS * 1000} AS bi,
+        lead(t) OVER (PARTITION BY event_type ORDER BY t, event_id) AS nt
+      FROM s),
+w AS (SELECT event_type, bi * {H_MS} AS bucket_ms,
+        cast(value * (least(coalesce(nt, (bi + 1) * {H_MS * 1000}),
+                            (bi + 1) * {H_MS * 1000}) - t)
+             as decimal(38,18)) AS wv,
+        least(coalesce(nt, (bi + 1) * {H_MS * 1000}),
+              (bi + 1) * {H_MS * 1000}) - t AS dt
+      FROM l)
+SELECT event_type, bucket_ms,
+       round(cast(sum(wv) as double) / sum(dt), 6) AS twa
+FROM w GROUP BY 1, 2
+""",
+        "series_gaps": """
+WITH s AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+l AS (SELECT event_type, t AS gap_start_us,
+        lead(t) OVER (PARTITION BY event_type ORDER BY t) AS gap_end_us
+      FROM s)
+SELECT event_type, gap_start_us, gap_end_us,
+       gap_end_us - gap_start_us AS gap_us
+FROM l WHERE gap_end_us - gap_start_us > 3600000000
+""",
+        "minmax_downsample": f"""
+WITH b AS (SELECT event_type,
+             (epoch_us(ts) // {H_MS * 1000}) * {H_MS} AS bucket_ms,
+             value AS v, epoch_us(ts) AS t FROM events)
+SELECT event_type, bucket_ms,
+  (min({{'v': v, 't': t}})).v AS min_v,
+  (min({{'v': v, 't': t}})).t AS min_ts_us,
+  (max({{'v': v, 't': t}})).v AS max_v,
+  (max({{'v': v, 't': t}})).t AS max_ts_us
+FROM b GROUP BY 1, 2
+""",
+        "quantile_transform": """
+SELECT event_id, event_type, value,
+  round(percent_rank() OVER
+          (PARTITION BY event_type ORDER BY value), 6) AS pct_rank
+FROM events
+""",
     }

@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "image_decode_stats",
     "collocation_pmi",
     "semantic_dedup",
+    "time_weighted_avg",
+    "minmax_downsample",
+    "quantile_transform",
 ]
 
 

@@ -319,3 +319,32 @@ def mad_outliers(
         .where(F.abs(F.col("mz")) >= threshold)
         .select(*id_cols, *group_cols, value_col, "mz")
     )
+
+
+def quantile_transform(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_cols: list[str] | None = None,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Per-group quantile (percent-rank) normalization of a feature:
+    each value maps to (rank - 1) / (n - 1) within its group — the
+    distribution-free rescaling used to make skewed features comparable
+    across groups (scikit-learn's QuantileTransformer shape, exact).
+    Ties share a rank (standard percent_rank), identically in Spark and
+    DuckDB; the single-row group edge case yields 0.0. Rounds to 6.
+
+    One shuffle: the rank window sorts each group once. Per-group data
+    must fit a partition's sort budget — at extreme group cardinality
+    swap in approx_percentile bin edges (operators/sketches.py) and
+    grade values against the sketch instead.
+    """
+    id_cols = id_cols or []
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    return df.select(
+        *id_cols,
+        *group_cols,
+        value_col,
+        F.round(F.percent_rank().over(w), 6).alias(out_col),
+    )

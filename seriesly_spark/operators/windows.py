@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from seriesly_spark.functions.bucketing import idiv
+
 
 def topk_per_group(
     df: DataFrame,
@@ -192,4 +194,112 @@ def moving_avg(
     return bucketed.withColumn(
         out_col,
         F.round(dec_sum.cast("double") / F.count(F.lit(1)).over(w), 6),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_us_col: str,
+    value_col: str,
+    bucket_ms: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per bucket for IRREGULARLY sampled series
+    (the TimescaleDB ``time_weight('LOCF')`` shape): each sample holds
+    its value until the next sample or the bucket end, and the bucket
+    average weights values by held duration instead of sample count —
+    a burst of 100 readings in one second no longer drowns the 59
+    quiet seconds.
+
+    Weights are exact integer microseconds (lead(ts) clamped to the
+    bucket end); value x weight casts to DECIMAL(38,18) so the weighted
+    sum is order-independent; the single division rounds to 6. One
+    shuffle: the lead() window and the bucket aggregate share the
+    series-key partitioning. Samples that are the last in their bucket
+    extend to the bucket boundary (LOCF); the held interval of a sample
+    never crosses its own bucket (the next bucket re-anchors at its
+    first sample — the standard per-bucket LOCF convention).
+    """
+    us = bucket_ms * 1000
+    # tiebreak: two samples at the SAME microsecond would otherwise get
+    # nondeterministic lead() pairing — the zero-duration one drops out,
+    # and WHICH drops must not depend on partition luck.
+    order = [ts_us_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(*series_cols).orderBy(*order)
+    ts = F.col(ts_us_col)
+    # idiv, not `/`+floor: double division of µs-scale longs rounds at
+    # bucket boundaries (see functions/bucketing.py).
+    bucket_idx = idiv(ts, us)
+    bucket_end = (bucket_idx + 1) * us
+    nxt = F.coalesce(F.lead(ts_us_col).over(w), bucket_end)
+    dt = F.least(nxt, bucket_end) - ts
+    weighted = (
+        df.select(
+            *series_cols,
+            (bucket_idx * F.lit(bucket_ms)).cast("long").alias("bucket_ms"),
+            (F.col(value_col) * dt).cast("decimal(38,18)").alias("__wv"),
+            dt.alias("__dt"),
+        )
+    )
+    return weighted.groupBy(*series_cols, "bucket_ms").agg(
+        F.round(
+            F.sum("__wv").cast("double") / F.sum("__dt"), 6
+        ).alias("twa")
+    )
+
+
+def series_gaps(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_us_col: str,
+    min_gap_us: int,
+) -> DataFrame:
+    """Report every hole longer than ``min_gap_us`` between consecutive
+    samples of a series — the monitoring primitive behind "did the
+    collector stop?" alerts. One lead() window per series key (single
+    shuffle), integer math only. Output: (series, gap_start_us,
+    gap_end_us, gap_us)."""
+    w = Window.partitionBy(*series_cols).orderBy(ts_us_col)
+    nxt = F.lead(ts_us_col).over(w)
+    return (
+        df.select(
+            *series_cols,
+            F.col(ts_us_col).alias("gap_start_us"),
+            nxt.alias("gap_end_us"),
+        )
+        .withColumn("gap_us", F.col("gap_end_us") - F.col("gap_start_us"))
+        .where(F.col("gap_us") > min_gap_us)
+    )
+
+
+def minmax_downsample(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_us_col: str,
+    value_col: str,
+    bucket_ms: int,
+) -> DataFrame:
+    """Extrema-preserving downsampling: per bucket keep the minimum and
+    maximum sample (value AND its timestamp) — the render-safe reduction
+    for plotting billions of points (spikes survive, unlike plain avg).
+    ONE hash aggregate of struct min/max (lexicographic — value ties
+    break deterministically on the timestamp: earliest for the min,
+    latest for the max, identically in Spark and DuckDB); no window, no
+    sort, map-side partials. Output: (series, bucket_ms, min_v,
+    min_ts_us, max_v, max_ts_us)."""
+    us = bucket_ms * 1000
+    ts = F.col(ts_us_col)
+    b = (idiv(ts, us) * F.lit(bucket_ms)).cast("long")
+    lo = F.min(F.struct(F.col(value_col).alias("v"), ts.alias("t")))
+    hi = F.max(F.struct(F.col(value_col).alias("v"), ts.alias("t")))
+    return (
+        df.select(*series_cols, b.alias("bucket_ms"), value_col, ts_us_col)
+        .groupBy(*series_cols, "bucket_ms")
+        .agg(
+            lo["v"].alias("min_v"),
+            lo["t"].alias("min_ts_us"),
+            hi["v"].alias("max_v"),
+            hi["t"].alias("max_ts_us"),
+        )
     )

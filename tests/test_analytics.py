@@ -269,3 +269,80 @@ class TestCharEntropy:
         assert out[1] == (4, 1, 0.0)       # constant -> 0 bits
         assert out[2] == (4, 2, 1.0)       # uniform over 2 -> 1 bit
         assert out[3] == (4, 4, 2.0)       # uniform over 4 -> 2 bits
+
+
+class TestTimeWeightedAvg:
+    def test_locf_weighting_beats_burst(self, spark):
+        from seriesly_spark.operators.windows import time_weighted_avg
+
+        # Bucket [0, 60s): value 10 holds 50s, then a 10-sample burst of
+        # 0 in the last 10s. Count-mean = ~0.9; TWA stays near 10*5/6.
+        rows = [("a", 0, 0, 10.0)] + [
+            ("a", 50_000_000 + i * 1_000_000, i + 1, 0.0) for i in range(10)
+        ]
+        df = spark.createDataFrame(
+            rows, "g string, ts_us long, event_id long, v double"
+        )
+        out = time_weighted_avg(
+            df, ["g"], "ts_us", "v", bucket_ms=60_000, tiebreak_col="event_id"
+        ).collect()
+        assert len(out) == 1
+        # 10.0 * 50s / 60s = 8.333333
+        assert out[0].twa == 8.333333
+
+    def test_same_ts_tiebreak_deterministic(self, spark):
+        from seriesly_spark.operators.windows import time_weighted_avg
+
+        # Two samples at the same microsecond: the lower event_id holds
+        # for 0us, the higher carries to the bucket end.
+        rows = [("a", 0, 1, 100.0), ("a", 0, 2, 4.0)]
+        df = spark.createDataFrame(
+            rows, "g string, ts_us long, event_id long, v double"
+        )
+        out = time_weighted_avg(
+            df, ["g"], "ts_us", "v", bucket_ms=1, tiebreak_col="event_id"
+        ).collect()
+        assert out[0].twa == 4.0
+
+
+class TestSeriesGaps:
+    def test_reports_only_holes_above_threshold(self, spark):
+        from seriesly_spark.operators.windows import series_gaps
+
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 10), ("a", 1000), ("b", 0)],
+            "g string, ts_us long",
+        )
+        out = [(r.g, r.gap_start_us, r.gap_end_us, r.gap_us)
+               for r in series_gaps(df, ["g"], "ts_us", 100).collect()]
+        assert out == [("a", 10, 1000, 990)]  # 0->10 too small; b has none
+
+
+class TestMinmaxDownsample:
+    def test_extrema_and_tiebreaks(self, spark):
+        from seriesly_spark.operators.windows import minmax_downsample
+
+        rows = [("a", 0, 5.0), ("a", 10, 1.0), ("a", 20, 1.0),
+                ("a", 30, 9.0), ("a", 40, 9.0)]
+        df = spark.createDataFrame(rows, "g string, ts_us long, v double")
+        r = minmax_downsample(df, ["g"], "ts_us", "v", bucket_ms=1).collect()[0]
+        # min ties -> earliest ts; max ties -> latest ts (struct lexicographic)
+        assert (r.min_v, r.min_ts_us) == (1.0, 10)
+        assert (r.max_v, r.max_ts_us) == (9.0, 40)
+
+
+class TestQuantileTransform:
+    def test_rank_normalization(self, spark):
+        from seriesly_spark.operators.analytics import quantile_transform
+
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 20.0), (4, "a", 40.0),
+             (5, "b", 7.0)],
+            "event_id long, g string, v double",
+        )
+        out = {r.event_id: r.pct_rank
+               for r in quantile_transform(df, "v", ["g"], ["event_id"]).collect()}
+        assert out[1] == 0.0
+        assert out[2] == out[3] == round(1 / 3, 6)  # ties share rank
+        assert out[4] == 1.0
+        assert out[5] == 0.0  # single-row group
