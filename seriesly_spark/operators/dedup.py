@@ -451,7 +451,7 @@ def semantic_dedup(
     cluster id. Output: (id, cluster, is_dup) for every input vector.
     """
     from seriesly_spark.operators.clustering import kmeans_lloyd
-    from seriesly_spark.operators.similarity import cosine, ivf_assign
+    from seriesly_spark.operators.similarity import ivf_assign
 
     cb = kmeans_lloyd(
         vectors, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
@@ -465,24 +465,52 @@ def semantic_dedup(
             ).alias(vec_col)
         )
         .select(F.col("cluster").alias("centroid_id"), vec_col)
+        # Eager checkpoint of the k-row codebook: it feeds a broadcast
+        # AND sits under both sides of the pairwise self-join — without
+        # materialization the whole kmeans training plan re-executes per
+        # consumer (measured 25 s -> ~4 s at the sf0.1 gate).
+        .localCheckpoint(eager=True)
     )
+    # Materialize the assignment table before fan-out: it feeds BOTH
+    # sides of the pairwise self-join plus the final output — a lazy
+    # persist leaves all three consumers computing it concurrently
+    # inside one action (none sees the others' cache). persist + count
+    # populates the cache once; the pairwise stage then reads memory.
+    # (SemDeDup materializes cluster assignments by design; at cluster
+    # scale this is the "write assignments partitioned by cluster" step.)
     assigned = ivf_assign(
         vectors, codebook, id_col=id_col, vec_col=vec_col
     ).persist()
-    a = assigned.select(
+    assigned.count()
+    # Norms hoisted out of the pairwise loop: |cluster| sqrt-of-decimal
+    # computations instead of 2 x |pairs| (same decimal formula, same
+    # values — the oracle's per-pair norm is numerically identical).
+    from seriesly_spark.operators.similarity import dot, norm2  # noqa: E402
+
+    withn = assigned.withColumn("__n", F.sqrt(norm2(F.col(vec_col))))
+    a = withn.select(
         F.col("centroid_id").alias("__cid"),
         F.col(id_col).alias("__a"),
         F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
     )
-    b = assigned.select(
+    b = withn.select(
         F.col("centroid_id").alias("__cid"),
         F.col(id_col).alias("__b"),
         F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
     losers = (
         a.join(b, "__cid")
         .where(F.col("__a") < F.col("__b"))
-        .where(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= tau)
+        .where(
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            )
+            >= tau
+        )
         .select(F.col("__b").alias(id_col))
         .distinct()
         .withColumn("__dup", F.lit(True))
