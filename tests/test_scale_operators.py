@@ -615,3 +615,61 @@ class TestSemanticDedup:
         assert rows[0][0] == rows[1][0]          # clones share a cluster
         assert rows[0][1] is False and rows[1][1] is True
         assert rows[2][1] is False
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestRound3PlanShapes:
+    """Pin the scale-relevant physical-plan properties of the round-3
+    operators — the properties their docstrings promise."""
+
+    def test_histogram_single_aggregate_no_window(self, spark):
+        from seriesly_spark.operators.analytics import histogram
+
+        df = spark.range(100).select(
+            (F.col("id") % 3).alias("g"), F.col("id").cast("double").alias("v")
+        )
+        p = _plan(histogram(df, "v", ["g"], 0.0, 100.0, 10))
+        assert "Window" not in p
+        bc = p.count("BroadcastExchange")
+        assert p.count("Exchange") - bc == 1  # one shuffle, the aggregate's
+
+    def test_mad_outliers_data_path_never_shuffles_events(self, spark):
+        from seriesly_spark.operators.analytics import mad_outliers
+
+        df = spark.range(1000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 5).alias("g"),
+            F.col("id").cast("double").alias("v"),
+        )
+        p = _plan(mad_outliers(df, "v", ["g"], id_cols=["event_id"]))
+        # The two median aggregates shuffle their tiny per-group rows;
+        # the event rows themselves ride broadcast joins only.
+        assert p.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in p
+
+    def test_minmax_downsample_one_aggregate_no_sort(self, spark):
+        from seriesly_spark.operators.windows import minmax_downsample
+
+        df = spark.range(100).select(
+            (F.col("id") % 3).alias("g"),
+            (F.col("id") * 1000).alias("ts_us"),
+            F.col("id").cast("double").alias("v"),
+        )
+        p = _plan(minmax_downsample(df, ["g"], "ts_us", "v", 60_000))
+        # Struct min/max compiles to SortAggregate (partial+final) — the
+        # properties that matter: map-side partials before the single
+        # shuffle, and no Window over the data.
+        assert "Window" not in p
+        assert "partial_min" in p  # map-side collapse
+        bc = p.count("BroadcastExchange")
+        assert p.count("Exchange") - bc == 1
+
+    def test_collocation_pmi_topk_is_take_ordered(self, spark):
+        from seriesly_spark.operators.textstats import collocation_pmi
+
+        docs = spark.createDataFrame([("a b c",), ("a b d",)], "text string")
+        p = _plan(collocation_pmi(docs, k=3, min_count=1))
+        assert "TakeOrderedAndProject" in p  # no global sort of candidates
