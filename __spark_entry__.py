@@ -40,7 +40,9 @@ from seriesly_spark.operators.dedup import (
 )
 from seriesly_spark.operators.joins import asof_join, range_join, salted_join
 from seriesly_spark.operators.multimodal import (
+    audio_stats,
     encode_ppm,
+    encode_wav,
     frame_sample,
     image_channel_stats,
     payload_features,
@@ -1971,6 +1973,36 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_channel_stats(imgs)
 
 
+def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, certified (the WAV sibling of
+    image_decode_stats): each document manufactures a mono 16-bit PCM
+    WAV with sample[i] = ((doc_id*131 + i*17) % 2001) - 1000 at
+    n = 50 + id%40 samples, rate = 8000 + (id%3)*4000; the engine
+    parses the RIFF container back and reports duration / peak / RMS.
+    The oracle computes the same stats symbolically — corruption
+    anywhere in the encode -> binary -> Arrow -> decode path breaks the
+    hash."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 50 + d % 40
+                rate = 8000 + (d % 3) * 4000
+                i = np.arange(n)
+                samples = (((d * 131 + i * 17) % 2001) - 1000).astype(np.int16)
+                payloads.append(encode_wav(samples, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    clips = docs.mapInPandas(make, "doc_id long, payload binary")
+    return audio_stats(clips)
+
+
 def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 adjacent-bigram collocations by PMI (min_count=2, Church &
     Hanks hapax correction): narrow in-document bigram formation, two
@@ -2086,6 +2118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_gaps": q_series_gaps,
         "minmax_downsample": q_minmax_downsample,
         "quantile_transform": q_quantile_transform,
+        # --- slot 51+: head of the NEXT rotation (r4 window) ---
+        "audio_decode_stats": q_audio_decode_stats,
         # --- driver-certified in r01/r02: tail (local gate still runs) ---
         "s01_range_read": q_s01_range_read,
         "s03_point_lookup": q_s03_point_lookup,
@@ -3159,5 +3193,18 @@ SELECT event_id, event_type, value,
   round(percent_rank() OVER
           (PARTITION BY event_type ORDER BY value), 6) AS pct_rank
 FROM events
+""",
+        "audio_decode_stats": """
+WITH d AS (SELECT doc_id, 50 + doc_id % 40 AS n,
+             8000 + (doc_id % 3) * 4000 AS rate FROM documents),
+s AS (SELECT doc_id, n, rate, ((doc_id*131 + i.i*17) % 2001) - 1000 AS v
+      FROM d, unnest(generate_series(0, n - 1)) AS i(i))
+SELECT doc_id,
+  cast(any_value(n) as bigint) AS n_samples,
+  cast(any_value(rate) as bigint) AS sample_rate,
+  round(any_value(n) * 1000.0 / any_value(rate), 6) AS duration_ms,
+  cast(max(abs(v)) as bigint) AS peak,
+  round(sqrt(sum(v * v) / any_value(n)), 6) AS rms
+FROM s GROUP BY doc_id
 """,
     }

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "time_weighted_avg",
     "minmax_downsample",
     "quantile_transform",
+    "audio_decode_stats",
 ]
 
 

@@ -13,6 +13,7 @@ metadata/frame/feature extractors below remain codec-free plumbing.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -226,3 +227,90 @@ def resize_nearest(arr: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
     ri = (np.arange(out_h) * h) // out_h
     ci = (np.arange(out_w) * w) // out_w
     return arr[ri[:, None], ci[None, :], :]
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 16_000) -> bytes:
+    """Serialize a 1-D int16 array as a mono PCM WAV (RIFF) — like
+    encode_ppm, a real container format writable without any audio
+    library. Used by tests and the decode gate."""
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("expected 1-D int16")
+    data = samples.tobytes()
+    n = len(data)
+    hdr = b"RIFF" + (36 + n).to_bytes(4, "little") + b"WAVE"
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")              # PCM
+        + (1).to_bytes(2, "little")              # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")              # block align
+        + (16).to_bytes(2, "little")             # bits/sample
+    )
+    return hdr + fmt + b"data" + n.to_bytes(4, "little") + data
+
+
+def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Parse a mono 16-bit PCM WAV payload to (samples int16, rate).
+    Strict like decode_ppm: unsupported codecs/layouts raise ValueError
+    (multi-chunk files are walked; only PCM/mono/16-bit is accepted)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            codec = int.from_bytes(body[0:2], "little")
+            ch = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if (codec, ch, bits) != (1, 1, 16):
+                raise ValueError("only PCM mono 16-bit supported")
+            rate = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            if len(body) != size:
+                raise ValueError("truncated WAV data chunk")
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, rate
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate long, "
+    "duration_ms double, peak long, rms double"
+)
+
+
+def audio_stats(
+    clips: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio decode stage (the WAV sibling of image_channel_stats):
+    parse PCM payloads inside Arrow-batched ``mapInPandas`` and emit
+    duration, peak amplitude, and RMS. RMS uses an exact int64
+    sum-of-squares divided once (bit-stable for any engine summing the
+    same integers), rounded to 6; duration is exact integer math over
+    the sample rate. Binary never leaves the executor; no shuffle."""
+    src = clips.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_samples", "sample_rate",
+                                    "duration_ms", "peak", "rms")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data, rate = decode_wav(bytes(payload))
+                n = len(data)
+                sq = int((data.astype(np.int64) ** 2).sum())
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(n)
+                rows["sample_rate"].append(rate)
+                rows["duration_ms"].append(round(n * 1000 / rate, 6))
+                rows["peak"].append(int(np.abs(data.astype(np.int64)).max()) if n else 0)
+                # math.sqrt, not **0.5: pow(x, .5) is not guaranteed to
+                # be the correctly-rounded sqrt the SQL side computes.
+                rows["rms"].append(round(math.sqrt(sq / n), 6) if n else 0.0)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(stats, AUDIO_STATS_SCHEMA)

@@ -6,9 +6,13 @@ _r02 each equal exactly the head-50 of the registry at their commits).
 ``CERTIFIED.json`` records, per round, which queries got a fully-green
 driver row.  These tests pin the rotation policy:
 
-* every registry entry is either already driver-certified in some round
-  or sits inside the current head-50 window (i.e. will be certified next
-  driver run) — nothing silently falls out of certification;
+* every registry entry is either already driver-certified in some round,
+  sits inside the current head-50 window (i.e. will be certified next
+  driver run), or — ONLY when the window is already fully packed with
+  never-certified queries — overflows just past it as the staged head of
+  the next rotation. Nothing AVOIDABLY falls out of certification: the
+  overflow exemption dies the moment any certified query occupies a
+  window slot an uncertified one needs;
 * the head of the window is packed with never-certified queries first —
   no certified query occupies a slot a never-certified one needs;
 * the manifest only names real registry queries (no stale entries).
@@ -40,6 +44,24 @@ def test_every_query_certified_or_in_window():
     uncovered = [
         q for i, q in enumerate(order) if q not in certified and i >= WINDOW
     ]
+    window_fully_uncertified = all(
+        q not in certified for q in order[:WINDOW]
+    )
+    # Overflow past the window is legitimate ONLY while the window itself
+    # is maximally used (every slot certifying something new this round)
+    # AND the overflow queries sit contiguously right after it — staged
+    # as the head of the next rotation, not scattered.
+    if uncovered and window_fully_uncertified:
+        staged = [
+            q for q in order[WINDOW:] if q not in certified
+        ]
+        expected_prefix = order[WINDOW : WINDOW + len(staged)]
+        assert staged == expected_prefix, (
+            f"uncertified overflow queries must sit contiguously right "
+            f"after the head-{WINDOW} window (staged for next rotation); "
+            f"found scattered: {staged}"
+        )
+        return
     assert uncovered == [], (
         f"{len(uncovered)} queries are outside the driver's head-{WINDOW} "
         f"window and have never been driver-certified: {uncovered}. "

@@ -673,3 +673,45 @@ class TestRound3PlanShapes:
         docs = spark.createDataFrame([("a b c",), ("a b d",)], "text string")
         p = _plan(collocation_pmi(docs, k=3, min_count=1))
         assert "TakeOrderedAndProject" in p  # no global sort of candidates
+
+
+class TestWavCodec:
+    def test_roundtrip(self):
+        import numpy as np
+
+        from seriesly_spark.operators.multimodal import decode_wav, encode_wav
+
+        s = (np.arange(-5, 6) * 1000).astype(np.int16)
+        data, rate = decode_wav(encode_wav(s, 22_050))
+        assert rate == 22_050
+        assert (data == s).all()
+
+    def test_malformed_raises(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from seriesly_spark.operators.multimodal import decode_wav, encode_wav
+
+        with _pytest.raises(ValueError):
+            decode_wav(b"RIFFxxxxWAVE")  # no fmt/data chunks
+        with _pytest.raises(ValueError):
+            decode_wav(b"OggS" + b"\x00" * 40)  # wrong container
+        good = encode_wav(np.zeros(4, dtype=np.int16))
+        with _pytest.raises(ValueError):
+            decode_wav(good[:-3])  # truncated data chunk
+
+    def test_audio_stats_match_python(self, spark):
+        import math
+
+        import numpy as np
+
+        from seriesly_spark.operators.multimodal import audio_stats, encode_wav
+
+        s = np.array([3, -4, 0, 12], dtype=np.int16)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_wav(s, 8000)))], "doc_id long, payload binary"
+        )
+        (r,) = audio_stats(df).collect()
+        assert (r.n_samples, r.sample_rate, r.peak) == (4, 8000, 12)
+        assert r.duration_ms == 0.5
+        assert r.rms == round(math.sqrt((9 + 16 + 0 + 144) / 4), 6)
