@@ -78,6 +78,7 @@ from seriesly_spark.operators.textstats import (
     char_entropy,
     clean_text,
     collocation_pmi,
+    compression_ratio,
     fingerprint,
     lang_id,
     quality_filter,
@@ -2003,6 +2004,15 @@ def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(clips)
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-deflate compression ratio per document (RefinedWeb-style
+    redundancy screen). Deterministic but not SQL-expressible (no
+    deflate in DuckDB) — registered WITHOUT oracle SQL, so the driver
+    records the rows-only check; unit tests pin known ratios and the
+    repetition < prose < gibberish ordering."""
+    return compression_ratio(_table(spark, sf_dir, "documents"))
+
+
 def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 adjacent-bigram collocations by PMI (min_count=2, Church &
     Hanks hapax correction): narrow in-document bigram formation, two
@@ -2120,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_transform": q_quantile_transform,
         # --- slot 51+: head of the NEXT rotation (r4 window) ---
         "audio_decode_stats": q_audio_decode_stats,
+        "compression_ratio": q_compression_ratio,
         # --- driver-certified in r01/r02: tail (local gate still runs) ---
         "s01_range_read": q_s01_range_read,
         "s03_point_lookup": q_s03_point_lookup,

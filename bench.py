@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "minmax_downsample",
     "quantile_transform",
     "audio_decode_stats",
+    "compression_ratio",
 ]
 
 

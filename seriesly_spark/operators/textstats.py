@@ -421,3 +421,51 @@ def collocation_pmi(
     top = scored.orderBy(F.desc("pmi"), "x", "y").limit(k)
     w = Window.orderBy(F.desc("pmi"), "x", "y")
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib-deflate compression ratio per document — the classic
+    redundancy screen of web-scale curation (RefinedWeb/FineWeb drop
+    documents that compress too well = boilerplate/repetition, or
+    barely at all = gibberish/binary). Natural prose lands ~0.3-0.6;
+    ``ratio = compressed_bytes / raw_bytes`` (1.0+ means incompressible).
+
+    Arrow-batched ``mapInPandas`` over stdlib zlib (C-speed, no
+    dependency); a narrow projection — no shuffle, linear scan, the
+    same plan shape as the multimodal decode stages. Deterministic for
+    a fixed zlib version and level, but NOT SQL-expressible — the
+    driver's oracle records the rows-only check and the unit tests pin
+    known ratios + ordering (repetitive < prose < gibberish).
+    """
+    import zlib
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+
+    def ratios(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda t: t.encode("utf-8"))
+            n = raw.map(len)
+            c = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "n_compressed": c,
+                    "ratio": [
+                        round(ci / ni, 6) if ni else None
+                        for ci, ni in zip(c, n)
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        ratios, "doc_id long, n_bytes long, n_compressed long, ratio double"
+    )

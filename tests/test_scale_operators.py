@@ -715,3 +715,38 @@ class TestWavCodec:
         assert (r.n_samples, r.sample_rate, r.peak) == (4, 8000, 12)
         assert r.duration_ms == 0.5
         assert r.rms == round(math.sqrt((9 + 16 + 0 + 144) / 4), 6)
+
+
+class TestCompressionRatio:
+    def test_orders_repetition_prose_gibberish(self, spark):
+        import random
+
+        from seriesly_spark.operators.textstats import compression_ratio
+
+        rnd = random.Random(3)
+        gibberish = "".join(chr(rnd.randint(33, 126)) for _ in range(400))
+        df = spark.createDataFrame(
+            [
+                (1, "spam " * 80),                       # pure repetition
+                (2, "the quick brown fox jumps over the lazy dog and "
+                    "then considers whether compression ratios are a "
+                    "reasonable proxy for text quality at web scale"),
+                (3, gibberish),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in compression_ratio(df).collect()}
+        assert out[1].ratio < out[2].ratio < out[3].ratio
+        assert out[1].ratio < 0.15          # repetition crushes
+        assert out[3].ratio > 0.8           # gibberish barely compresses
+        assert out[4].ratio is None         # empty -> null, not div-zero
+        assert out[2].n_bytes == len(df.collect()[1].text.encode())
+
+    def test_deterministic(self, spark):
+        from seriesly_spark.operators.textstats import compression_ratio
+
+        df = spark.createDataFrame([(1, "abc def " * 30)], "doc_id long, text string")
+        a = compression_ratio(df).collect()[0]
+        b = compression_ratio(df).collect()[0]
+        assert (a.n_compressed, a.ratio) == (b.n_compressed, b.ratio)
