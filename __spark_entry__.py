@@ -41,6 +41,7 @@ from seriesly_spark.operators.dedup import (
 from seriesly_spark.operators.joins import asof_join, range_join, salted_join
 from seriesly_spark.operators.multimodal import (
     audio_stats,
+    encode_png,
     encode_ppm,
     encode_wav,
     frame_sample,
@@ -1974,6 +1975,41 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_channel_stats(imgs)
 
 
+def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, certified: each document manufactures an RGB8
+    PNG whose pixel (r, c, ch) = (doc_id*37 + r*5 + c*13 + ch*7) % 256
+    at (w, h) = (5 + id%6, 4 + id%3); row r is deflate-compressed under
+    scanline filter r % 5, so heights 4-6 exercise the whole filter
+    bank (None/Sub/Up/Average/Paeth). The engine chunk-walks, CRC-
+    checks, inflates, and unfilters those bytes back (decode_png) and
+    reports dimensions + channel means; the oracle computes the same
+    means in closed form. Any corruption across encode -> deflate ->
+    binary column -> Arrow batch -> inflate -> unfilter -> stats breaks
+    the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 5 + d % 6, 4 + d % 3
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                arr = ((d * 37 + r * 5 + c * 13 + ch * 7) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(make, "doc_id long, payload binary")
+    return image_channel_stats(imgs)
+
+
 def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, certified (the WAV sibling of
     image_decode_stats): each document manufactures a mono 16-bit PCM
@@ -2076,7 +2112,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replays the oracle gate over ALL entries). tests/test_certified.py
     asserts every entry is certified or inside the current head-50."""
     return {
-        # --- never driver-certified (r01 ∪ r02): head of the window ---
+        # --- never driver-certified: head of the r04 window ---
+        # (staged at slots 51-52 in r03; rotated to the head per policy)
+        "audio_decode_stats": q_audio_decode_stats,
+        "compression_ratio": q_compression_ratio,
+        # --- new round-4 queries: inside the driver's head-50 ---
+        "png_decode_stats": q_png_decode_stats,
+        # --- driver-certified in r03: fill the rest of the window ---
         "setops_users": q_setops_users,
         "rep_stats": q_rep_stats,
         "clean_text": q_clean_text,
@@ -2116,7 +2158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_hourly": q_ewma_hourly,
         "streaming_join": q_streaming_join,
         "kmeans_lloyd": q_kmeans_lloyd,
-        # --- new round-3 queries: slots 40-50 of the driver window ---
         "histogram_clamped": q_histogram_clamped,
         "daily_type_pivot": q_daily_type_pivot,
         "mad_outliers": q_mad_outliers,
@@ -2128,9 +2169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_gaps": q_series_gaps,
         "minmax_downsample": q_minmax_downsample,
         "quantile_transform": q_quantile_transform,
-        # --- slot 51+: head of the NEXT rotation (r4 window) ---
-        "audio_decode_stats": q_audio_decode_stats,
-        "compression_ratio": q_compression_ratio,
         # --- driver-certified in r01/r02: tail (local gate still runs) ---
         "s01_range_read": q_s01_range_read,
         "s03_point_lookup": q_s03_point_lookup,
@@ -3204,6 +3242,21 @@ SELECT event_id, event_type, value,
   round(percent_rank() OVER
           (PARTITION BY event_type ORDER BY value), 6) AS pct_rank
 FROM events
+""",
+        "png_decode_stats": """
+WITH d AS (SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 3 AS h
+           FROM documents),
+px AS (SELECT doc_id, w, h, r.r AS r, c.c AS c
+       FROM d, unnest(generate_series(0, h - 1)) AS r(r),
+              unnest(generate_series(0, w - 1)) AS c(c))
+SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+  round(sum((doc_id*37 + r*5 + c*13) % 256) /
+        (any_value(w) * any_value(h)), 6) AS mean_r,
+  round(sum((doc_id*37 + r*5 + c*13 + 7) % 256) /
+        (any_value(w) * any_value(h)), 6) AS mean_g,
+  round(sum((doc_id*37 + r*5 + c*13 + 14) % 256) /
+        (any_value(w) * any_value(h)), 6) AS mean_b
+FROM px GROUP BY doc_id
 """,
         "audio_decode_stats": """
 WITH d AS (SELECT doc_id, 50 + doc_id % 40 AS n,

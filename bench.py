@@ -7,6 +7,14 @@ and print ONE JSON line:
 
 Each query is executed to completion through the noop sink (full plan runs,
 nothing collected to the driver — so column pruning can't fake the work).
+
+Per-query numbers are the MEDIAN of $SPARK_GRAFT_BENCH_REPS (default 3)
+timed runs after one untimed warm-up.  Rationale (round-3 verdict): a
+single serial pass over 75+ queries in one JVM compounds GC/JIT pressure
+— r03 showed five 3-13x single-run inflations (s04_upsert_lww 0.45s ->
+6.10s) that isolated re-times did not reproduce and whose plans had not
+changed.  Medians make one stall unable to brand a sound plan weak; the
+per-query min is also reported ("queries_min") as the low-noise floor.
 """
 
 from __future__ import annotations
@@ -14,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -92,10 +101,12 @@ BENCH_QUERIES = [
     "collocation_pmi",
     "semantic_dedup",
     "time_weighted_avg",
+    "series_gaps",
     "minmax_downsample",
     "quantile_transform",
     "audio_decode_stats",
     "compression_ratio",
+    "png_decode_stats",
 ]
 
 
@@ -106,15 +117,21 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("seriesly-spark-bench", cpus=cpus, shuffle_partitions=cpus)
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    floors: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # Warm-run caches are fair game for the timed run (CacheManager
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+        floors[name] = round(min(runs), 4)
+        # Warm-run caches are fair game for the timed runs (CacheManager
         # matches analyzed plans), but they must not leak INTO the next
         # query's memory budget — clear between entries.
         spark.catalog.clearCache()
@@ -123,10 +140,12 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "seriesly_spark headline queries, warm, noop sink",
+                "metric": "seriesly_spark headline queries, warm, noop sink, "
+                f"median of {reps}",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": floors,
                 "sf": sf,
             }
         )

@@ -230,13 +230,17 @@ def histogram(
         raise ValueError("hi must be > lo")
     width = (hi - lo) / bins
     v = F.col(value_col).cast("double")
+    # Clamp on the LONG floor result first, cast to int after: casting
+    # before the clamp would let a |v| huge enough to overflow int32 wrap
+    # under the non-ANSI cast (possibly negative -> clamped to bin 0
+    # instead of bins-1), diverging from engines that widen or error.
     bin_ = F.greatest(
-        F.lit(0),
+        F.lit(0).cast("bigint"),
         F.least(
-            F.lit(bins - 1),
-            F.floor((v - F.lit(float(lo))) / F.lit(float(width))).cast("int"),
+            F.lit(bins - 1).cast("bigint"),
+            F.floor((v - F.lit(float(lo))) / F.lit(float(width))),
         ),
-    )
+    ).cast("int")
     return (
         df.where(v.isNotNull())
         .groupBy(*group_cols, bin_.alias("bin"))
@@ -341,7 +345,12 @@ def quantile_transform(
     grade values against the sketch instead.
     """
     id_cols = id_cols or []
-    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    # NULLS LAST to match DuckDB/ANSI default ordering (Spark's ASC
+    # default is NULLS FIRST, which would shift every in-group rank if
+    # the column ever carries NULLs).
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).asc_nulls_last()
+    )
     return df.select(
         *id_cols,
         *group_cols,

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from seriesly_spark.operators.util import spread
+from seriesly_spark.operators.util import scoped_persist, spread
 
 
 def content_hash(c) -> "F.Column":
@@ -88,10 +88,11 @@ def ngram_jaccard_pairs(
     # portability doesn't apply; 64-bit collisions only perturb intersection
     # counts at ~n²/2⁶⁵ odds. persist(): the self-join reads this subtree
     # twice — shingling + explode runs once, not twice.
-    exploded = (
-        sh.select("id", "sz", F.explode("grams").alias("g"))
-        .withColumn("g", F.xxhash64("g"))
-        .persist()
+    exploded = scoped_persist(
+        sh.select("id", "sz", F.explode("grams").alias("g")).withColumn(
+            "g", F.xxhash64("g")
+        ),
+        "dedup.ngram_exploded",
     )
     if max_df is not None:
         keep = (
@@ -163,7 +164,7 @@ def minhash_lsh_pairs(
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     # One signature row per (doc, band) — computing the md5 minhashes is the
     # expensive part, the self-join must not run it twice (see hamming_pairs).
-    banded = banded.persist()
+    banded = scoped_persist(banded, "dedup.minhash_banded")
     left = banded.select(F.col("id").alias("a"), "band", "sig")
     right = banded.select(F.col("id").alias("b"), "band", "sig")
     return (
@@ -327,9 +328,10 @@ def hamming_pairs(
     # recompute the whole fingerprint subtree on both sides. This is the
     # Spark-native analogue of the reference's memoization layer (C1,
     # cache.go:54-155) — tiny state (two longs per doc), spillable.
-    sh = fingerprints.select(
-        F.col(id_col).alias("id"), F.col(fp_col).alias("f")
-    ).persist()
+    sh = scoped_persist(
+        fingerprints.select(F.col(id_col).alias("id"), F.col(fp_col).alias("f")),
+        "dedup.simhash_fp",
+    )
     mask = (1 << width) - 1
     chunks = sh.select(
         "id",
@@ -401,7 +403,7 @@ def paragraph_dedup(
     ).withColumn("h", content_hash(F.col("para")))
     # Both the winner aggregate and the rebuild join read the exploded
     # paragraphs — persist so the scan + explode + digest runs once.
-    paras = paras.persist()
+    paras = scoped_persist(paras, "dedup.paragraphs")
     winners = (
         paras.select("h", id_col, "pos")
         .groupBy("h")
@@ -478,10 +480,11 @@ def semantic_dedup(
     # populates the cache once; the pairwise stage then reads memory.
     # (SemDeDup materializes cluster assignments by design; at cluster
     # scale this is the "write assignments partitioned by cluster" step.)
-    assigned = ivf_assign(
-        vectors, codebook, id_col=id_col, vec_col=vec_col
-    ).persist()
-    assigned.count()
+    assigned = scoped_persist(
+        ivf_assign(vectors, codebook, id_col=id_col, vec_col=vec_col),
+        "dedup.semantic_assigned",
+        eager=True,
+    )
     # Norms hoisted out of the pairwise loop: |cluster| sqrt-of-decimal
     # computations instead of 2 x |pairs| (same decimal formula, same
     # values — the oracle's per-pair norm is numerically identical).

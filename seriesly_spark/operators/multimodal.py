@@ -4,11 +4,13 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct alongside. The Spark-side machinery that matters at scale —
 schema, Arrow batch shape, ``mapInPandas`` signatures, partition-friendly
 layout — is real and tested. The codec layer is REAL for binary PPM (P6)
-images (pure-numpy parser, no external library) and gated for everything
-else: ``decode_image`` dispatches P6 payloads to the built-in parser,
-tries PIL if installed for other formats, and raises NotImplementedError
-otherwise (JPEG/PNG/libav are not in this container). The byte-level
-metadata/frame/feature extractors below remain codec-free plumbing.
+images, RGB8 PNG (stdlib-zlib inflate + the 5 scanline filters, pure
+numpy), and mono 16-bit PCM WAV — no external library — and gated for
+everything else: ``decode_image`` dispatches known magics to the
+built-in parsers, tries PIL if installed for other formats, and raises
+NotImplementedError otherwise (JPEG/libav are not in this container).
+The byte-level metadata/frame/feature extractors below remain
+codec-free plumbing.
 """
 
 from __future__ import annotations
@@ -20,6 +22,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .util import round_half_up
 
 META_SCHEMA = "doc_id long, n_bytes long, width long, height long, n_frames long"
 
@@ -65,14 +69,172 @@ def decode_ppm(payload: bytes) -> "np.ndarray":
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: "np.ndarray", b: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    """Paeth predictor (PNG spec §9, filter type 4), vectorized: pick
+    whichever of left/up/up-left is closest to a + b - c, preferring
+    left, then up. int16 intermediates — the predictor is defined on
+    exact byte values, not wrapped arithmetic."""
+    a16, b16, c16 = (x.astype(np.int16) for x in (a, b, c))
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    out = np.where((pa <= pb) & (pa <= pc), a16, np.where(pb <= pc, b16, c16))
+    return out.astype(np.uint8)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """Serialize an (h, w, 3) uint8 array as a real PNG (RGB8, not
+    interlaced) using only stdlib zlib + numpy — the same
+    no-external-library trick as encode_ppm/encode_wav, but exercising
+    the full chunk/CRC/deflate/scanline-filter machinery of the spec.
+    Row r is filtered with type r % 5, so a round-trip through
+    decode_png covers every filter in the bank (None/Sub/Up/Average/
+    Paeth), not just the trivial one."""
+    import zlib
+
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w, _ = arr.shape
+    prior = np.zeros((w, 3), dtype=np.uint8)
+    lines = []
+    for r in range(h):
+        row = arr[r]
+        left = np.zeros_like(row)
+        left[1:] = row[:-1]
+        upleft = np.zeros_like(row)
+        upleft[1:] = prior[:-1]
+        ft = r % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left  # uint8 wrap-around IS the spec's mod 256
+        elif ft == 2:
+            filt = row - prior
+        elif ft == 3:
+            avg = (left.astype(np.uint16) + prior.astype(np.uint16)) // 2
+            filt = row - avg.astype(np.uint8)
+        else:
+            filt = row - _paeth(left, prior, upleft)
+        lines.append(bytes([ft]) + filt.tobytes())
+        prior = row
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # bit depth 8, color type 2 (RGB)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Parse an RGB8 non-interlaced PNG payload to an (h, w, 3) uint8
+    array: chunk walk (CRC-checked), zlib inflate of the concatenated
+    IDAT stream, then the 5 scanline unfilters over numpy rows. Strict
+    like decode_ppm — palettes, alpha, 16-bit, and interlacing raise
+    ValueError rather than silently mis-decoding.
+
+    Unfiltering is row-sequential by definition (each row references
+    the reconstructed prior row); within a row, None/Up are whole-row
+    numpy ops, Sub is a mod-256 prefix sum (cumsum in int64, % 256),
+    and only Average/Paeth walk pixels (left-neighbor data dependence
+    with a floor/branch — not expressible as a prefix sum)."""
+    import zlib
+
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, meta, idat = len(PNG_SIG), None, []
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(payload[pos + 8 + size : pos + 12 + size], "big")
+        if (zlib.crc32(ctype + body) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, color, comp, filt, interlace = body[8:13]
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit RGB non-interlaced PNG supported"
+                )
+            meta = (w, h)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if meta is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = 1 + w * 3
+    if len(raw) != h * stride:
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    prior = np.zeros((w, 3), dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * stride]
+        row = np.frombuffer(
+            raw[r * stride + 1 : (r + 1) * stride], dtype=np.uint8
+        ).reshape(w, 3)
+        if ft == 0:
+            recon = row.copy()
+        elif ft == 1:
+            recon = (np.cumsum(row, axis=0, dtype=np.int64) % 256).astype(
+                np.uint8
+            )
+        elif ft == 2:
+            recon = row + prior
+        elif ft in (3, 4):
+            recon = np.zeros_like(row)
+            left = np.zeros(3, dtype=np.uint8)
+            upleft = np.zeros(3, dtype=np.uint8)
+            for c in range(w):
+                up = prior[c]
+                if ft == 3:
+                    pred = (
+                        (left.astype(np.uint16) + up.astype(np.uint16)) // 2
+                    ).astype(np.uint8)
+                else:
+                    pred = _paeth(left, up, upleft)
+                recon[c] = row[c] + pred
+                left, upleft = recon[c], up
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = recon
+        prior = recon
+    return out
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Decode an image payload to an (h, w, 3) uint8 array. P6 PPM is
-    decoded by the built-in pure-numpy parser; other formats dispatch to
-    PIL when available and raise NotImplementedError here (this
-    container has no imaging libraries — reinstalling PIL makes
-    JPEG/PNG work with no other change)."""
+    """Decode an image payload to an (h, w, 3) uint8 array. P6 PPM and
+    RGB8 PNG are decoded by built-in pure-numpy parsers; other formats
+    dispatch to PIL when available and raise NotImplementedError here
+    (this container has no imaging libraries — reinstalling PIL makes
+    JPEG etc. work with no other change)."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        return decode_png(payload)
     try:  # pragma: no cover - PIL absent in this environment
         import io
 
@@ -81,8 +243,9 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         raise NotImplementedError(
-            "only PPM(P6) decodes built-in; JPEG/PNG need PIL, which is "
-            "not available in this container"
+            "only PPM(P6) and RGB8 PNG decode built-in; JPEG and exotic "
+            "PNG variants need PIL, which is not available in this "
+            "container"
         )
 
 
@@ -212,7 +375,9 @@ def image_channel_stats(
                 rows["height"].append(h)
                 for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
                     rows[name].append(
-                        round(int(arr[:, :, ch].sum(dtype=np.int64)) / npx, 6)
+                        round_half_up(
+                            int(arr[:, :, ch].sum(dtype=np.int64)) / npx, 6
+                        )
                     )
             yield pd.DataFrame(rows)
 
@@ -306,11 +471,13 @@ def audio_stats(
                 rows["doc_id"].append(doc_id)
                 rows["n_samples"].append(n)
                 rows["sample_rate"].append(rate)
-                rows["duration_ms"].append(round(n * 1000 / rate, 6))
+                rows["duration_ms"].append(round_half_up(n * 1000 / rate, 6))
                 rows["peak"].append(int(np.abs(data.astype(np.int64)).max()) if n else 0)
                 # math.sqrt, not **0.5: pow(x, .5) is not guaranteed to
                 # be the correctly-rounded sqrt the SQL side computes.
-                rows["rms"].append(round(math.sqrt(sq / n), 6) if n else 0.0)
+                rows["rms"].append(
+                    round_half_up(math.sqrt(sq / n), 6) if n else 0.0
+                )
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(stats, AUDIO_STATS_SCHEMA)

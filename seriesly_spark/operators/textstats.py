@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from seriesly_spark.operators.util import spread
+from seriesly_spark.operators.util import round_half_up as _round_half_up
+from seriesly_spark.operators.util import scoped_persist, spread
 
 # A small, fixed stopword list (order matters for nothing; membership only).
 STOPWORDS = (
@@ -262,14 +263,13 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    toks = (
-        spread(docs)
-        .select(
+    toks = scoped_persist(
+        spread(docs).select(
             F.col(id_col),
             F.col(group_col),
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
-        )
-        .persist()
+        ),
+        "textstats.tfidf_toks",
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     doc_freq = (
@@ -371,7 +371,7 @@ def collocation_pmi(
     (x, y, c_xy, c_x, c_y, pmi, rank).
     """
     t = tokens(text_col)
-    toks = docs.select(t.alias("__t")).persist()
+    toks = scoped_persist(docs.select(t.alias("__t")), "textstats.pmi_toks")
     uni = (
         toks.select(F.explode("__t").alias("w"))
         .groupBy("w")
@@ -460,7 +460,7 @@ def compression_ratio(
                     "n_bytes": n,
                     "n_compressed": c,
                     "ratio": [
-                        round(ci / ni, 6) if ni else None
+                        _round_half_up(ci / ni, 6) if ni else None
                         for ci, ni in zip(c, n)
                     ],
                 }

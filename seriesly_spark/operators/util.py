@@ -2,7 +2,49 @@
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame
+
+
+def round_half_up(x: float, ndigits: int = 6) -> float:
+    """Round with SQL semantics (half away from zero), not Python's
+    built-in ``round`` (half to even / banker's rounding). Python codec
+    stages (mapInPandas image/audio/zlib operators) must round exactly
+    like ``F.round``/DuckDB ``round`` or an exact tie at the last kept
+    digit diverges from the oracle hash.
+
+    Decimal sees the shortest-repr of the float (``str(x)``) — the same
+    literal the SQL engines' double->decimal path rounds — so 2.5e-06
+    ties round UP here exactly as they do there.
+    """
+    q = Decimal(1).scaleb(-ndigits)
+    return float(Decimal(str(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+_SCOPED_CACHE: dict[str, DataFrame] = {}
+
+
+def scoped_persist(df: DataFrame, scope: str, eager: bool = False) -> DataFrame:
+    """``persist()`` with a per-operator lifecycle: caches the frame
+    (eagerly via ``count()`` when the consumers race inside one action)
+    and unpersists whatever the SAME scope cached on its previous
+    invocation. A lazily-returned operator has no "after the final
+    action" moment to unpersist in, so a bare ``persist()`` leaks its
+    blocks for the life of the session — across a 50+-query gate run
+    those add up. With this, steady-state cache usage is bounded at one
+    live copy per operator scope. The only cost: a PRIOR invocation's
+    still-uncollected result recomputes if driven after a newer call —
+    slower, never wrong.
+    """
+    prev = _SCOPED_CACHE.pop(scope, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    p = df.persist()
+    if eager:
+        p.count()
+    _SCOPED_CACHE[scope] = p
+    return p
 
 
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:

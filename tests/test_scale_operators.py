@@ -520,7 +520,64 @@ class TestPpmCodec:
         with _pytest.raises(ValueError):
             decode_ppm(b"P3\n1 1\n255\n000")  # ASCII PPM is not P6
         with _pytest.raises((NotImplementedError, ValueError)):
-            decode_image(b"\x89PNG....")  # no PIL in this container
+            decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG: no PIL here
+
+    def test_png_roundtrip_all_filters(self):
+        import numpy as np
+
+        from seriesly_spark.operators.multimodal import (
+            decode_image,
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(11)
+        # h >= 5 guarantees every scanline filter type (r % 5) appears.
+        for h, w in [(1, 1), (5, 1), (6, 7), (9, 4), (13, 13)]:
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            png = encode_png(arr)
+            assert png.startswith(b"\x89PNG\r\n\x1a\n")
+            out = decode_png(png)
+            assert out.shape == arr.shape and (out == arr).all()
+            assert (decode_image(png) == arr).all()  # magic dispatch
+
+    def test_png_gradient_exercises_filter_deltas(self):
+        # Smooth gradients are where Sub/Up/Average/Paeth produce
+        # non-trivial deltas; constant images only exercise zeros.
+        import numpy as np
+
+        from seriesly_spark.operators.multimodal import decode_png, encode_png
+
+        r = np.arange(16)[:, None, None]
+        c = np.arange(12)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        arr = ((r * 3 + c * 5 + ch * 17) % 256).astype(np.uint8)
+        assert (decode_png(encode_png(arr)) == arr).all()
+
+    def test_png_malformed_raises(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from seriesly_spark.operators.multimodal import decode_png, encode_png
+
+        arr = np.zeros((4, 4, 3), dtype=np.uint8)
+        png = encode_png(arr)
+        with _pytest.raises(ValueError):
+            decode_png(b"NOTAPNG" + png)
+        flipped = bytearray(png)
+        flipped[-20] ^= 0x01  # corrupt inside IDAT body -> CRC mismatch
+        with _pytest.raises(ValueError):
+            decode_png(bytes(flipped))
+        # Unsupported layout (RGBA color type 6) must refuse, not garble.
+        body = bytearray(png)
+        # IHDR body starts at 16; color type is byte 9 of the body.
+        body[16 + 9] = 6
+        import zlib as _z
+
+        crc = (_z.crc32(bytes(body[12:29])) & 0xFFFFFFFF).to_bytes(4, "big")
+        body[29:33] = crc
+        with _pytest.raises(ValueError):
+            decode_png(bytes(body))
 
     def test_resize_nearest(self):
         import numpy as np
