@@ -325,6 +325,302 @@ def mad_outliers(
     )
 
 
+def _exact_sum(col) -> "F.Column":
+    """Order-independent float summation: per-row doubles cast to
+    DECIMAL(38,18) (exact addition), summed, cast back to double (ONE
+    rounding). The per-row products feeding this must stay plain double
+    ops — decimal*decimal would hit Spark's precision-loss scale
+    clamping, which DuckDB doesn't mirror (see zscore_outliers)."""
+    return F.sum(col.cast("decimal(38,18)")).cast("double")
+
+
+def trend_slope(
+    df: DataFrame,
+    t_us_col: str,
+    value_col: str,
+    group_cols: list[str],
+    origin_us: int,
+) -> DataFrame:
+    """Per-group OLS trend: slope (and intercept) of value over time in
+    units per SECOND — the drift detector of series monitoring (is this
+    metric creeping up?). slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx²) with
+    x = (t_us - origin_us) / 1e6.
+
+    Centering x at a caller-fixed ``origin_us`` keeps the moment sums
+    inside DECIMAL(38,18)'s 20 integer digits (raw epoch-µs squared
+    overflows any fixed-point accumulator) AND removes the catastrophic
+    cancellation a far origin inflicts on n*Sxx - Sx². Per-row x, x*x,
+    x*y are single correctly-rounded IEEE ops (identical across
+    engines); sums are decimal-accumulated (order-independent); the
+    closing arithmetic is a handful of double ops. One hash aggregate,
+    map-side partials, |groups| output rows — nothing else moves.
+    Constant-x groups (n < 2 or one distinct timestamp) return NULL
+    slope rather than a 0/0 NaN. Output: (group..., n, slope,
+    intercept), slope/intercept rounded to 6.
+    """
+    x = (F.col(t_us_col) - F.lit(origin_us)).cast("double") / F.lit(1e6)
+    y = F.col(value_col).cast("double")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        _exact_sum(x).alias("__sx"),
+        _exact_sum(y).alias("__sy"),
+        _exact_sum(x * x).alias("__sxx"),
+        _exact_sum(x * y).alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    den = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(F.when(den > 0, slope), 6).alias("slope"),
+        F.round(F.when(den > 0, intercept), 6).alias("intercept"),
+    )
+
+
+def autocorr_lag(
+    df: DataFrame,
+    t_us_col: str,
+    value_col: str,
+    group_cols: list[str],
+    order_cols: list[str] | None = None,
+    lag: int = 1,
+) -> DataFrame:
+    """Per-group lag-k autocorrelation: Pearson r between v(t) and
+    v(t-k) over the time-ordered series — the seasonality/persistence
+    screen (r ~ 1: trending/sticky, r ~ 0: noise, r < 0: oscillating).
+
+    Ordering is (t, *order_cols) with the caller passing a unique
+    tiebreaker (e.g. event_id) so lag() is deterministic under equal
+    timestamps. One shuffle for the lag window (sort within group),
+    then the same decimal-summed product-moment recipe as trend_slope
+    on the (v, v_prev) pairs. Groups with < lag+2 pairs or zero
+    variance on either side return NULL r. Output: (group..., n_pairs,
+    r) with r rounded to 6.
+    """
+    order_cols = order_cols or []
+    w = Window.partitionBy(*group_cols).orderBy(t_us_col, *order_cols)
+    pairs = (
+        df.withColumn("__prev", F.lag(value_col, lag).over(w))
+        .where(F.col("__prev").isNotNull())
+    )
+    x = F.col("__prev").cast("double")
+    y = F.col(value_col).cast("double")
+    agg = pairs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _exact_sum(x).alias("__sx"),
+        _exact_sum(y).alias("__sy"),
+        _exact_sum(x * x).alias("__sxx"),
+        _exact_sum(y * y).alias("__syy"),
+        _exact_sum(x * y).alias("__sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    r = cov / F.sqrt(vx * vy)
+    return agg.select(
+        *group_cols,
+        "n_pairs",
+        F.round(F.when((vx > 0) & (vy > 0), r), 6).alias("r"),
+    )
+
+
+def corr_pairs(
+    df: DataFrame,
+    series_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cross-series correlation matrix (upper triangle): Pearson r
+    between every pair of series over their SHARED buckets — "which
+    metrics move together" across pre-bucketed series (feed it a
+    per-(series, bucket) aggregate, e.g. hourly means).
+
+    Plan: self-equi-join on the bucket key pairs up aligned samples
+    (shuffle carries the bucketed aggregate, |series| x |buckets| rows,
+    already collapsed from raw events); series_a < series_b keeps one
+    triangle. Product moments use the decimal-sum recipe; pairs with
+    zero variance on either side return NULL r. The pair aggregate's
+    output is |series|² rows — tiny for metric fleets; for thousands of
+    series, pre-filter to candidate pairs first. Output: (series_a,
+    series_b, n, corr) with corr rounded to 6.
+    """
+    a = df.select(
+        F.col(series_col).alias("series_a"),
+        F.col(bucket_col).alias("__b"),
+        F.col(value_col).cast("double").alias("__va"),
+    )
+    b = df.select(
+        F.col(series_col).alias("series_b"),
+        F.col(bucket_col).alias("__b"),
+        F.col(value_col).cast("double").alias("__vb"),
+    )
+    x, y = F.col("__va"), F.col("__vb")
+    agg = (
+        a.join(b, "__b")
+        .where(F.col("series_a") < F.col("series_b"))
+        .groupBy("series_a", "series_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _exact_sum(x).alias("__sx"),
+            _exact_sum(y).alias("__sy"),
+            _exact_sum(x * x).alias("__sxx"),
+            _exact_sum(y * y).alias("__syy"),
+            _exact_sum(x * y).alias("__sxy"),
+        )
+    )
+    nn = F.col("n").cast("double")
+    cov = nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = nn * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    r = cov / F.sqrt(vx * vy)
+    return agg.select(
+        "series_a",
+        "series_b",
+        "n",
+        F.round(F.when((vx > 0) & (vy > 0), r), 6).alias("corr"),
+    )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 1.5,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group Tukey-fence outliers: flag rows outside
+    [q1 - k*IQR, q3 + k*IQR] — the box-plot rule, the third member of
+    the outlier family next to zscore_outliers (moment-based) and
+    mad_outliers (median-based). Quartiles are EXACT (Spark
+    ``percentile``, DuckDB ``quantile_cont``, both linear-interpolated
+    with the same IEEE arithmetic).
+
+    Plan mirrors mad_outliers: one exact-percentile aggregate (tiny,
+    one row per group) broadcast back onto the scan; the data path is a
+    narrow filter, the events themselves never shuffle. Zero-IQR
+    (majority-constant) groups produce no outliers. Exact percentile
+    holds group values per partial — at extreme cardinality swap in the
+    approx sketch (operators/sketches.py). Output: id/group/value +
+    fences (rounded to 6).
+    """
+    id_cols = id_cols or []
+    q = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.25)").alias("__q1"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("__q3"),
+    )
+    iqr = F.col("__q3") - F.col("__q1")
+    fences = q.select(
+        *group_cols,
+        F.round(F.col("__q1") - F.lit(k) * iqr, 6).alias("lo_fence"),
+        F.round(F.col("__q3") + F.lit(k) * iqr, 6).alias("hi_fence"),
+        iqr.alias("__iqr"),
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.join(F.broadcast(fences), group_cols)
+        .where(F.col("__iqr") > 0)
+        .where((v < F.col("lo_fence")) | (v > F.col("hi_fence")))
+        .select(*id_cols, *group_cols, value_col, "lo_fence", "hi_fence")
+    )
+
+
+def rollup_counts(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Hierarchical subtotals in ONE pass: count + exact sum for every
+    ROLLUP prefix of ``dims`` (full detail, each ancestor level, grand
+    total), tagged with the standard grouping_id bit vector — the
+    pre-aggregated cube slice dashboards page through, produced without
+    re-scanning per level.
+
+    Spark compiles rollup() to a single Expand + hash aggregate:
+    each input row emits len(dims)+1 grouping-set rows map-side, then
+    one shuffle on the (dims, grouping id) key — strictly cheaper than
+    len(dims)+1 separate aggregates over the scan at 100 TB. NULL dim
+    values would be ambiguous with subtotal NULLs, so they are filtered
+    up front (ANSI GROUPING() disambiguates; the bit vector is emitted
+    for exactly that reason). Output: dims..., grouping_id, cnt,
+    sum_v (decimal-accumulated, rounded to 6).
+    """
+    clean = df
+    for d in dims:
+        clean = clean.where(F.col(d).isNotNull())
+    v = F.col(value_col).cast("double")
+    return (
+        clean.rollup(*dims)
+        .agg(
+            F.grouping_id().alias("grouping_id"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(_exact_sum(v), 6).alias("sum_v"),
+        )
+        .select(*dims, "grouping_id", "cnt", "sum_v")
+    )
+
+
+def unpivot_metrics(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    key_col: str = "metric",
+    value_col: str = "value",
+) -> DataFrame:
+    """Wide -> long reshaping: one output row per (id row, metric
+    column), the inverse of pivot_counts — what a wide per-bucket stats
+    table goes through before a generic long-format sink (time-series
+    stores, plotting layers) can ingest it.
+
+    Uses Spark's native ``unpivot`` (Expand node: each input row fans
+    out to len(value_cols) rows map-side — a narrow transform, NO
+    shuffle, no join; the melt never touches more than one input row).
+    Values share one cast-to-double slot as the SQL UNPIVOT contract
+    requires. Output: id_cols..., key_col, value_col.
+    """
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        key_col,
+        value_col,
+    )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality profile of a table in one narrow pass per column
+    family: (column, n_rows, n_null, n_distinct) — the drift/breakage
+    screen a pipeline runs before trusting a new drop of data (a column
+    suddenly 40% NULL or collapsed to one distinct value is a broken
+    upstream join, caught before training).
+
+    count + count-nulls come from ONE hash-aggregate pass (map-side
+    partials, no data shuffled beyond per-partition counters);
+    count_distinct adds the standard distinct expand (one shuffle per
+    distinct column, partials collapse map-side first). The wide 1-row
+    result melts to long via the same Expand as unpivot_metrics. At
+    100 TB, swap exact distinct for approx_count_distinct and re-grade
+    — the plan shape is unchanged. Output: (column, n_rows, n_null,
+    n_distinct).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, __nn_{c}, __nd_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_rows, n_null, n_distinct)"
+    )
+
+
 def quantile_transform(
     df: DataFrame,
     value_col: str,

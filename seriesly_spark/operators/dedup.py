@@ -526,3 +526,51 @@ def semantic_dedup(
             F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def levenshtein_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 8,
+    window_len: int = 48,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Edit-distance near-duplicate candidates: pairs of documents whose
+    leading ``window_len`` characters are within ``max_dist`` Levenshtein
+    edits, blocked on the exact first ``prefix_len`` characters — the
+    fuzzy-match complement to the token-set miners (shingle Jaccard /
+    MinHash see reordered text as similar; edit distance catches the
+    char-level typo/OCR variants they miss).
+
+    Never all-pairs: candidates form ONLY inside equal-prefix blocks (an
+    equi-join on an 8-byte hash-sized key — the same banding discipline
+    as minhash_lsh_pairs), and the quadratic Levenshtein kernel runs on
+    fixed ``window_len`` slices, so per-pair cost is a constant
+    O(window²) regardless of document length. Block sizes bound the
+    join's blast radius exactly like LSH buckets; a pathological prefix
+    (e.g. every doc starting "The") is capped the same way
+    ngram_jaccard's max_df screens hot shingles — count blocks first
+    and raise prefix_len if any block exceeds the budget. Both engines
+    implement classic unweighted Levenshtein (insert/delete/substitute
+    = 1), so distances are exact integers — oracle-comparable with no
+    rounding. Output: (a, b, dist), a < b.
+    """
+    head = F.substring(F.trim(F.col(text_col)), 1, window_len)
+    pref = F.substring(F.trim(F.col(text_col)), 1, prefix_len)
+    sides = docs.select(
+        F.col(id_col).alias("id"), pref.alias("__blk"), head.alias("__head")
+    )
+    a = sides.select(
+        F.col("id").alias("a"), "__blk", F.col("__head").alias("__ha")
+    )
+    b = sides.select(
+        F.col("id").alias("b"), "__blk", F.col("__head").alias("__hb")
+    )
+    return (
+        a.join(b, "__blk")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("dist", F.levenshtein("__ha", "__hb").cast("long"))
+        .where(F.col("dist") <= max_dist)
+        .select("a", "b", "dist")
+    )

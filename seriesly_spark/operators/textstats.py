@@ -469,3 +469,57 @@ def compression_ratio(
     return src.mapInPandas(
         ratios, "doc_id long, n_bytes long, n_compressed long, ratio double"
     )
+
+
+def type_token_ratio(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Lexical-diversity screen per document: type-token ratio
+    (distinct tokens / total tokens) and hapax ratio (tokens occurring
+    exactly once / total) — low TTR flags boilerplate and keyword
+    stuffing, abnormally high hapax flags OCR noise and gibberish; both
+    are standard corpus-quality features next to repetition_stats.
+
+    Dataflow: explode + ONE (doc, token) hash aggregate whose partials
+    collapse map-side to per-document vocabulary size, then a per-doc
+    rollup of (n_types, n_hapax, n_tokens) — only (doc, token, count)
+    rows ever shuffle, never text. Ratios are double divisions of
+    identical integers, rounded to 6 (bit-stable). Empty documents
+    yield NULL ratios rather than 0/0. Output: (doc_id, n_tokens,
+    n_types, ttr, hapax_ratio).
+    """
+    per_tok = (
+        docs.select(
+            F.col(id_col),
+            F.explode(tokens(text_col)).alias("__tok"),
+        )
+        .where(F.col("__tok") != "")
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = per_tok.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("__c") == 1).cast("long")).alias("__hapax"),
+    )
+    n = F.col("n_tokens").cast("double")
+    out = agg.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") / n, 6).alias("ttr"),
+        F.round(F.col("__hapax") / n, 6).alias("hapax_ratio"),
+    )
+    # Documents that tokenized to nothing still get a row (outer join
+    # against the id spine) with 0 counts and NULL ratios.
+    spine = docs.select(id_col)
+    return (
+        spine.join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).alias("n_types"),
+            "ttr",
+            "hapax_ratio",
+        )
+    )

@@ -316,3 +316,60 @@ def minmax_downsample(
             hi["t"].alias("max_ts_us"),
         )
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    tiebreak_col: str,
+    gap_us: int = 0,
+) -> DataFrame:
+    """Coalesce overlapping (or within-``gap_us``) intervals per key into
+    maximal disjoint islands — the interval-union primitive behind
+    "total covered time" metrics (machine uptime, ad exposure, session
+    stitching across devices). Classic gaps-and-islands: order by
+    (start, end, tiebreak), take the running max of end over all PRIOR
+    rows; a row opens a new island when its start exceeds that max +
+    gap; island ids are the running count of opens.
+
+    One shuffle on the key: both windows (running max, running count)
+    share a single sort within each key partition, then one hash
+    aggregate collapses rows to islands. Integer-µs arithmetic
+    throughout — bit-exact across engines. Per-key data must fit the
+    window sort budget, the same bound as every sessionizer here.
+    Output: (key..., island, island_start_us, island_end_us,
+    n_merged).
+    """
+    order = [F.col(start_col), F.col(end_col), F.col(tiebreak_col)]
+    w_prior = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    opens = F.when(
+        F.col(start_col) > F.max(end_col).over(w_prior) + F.lit(gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    # The first row per key has a NULL prior-max: when() yields 0, so
+    # force the open with coalesce on the lag side instead.
+    first_row = F.lag(start_col).over(
+        Window.partitionBy(*key_cols).orderBy(*order)
+    ).isNull()
+    opens = F.when(first_row, F.lit(1)).otherwise(opens)
+    return (
+        df.withColumn("__open", opens)
+        .withColumn("island", F.sum("__open").over(w_run))
+        .groupBy(*key_cols, "island")
+        .agg(
+            F.min(start_col).alias("island_start_us"),
+            F.max(end_col).alias("island_end_us"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+    )

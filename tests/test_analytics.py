@@ -346,3 +346,163 @@ class TestQuantileTransform:
         assert out[2] == out[3] == round(1 / 3, 6)  # ties share rank
         assert out[4] == 1.0
         assert out[5] == 0.0  # single-row group
+
+
+class TestTrendSlope:
+    def test_exact_line(self, spark):
+        from seriesly_spark.operators.analytics import trend_slope
+
+        # y = 2x + 1 with x in seconds from origin 0: slope 2/s.
+        rows = [("a", i * 1_000_000, 2.0 * i + 1.0) for i in range(5)]
+        df = spark.createDataFrame(rows, "g string, t_us long, v double")
+        r = trend_slope(df, "t_us", "v", ["g"], 0).collect()[0]
+        assert r.n == 5 and r.slope == 2.0 and r.intercept == 1.0
+
+    def test_constant_x_returns_null(self, spark):
+        from seriesly_spark.operators.analytics import trend_slope
+
+        df = spark.createDataFrame(
+            [("a", 7, 1.0), ("a", 7, 5.0)], "g string, t_us long, v double"
+        )
+        r = trend_slope(df, "t_us", "v", ["g"], 0).collect()[0]
+        assert r.slope is None and r.intercept is None
+
+
+class TestAutocorr:
+    def test_alternating_series_is_anticorrelated(self, spark):
+        from seriesly_spark.operators.analytics import autocorr_lag
+
+        rows = [("a", i, i, (-1.0) ** i) for i in range(10)]
+        df = spark.createDataFrame(rows, "g string, t long, id long, v double")
+        r = autocorr_lag(df, "t", "v", ["g"], ["id"], lag=1).collect()[0]
+        assert r.n_pairs == 9 and r.r == -1.0
+
+    def test_constant_series_returns_null(self, spark):
+        from seriesly_spark.operators.analytics import autocorr_lag
+
+        rows = [("a", i, i, 3.0) for i in range(5)]
+        df = spark.createDataFrame(rows, "g string, t long, id long, v double")
+        r = autocorr_lag(df, "t", "v", ["g"], ["id"], lag=1).collect()[0]
+        assert r.r is None
+
+
+class TestCorrPairs:
+    def test_perfect_and_anti(self, spark):
+        from seriesly_spark.operators.analytics import corr_pairs
+
+        rows = []
+        for b in range(4):
+            rows += [("x", b, float(b)), ("y", b, 2.0 * b + 3.0),
+                     ("z", b, -1.0 * b)]
+        df = spark.createDataFrame(rows, "s string, b long, v double")
+        out = {(r.series_a, r.series_b): r.corr
+               for r in corr_pairs(df, "s", "b", "v").collect()}
+        assert out[("x", "y")] == 1.0
+        assert out[("x", "z")] == -1.0
+        assert out[("y", "z")] == -1.0
+
+
+class TestIqrOutliers:
+    def test_flags_only_fence_breakers(self, spark):
+        from seriesly_spark.operators.analytics import iqr_outliers
+
+        vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+        df = spark.createDataFrame(
+            [(i, "a", v) for i, v in enumerate(vals)],
+            "id long, g string, v double",
+        )
+        out = iqr_outliers(df, "v", ["g"], k=1.5, id_cols=["id"]).collect()
+        assert [r.v for r in out] == [100.0]
+
+    def test_constant_group_has_no_outliers(self, spark):
+        from seriesly_spark.operators.analytics import iqr_outliers
+
+        df = spark.createDataFrame(
+            [(i, "a", 5.0) for i in range(6)], "id long, g string, v double"
+        )
+        assert iqr_outliers(df, "v", ["g"]).count() == 0
+
+
+class TestRollupCounts:
+    def test_grouping_id_levels(self, spark):
+        from seriesly_spark.operators.analytics import rollup_counts
+
+        rows = [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 4.0)]
+        df = spark.createDataFrame(rows, "d long, t string, v double")
+        out = rollup_counts(df, ["d", "t"], "v").collect()
+        by_gid = {}
+        for r in out:
+            by_gid.setdefault(r.grouping_id, []).append(r)
+        # detail rows (gid 0): all 3 combos; level-1 (gid 1): per-d; total.
+        assert len(by_gid[0]) == 3
+        assert {(r.d, r.cnt, r.sum_v) for r in by_gid[1]} == {
+            (1, 2, 3.0), (2, 1, 4.0)
+        }
+        total = by_gid[3][0]
+        assert total.d is None and total.t is None
+        assert total.cnt == 3 and total.sum_v == 7.0
+
+
+class TestUnpivotProfile:
+    def test_unpivot_shape(self, spark):
+        from seriesly_spark.operators.analytics import unpivot_metrics
+
+        df = spark.createDataFrame(
+            [(1, 10.0, 20.0)], "k long, m1 double, m2 double"
+        )
+        out = unpivot_metrics(df, ["k"], ["m1", "m2"]).collect()
+        assert {(r.k, r.metric, r.value) for r in out} == {
+            (1, "m1", 10.0), (1, "m2", 20.0)
+        }
+
+    def test_column_profile_counts(self, spark):
+        from seriesly_spark.operators.analytics import column_profile
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "x"), (2, "x")], "a long, b string"
+        )
+        out = {r.column: r for r in column_profile(df, ["a", "b"]).collect()}
+        assert out["a"].n_rows == 3 and out["a"].n_null == 0
+        assert out["a"].n_distinct == 2
+        assert out["b"].n_null == 1 and out["b"].n_distinct == 1
+
+
+class TestMergeIntervals:
+    def test_overlap_touch_and_gap(self, spark):
+        from seriesly_spark.operators.windows import merge_intervals
+
+        rows = [
+            ("u", 0, 10, 1),    # island 1: [0,10) + [5,20) overlap
+            ("u", 5, 20, 2),
+            ("u", 20, 30, 3),   # touches 20 == prior max end -> merges
+            ("u", 50, 60, 4),   # gap -> island 2
+        ]
+        df = spark.createDataFrame(rows, "u string, s long, e long, id long")
+        out = sorted(
+            merge_intervals(df, ["u"], "s", "e", "id").collect(),
+            key=lambda r: r.island,
+        )
+        assert [(r.island_start_us, r.island_end_us, r.n_merged)
+                for r in out] == [(0, 30, 3), (50, 60, 1)]
+
+    def test_gap_tolerance_bridges(self, spark):
+        from seriesly_spark.operators.windows import merge_intervals
+
+        rows = [("u", 0, 10, 1), ("u", 15, 20, 2)]
+        df = spark.createDataFrame(rows, "u string, s long, e long, id long")
+        assert merge_intervals(df, ["u"], "s", "e", "id").count() == 2
+        assert (
+            merge_intervals(df, ["u"], "s", "e", "id", gap_us=5).count() == 1
+        )
+
+    def test_contained_interval_does_not_split(self, spark):
+        from seriesly_spark.operators.windows import merge_intervals
+
+        # [0,100) contains [10,20); a later [30,40) must still merge
+        # because the running max end (100) covers it.
+        rows = [("u", 0, 100, 1), ("u", 10, 20, 2), ("u", 30, 40, 3)]
+        df = spark.createDataFrame(rows, "u string, s long, e long, id long")
+        out = merge_intervals(df, ["u"], "s", "e", "id").collect()
+        assert len(out) == 1
+        assert (out[0].island_start_us, out[0].island_end_us,
+                out[0].n_merged) == (0, 100, 3)

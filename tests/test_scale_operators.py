@@ -807,3 +807,50 @@ class TestCompressionRatio:
         a = compression_ratio(df).collect()[0]
         b = compression_ratio(df).collect()[0]
         assert (a.n_compressed, a.ratio) == (b.n_compressed, b.ratio)
+
+
+class TestTypeTokenRatio:
+    def test_known_ratios(self, spark):
+        from seriesly_spark.operators.textstats import type_token_ratio
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "x y z"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in type_token_ratio(df).collect()}
+        assert (out[1].n_tokens, out[1].n_types) == (3, 2)
+        assert out[1].ttr == round(2 / 3, 6)
+        assert out[1].hapax_ratio == round(1 / 3, 6)  # only 'b' is hapax
+        assert (out[2].n_tokens, out[2].n_types, out[2].ttr) == (3, 3, 1.0)
+        # Empty document: zero counts, NULL ratios (no 0/0).
+        assert (out[3].n_tokens, out[3].n_types) == (0, 0)
+        assert out[3].ttr is None and out[3].hapax_ratio is None
+
+
+class TestLevenshteinPairs:
+    def test_planted_variant_found(self, spark):
+        from seriesly_spark.operators.dedup import levenshtein_pairs
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog tonight"),
+                (2, "the quick brown fox jumps over the lazy cat tonight"),
+                (3, "completely different text with no shared prefix at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = levenshtein_pairs(df, max_dist=8).collect()
+        assert [(r.a, r.b) for r in out] == [(1, 2)]
+        assert out[0].dist == 3  # dog -> cat within the 48-char window
+
+    def test_blocking_prevents_cross_prefix_pairs(self, spark):
+        from seriesly_spark.operators.dedup import levenshtein_pairs
+
+        # One edit INSIDE the prefix: blocked apart, never compared —
+        # the documented recall trade of prefix blocking.
+        df = spark.createDataFrame(
+            [(1, "abcdefgh same tail text here"),
+             (2, "Xbcdefgh same tail text here")],
+            "doc_id long, text string",
+        )
+        assert levenshtein_pairs(df, max_dist=8).count() == 0
