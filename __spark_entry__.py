@@ -2112,6 +2112,35 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s17_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 (beyond the reference, which 501s even the plain feed): the
+    commit log surfaces deletes and compaction as FIRST-CLASS change
+    rows — the piece the append-only docs feed (S13) cannot observe.
+    Two writes, one single-key delete, one compact against a scratch
+    db; the log must read back exactly (write 3, write 2, delete 1,
+    compact 4) in commit order, where delete counts rows removed and
+    compact records the surviving live set. The log directory is
+    append-only by construction, so the same rows arrive incrementally
+    via changes_log_stream (pinned in tests/test_db.py)."""
+    pairs = _event_doc_pairs(spark, sf_dir, 5)
+    keys = sorted(ns for ns, _ in pairs)
+    dbs, root = _scratch_db(spark)
+    try:
+        dbs.create("g")
+        dbs.write_batch("g", pairs[:3])
+        dbs.write_batch("g", pairs[3:])
+        mid = keys[len(keys) // 2]
+        dbs.delete_range("g", mid, mid)
+        dbs.compact("g")
+        rows = dbs.change_log("g").select("op", "n_rows").collect()
+        return spark.createDataFrame(
+            [(i + 1, r.op, r.n_rows) for i, r in enumerate(rows)],
+            "change_idx long, op string, n_rows long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # 2024-01-01T00:00:00Z in epoch-µs: the x-axis origin for regression
 # queries (keeps decimal moment sums in range — see trend_slope).
 ORIGIN_US = 1_704_067_200_000_000
@@ -2269,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile": q_column_profile,
         "type_token_ratio": q_type_token_ratio,
         "levenshtein_pairs": q_levenshtein_pairs,
+        "s17_change_log": q_s17_change_log,
         # --- driver-certified in r03: fill the rest of the window ---
         "setops_users": q_setops_users,
         "rep_stats": q_rep_stats,
@@ -3393,6 +3423,13 @@ SELECT event_id, event_type, value,
   round(percent_rank() OVER
           (PARTITION BY event_type ORDER BY value), 6) AS pct_rank
 FROM events
+""",
+        "s17_change_log": """
+SELECT cast(change_idx as bigint) AS change_idx, op,
+       cast(n_rows as bigint) AS n_rows
+FROM (VALUES (1, 'write', 3), (2, 'write', 2),
+             (3, 'delete', 1), (4, 'compact', 4))
+  AS t(change_idx, op, n_rows)
 """,
         "trend_slope": """
 WITH s AS (SELECT event_type,

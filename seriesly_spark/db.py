@@ -50,14 +50,30 @@ from seriesly_spark.plans.query import SerieslyQuery, py_parse_ts_ns, seriesly_q
 from seriesly_spark.sources.tables import latest_by_key
 
 DOC_SCHEMA = "ts_ns long, seq long, doc string"
+CHANGELOG_SCHEMA = (
+    "seq long, op string, ts_lo_ns long, ts_hi_ns long, n_rows long"
+)
+_CHANGELOG_DIR = ".changelog"
 
 
 class SerieslyDB:
-    """Filesystem-rooted database registry + per-database operations."""
+    """Filesystem-rooted database registry + per-database operations.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``changelog=True`` (default) additionally appends one tiny parquet
+    segment per mutating commit to ``<db>/.changelog/`` — a write-ahead
+    commit log in the style of lakehouse table formats (Delta's _delta_log
+    analogue, metadata-sized). The dot-prefixed directory is invisible to
+    Spark's data readers, and the log itself is APPEND-ONLY by
+    construction (rewrites/compaction never touch old segments), so
+    streaming it surfaces deletes and compaction as first-class change
+    rows — the piece the plain append-only docs feed (:meth:`changes`)
+    cannot observe.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, changelog: bool = True):
         self.spark = spark
         self.root = root
+        self.changelog = changelog
         os.makedirs(root, exist_ok=True)
 
     # -- DDL (S8) -----------------------------------------------------------
@@ -69,6 +85,12 @@ class SerieslyDB:
 
     def create(self, name: str) -> None:
         os.makedirs(self._path(name), exist_ok=True)
+        if self.changelog:
+            # Pre-create the commit-log dir so log streams can attach to
+            # an empty database (file-stream sources need the path).
+            os.makedirs(
+                os.path.join(self._path(name), _CHANGELOG_DIR), exist_ok=True
+            )
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._path(name), ignore_errors=True)
@@ -107,7 +129,53 @@ class SerieslyDB:
             "date", F.to_date(F.timestamp_micros(F.expr("ts_ns div 1000")))
         )
         df.repartition("date").write.partitionBy("date").mode("append").parquet(path)
+        self._log_change(name, "write", min(keys), max(keys), len(keys))
         return keys
+
+    # -- Commit log ---------------------------------------------------------
+
+    def _log_change(
+        self, name: str, op: str, ts_lo: int | None, ts_hi: int | None,
+        n_rows: int,
+    ) -> None:
+        """Append one commit-log segment (driver-side pyarrow write: the
+        log row is metadata, not data — one job per mutation would dwarf
+        the mutation itself). File names embed the monotone seq, so the
+        log reads back in commit order with a plain sort."""
+        if not self.changelog:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self._path(name), _CHANGELOG_DIR)
+        os.makedirs(d, exist_ok=True)
+        seq = time.time_ns()
+        table = pa.table(
+            {
+                "seq": pa.array([seq], pa.int64()),
+                "op": pa.array([op], pa.string()),
+                "ts_lo_ns": pa.array([ts_lo], pa.int64()),
+                "ts_hi_ns": pa.array([ts_hi], pa.int64()),
+                "n_rows": pa.array([n_rows], pa.int64()),
+            }
+        )
+        pq.write_table(table, os.path.join(d, f"{seq:020d}.parquet"))
+
+    def change_log(self, name: str) -> DataFrame:
+        """Batch view of the commit log, in commit order: one row per
+        mutating operation. ``n_rows`` is op-specific: docs appended
+        (write), raw rows removed (delete), live rows remaining
+        (compact). Empty (no mutations yet, or ``changelog=False``)
+        databases return an empty frame."""
+        path = self._path(name)
+        if not os.path.isdir(path):
+            raise KeyError(f"no such db: {name}")
+        d = os.path.join(path, _CHANGELOG_DIR)
+        if not os.path.isdir(d) or not os.listdir(d):
+            return self.spark.createDataFrame([], CHANGELOG_SCHEMA)
+        return (
+            self.spark.read.schema(CHANGELOG_SCHEMA).parquet(d).orderBy("seq")
+        )
 
     # -- Reads (S1-S3, S10/S11) --------------------------------------------
 
@@ -223,6 +291,17 @@ class SerieslyDB:
         lo_d = _ns_date(lo)
         hi_d = _ns_date(hi)
         path = self._path(name)
+        n_removed = 0
+        if self.changelog and self._partitions(name):
+            # Commit-log bookkeeping: count the raw rows about to go.
+            # Partition-pruned + row-group-skipped scan of just the range
+            # (the same pruning the read path gets); at table-format scale
+            # this comes from commit metadata instead of a scan.
+            n_removed = (
+                self.spark.read.parquet(path)
+                .where((F.col("ts_ns") >= lo) & (F.col("ts_ns") <= hi))
+                .count()
+            )
         for part in self._partitions(name):
             d = part[len("date="):]
             if lo_d < d < hi_d:
@@ -234,6 +313,7 @@ class SerieslyDB:
                         ~((F.col("ts_ns") >= lo) & (F.col("ts_ns") <= hi))
                     ),
                 )
+        self._log_change(name, "delete", lo, hi, n_removed)
         if compact:
             self.compact(name)
 
@@ -292,6 +372,13 @@ class SerieslyDB:
                 lambda df: latest_by_key(df, ["ts_ns"], "seq"),
                 target_bytes=target_file_bytes,
             )
+        if self.changelog:
+            # Post-compaction the physical rows ARE the live set; record
+            # it (one metadata-cheap count of freshly-merged files).
+            n_live = 0
+            if self._partitions(name):
+                n_live = self.spark.read.parquet(self._path(name)).count()
+            self._log_change(name, "compact", None, None, n_live)
 
     def info(self, name: str) -> dict:
         """S9: doc_count (live keys), space_used, partition/file counts.
@@ -303,7 +390,11 @@ class SerieslyDB:
         this as the slow exact path."""
         path = self._path(name)
         n_files = space = 0
-        for dirpath, _, files in os.walk(path):
+        for dirpath, dirnames, files in os.walk(path):
+            # Hidden dirs (the .changelog commit log) are metadata, not
+            # data — excluded from space/file accounting like Spark's
+            # readers exclude them.
+            dirnames[:] = [d for d in dirnames if not d.startswith(".")]
             for f_ in files:
                 if f_.endswith(".parquet"):
                     n_files += 1
@@ -331,14 +422,29 @@ class SerieslyDB:
         a whole (the new file), so consumers must apply the same LWW
         collapse the batch reader uses, and deletes are only observable
         as the absence of keys on a fresh batch read. Pinned by
-        tests/test_db.py::test_changes_feed_is_append_only. Surfacing
-        deletes/compaction as first-class change rows needs a log-backed
-        table format (e.g. Delta CDF) — out of scope for the parquet
-        layout, and beyond the reference (which has no feed at all)."""
+        tests/test_db.py::test_changes_feed_is_append_only. For deletes
+        and compaction as FIRST-CLASS change rows, stream the commit log
+        instead (:meth:`changes_log_stream` — the log-backed feed this
+        docstring used to defer to a table format)."""
         return (
             self.spark.readStream.schema(DOC_SCHEMA + ", date date")
             .option("basePath", self._path(name))
             .parquet(self._path(name))
+        )
+
+    def changes_log_stream(self, name: str) -> DataFrame:
+        """Streaming view of the commit log: one row per mutating commit
+        (write/delete/compact), delivered incrementally. Unlike
+        :meth:`changes`, this feed DOES surface deletes and compaction —
+        the log directory is append-only by construction (mutations only
+        ever add segments), so the file-stream source's append-only
+        contract holds exactly. This is the Delta-CDF-shaped feed built
+        on the plain-parquet layout."""
+        path = self._path(name)
+        if not os.path.isdir(path):
+            raise KeyError(f"no such db: {name}")
+        return self.spark.readStream.schema(CHANGELOG_SCHEMA).parquet(
+            os.path.join(path, _CHANGELOG_DIR)
         )
 
     # -- Query (the §3.1 analytical path) -----------------------------------

@@ -287,3 +287,82 @@ class TestCompactTargetSize:
         dbs.write_batch("t", [(day + (20 + i) * 1_000_000_000, "{}") for i in range(20)])
         dbs.compact("t")
         assert dbs.info("t")["n_files"] == 1
+
+
+class TestChangeLog:
+    # Raw-ns keys (ints above 2_147_483_647_000 pass through ParseTime
+    # untouched — smaller ints mean seconds/ms/bare-year per reference
+    # timelib semantics).
+    NS = 1_700_000_000_000_000_000
+
+    def k(self, i):
+        return self.NS + i * 1_000_000_000
+
+    def test_log_records_all_mutations_in_order(self, dbs):
+        dbs.create("cl")
+        dbs.write_batch("cl", [(self.k(i), _doc(i)) for i in range(4)])
+        dbs.write_batch("cl", [(self.k(9), _doc(9))])
+        dbs.delete_range("cl", self.k(1), self.k(2))
+        dbs.compact("cl")
+        rows = dbs.change_log("cl").collect()
+        assert [(r.op, r.n_rows) for r in rows] == [
+            ("write", 4), ("write", 1), ("delete", 2), ("compact", 3),
+        ]
+        assert [r.seq for r in rows] == sorted(r.seq for r in rows)
+        # write ops carry their key range
+        assert (rows[0].ts_lo_ns, rows[0].ts_hi_ns) == (self.k(0), self.k(3))
+        assert (rows[2].ts_lo_ns, rows[2].ts_hi_ns) == (self.k(1), self.k(2))
+
+    def test_delete_counts_raw_rows_including_revisions(self, dbs):
+        dbs.create("cl")
+        dbs.write_batch("cl", [(self.k(5), _doc(1))])
+        dbs.write_batch("cl", [(self.k(5), _doc(2))])  # second revision
+        dbs.delete_range("cl", self.k(5), self.k(5))
+        ops = [(r.op, r.n_rows) for r in dbs.change_log("cl").collect()]
+        assert ops[-1] == ("delete", 2)  # both physical revisions removed
+
+    def test_stream_surfaces_deletes_and_compaction(self, dbs, spark):
+        import uuid as _uuid
+
+        dbs.create("cl")
+        qname = f"cl_stream_{_uuid.uuid4().hex[:8]}"
+        stream = (
+            dbs.changes_log_stream("cl")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            dbs.write_batch("cl", [(self.k(i), _doc(i)) for i in range(3)])
+            stream.processAllAvailable()
+            n1 = spark.sql(f"SELECT count(*) n FROM {qname}").first().n
+            dbs.delete_range("cl", self.k(0), self.k(0))
+            dbs.compact("cl")
+            stream.processAllAvailable()
+            got = spark.sql(
+                f"SELECT op, n_rows FROM {qname} ORDER BY seq"
+            ).collect()
+        finally:
+            stream.stop()
+        assert n1 == 1
+        assert [(r.op, r.n_rows) for r in got] == [
+            ("write", 3), ("delete", 1), ("compact", 2),
+        ]
+
+    def test_changelog_opt_out(self, spark, tmp_path):
+        dbs = SerieslyDB(spark, str(tmp_path / "nolog"), changelog=False)
+        dbs.create("x")
+        dbs.write_batch("x", [(self.k(1), _doc(1))])
+        dbs.delete_range("x", self.k(1), self.k(1))
+        assert dbs.change_log("x").count() == 0
+
+    def test_log_invisible_to_data_paths(self, dbs):
+        dbs.create("cl")
+        dbs.write_batch("cl", [(self.k(i), _doc(i)) for i in range(3)])
+        dbs.compact("cl")
+        info = dbs.info("cl")
+        # one data partition, one data file — log segments excluded
+        assert info["n_partitions"] == 1 and info["n_files"] == 1
+        assert info["doc_count"] == 3
+        assert dbs.df("cl").count() == 3
