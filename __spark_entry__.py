@@ -40,6 +40,8 @@ from seriesly_spark.operators.dedup import (
     word_shingles,
 )
 from seriesly_spark.operators.joins import asof_join, range_join, salted_join
+from seriesly_spark.operators.jpeg import encode_jpeg
+from seriesly_spark.operators.util import spread
 from seriesly_spark.operators.multimodal import (
     audio_stats,
     encode_png,
@@ -2020,6 +2022,45 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_channel_stats(imgs)
 
 
+def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, certified: each document manufactures
+    a grayscale JPEG of (2 + id%3) x (1 + id%2) 8x8 blocks where block
+    b is the constant EVEN value 2*((doc_id*7 + b*13) % 128), encoded
+    at quality 50. Constant blocks quantise to a lone DC coefficient
+    (round(8*(g-128)/16) — exact for even g since the Annex-K DC step
+    is 16), so the full DCT -> quantise -> Huffman -> bit-stuff ->
+    parse -> entropy-decode -> dequantise -> IDCT pipeline round-trips
+    the value EXACTLY and the oracle states the decoded means in closed
+    form. DC differential coding is exercised across blocks (values
+    differ block to block); any corruption anywhere in the codec or the
+    binary-column plumbing breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    # spread: the JPEG Huffman walk is the one codec expensive enough
+    # that a single-file local input must be fanned out (see util.spread)
+    docs = spread(_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def make(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nbx, nby = 2 + d % 3, 1 + d % 2
+                arr = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
+                for by in range(nby):
+                    for bx in range(nbx):
+                        b = by * nbx + bx
+                        arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            2 * ((d * 7 + b * 13) % 128)
+                        )
+                payloads.append(encode_jpeg(arr, quality=50))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(make, "doc_id long, payload binary")
+    return image_channel_stats(imgs)
+
+
 def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, certified (the WAV sibling of
     image_decode_stats): each document manufactures a mono 16-bit PCM
@@ -2288,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         # --- new round-4 queries: inside the driver's head-50 ---
         "png_decode_stats": q_png_decode_stats,
+        "jpeg_decode_stats": q_jpeg_decode_stats,
         "trend_slope": q_trend_slope,
         "autocorr_lag1": q_autocorr_lag1,
         "corr_pairs_hourly": q_corr_pairs_hourly,
@@ -3615,6 +3657,20 @@ SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
   round(sum((doc_id*37 + r*5 + c*13 + 14) % 256) /
         (any_value(w) * any_value(h)), 6) AS mean_b
 FROM px GROUP BY doc_id
+""",
+        "jpeg_decode_stats": """
+WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nbx, 1 + doc_id % 2 AS nby
+           FROM documents),
+blk AS (SELECT doc_id, nbx, nby, i.b AS b
+        FROM d, unnest(generate_series(0, nbx * nby - 1)) AS i(b)),
+g AS (SELECT doc_id, nbx, nby,
+        2 * ((doc_id * 7 + b * 13) % 128) AS gray FROM blk)
+SELECT doc_id,
+  any_value(nbx) * 8 AS width, any_value(nby) * 8 AS height,
+  round(sum(gray) / (any_value(nbx) * any_value(nby)) / 1.0, 6) AS mean_r,
+  round(sum(gray) / (any_value(nbx) * any_value(nby)) / 1.0, 6) AS mean_g,
+  round(sum(gray) / (any_value(nbx) * any_value(nby)) / 1.0, 6) AS mean_b
+FROM g GROUP BY doc_id
 """,
         "audio_decode_stats": """
 WITH d AS (SELECT doc_id, 50 + doc_id % 40 AS n,

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "audio_decode_stats",
     "compression_ratio",
     "png_decode_stats",
+    "jpeg_decode_stats",
 ]
 
 

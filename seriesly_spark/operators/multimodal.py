@@ -5,10 +5,11 @@ metadata struct alongside. The Spark-side machinery that matters at scale —
 schema, Arrow batch shape, ``mapInPandas`` signatures, partition-friendly
 layout — is real and tested. The codec layer is REAL for binary PPM (P6)
 images, RGB8 PNG (stdlib-zlib inflate + the 5 scanline filters, pure
-numpy), and mono 16-bit PCM WAV — no external library — and gated for
+numpy), baseline JPEG (full DCT/Huffman pipeline, ``operators/jpeg.py``),
+and mono 16-bit PCM WAV — no external library — and gated for
 everything else: ``decode_image`` dispatches known magics to the
 built-in parsers, tries PIL if installed for other formats, and raises
-NotImplementedError otherwise (JPEG/libav are not in this container).
+NotImplementedError otherwise (libav etc. are not in this container).
 The byte-level metadata/frame/feature extractors below remain
 codec-free plumbing.
 """
@@ -226,15 +227,20 @@ def decode_png(payload: bytes) -> "np.ndarray":
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Decode an image payload to an (h, w, 3) uint8 array. P6 PPM and
-    RGB8 PNG are decoded by built-in pure-numpy parsers; other formats
-    dispatch to PIL when available and raise NotImplementedError here
-    (this container has no imaging libraries — reinstalling PIL makes
-    JPEG etc. work with no other change)."""
+    """Decode an image payload to an (h, w, 3) uint8 array. P6 PPM,
+    RGB8 PNG and baseline JPEG (grayscale / 4:4:4 / 4:2:0 — see
+    ``operators/jpeg.py``) are decoded by built-in pure-numpy parsers;
+    other formats dispatch to PIL when available and raise
+    NotImplementedError here (this container has no imaging libraries —
+    reinstalling PIL makes exotic formats work with no other change)."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     try:  # pragma: no cover - PIL absent in this environment
         import io
 
@@ -243,8 +249,8 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         raise NotImplementedError(
-            "only PPM(P6) and RGB8 PNG decode built-in; JPEG and exotic "
-            "PNG variants need PIL, which is not available in this "
+            "only PPM(P6), RGB8 PNG and baseline JPEG decode built-in; "
+            "other formats need PIL, which is not available in this "
             "container"
         )
 
