@@ -29,6 +29,7 @@ from seriesly_spark.functions.bucketing import bucket_ms_col
 from seriesly_spark.functions.timeparse import canonical_key, parse_any_ts_ns
 from seriesly_spark.operators.dedup import (
     connected_components,
+    substring_dup_stats,
     dedup_exact,
     hamming_pairs,
     levenshtein_pairs,
@@ -78,6 +79,8 @@ from seriesly_spark.operators.similarity import (
 from seriesly_spark.operators.similarity import norm as simnorm
 from seriesly_spark.operators.textstats import (
     BPE_ISH_RE,
+    bigram_lm_score,
+    pii_screen,
     STOPWORDS,
     char_entropy,
     clean_text,
@@ -94,6 +97,8 @@ from seriesly_spark.operators.textstats import (
 )
 from seriesly_spark.operators.analytics import (
     autocorr_lag,
+    cusum_changepoint,
+    seasonal_residuals,
     cohort_retention,
     column_profile,
     corr_pairs,
@@ -118,6 +123,7 @@ from seriesly_spark.operators.windows import (
     merge_intervals,
     minmax_downsample,
     moving_avg,
+    pct_change,
     series_gaps,
     sessionize,
     time_weighted_avg,
@@ -2313,6 +2319,156 @@ def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levenshtein_pairs(base.unionByName(twin))
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-k bigram LM fluency score per document (the
+    CCNet/Gopher perplexity-filter shape): train and apply in one plan —
+    vocabulary-sized count aggregates, (token, count)-only joins,
+    decimal-accumulated per-doc mean log-likelihood."""
+    return bigram_lm_score(_table(spark, sf_dir, "documents"))
+
+
+def q_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detector counts over documents salted with synthetic PII
+    (the corpus itself is digit-free word soup): doc_id deterministically
+    plants an email (every 3rd), an IPv4 (4th), an SSN shape (5th) and a
+    12-digit identifier (7th), and the oracle re-derives every count
+    symbolically. One vectorized regexp_count per pattern, no shuffle."""
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" u"), d, F.lit("@ex"), d % 7, F.lit(".com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit(" 10.0."), d % 256, F.lit("."), d % 100),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" "), (d % 900) + 100, F.lit("-"), (d % 90) + 10,
+                F.lit("-"), (d % 9000) + 1000,
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" "), F.lpad(d.cast("string"), 12, "0")),
+        ).otherwise(F.lit("")),
+    )
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", aug.alias("text")
+    )
+    return pii_screen(docs)
+
+
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication ratio (arXiv:2107.06499 at document
+    granularity): n=3 token windows (the corpus vocabulary is ~40 words,
+    so 3-grams recur across documents and the gate has real signal;
+    production would use n=15-50), hash-before-shuffle window counting."""
+    return substring_dup_stats(_table(spark, sf_dir, "documents"), n=3)
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM change-point per event type: decimal running sum of
+    mean deviations, |S| peak with deterministic tie-break; one shuffle
+    serves the mean, the running sum, and the peak rank."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    return cusum_changepoint(
+        ev, "value", ["event_type"], "ts_us", "event_id"
+    )
+
+
+def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal-naive residuals per event type: the
+    de-seasonalized signal an outlier screen should consume; profile and
+    residuals in a single windowed pass over (type, hod)."""
+    ev = _events(spark, sf_dir)
+    return seasonal_residuals(ev, "value", ["event_type"], "ts", "event_id")
+
+
+def q_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type step-over-step percent change + log return (financial
+    returns primitive): one lag window on the series key."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    return pct_change(ev, "value", ["event_type"], "ts_us", "event_id")
+
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking, adapted to the driver's
+    lineitem schema (no commit/receipt dates — the correlated predicate
+    uses l_returnflag instead; the plan shape is identical): the EXISTS
+    decorrelates to a LEFT SEMI join on l_orderkey, lineitem is
+    filtered before the join, orders' date predicates push to the scan,
+    and the priority rollup is a 5-group hash aggregate."""
+    for t in ("orders", "lineitem"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q4_SQL)
+
+
+_TPCH_Q12_SQL = """
+SELECT l_linestatus,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS high_line_count,
+  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_returnflag IN ('N', 'R')
+  AND l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 priority-mix-by-mode, adapted to the driver's lineitem
+    schema (no l_shipmode/commit/receipt columns — l_linestatus is the
+    grouping dim, l_returnflag + l_shipdate the scan predicates; same
+    shape): predicates reach the scan, the join ships only (orderkey,
+    status) vs (orderkey, priority), conditional counts collapse
+    map-side."""
+    for t in ("orders", "lineitem"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q12_SQL)
+
+
+_TPCH_Q14_SQL = """
+SELECT round(100.00 * cast(sum(cast(CASE WHEN p_type LIKE 'PROMO%'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+      as decimal(38,18))) as double)
+    / cast(sum(cast(l_extendedprice * (1 - l_discount)
+      as decimal(38,18))) as double), 6) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1996-02-01'
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promo-revenue share: part broadcasts into the
+    date-pruned lineitem scan; both revenue sums accumulate as
+    decimal(38,18) so the single final division is engine-stable."""
+    for t in ("lineitem", "part"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q14_SQL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -2330,6 +2486,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-4 queries: inside the driver's head-50 ---
         "png_decode_stats": q_png_decode_stats,
         "jpeg_decode_stats": q_jpeg_decode_stats,
+        "bigram_lm": q_bigram_lm,
+        "pii_screen": q_pii_screen,
+        "substring_dup": q_substring_dup,
+        "cusum_changepoint": q_cusum_changepoint,
+        "seasonal_residuals": q_seasonal_residuals,
+        "pct_change_series": q_pct_change,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
         "trend_slope": q_trend_slope,
         "autocorr_lag1": q_autocorr_lag1,
         "corr_pairs_hourly": q_corr_pairs_hourly,
@@ -3672,6 +3837,118 @@ SELECT doc_id,
   round(sum(gray) / (any_value(nbx) * any_value(nby)) / 1.0, 6) AS mean_b
 FROM g GROUP BY doc_id
 """,
+        "bigram_lm": """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+bp AS (SELECT doc_id, toks[i] AS x, toks[i + 1] AS y
+       FROM t, unnest(range(1, len(toks))) AS r(i)),
+cxy AS (SELECT x, y, count(*) AS c_xy FROM bp GROUP BY 1, 2),
+cx AS (SELECT x, count(*) AS c_x FROM bp GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(toks) AS w FROM t)),
+db AS (SELECT doc_id, x, y, count(*) AS m FROM bp GROUP BY 1, 2, 3),
+sc AS (SELECT db.doc_id,
+         sum(cast(db.m * log2((c_xy + 0.5) / (c_x + 0.5 * v))
+             as decimal(38,18))) AS lsum,
+         sum(db.m) AS nb
+       FROM db JOIN cxy USING (x, y) JOIN cx USING (x), v
+       GROUP BY 1)
+SELECT d.doc_id, cast(coalesce(nb, 0) as bigint) AS n_bigrams,
+       round(cast(lsum as double) / nb, 6) AS avg_logprob
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+""",
+        "pii_screen": """
+WITH a AS (SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN ' u' || doc_id || '@ex'
+            || (doc_id % 7) || '.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' 10.0.' || (doc_id % 256) || '.'
+            || (doc_id % 100) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' ' || ((doc_id % 900) + 100) || '-'
+            || ((doc_id % 90) + 10) || '-' || ((doc_id % 9000) + 1000)
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' '
+            || lpad(cast(doc_id as varchar), 12, '0') ELSE '' END AS t
+  FROM documents),
+c AS (SELECT doc_id,
+    cast(len(regexp_extract_all(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as bigint)
+      AS n_email,
+    cast(len(regexp_extract_all(t,
+      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+      as bigint) AS n_ipv4,
+    cast(len(regexp_extract_all(t,
+      '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) as bigint) AS n_ssn,
+    cast(len(regexp_extract_all(t, '\\b[0-9]{9,}\\b')) as bigint)
+      AS n_id_number
+  FROM a)
+SELECT doc_id, n_email, n_ipv4, n_ssn, n_id_number,
+  n_email + n_ipv4 + n_ssn + n_id_number AS n_pii,
+  (n_email + n_ipv4 + n_ssn + n_id_number) > 0 AS has_pii
+FROM c
+""",
+        "substring_dup": """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+w AS (SELECT doc_id, array_to_string(toks[i:i + 2], ' ') AS sh
+      FROM t, unnest(range(1, len(toks) - 1)) AS r(i)),
+c AS (SELECT sh, count(*) AS c FROM w GROUP BY 1),
+pd AS (SELECT w.doc_id, count(*) AS n_windows,
+         sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS n_dup
+       FROM w JOIN c USING (sh) GROUP BY 1)
+SELECT d.doc_id,
+  cast(coalesce(pd.n_windows, 0) as bigint) AS n_windows,
+  cast(coalesce(pd.n_dup, 0) as bigint) AS n_dup_windows,
+  round(cast(pd.n_dup as double) / pd.n_windows, 6) AS dup_ratio
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+""",
+        "cusum_changepoint": """
+WITH s AS (SELECT event_type, event_id, epoch_us(ts) AS t, value
+           FROM events),
+m AS (SELECT *,
+        cast(sum(cast(value as decimal(38,18)))
+               OVER (PARTITION BY event_type) as double)
+          / count(*) OVER (PARTITION BY event_type) AS mean,
+        count(*) OVER (PARTITION BY event_type) AS n FROM s),
+r AS (SELECT *, sum(cast(value - mean as decimal(38,18))) OVER
+        (PARTITION BY event_type ORDER BY t, event_id
+         ROWS UNBOUNDED PRECEDING) AS s_run FROM m),
+k AS (SELECT *, row_number() OVER
+        (PARTITION BY event_type
+         ORDER BY abs(s_run) DESC, t, event_id) AS rn FROM r)
+SELECT event_type, n AS n_points, t AS cp_t_us,
+       round(cast(s_run as double), 6) AS cusum_peak
+FROM k WHERE rn = 1
+""",
+        "seasonal_residuals": """
+WITH s AS (SELECT event_type, event_id, hour(ts) AS hod, value
+           FROM events),
+e AS (SELECT *,
+        cast(sum(cast(value as decimal(38,18)))
+               OVER (PARTITION BY event_type, hod) as double)
+          / count(*) OVER (PARTITION BY event_type, hod) AS exp_v
+      FROM s)
+SELECT event_type, event_id, cast(hod as bigint) AS hod, value,
+       round(exp_v, 6) AS expected,
+       round(value - exp_v, 6) AS residual
+FROM e
+""",
+        "pct_change_series": """
+WITH s AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us, value
+           FROM events),
+l AS (SELECT *, lag(value) OVER
+        (PARTITION BY event_type ORDER BY ts_us, event_id) AS prev
+      FROM s)
+SELECT event_type, event_id, ts_us, value AS value,
+  prev AS prev_value,
+  round(CASE WHEN prev <> 0 THEN (value - prev) / prev END, 6)
+    AS pct_change,
+  round(CASE WHEN prev > 0 AND value > 0 THEN ln(value / prev) END, 6)
+    AS log_return
+FROM l
+""",
+        "tpch_q4": _TPCH_Q4_SQL,
+        "tpch_q12": _TPCH_Q12_SQL,
+        "tpch_q14": _TPCH_Q14_SQL,
         "audio_decode_stats": """
 WITH d AS (SELECT doc_id, 50 + doc_id % 40 AS n,
              8000 + (doc_id % 3) * 4000 AS rate FROM documents),

@@ -108,6 +108,26 @@ BENCH_QUERIES = [
     "compression_ratio",
     "png_decode_stats",
     "jpeg_decode_stats",
+    "trend_slope",
+    "autocorr_lag1",
+    "corr_pairs_hourly",
+    "iqr_outliers",
+    "merge_intervals",
+    "rollup_events",
+    "unpivot_daily",
+    "column_profile",
+    "type_token_ratio",
+    "levenshtein_pairs",
+    "s17_change_log",
+    "bigram_lm",
+    "pii_screen",
+    "substring_dup",
+    "cusum_changepoint",
+    "seasonal_residuals",
+    "pct_change_series",
+    "tpch_q4",
+    "tpch_q12",
+    "tpch_q14",
 ]
 
 

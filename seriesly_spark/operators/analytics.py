@@ -653,3 +653,104 @@ def quantile_transform(
         value_col,
         F.round(F.percent_rank().over(w), 6).alias(out_col),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ts_us_col: str,
+    id_col: str,
+) -> DataFrame:
+    """CUSUM change-point screen per series: the cumulative sum of
+    deviations from the series mean, ``S_i = sum_{j<=i} (x_j - mean)``,
+    peaks (in absolute value) at the most likely single change point —
+    the classic Page-style drift detector reduced to its offline form.
+    A flat-but-shifted series shows a tent-shaped |S| with a sharp apex;
+    a stationary series stays near zero. Output one row per series:
+    (group..., n_points, cp_t_us, cusum_peak) where cp_t_us is the
+    peak's timestamp and cusum_peak the SIGNED peak value (sign says
+    drift-up-then-down vs the reverse).
+
+    Determinism: the mean is a decimal-accumulated sum divided once;
+    per-row deviations are plain double subtractions of identical
+    numbers; the running sum accumulates those deviations as
+    DECIMAL(38,18) over a (ts, id)-ordered frame, so neither partial-agg
+    order nor frame order can wobble a bit. Peak selection orders by
+    |S| desc with (ts, id) tie-break.
+
+    Plan: ONE shuffle on the series key serves all three windows (mean,
+    running sum, peak rank) — they share the partition key, so Spark
+    plans one Exchange + two Window operators + a filter. Per-series
+    cardinality bounds window memory; at 100 TB the knob is the series
+    key's granularity, exactly like ``time_weighted_avg``.
+    """
+    w_all = Window.partitionBy(*group_cols)
+    w_run = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(ts_us_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mean = (
+        F.sum(F.col(value_col).cast("decimal(38,18)")).over(w_all)
+        .cast("double")
+        / F.count(F.lit(1)).over(w_all)
+    )
+    dev = F.col(value_col) - mean
+    s = F.sum(dev.cast("decimal(38,18)")).over(w_run)
+    # the peak rank orders by the MATERIALIZED running sum — a window
+    # expression can't appear inside another window's ORDER BY
+    w_peak = Window.partitionBy(*group_cols).orderBy(
+        F.abs(F.col("__s")).desc(), F.col(ts_us_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("__s", s)
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__rn", F.row_number().over(w_peak))
+        .where(F.col("__rn") == 1)
+        .select(
+            *group_cols,
+            F.col("__n").alias("n_points"),
+            F.col(ts_us_col).alias("cp_t_us"),
+            F.round(F.col("__s").cast("double"), 6).alias("cusum_peak"),
+        )
+    )
+
+
+def seasonal_residuals(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Seasonal-naive residuals: expected value = the series' mean for
+    that hour-of-day (the simplest seasonal profile), residual = actual
+    minus expected. The de-seasonalized residual is what outlier
+    screens should consume when the metric has a daily rhythm — a value
+    normal at peak hour is anomalous at 4am, and a raw z-score
+    (``zscore_outliers``) can't see that. Output: one row per event
+    with (group..., id, hod, value, expected, residual).
+
+    Plan: one shuffle on (series, hour-of-day) — the profile aggregate
+    is a window over that key, so profile computation and residual
+    attachment happen in a single pass with no join. The profile
+    cardinality is series x 24; residuals stay narrow. Determinism:
+    decimal-summed mean divided once, residual a double subtraction of
+    identical numbers, rounded to 6.
+    """
+    hod = F.hour(F.col(ts_col))
+    base = df.withColumn("__hod", hod.cast("long"))
+    w = Window.partitionBy(*(group_cols + ["__hod"]))
+    expected = (
+        F.sum(F.col(value_col).cast("decimal(38,18)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return base.select(
+        *group_cols,
+        F.col(id_col),
+        F.col("__hod").alias("hod"),
+        F.col(value_col).alias("value"),
+        F.round(expected, 6).alias("expected"),
+        F.round(F.col(value_col) - expected, 6).alias("residual"),
+    )

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from seriesly_spark.operators.textstats import tokens
 from seriesly_spark.operators.util import scoped_persist, spread
 
 
@@ -573,4 +574,72 @@ def levenshtein_pairs(
         .withColumn("dist", F.levenshtein("__ha", "__hb").cast("long"))
         .where(F.col("dist") <= max_dist)
         .select("a", "b", "dist")
+    )
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    n: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication screen: what fraction of each
+    document's n-token windows recur ANYWHERE in the corpus (including
+    elsewhere in the same document). The filtering-side counterpart of
+    the suffix-array exact-substring dedup in "Deduplicating Training
+    Data Makes Language Models Better" (arXiv:2107.06499): that work
+    removes 50-token repeats; at the document level the recurring-window
+    RATIO is the triage signal — near-1 means the document is
+    assembled from text that exists elsewhere (mirrors, boilerplate,
+    templated spam) even when no single whole paragraph matches
+    (``paragraph_dedup``'s unit) and no global near-dup fires
+    (``ngram_jaccard``'s unit). Output: (doc_id, n_windows,
+    n_dup_windows, dup_ratio), one row per document, dup_ratio NULL when
+    the document is shorter than n tokens.
+
+    Dataflow: rolling windows form narrowly inside each document
+    (``transform`` over token indices — no explosion until the hash
+    projection); each window immediately collapses to an 8-byte
+    xxhash64 before anything shuffles, so the corpus-count aggregate
+    and the count-join move (hash, count) rows only, never window text
+    — the same hash-before-shuffle discipline as ``ngram_jaccard_pairs``.
+    A 64-bit hash stands in for window identity (collision odds ~n²/2⁶⁵
+    — negligible and deterministic). At 100 TB the count table is
+    bounded by distinct-window volume and its hot keys (ubiquitous
+    boilerplate windows) land on a map-side-combining aggregate, not on
+    a join explosion: the per-doc rollup joins each window OCCURRENCE
+    to one count row.
+    """
+    t = tokens(text_col)
+    # CaseWhen evaluates only the matched branch, so the sequence()
+    # never sees a negative upper bound on short documents.
+    win = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice(t, i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = spread(docs).select(F.col(id_col), win.alias("__w"))
+    occ = scoped_persist(
+        base.select(F.col(id_col), F.explode("__w").alias("__h")),
+        "dedup.substr_occ",
+    )
+    counts = occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = (
+        occ.join(counts, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("__c") > 1).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    spine = docs.select(id_col)
+    return spine.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        F.round(
+            F.col("n_dup_windows") / F.col("n_windows"), 6
+        ).alias("dup_ratio"),
     )

@@ -59,20 +59,37 @@ def _global_pairs_scalable(samples: DataFrame) -> DataFrame:
     s = s.persist()
 
     def intra(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = list(batches)
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        if len(pdf) < 2:
-            return
-        yield pd.DataFrame(
-            {
-                "ts_ns": pdf["ts_ns"].iloc[:-1].to_numpy(),
-                "x": pdf["x"].iloc[:-1].to_numpy(),
-                "next_ts_ns": pdf["ts_ns"].iloc[1:].to_numpy(),
-                "next_x": pdf["x"].iloc[1:].to_numpy(),
-            }
-        )
+        # Streaming over Arrow batches with a one-row carry between
+        # them: memory is bounded by one batch (~10k rows), not the
+        # partition — a partition-sized concat here would scale memory
+        # with partition size at 100 TB.
+        import numpy as np
+
+        carry_ts = carry_x = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ts = pdf["ts_ns"].to_numpy()
+            x = pdf["x"].to_numpy()
+            if carry_ts is not None:
+                yield pd.DataFrame(
+                    {
+                        "ts_ns": np.concatenate(([carry_ts], ts[:-1])),
+                        "x": np.concatenate(([carry_x], x[:-1])),
+                        "next_ts_ns": ts,
+                        "next_x": x,
+                    }
+                )
+            elif len(ts) >= 2:
+                yield pd.DataFrame(
+                    {
+                        "ts_ns": ts[:-1],
+                        "x": x[:-1],
+                        "next_ts_ns": ts[1:],
+                        "next_x": x[1:],
+                    }
+                )
+            carry_ts, carry_x = ts[-1], x[-1]
 
     pairs = s.mapInPandas(intra, _PAIR_SCHEMA)
 

@@ -523,3 +523,127 @@ def type_token_ratio(
             "hapax_ratio",
         )
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document fluency score under an add-k-smoothed bigram language
+    model trained on the corpus itself — the CCNet/Gopher-style
+    "perplexity filter" shape: documents whose token transitions are
+    atypical for the corpus (gibberish, OCR noise, boilerplate in a
+    different register) score low, and the filter drops the tails.
+    ``P(y|x) = (c_xy + k) / (c_x + k*V)`` with c_x counted over bigram
+    PREFIX positions (so the conditionals sum to 1 over the vocabulary)
+    and V = corpus vocabulary size; the score is the mean log2-likelihood
+    over the document's bigrams.
+
+    Dataflow (the train-and-apply-in-one-pass plan): per-document
+    bigram formation is the same narrow array transform as
+    ``collocation_pmi``; corpus bigram/prefix counts are two hash
+    aggregates that collapse map-side to vocabulary size; each
+    document's DISTINCT bigrams (with multiplicity) join those count
+    tables moving only (token, count) pairs, never text; the per-doc
+    mean accumulates ``m * log2 P`` in decimal(38,18) so partial-agg
+    order cannot wobble the double. V and the doc spine are the only
+    other inputs. Output: (doc_id, n_bigrams, avg_logprob) with NULL
+    score for documents shorter than 2 tokens.
+
+    At 100 TB: vocabulary-sized side tables (well under broadcast
+    threshold for natural-language vocabularies after the count
+    collapse), one shuffle keyed by (doc, x, y) for multiplicities and
+    one by doc for the rollup; token-frequency skew (Zipf) lands on the
+    count aggregates whose partials already collapsed map-side, not on
+    row explosion.
+    """
+    t = tokens(text_col)
+    toks = scoped_persist(
+        docs.select(F.col(id_col), t.alias("__t")), "textstats.lm_toks"
+    )
+    bi = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.slice("__t", 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                lambda x, i: F.struct(x.alias("x"), F.col("__t")[i + 1].alias("y")),
+            )
+        ).alias("b"),
+    ).select(id_col, "b.x", "b.y")
+    doc_bi = bi.groupBy(id_col, "x", "y").agg(F.count(F.lit(1)).alias("m"))
+    c_xy = bi.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    c_x = bi.groupBy("x").agg(F.count(F.lit(1)).alias("c_x"))
+    v = toks.select(F.explode("__t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    logp = F.log2(
+        (F.col("c_xy") + F.lit(k))
+        / (F.col("c_x") + F.lit(k) * F.col("v"))
+    )
+    scored = (
+        doc_bi.join(c_xy, ["x", "y"])
+        .join(c_x, "x")
+        .crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum(
+                (F.col("m") * logp).cast("decimal(38,18)")
+            ).alias("__lsum"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            # decimal -> double BEFORE the division: Spark clamps the
+            # scale of decimal/bigint in ways DuckDB doesn't mirror
+            F.round(
+                F.col("__lsum").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+    spine = docs.select(id_col)
+    return spine.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "avg_logprob",
+    )
+
+
+# PII patterns, ASCII-only so Java regex (Spark) and RE2 (DuckDB) agree:
+# no lookaround, no backrefs, leftmost-non-overlapping semantics in both.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("id_number", r"\b[0-9]{9,}\b"),
+)
+
+
+def pii_screen(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII detection counts per document — the redaction-triage pass of a
+    training-data pipeline (find documents carrying emails / IP
+    addresses / SSN-shaped ids / long numeric identifiers, route them to
+    scrubbing or drop). One vectorized JVM ``regexp_count`` per pattern,
+    all in a single narrow projection: no shuffle, no Python, scales as
+    a pure scan. Redaction itself is ``clean_text``'s job; this operator
+    is the detector that decides what needs it. Output: per-pattern
+    counts, total, and a has_pii flag.
+    """
+    cnts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(
+            f"n_{name}"
+        )
+        for name, pat in PII_PATTERNS
+    ]
+    out = docs.select(F.col(id_col), *cnts)
+    total = sum(F.col(f"n_{name}") for name, _ in PII_PATTERNS)
+    return out.select(
+        id_col,
+        *[f"n_{name}" for name, _ in PII_PATTERNS],
+        total.alias("n_pii"),
+        (total > 0).alias("has_pii"),
+    )

@@ -373,3 +373,44 @@ def merge_intervals(
             F.count(F.lit(1)).alias("n_merged"),
         )
     )
+
+
+def pct_change(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ts_us_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-series step-over-step change: percent change and log return
+    against the previous observation in (ts, id) order — the
+    financial-series primitives (returns, growth rates) the reference's
+    rate family (`reference query.go` reducers c/c_min/c_avg/c_max)
+    approximates only per-bucket. NULL on the first row of a series, on
+    a zero previous value (pct), and on a non-positive ratio (log).
+
+    One shuffle on the series key, one lag window, narrow output —
+    survives any scale-up the partition key survives. Round-6 doubles;
+    the division and log see identical inputs on both engines.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(ts_us_col), F.col(id_col)
+    )
+    prev = F.lag(F.col(value_col)).over(w)
+    return df.select(
+        *group_cols,
+        F.col(id_col),
+        F.col(ts_us_col),
+        F.col(value_col).alias("value"),
+        prev.alias("prev_value"),
+        F.round(
+            F.when(prev != 0, (F.col(value_col) - prev) / prev), 6
+        ).alias("pct_change"),
+        F.round(
+            F.when(
+                (prev > 0) & (F.col(value_col) > 0),
+                F.log(F.col(value_col) / prev),
+            ),
+            6,
+        ).alias("log_return"),
+    )
