@@ -2469,6 +2469,263 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q14_SQL)
 
 
+_TPCH_Q7_SQL = """
+WITH shipping AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         extract(year FROM l_shipdate) AS l_year,
+         cast(l_extendedprice * (1 - l_discount) as decimal(38,18)) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31')
+SELECT supp_nation, cust_nation, cast(l_year as bigint) AS l_year,
+       round(cast(sum(volume) as double), 6) AS revenue
+FROM shipping GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations (reference
+    semantics at `/root/reference` none — TPC-H parity surface; nation
+    names adapted to the driver's NATION_k dimension values). Plan: the
+    25-row nation dim broadcasts twice, the nation filters prune
+    supplier/customer BEFORE the fact join, and the date predicate
+    reaches the lineitem scan; only the 3-column shipping tuples
+    shuffle into the final 3-key hash aggregate."""
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q7_SQL)
+
+
+_TPCH_Q8_SQL = """
+WITH allnations AS (
+  SELECT extract(year FROM o_orderdate) AS o_year,
+         cast(l_extendedprice * (1 - l_discount) as decimal(38,18)) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer,
+       nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    AND p_type = 'ECONOMY')
+SELECT cast(o_year as bigint) AS o_year,
+       round(cast(sum(CASE WHEN nation = 'NATION_6' THEN volume
+                      ELSE cast(0 as decimal(38,18)) END) as double)
+             / cast(sum(volume) as double), 6) AS mkt_share
+FROM allnations GROUP BY o_year
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share (p_type/nation parameters adapted
+    to the driver's dimension domains — single-word p_type, NATION_k
+    names): region->nation->customer prunes the order side, the
+    p_type filter prunes part before its broadcast join into lineitem,
+    and both the numerator and denominator accumulate as decimal inside
+    ONE aggregate (no second pass for the conditional sum)."""
+    for t in (
+        "part", "supplier", "lineitem", "orders", "customer",
+        "nation", "region",
+    ):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q8_SQL)
+
+
+_TPCH_Q10_SQL = """
+SELECT c_custkey, c_name,
+  round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+    as decimal(38,18))) as double), 6) AS revenue,
+  c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting, top-20 lost-revenue customers
+    (address/phone/comment columns absent from the driver's reduced
+    customer schema — dropped from the output, shape otherwise
+    identical): the quarter predicate prunes orders BEFORE the join,
+    the returnflag filter prunes lineitem at the scan, nation
+    broadcasts, and the top-20 is a TakeOrderedAndProject (no global
+    sort materialization); rounded revenue + c_custkey make the cut
+    deterministic across engines."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q10_SQL)
+
+
+_TPCH_Q13_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT cast(c_count as bigint) AS c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution (the spec's
+    o_comment NOT LIKE filter has no comment column in the driver's
+    schema — the adapted exclusion predicate drops 1-URGENT orders,
+    preserving the join-side filter shape): LEFT join keeps the
+    zero-order customers, the per-customer count collapses map-side,
+    and the second aggregate is over <=|distinct counts| rows."""
+    for t in ("customer", "orders"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q13_SQL)
+
+
+_TPCH_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+      as decimal(38,18))) as double), 6) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier by 3-month revenue: the revenue CTE is a
+    date-pruned single aggregate; its max is a 1-row broadcast compared
+    against the same rounded-decimal revenue (the round-6 happens
+    INSIDE the CTE so the equality is engine-stable), and supplier
+    broadcasts into the 100-row result."""
+    for t in ("supplier", "lineitem"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q15_SQL)
+
+
+_TPCH_Q17_SQL = """
+SELECT round(cast(sum(cast(l_extendedprice as decimal(38,18)))
+    as double) / 7.0, 6) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND p_size < 15
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue (p_container absent from
+    the driver's part schema — p_size stands in; the 0.2 factor is
+    raised to 0.5 so the reduced 4-lineitems-per-order data keeps
+    signal): Catalyst decorrelates the per-part average into ONE
+    grouped aggregate joined back on partkey — lineitem is scanned
+    twice but never per-part; the brand+size filter prunes part to a
+    broadcastable handful. l_quantity sums are small integers, exact
+    in double, so the correlated threshold is engine-stable."""
+    for t in ("lineitem", "part"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q17_SQL)
+
+
+_TPCH_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum(l_quantity) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 170)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers (threshold 170 ~ the same
+    selectivity the spec's 300 has at 7 lineitems/order, for the
+    driver's ~4): the HAVING subquery collapses to a semi-joinable
+    aggregate on l_orderkey — one shuffle produces both the filter keys
+    and the displayed sum; quantities are integral doubles so the
+    threshold and sum are exact; top-100 is TakeOrderedAndProject with
+    an o_orderkey tiebreak."""
+    for t in ("customer", "orders", "lineitem"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q18_SQL)
+
+
+_TPCH_Q19_SQL = """
+SELECT round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+    as decimal(38,18))) as double), 6) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND (
+     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      AND l_quantity BETWEEN 1 AND 11)
+  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      AND l_quantity BETWEEN 10 AND 20)
+  OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+      AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted-revenue disjunction (container/shipmode
+    clauses absent from the driver's schema — brand+size+quantity
+    triplets carry the same OR-of-ANDs shape): Catalyst extracts the
+    common p_partkey equi-key so this stays a broadcast hash join with
+    the disjunction as a residual filter — never a cartesian."""
+    for t in ("lineitem", "part"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q19_SQL)
+
+
+_TPCH_Q22_SQL = """
+WITH dormant AS (
+  SELECT c_custkey, c_nationkey % 5 AS cntrycode, c_acctbal
+  FROM customer
+  WHERE c_acctbal > (
+      SELECT cast(sum(cast(c_acctbal as decimal(38,18))) as double)
+             / count(*)
+      FROM customer WHERE c_acctbal > 0.0)
+    AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= DATE '1999-01-01'))
+SELECT cast(cntrycode as bigint) AS cntrycode,
+       count(*) AS numcust,
+       round(cast(sum(cast(c_acctbal as decimal(38,18)))
+         as double), 6) AS totacctbal
+FROM dormant GROUP BY cntrycode
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (no c_phone in the driver's
+    schema — cntrycode := c_nationkey % 5, i.e. the region-aligned
+    residue; and since every customer has SOME order in this data, the
+    anti-join keeps customers with no orders since 1999 — 'dormant'
+    rather than 'never ordered', same plan shape): the above-average
+    balance threshold is a 1-row decimal-accumulated broadcast, the
+    NOT EXISTS decorrelates to a LEFT ANTI join on the date-pruned
+    orders scan, and the rollup groups 5 residues."""
+    for t in ("customer", "orders"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q22_SQL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -2495,6 +2752,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "trend_slope": q_trend_slope,
         "autocorr_lag1": q_autocorr_lag1,
         "corr_pairs_hourly": q_corr_pairs_hourly,
@@ -3948,6 +4214,15 @@ FROM l
 """,
         "tpch_q4": _TPCH_Q4_SQL,
         "tpch_q12": _TPCH_Q12_SQL,
+        "tpch_q7": _TPCH_Q7_SQL,
+        "tpch_q8": _TPCH_Q8_SQL,
+        "tpch_q10": _TPCH_Q10_SQL,
+        "tpch_q13": _TPCH_Q13_SQL,
+        "tpch_q15": _TPCH_Q15_SQL,
+        "tpch_q17": _TPCH_Q17_SQL,
+        "tpch_q18": _TPCH_Q18_SQL,
+        "tpch_q19": _TPCH_Q19_SQL,
+        "tpch_q22": _TPCH_Q22_SQL,
         "tpch_q14": _TPCH_Q14_SQL,
         "audio_decode_stats": """
 WITH d AS (SELECT doc_id, 50 + doc_id % 40 AS n,
