@@ -97,8 +97,13 @@ from seriesly_spark.operators.textstats import (
 )
 from seriesly_spark.operators.analytics import (
     autocorr_lag,
+    chisq_independence,
+    concentration_stats,
     cusum_changepoint,
+    inter_event_stats,
     seasonal_residuals,
+    welch_ttest,
+    winsorize_stats,
     cohort_retention,
     column_profile,
     corr_pairs,
@@ -2469,6 +2474,47 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q14_SQL)
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized mean at [p05, p95]: exact caps broadcast
+    onto a narrow scan, clip counts + robust mean in one aggregate —
+    the heavy-tail treatment for training-signal columns."""
+    return winsorize_stats(
+        _events(spark, sf_dir), "value", ["event_type"], 0.05, 0.95
+    )
+
+
+def q_inter_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival profile (mean/max gap + burstiness
+    index): the bot-vs-organic activity screen; one lag window + one
+    moment aggregate per user."""
+    ev = _events(spark, sf_dir).withColumn("t_us", F.unix_micros("ts"))
+    return inter_event_stats(ev, ["user_id"], "t_us", "event_id")
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between every event-type pair on value: the
+    unequal-variance A/B screen — one decimal moment aggregate, pairs
+    built on the tiny per-group table."""
+    return welch_ttest(_events(spark, sf_dir), "value", "event_type")
+
+
+def q_chisq_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event type vs hour-of-day (is the
+    event mix time-stable?): one contingency aggregate; marginals and
+    the statistic derive from the tiny table."""
+    ev = _events(spark, sf_dir).withColumn(
+        "hod", F.hour("ts").cast("long")
+    )
+    return chisq_independence(ev, "event_type", "hod")
+
+
+def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-activity concentration: Shannon entropy + Gini of the
+    events-per-user distribution — the dominance screen a sampling
+    policy reads; one count aggregate, stats over the tiny key table."""
+    return concentration_stats(_events(spark, sf_dir), "user_id")
+
+
 _TPCH_Q7_SQL = """
 WITH shipping AS (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -2761,6 +2807,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "winsorize_means": q_winsorize,
+        "inter_event_stats": q_inter_event_stats,
+        "welch_ttest": q_welch_ttest,
+        "chisq_type_hour": q_chisq_type_hour,
+        "activity_concentration": q_concentration,
         "trend_slope": q_trend_slope,
         "autocorr_lag1": q_autocorr_lag1,
         "corr_pairs_hourly": q_corr_pairs_hourly,
@@ -4223,6 +4274,106 @@ FROM l
         "tpch_q18": _TPCH_Q18_SQL,
         "tpch_q19": _TPCH_Q19_SQL,
         "tpch_q22": _TPCH_Q22_SQL,
+        "winsorize_means": """
+WITH caps AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.05), 6) AS lo_cap,
+         round(quantile_cont(value, 0.95), 6) AS hi_cap
+  FROM events GROUP BY event_type)
+SELECT e.event_type, count(*) AS n,
+  any_value(c.lo_cap) AS lo_cap, any_value(c.hi_cap) AS hi_cap,
+  cast(sum(CASE WHEN value < c.lo_cap THEN 1 ELSE 0 END) as bigint)
+    AS n_clip_lo,
+  cast(sum(CASE WHEN value > c.hi_cap THEN 1 ELSE 0 END) as bigint)
+    AS n_clip_hi,
+  round(cast(sum(cast(least(greatest(value, c.lo_cap), c.hi_cap)
+    as decimal(38,18))) as double) / count(*), 6) AS mean_winsorized
+FROM events e JOIN caps c ON e.event_type = c.event_type
+GROUP BY e.event_type
+""",
+        "inter_event_stats": """
+WITH g AS (
+  SELECT user_id,
+    (epoch_us(ts) - lag(epoch_us(ts)) OVER
+       (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) / 1e6
+      AS gap
+  FROM events),
+a AS (
+  SELECT user_id, count(*) AS n_events,
+    sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END) AS n_gaps,
+    cast(sum(cast(gap as decimal(38,18))) as double) AS s1,
+    cast(sum(cast(gap * gap as decimal(38,18))) as double) AS s2,
+    max(gap) AS mx
+  FROM g GROUP BY user_id),
+b AS (
+  SELECT *, s1 / n_gaps AS mu,
+    sqrt(greatest(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps), 0.0))
+      AS sigma
+  FROM a WHERE n_gaps > 0)
+SELECT user_id, n_events, cast(n_gaps as bigint) AS n_gaps,
+  round(mu, 6) AS mean_gap_s, round(mx, 6) AS max_gap_s,
+  round(CASE WHEN sigma + mu > 0
+        THEN (sigma - mu) / (sigma + mu) END, 6) AS burstiness
+FROM b
+""",
+        "welch_ttest": """
+WITH m AS (
+  SELECT event_type AS g, count(*) AS n,
+    cast(sum(cast(value as decimal(38,18))) as double) AS s1,
+    cast(sum(cast(value * value as decimal(38,18))) as double) AS s2
+  FROM events GROUP BY event_type),
+v AS (
+  SELECT g, n, s1 / n AS m,
+    greatest((s2 - s1 * s1 / n) / (n - 1), 0.0) AS v
+  FROM m WHERE n >= 2)
+SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+  round(a.m - b.m, 6) AS mean_diff,
+  round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+  round((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n)
+        / ((a.v / a.n) * (a.v / a.n) / (a.n - 1)
+           + (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 6) AS dof
+FROM v a, v b
+WHERE a.g < b.g AND a.v / a.n + b.v / b.n > 0
+""",
+        "chisq_type_hour": """
+WITH obs AS (
+  SELECT event_type AS a, hour(ts) AS b, count(*) AS o
+  FROM events GROUP BY 1, 2),
+ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY a),
+cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY b),
+tot AS (SELECT sum(o) AS n FROM obs),
+grid AS (
+  SELECT ra.a, cb.b, ra.ra, cb.cb, tot.n,
+         coalesce(obs.o, 0) AS o
+  FROM ra CROSS JOIN cb
+  LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+  CROSS JOIN tot)
+SELECT
+  round(cast(sum(cast(
+    (o - cast(ra as double) * cb / n)
+    * (o - cast(ra as double) * cb / n)
+    / (cast(ra as double) * cb / n)
+    as decimal(38,18))) as double), 6) AS chi2_stat,
+  cast((count(distinct a) - 1) * (count(distinct b) - 1) as bigint)
+    AS dof,
+  cast(any_value(n) as bigint) AS n,
+  count(*) AS n_cells
+FROM grid
+""",
+        "activity_concentration": """
+WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM c),
+a AS (SELECT count(*) AS nk, sum(c) AS tot,
+        cast(sum(cast(c * ln(c) as decimal(38,18))) as double) AS clnc,
+        sum(i * c) AS ic
+      FROM r)
+SELECT cast(nk as bigint) AS n_keys, cast(tot as bigint) AS n_total,
+  round(ln(tot) - clnc / tot, 6) AS entropy,
+  round(CASE WHEN nk > 1 THEN (ln(tot) - clnc / tot) / ln(nk)
+        ELSE 0.0 END, 6) AS entropy_norm,
+  round(2.0 * ic / (nk * tot) - (nk + 1.0) / nk, 6) AS gini
+FROM a
+""",
         "tpch_q14": _TPCH_Q14_SQL,
         "audio_decode_stats": """
 WITH d AS (SELECT doc_id, 50 + doc_id % 40 AS n,

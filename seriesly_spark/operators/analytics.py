@@ -754,3 +754,267 @@ def seasonal_residuals(
         F.round(expected, 6).alias("expected"),
         F.round(F.col(value_col) - expected, 6).alias("residual"),
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization summary: exact p-lo/p-hi caps, values
+    clamped into [lo_cap, hi_cap], and the robustified aggregate the
+    tail-sensitive metrics should consume — the standard treatment for
+    heavy-tailed training-signal columns (loss spikes, token counts)
+    before averaging.
+
+    Plan mirrors iqr_outliers: ONE exact-percentile aggregate (a row
+    per group) broadcast back onto a narrow scan; the data rows never
+    shuffle. The caps are rounded to 6 BEFORE clamping so the clamp
+    boundary is bit-identical in any engine (an unrounded cap is the
+    one float the two engines could disagree on at the last ulp).
+    Clamped sums accumulate as decimal. At extreme group cardinality
+    swap the exact percentile for the approx sketch
+    (operators/sketches.py) — same shape.
+
+    Output: group, n, lo_cap, hi_cap, n_clip_lo, n_clip_hi,
+    mean_winsorized (all floats rounded to 6).
+    """
+    q = df.groupBy(*group_cols).agg(
+        F.round(F.expr(f"percentile({value_col}, {lo})"), 6).alias("lo_cap"),
+        F.round(F.expr(f"percentile({value_col}, {hi})"), 6).alias("hi_cap"),
+    )
+    v = F.col(value_col).cast("double")
+    w = F.least(F.greatest(v, F.col("lo_cap")), F.col("hi_cap"))
+    return (
+        df.join(F.broadcast(q), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("lo_cap").alias("lo_cap"),
+            F.first("hi_cap").alias("hi_cap"),
+            F.sum(F.when(v < F.col("lo_cap"), 1).otherwise(0)).alias(
+                "n_clip_lo"
+            ),
+            F.sum(F.when(v > F.col("hi_cap"), 1).otherwise(0)).alias(
+                "n_clip_hi"
+            ),
+            F.round(_exact_sum(w) / F.count(F.lit(1)), 6).alias(
+                "mean_winsorized"
+            ),
+        )
+    )
+
+
+def inter_event_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    t_us_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-entity inter-arrival-time profile: gap count, mean/max gap
+    (seconds), and burstiness B = (sigma - mu) / (sigma + mu) — the
+    -1..1 regularity index (B<0 periodic, B~0 Poisson, B>0 bursty)
+    used to screen bot-like vs organic activity streams.
+
+    One lag window per entity (single shuffle on the entity key —
+    deterministic (t, id) ordering), then one hash aggregate of decimal
+    gap moments; sigma is the population std from (sum, sumsq, n) so
+    nothing but three partial sums per entity moves. Gaps are integer
+    microsecond differences divided by 1e6 once — exact in double.
+    Entities with fewer than 2 events drop (no gaps).
+
+    Output: group, n_events, n_gaps, mean_gap_s, max_gap_s, burstiness
+    (floats rounded to 6; burstiness NULL for zero-variance + zero-mean
+    degenerate streams).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(t_us_col, id_col)
+    t = F.col(t_us_col).cast("long")
+    gap = (t - F.lag(t).over(w)) / F.lit(1e6)
+    gaps = df.select(*group_cols, gap.alias("__g"))
+    n = F.sum(F.when(F.col("__g").isNotNull(), 1).otherwise(0))
+    s1 = F.sum(F.col("__g").cast("decimal(38,18)")).cast("double")
+    s2 = F.sum(
+        (F.col("__g") * F.col("__g")).cast("decimal(38,18)")
+    ).cast("double")
+    mu = s1 / n
+    var = F.greatest(s2 / n - mu * mu, F.lit(0.0))
+    sigma = F.sqrt(var)
+    return (
+        gaps.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            n.alias("n_gaps"),
+            F.round(mu, 6).alias("mean_gap_s"),
+            F.round(F.max("__g"), 6).alias("max_gap_s"),
+            F.round(
+                F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu)), 6
+            ).alias("burstiness"),
+        )
+        .where(F.col("n_gaps") > 0)
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between every pair of groups:
+    the A/B screen for "did this cohort's metric actually move" that
+    does not assume equal variances (Welch 1947). Reports t and the
+    Welch-Satterthwaite degrees of freedom; significance thresholding
+    is the caller's policy knob.
+
+    ONE moment aggregate over the data (decimal sums; a row per group),
+    then a tiny ordered self-join builds the G*(G-1)/2 pairs — the
+    corr_pairs shape: nothing beyond three partial sums per group ever
+    moves, so the cost at 100 TB is the scan. Sample variance uses
+    n-1; groups with n<2 or zero variance on BOTH sides drop.
+
+    Output: group_a, group_b, n_a, n_b, mean_diff, t_stat, dof
+    (floats rounded to 6).
+    """
+    m = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        _exact_sum(F.col(value_col).cast("double")).alias("__s1"),
+        _exact_sum(
+            F.col(value_col).cast("double") * F.col(value_col)
+        ).alias("__s2"),
+    )
+    n = F.col("__n")
+    mean = F.col("__s1") / n
+    svar = (F.col("__s2") - F.col("__s1") * F.col("__s1") / n) / (n - 1)
+    m = m.select(
+        F.col(group_col).alias("__g"),
+        n.alias("__n"),
+        mean.alias("__m"),
+        F.greatest(svar, F.lit(0.0)).alias("__v"),
+    ).where(F.col("__n") >= 2)
+    a = m.select(
+        F.col("__g").alias("group_a"), F.col("__n").alias("__na"),
+        F.col("__m").alias("__ma"), F.col("__v").alias("__va"),
+    )
+    b = m.select(
+        F.col("__g").alias("group_b"), F.col("__n").alias("__nb"),
+        F.col("__m").alias("__mb"), F.col("__v").alias("__vb"),
+    )
+    se2 = F.col("__va") / F.col("__na") + F.col("__vb") / F.col("__nb")
+    dof_num = se2 * se2
+    dof_den = (
+        (F.col("__va") / F.col("__na")) * (F.col("__va") / F.col("__na"))
+        / (F.col("__na") - 1)
+        + (F.col("__vb") / F.col("__nb")) * (F.col("__vb") / F.col("__nb"))
+        / (F.col("__nb") - 1)
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("group_a") < F.col("group_b"))
+        .where(se2 > 0)
+        .select(
+            "group_a", "group_b",
+            F.col("__na").alias("n_a"), F.col("__nb").alias("n_b"),
+            F.round(F.col("__ma") - F.col("__mb"), 6).alias("mean_diff"),
+            F.round(
+                (F.col("__ma") - F.col("__mb")) / F.sqrt(se2), 6
+            ).alias("t_stat"),
+            F.round(dof_num / dof_den, 6).alias("dof"),
+        )
+    )
+
+
+def chisq_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (is event mix drifting across the week? does source predict
+    language?) — the contingency-table screen run before trusting a
+    segmentation.
+
+    ONE (a, b) count aggregate builds the observed table; the FULL
+    |A|x|B| grid (empty cells contribute e, not 0 — dropping them
+    understates the statistic) comes from crossing the two marginal
+    tables and left-joining the observed counts; everything past the
+    first aggregate runs over tiny categorical-cardinality tables.
+    Each cell's (o-e)^2/e term is a deterministic double (integer
+    counts, one product, one division); terms accumulate as decimal so
+    the final statistic is addition-order-free.
+
+    Output: one row — chi2_stat (rounded to 6), dof, n,
+    n_cells (the full grid size).
+    """
+    obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
+    ra = obs.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
+    cb = obs.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
+    tot = obs.agg(F.sum("__o").alias("__n"))
+    grid = (
+        ra.crossJoin(F.broadcast(cb))
+        .join(F.broadcast(obs), [col_a, col_b], "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
+    )
+    e = F.col("__ra").cast("double") * F.col("__cb") / F.col("__n")
+    term = (F.col("__o") - e) * (F.col("__o") - e) / e
+    return grid.agg(
+        F.round(_exact_sum(term), 6).alias("chi2_stat"),
+        (
+            (F.count_distinct(col_a) - 1)
+            * (F.count_distinct(col_b) - 1)
+        ).alias("dof"),
+        F.first("__n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
+def concentration_stats(
+    df: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Activity-concentration profile of a key column: Shannon entropy
+    (nats) of the per-key share distribution, its 0-1 normalized form,
+    and the Gini coefficient — the "is one user / domain / source
+    dominating the corpus" screen a sampling policy reads before
+    weighting.
+
+    ONE count aggregate per key (the only pass over the data), then
+    windowed rank + decimal-summed terms over the |keys|-sized table.
+    Gini uses the ordered-rank identity G = (2*sum(i*x_i))/(n*sum(x))
+    - (n+1)/n with a deterministic (count, key) ordering; entropy
+    terms p*ln(p) are per-key doubles accumulated as decimal (ulp
+    noise stays ~1e-14, far under the round-6 contract).
+
+    Output: one row — n_keys, n_total, entropy, entropy_norm, gini
+    (floats rounded to 6).
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("__c", key_col)
+    ranked = counts.select(
+        F.col("__c").cast("long").alias("__c"),
+        F.row_number().over(w).cast("long").alias("__i"),
+    )
+    tot = F.sum("__c")
+    nk = F.count(F.lit(1))
+    ent = -F.sum(
+        (F.col("__c") * F.log(F.col("__c"))).cast("decimal(38,18)")
+    ).cast("double")
+    # -sum(p ln p) = ln(T) - sum(c ln c)/T  (exact integer c, one /T)
+    entropy = F.log(tot.cast("double")) + ent / tot
+    gini = (
+        F.lit(2.0) * F.sum(F.col("__i") * F.col("__c")) / (nk * tot)
+        - (nk + F.lit(1.0)) / nk
+    )
+    return ranked.agg(
+        nk.alias("n_keys"),
+        tot.alias("n_total"),
+        F.round(entropy, 6).alias("entropy"),
+        F.round(
+            F.when(nk > 1, entropy / F.log(nk.cast("double"))).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("entropy_norm"),
+        F.round(gini, 6).alias("gini"),
+    )

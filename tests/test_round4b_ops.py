@@ -1,0 +1,145 @@
+"""Micro-input unit tests for the round-4 batch-3 statistics
+operators: winsorized means, inter-event profiles, Welch's t,
+chi-square independence, concentration (entropy + Gini)."""
+
+import math
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from seriesly_spark.operators.analytics import (
+    chisq_independence,
+    concentration_stats,
+    inter_event_stats,
+    welch_ttest,
+    winsorize_stats,
+)
+
+
+class TestWinsorize:
+    def test_caps_and_mean_hand_checked(self, spark):
+        # 1..20: p05 interpolates to 1.95, p95 to 19.05 (linear,
+        # index h = p*(n-1)); exactly one value clips on each side and
+        # the winsorized mean is (1.95 + sum(2..19) + 19.05)/20 = 10.5.
+        df = spark.createDataFrame(
+            [("a", float(i)) for i in range(1, 21)], "g string, v double"
+        )
+        row = winsorize_stats(df, "v", ["g"], 0.05, 0.95).first()
+        assert row["n"] == 20
+        assert row["lo_cap"] == 1.95
+        assert row["hi_cap"] == 19.05
+        assert row["n_clip_lo"] == 1
+        assert row["n_clip_hi"] == 1
+        assert row["mean_winsorized"] == 10.5
+
+    def test_groups_independent(self, spark):
+        df = spark.createDataFrame(
+            [("a", float(i)) for i in range(1, 21)]
+            + [("b", 100.0)] * 10,
+            "g string, v double",
+        )
+        rows = {
+            r["g"]: r
+            for r in winsorize_stats(df, "v", ["g"], 0.05, 0.95).collect()
+        }
+        # constant group: caps equal the value, nothing clips
+        assert rows["b"]["n_clip_lo"] == 0
+        assert rows["b"]["n_clip_hi"] == 0
+        assert rows["b"]["mean_winsorized"] == 100.0
+        assert rows["a"]["mean_winsorized"] == 10.5
+
+
+class TestInterEventStats:
+    def test_regular_stream_is_periodic(self, spark):
+        # gaps 10 s, 10 s -> sigma 0, burstiness (0-10)/(0+10) = -1
+        df = spark.createDataFrame(
+            [(1, 0, 1), (1, 10_000_000, 2), (1, 20_000_000, 3)],
+            "u long, t long, id long",
+        )
+        row = inter_event_stats(df, ["u"], "t", "id").first()
+        assert row["n_events"] == 3
+        assert row["n_gaps"] == 2
+        assert row["mean_gap_s"] == 10.0
+        assert row["max_gap_s"] == 10.0
+        assert row["burstiness"] == -1.0
+
+    def test_single_event_entity_drops(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0, 1), (2, 5, 2), (2, 1_000_000, 3)],
+            "u long, t long, id long",
+        )
+        rows = inter_event_stats(df, ["u"], "t", "id").collect()
+        assert {r["u"] for r in rows} == {2}
+
+
+class TestWelchTTest:
+    def test_hand_checked_pair(self, spark):
+        # a=[1,2,3] (mean 2, var 1), b=[2,4,6] (mean 4, var 4):
+        # se2 = 1/3 + 4/3, t = -2/sqrt(5/3), dof = 50/17
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0),
+             ("b", 2.0), ("b", 4.0), ("b", 6.0)],
+            "g string, v double",
+        )
+        row = welch_ttest(df, "v", "g").first()
+        assert (row["group_a"], row["group_b"]) == ("a", "b")
+        assert row["mean_diff"] == -2.0
+        assert row["t_stat"] == round(-2.0 / math.sqrt(5.0 / 3.0), 6)
+        assert row["dof"] == round(50.0 / 17.0, 6)
+
+    def test_tiny_and_constant_groups_drop(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 5.0), ("b", 5.0), ("c", 1.0), ("c", 2.0)],
+            "g string, v double",
+        )
+        rows = welch_ttest(df, "v", "g").collect()
+        # 'a' has n<2; the (b,c) pair survives (one-sided variance ok)
+        assert {(r["group_a"], r["group_b"]) for r in rows} == {("b", "c")}
+
+
+class TestChisq:
+    def test_independent_table_scores_zero(self, spark):
+        rows = [("x", 0)] * 5 + [("x", 1)] * 5 + [("y", 0)] * 5 + [
+            ("y", 1)
+        ] * 5
+        df = spark.createDataFrame(rows, "a string, b long")
+        out = chisq_independence(df, "a", "b").first()
+        assert out["chi2_stat"] == 0.0
+        assert out["dof"] == 1
+        assert out["n"] == 20
+        assert out["n_cells"] == 4
+
+    def test_perfect_association_scores_n(self, spark):
+        # 2x2 with empty off-diagonal cells: chi2 == n exactly
+        rows = [("x", 0)] * 4 + [("y", 1)] * 6
+        df = spark.createDataFrame(rows, "a string, b long")
+        out = chisq_independence(df, "a", "b").first()
+        assert out["chi2_stat"] == 10.0
+        assert out["dof"] == 1
+
+
+class TestConcentration:
+    def test_uniform_distribution(self, spark):
+        df = spark.createDataFrame(
+            [(u,) for u in range(4) for _ in range(5)], "u long"
+        )
+        row = concentration_stats(df, "u").first()
+        assert row["n_keys"] == 4
+        assert row["n_total"] == 20
+        assert row["entropy"] == round(math.log(4), 6)
+        assert row["entropy_norm"] == 1.0
+        assert row["gini"] == 0.0
+
+    def test_single_key_degenerate(self, spark):
+        df = spark.createDataFrame([(7,)] * 9, "u long")
+        row = concentration_stats(df, "u").first()
+        assert row["entropy"] == 0.0
+        assert row["entropy_norm"] == 0.0
+        assert row["gini"] == 0.0
+
+    def test_skew_raises_gini_lowers_entropy_norm(self, spark):
+        df = spark.createDataFrame(
+            [(1,)] * 97 + [(2,)] * 1 + [(3,)] * 1 + [(4,)] * 1, "u long"
+        )
+        row = concentration_stats(df, "u").first()
+        assert row["gini"] > 0.5
+        assert row["entropy_norm"] < 0.2
