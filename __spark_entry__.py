@@ -86,7 +86,9 @@ from seriesly_spark.operators.textstats import (
     clean_text,
     collocation_pmi,
     compression_ratio,
+    curriculum_bins,
     fingerprint,
+    normalized_dedup,
     lang_id,
     quality_filter,
     repetition_stats,
@@ -125,12 +127,14 @@ from seriesly_spark.operators.packing import chunk_documents, pack_sequences
 from seriesly_spark.operators.windows import (
     fill_gaps,
     hopping_window_agg,
+    interval_coverage,
     merge_intervals,
     minmax_downsample,
     moving_avg,
     pct_change,
     series_gaps,
     sessionize,
+    sliding_distinct,
     time_weighted_avg,
     topk_per_group,
 )
@@ -2474,6 +2478,59 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q14_SQL)
 
 
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 6-hour active-user counts sliding hourly: F.window's
+    inline 6-way expand (narrow) + one distinct aggregate — only
+    (window, user) pairs move after the partial dedup."""
+    return sliding_distinct(
+        _events(spark, sf_dir), "ts", 6 * H_MS, H_MS, "user_id"
+    )
+
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition gate: per-user error-exposure islands (every error
+    event projects a 2h window; merge_intervals coalesces them) and
+    the fraction of that user's purchase events landing inside any
+    island — equi-join on user with a between residual, islands
+    guaranteed disjoint by construction."""
+    ev = _events(spark, sf_dir)
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.lit(7_200_000_000)).alias("e_us"),
+        "event_id",
+    )
+    islands = merge_intervals(err, ["user_id"], "s_us", "e_us", "event_id")
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    return interval_coverage(
+        islands, buys, ["user_id"], "island_start_us", "island_end_us",
+        "t_us",
+    )
+
+
+def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency length curriculum over documents (10 bins,
+    same-length docs never split across bins): the length histogram is
+    tiny, so the only corpus pass is the scan + broadcast-bin join."""
+    return curriculum_bins(_table(spark, sf_dir, "documents"), n_bins=10)
+
+
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-fingerprint dedup over a corpus with planted
+    re-encoded copies: every 4th document gets a twin differing only in
+    case and punctuation — byte-exact dedup misses it, the normalized
+    md5 collapses it onto the original (canonical = smaller id)."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select((F.col("doc_id") * 2).alias("doc_id"), "text")
+    twin = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!")).alias("text"),
+    )
+    return normalized_dedup(base.unionByName(twin))
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type winsorized mean at [p05, p95]: exact caps broadcast
     onto a narrow scan, clip counts + robust mean in one aggregate —
@@ -2812,6 +2869,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ttest": q_welch_ttest,
         "chisq_type_hour": q_chisq_type_hour,
         "activity_concentration": q_concentration,
+        "sliding_distinct_users": q_sliding_distinct,
+        "interval_coverage": q_interval_coverage,
+        "length_curriculum": q_length_curriculum,
+        "normalized_dedup": q_normalized_dedup,
         "trend_slope": q_trend_slope,
         "autocorr_lag1": q_autocorr_lag1,
         "corr_pairs_hourly": q_corr_pairs_hourly,
@@ -4359,6 +4420,96 @@ SELECT
   cast(any_value(n) as bigint) AS n,
   count(*) AS n_cells
 FROM grid
+""",
+        "sliding_distinct_users": """
+WITH e AS (SELECT epoch_us(ts) AS ts_us, user_id FROM events),
+x AS (
+  SELECT ((ts_us // 3600000000) - u.i) * 3600000 AS bucket_ms, user_id
+  FROM e CROSS JOIN (SELECT unnest(range(0, 6)) AS i) u)
+SELECT bucket_ms, count(*) AS n_events,
+       count(distinct user_id) AS n_keys
+FROM x GROUP BY 1
+""",
+        "interval_coverage": """
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+              epoch_us(ts) + 7200000000 AS e, event_id FROM events
+            WHERE event_type = 'error'),
+m AS (SELECT user_id, s, e, event_id,
+        max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS pmax,
+        lag(s) OVER (PARTITION BY user_id ORDER BY s, e, event_id)
+          AS prev_s
+      FROM iv),
+o AS (SELECT user_id, s, e,
+        CASE WHEN prev_s IS NULL THEN 1
+             WHEN s > pmax + 0 THEN 1 ELSE 0 END AS op
+      FROM m),
+i AS (SELECT user_id, s, e,
+        cast(sum(op) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) as bigint)
+          AS island
+      FROM o),
+isl AS (SELECT user_id, island, min(s) AS s, max(e) AS e
+        FROM i GROUP BY 1, 2),
+ivl AS (SELECT user_id, count(*) AS n_islands,
+          sum(e - s) AS covered_us FROM isl GROUP BY user_id),
+pts AS (SELECT user_id, epoch_us(ts) AS t FROM events
+        WHERE event_type = 'purchase'),
+pagg AS (SELECT user_id, count(*) AS n_points FROM pts GROUP BY 1),
+cov AS (SELECT p.user_id, count(*) AS n_covered
+        FROM pts p JOIN isl ON p.user_id = isl.user_id
+          AND p.t >= isl.s AND p.t <= isl.e
+        GROUP BY p.user_id)
+SELECT ivl.user_id, ivl.n_islands,
+  cast(ivl.covered_us as bigint) AS covered_us,
+  cast(coalesce(pagg.n_points, 0) as bigint) AS n_points,
+  cast(coalesce(cov.n_covered, 0) as bigint) AS n_covered,
+  round(CASE WHEN coalesce(pagg.n_points, 0) > 0
+        THEN coalesce(cov.n_covered, 0) / cast(pagg.n_points as double)
+        END, 6) AS coverage_ratio
+FROM ivl LEFT JOIN pagg ON ivl.user_id = pagg.user_id
+LEFT JOIN cov ON ivl.user_id = cov.user_id
+""",
+        "length_curriculum": """
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS l,
+         length(text) AS chars
+  FROM documents),
+h AS (SELECT l, count(*) AS c FROM d GROUP BY l),
+t AS (SELECT sum(c) AS tot FROM h),
+b AS (SELECT l,
+        coalesce(sum(c) OVER (ORDER BY l
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS before,
+        tot
+      FROM h CROSS JOIN t),
+bins AS (SELECT l, cast((before * 10) // tot as bigint) AS bin FROM b)
+SELECT bin, count(*) AS n_docs,
+  cast(min(d.l) as bigint) AS min_tokens,
+  cast(max(d.l) as bigint) AS max_tokens,
+  round(cast(sum(cast(d.chars as decimal(38,18))) as double)
+        / count(*), 6) AS avg_chars
+FROM d JOIN bins ON d.l = bins.l
+GROUP BY bin
+""",
+        "normalized_dedup": """
+WITH aug AS (
+  SELECT doc_id * 2 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS doc_id, upper(text) || '!!' AS text
+  FROM documents WHERE doc_id % 4 = 0),
+fp AS (SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS fingerprint
+       FROM aug),
+g AS (SELECT fingerprint, min(doc_id) AS canonical_id,
+        count(*) AS group_size
+      FROM fp GROUP BY fingerprint)
+SELECT fp.doc_id, fp.fingerprint, g.canonical_id, g.group_size,
+       fp.doc_id <> g.canonical_id AS is_dup
+FROM fp JOIN g ON fp.fingerprint = g.fingerprint
 """,
         "activity_concentration": """
 WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),

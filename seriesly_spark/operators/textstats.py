@@ -9,7 +9,7 @@ rounding fudge; ratios still rounded to 6 for belt-and-braces).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from seriesly_spark.operators.util import round_half_up as _round_half_up
@@ -646,4 +646,105 @@ def pii_screen(
         *[f"n_{name}" for name, _ in PII_PATTERNS],
         total.alias("n_pii"),
         (total > 0).alias("has_pii"),
+    )
+
+
+def curriculum_bins(
+    docs: DataFrame,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Equal-frequency curriculum binning by document token count —
+    the length schedule a curriculum-learning data loader consumes
+    (short-to-long ordering, per-bin mixing weights). Unlike NTILE,
+    ALL documents of the same length share a bin (a curriculum must
+    not split identical lengths across phases), and unlike a global
+    rank window it never single-partitions the corpus:
+
+    one (length -> count) aggregate (the length domain is tiny — a
+    few thousand distinct integers however large the corpus), a
+    cumulative window over THAT table, and bin(L) = (docs_shorter *
+    n_bins) div total — exact integer arithmetic, engine-stable. The
+    assignment broadcasts back onto a narrow scan; corpus rows never
+    shuffle.
+
+    Output: (bin, n_docs, min_tokens, max_tokens, avg_chars rounded
+    to 6). Bins with no mass (heavy length ties) simply don't appear —
+    equal-frequency is best-effort under ties by design."""
+    d = docs.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("__len"),
+        F.length(F.col(text_col)).cast("long").alias("__chars"),
+    )
+    hist = d.groupBy("__len").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("__len").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = hist.agg(F.sum("__c").alias("__tot"))
+    bins = (
+        hist.withColumn(
+            "__before", F.coalesce(F.sum("__c").over(w), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__len",
+            F.expr(f"(__before * {n_bins}) div __tot")
+            .cast("long")
+            .alias("bin"),
+        )
+    )
+    return (
+        d.join(F.broadcast(bins), "__len")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("__len").cast("long").alias("min_tokens"),
+            F.max("__len").cast("long").alias("max_tokens"),
+            F.round(
+                F.sum(F.col("__chars").cast("decimal(38,18)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_chars"),
+        )
+    )
+
+
+def normalized_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Normalization-fingerprint exact dedup: case-folded,
+    punctuation-stripped, whitespace-collapsed text hashed to a
+    128-bit fingerprint; documents sharing a fingerprint form a dup
+    group whose smallest id is the canonical survivor. Catches the
+    re-encoded/re-punctuated exact copies that byte-level dedup
+    misses and the similarity miners over-kill (the C4/CCNet
+    normalize-then-hash step).
+
+    Hash-before-shuffle: only (fingerprint, id) pairs move into the
+    group aggregate; the winner map (fingerprint -> canonical id,
+    group size) joins back on the fingerprint — two narrow shuffles on
+    a 128-bit key, no text movement past the scan.
+    Output: (doc_id, fingerprint, canonical_id, group_size, is_dup)."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    fp = docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+    groups = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        fp.join(groups, "fingerprint")
+        .select(
+            id_col,
+            "fingerprint",
+            "canonical_id",
+            "group_size",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+        )
     )

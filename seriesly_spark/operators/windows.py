@@ -414,3 +414,90 @@ def pct_change(
             6,
         ).alias("log_return"),
     )
+
+
+def sliding_distinct(
+    df: DataFrame,
+    ts_col: str,
+    length_ms: int,
+    slide_ms: int,
+    key_col: str,
+) -> DataFrame:
+    """Sliding-window distinct-key counts (rolling active users, rolling
+    distinct source domains): every row lands in length/slide hopping
+    windows via ``F.window``'s inline expand (narrow — no self-join
+    spine), then ONE shuffle on the window start feeds a distinct
+    aggregate. Spark plans count_distinct as a two-phase partial
+    (dedup-then-count) so only (window, key) pairs move, not rows.
+    For approximate mode at extreme cardinality use the HLL rollup
+    (operators/sketches.py) — same window spine.
+    Output: (bucket_ms, n_events, n_keys)."""
+    w = F.window(
+        F.col(ts_col), f"{length_ms} milliseconds", f"{slide_ms} milliseconds"
+    )
+    return (
+        df.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col(key_col)).alias("n_keys"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("bucket_ms"),
+            "n_events",
+            "n_keys",
+        )
+    )
+
+
+def interval_coverage(
+    intervals: DataFrame,
+    points: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    t_col: str,
+) -> DataFrame:
+    """How much of an activity stream falls inside known coverage
+    windows: per key, the island count/total covered span from
+    ``intervals`` (PRECONDITION: disjoint per key — merge_intervals
+    output; overlapping islands would double-count points) and the
+    fraction of ``points`` rows covered by any island.
+
+    Plan: the point->island match is an EQUI-join on the key with the
+    between-predicate as a residual — never a cartesian; islands per
+    key are few (merge_intervals collapsed them), so the residual scan
+    is cheap. Three per-key aggregates (islands, points, covered) join
+    on the tiny key table. Integer-µs bounds, inclusive [s, e].
+    Output: (key..., n_islands, covered_us, n_points, n_covered,
+    coverage_ratio rounded to 6)."""
+    ivl = intervals.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col(end_col) - F.col(start_col)).alias("covered_us"),
+    )
+    pts = points.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_points"))
+    t = F.col(t_col)
+    cov = (
+        points.join(intervals, key_cols)
+        .where((t >= F.col(start_col)) & (t <= F.col(end_col)))
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    return (
+        ivl.join(pts, key_cols, "left")
+        .join(cov, key_cols, "left")
+        .select(
+            *key_cols,
+            "n_islands",
+            "covered_us",
+            F.coalesce(F.col("n_points"), F.lit(0)).alias("n_points"),
+            F.coalesce(F.col("n_covered"), F.lit(0)).alias("n_covered"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_points"), F.lit(0)) > 0,
+                    F.coalesce(F.col("n_covered"), F.lit(0))
+                    / F.col("n_points").cast("double"),
+                ),
+                6,
+            ).alias("coverage_ratio"),
+        )
+    )

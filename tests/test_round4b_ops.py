@@ -143,3 +143,101 @@ class TestConcentration:
         row = concentration_stats(df, "u").first()
         assert row["gini"] > 0.5
         assert row["entropy_norm"] < 0.2
+
+
+from seriesly_spark.operators.textstats import (  # noqa: E402
+    curriculum_bins,
+    normalized_dedup,
+)
+from seriesly_spark.operators.windows import (  # noqa: E402
+    interval_coverage,
+    sliding_distinct,
+)
+
+
+class TestSlidingDistinct:
+    def test_user_counted_once_per_window(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 5, 30)
+        rows = [
+            (base, 1), (base.replace(minute=45), 1),  # same user twice
+            (base.replace(hour=6), 2),
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, u long")
+        out = {
+            r["bucket_ms"]: r
+            for r in sliding_distinct(df, "ts", 7_200_000, 3_600_000, "u")
+            .collect()
+        }
+        # window [05:00, 07:00) holds all three events, two users
+        k = int(dt.datetime(2024, 1, 1, 5, 0)
+                .replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+        assert out[k]["n_events"] == 3
+        assert out[k]["n_keys"] == 2
+        # window [06:00, 08:00) holds only user 2
+        assert out[k + 3_600_000]["n_keys"] == 1
+
+
+class TestIntervalCoverage:
+    def test_counts_inside_and_outside(self, spark):
+        isl = spark.createDataFrame(
+            [(1, 0, 100, 10), (1, 200, 300, 11)],
+            "u long, s long, e long, island long",
+        )
+        pts = spark.createDataFrame(
+            [(1, 50), (1, 150), (1, 300), (2, 10)], "u long, t long"
+        )
+        rows = {
+            r["u"]: r
+            for r in interval_coverage(
+                isl, pts, ["u"], "s", "e", "t"
+            ).collect()
+        }
+        # t=50 inside, t=150 in the gap, t=300 on the inclusive edge
+        assert rows[1]["n_islands"] == 2
+        assert rows[1]["covered_us"] == 200
+        assert rows[1]["n_points"] == 3
+        assert rows[1]["n_covered"] == 2
+        assert rows[1]["coverage_ratio"] == round(2 / 3, 6)
+        # user 2 has points but no islands -> no row (left side is islands)
+        assert 2 not in rows
+
+
+class TestCurriculumBins:
+    def test_equal_frequency_split(self, spark):
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * n)) for i, n in
+             enumerate([1, 2, 3, 4, 5, 6, 7, 8])],
+            "doc_id long, text string",
+        )
+        out = {r["bin"]: r for r in curriculum_bins(docs, 2).collect()}
+        assert out[0]["n_docs"] == 4 and out[0]["max_tokens"] == 4
+        assert out[1]["n_docs"] == 4 and out[1]["min_tokens"] == 5
+
+    def test_ties_never_split(self, spark):
+        # 8 docs of length 3 would span bins 1..4 under NTILE; here
+        # they ALL land in the bin of their start rank (bin 1).
+        docs = spark.createDataFrame(
+            [(0, "w"), (1, "w")]
+            + [(i, "w w w") for i in range(2, 10)],
+            "doc_id long, text string",
+        )
+        out = {r["bin"]: r for r in curriculum_bins(docs, 5).collect()}
+        assert out[0]["n_docs"] == 2 and out[0]["max_tokens"] == 1
+        assert out[1]["n_docs"] == 8 and out[1]["min_tokens"] == 3
+        assert len(out) == 2
+
+
+class TestNormalizedDedup:
+    def test_case_and_punct_collapse(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "hello world"), (2, "  HELLO,   world!! "),
+             (3, "hello mars")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in normalized_dedup(docs).collect()}
+        assert rows[2]["canonical_id"] == 1 and rows[2]["is_dup"]
+        assert not rows[1]["is_dup"]
+        assert rows[1]["group_size"] == 2
+        assert not rows[3]["is_dup"] and rows[3]["group_size"] == 1
