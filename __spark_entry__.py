@@ -64,6 +64,7 @@ from seriesly_spark.operators.sampling import (
     mixture_sample,
     stratified_sample,
     vocab_topk,
+    weighted_sample,
 )
 from seriesly_spark.operators.similarity import (
     ann_topk_cosine,
@@ -92,6 +93,7 @@ from seriesly_spark.operators.textstats import (
     lang_id,
     quality_filter,
     repetition_stats,
+    source_profile,
     text_stats,
     tfidf_top_terms,
     token_counts_bpe,
@@ -101,8 +103,10 @@ from seriesly_spark.operators.analytics import (
     autocorr_lag,
     chisq_independence,
     concentration_stats,
+    cooccurrence,
     cusum_changepoint,
     inter_event_stats,
+    rfm_scores,
     seasonal_residuals,
     welch_ttest,
     winsorize_stats,
@@ -2478,6 +2482,41 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q14_SQL)
 
 
+def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type affinity: per-user distinct type sets self-joined
+    into unordered pairs with support + Jaccard — the association
+    screen over a categorical item space."""
+    return cooccurrence(_events(spark, sf_dir), "user_id", "event_type")
+
+
+def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (volume, size, language mix entropy):
+    the provenance drill-down a curation team reads before
+    re-weighting a source."""
+    return source_profile(_table(spark, sf_dir, "documents"))
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sample of documents with weight =
+    n_chars (longer docs survive proportionally): md5-u16 coin vs the
+    broadcast max weight, reproducible across engines."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = weighted_sample(docs, "doc_id", "n_chars")
+    return out.select(
+        "doc_id", "n_chars", F.col("__u16").alias("u16")
+    )
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of customers from orders: recency vs the
+    corpus max date, order frequency, decimal-summed spend, each
+    scored 1-5 against rounded exact quintile thresholds."""
+    return rfm_scores(
+        _table(spark, sf_dir, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice",
+    )
+
+
 def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 6-hour active-user counts sliding hourly: F.window's
     inline 6-way expand (narrow) + one distinct aggregate — only
@@ -2873,6 +2912,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage": q_interval_coverage,
         "length_curriculum": q_length_curriculum,
         "normalized_dedup": q_normalized_dedup,
+        "type_cooccurrence": q_type_cooccurrence,
+        "source_profile": q_source_profile,
+        "weighted_sample": q_weighted_sample,
+        "rfm_scores": q_rfm,
         "trend_slope": q_trend_slope,
         "autocorr_lag1": q_autocorr_lag1,
         "corr_pairs_hourly": q_corr_pairs_hourly,
@@ -4510,6 +4553,95 @@ g AS (SELECT fingerprint, min(doc_id) AS canonical_id,
 SELECT fp.doc_id, fp.fingerprint, g.canonical_id, g.group_size,
        fp.doc_id <> g.canonical_id AS is_dup
 FROM fp JOIN g ON fp.fingerprint = g.fingerprint
+""",
+        "type_cooccurrence": """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+s AS (SELECT event_type, count(*) AS n FROM d GROUP BY event_type),
+p AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+        count(*) AS n_both
+      FROM d a JOIN d b ON a.user_id = b.user_id
+        AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT p.item_a, p.item_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+  round(p.n_both / cast(sa.n + sb.n - p.n_both as double), 6)
+    AS jaccard
+FROM p JOIN s sa ON p.item_a = sa.event_type
+JOIN s sb ON p.item_b = sb.event_type
+""",
+        "source_profile": """
+WITH d AS (
+  SELECT source AS s, lang AS l, length(text) AS chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  FROM documents),
+sz AS (
+  SELECT s, count(*) AS n_docs,
+    round(cast(sum(cast(chars as decimal(38,18))) as double)
+          / count(*), 6) AS avg_chars,
+    round(cast(sum(cast(toks as decimal(38,18))) as double)
+          / count(*), 6) AS avg_tokens
+  FROM d GROUP BY s),
+lc AS (SELECT s, l, count(*) AS c FROM d GROUP BY s, l),
+lg AS (
+  SELECT s, count(*) AS n_langs,
+    round(ln(sum(c))
+          - cast(sum(cast(c * ln(c) as decimal(38,18))) as double)
+            / sum(c), 6) AS lang_entropy
+  FROM lc GROUP BY s)
+SELECT sz.s AS source, sz.n_docs, sz.avg_chars, sz.avg_tokens,
+       lg.n_langs, lg.lang_entropy
+FROM sz JOIN lg ON sz.s = lg.s
+""",
+        "weighted_sample": """
+WITH w AS (SELECT max(n_chars) AS wmax FROM documents),
+k AS (SELECT doc_id, n_chars,
+        md5('ws' || cast(doc_id as varchar)) AS h
+      FROM documents),
+u AS (SELECT doc_id, n_chars,
+        ((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) * 16
+           + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) * 16
+           + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) AS u16
+      FROM k)
+SELECT doc_id, n_chars, cast(u16 as bigint) AS u16
+FROM u CROSS JOIN w
+WHERE u16 < 65536.0 * n_chars / wmax
+""",
+        "rfm_scores": """
+WITH ref AS (SELECT max(o_orderdate) AS r FROM orders),
+per AS (
+  SELECT o_custkey,
+    cast(min(date_diff('day', o_orderdate, ref.r)) as bigint)
+      AS recency_days,
+    count(*) AS frequency,
+    round(cast(sum(cast(o_totalprice as decimal(38,18))) as double), 6)
+      AS monetary
+  FROM orders CROSS JOIN ref GROUP BY o_custkey, ref.r),
+th AS (
+  SELECT
+    round(quantile_cont(recency_days, 0.2), 6) AS r0,
+    round(quantile_cont(recency_days, 0.4), 6) AS r1,
+    round(quantile_cont(recency_days, 0.6), 6) AS r2,
+    round(quantile_cont(recency_days, 0.8), 6) AS r3,
+    round(quantile_cont(frequency, 0.2), 6) AS f0,
+    round(quantile_cont(frequency, 0.4), 6) AS f1,
+    round(quantile_cont(frequency, 0.6), 6) AS f2,
+    round(quantile_cont(frequency, 0.8), 6) AS f3,
+    round(quantile_cont(monetary, 0.2), 6) AS m0,
+    round(quantile_cont(monetary, 0.4), 6) AS m1,
+    round(quantile_cont(monetary, 0.6), 6) AS m2,
+    round(quantile_cont(monetary, 0.8), 6) AS m3
+  FROM per)
+SELECT o_custkey, recency_days, frequency, monetary,
+  cast(1 + (recency_days < r0)::int + (recency_days < r1)::int
+         + (recency_days < r2)::int + (recency_days < r3)::int
+    as bigint) AS r_score,
+  cast(1 + (frequency > f0)::int + (frequency > f1)::int
+         + (frequency > f2)::int + (frequency > f3)::int
+    as bigint) AS f_score,
+  cast(1 + (monetary > m0)::int + (monetary > m1)::int
+         + (monetary > m2)::int + (monetary > m3)::int
+    as bigint) AS m_score
+FROM per CROSS JOIN th
 """,
         "activity_concentration": """
 WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),

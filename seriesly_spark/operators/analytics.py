@@ -1018,3 +1018,124 @@ def concentration_stats(
         ).alias("entropy_norm"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+def cooccurrence(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Pairwise item co-occurrence over per-key distinct item sets
+    (which event types / products / sources show up for the same
+    user?): support counts + Jaccard affinity per unordered pair —
+    the association screen behind "users who error also churn".
+
+    Plan: ONE distinct on (key, item) — two-phase, dedups map-side —
+    then a self-equi-join on the key builds pairs; with |items| bounded
+    (categorical), pairs per key are |items|^2 at worst and the final
+    aggregate is item-pair-cardinality tiny. Integer counts, one
+    rounded division. Output: (item_a, item_b, n_a, n_b, n_both,
+    jaccard)."""
+    d = df.select(
+        F.col(key_col).alias("__k"), F.col(item_col).alias("__i")
+    ).distinct()
+    sizes = d.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    a = d.select(F.col("__k"), F.col("__i").alias("item_a"))
+    b = d.select(F.col("__k"), F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__k")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = sizes.select(
+        F.col("__i").alias("item_a"), F.col("__n").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("__i").alias("item_b"), F.col("__n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a", "item_b", "n_a", "n_b", "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+                .cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def rfm_scores(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    against the corpus max date), frequency (order count), monetary
+    (decimal-summed spend), each scored 1-5 by exact quintile
+    thresholds — the classic marketing cut, computed engine-stably.
+
+    Plan: one per-key aggregate (three partial aggregates move, not
+    orders), then ONE percentile aggregate over the tiny per-key table
+    produces all 12 thresholds, broadcast back as a single row.
+    Thresholds are rounded to 6 before comparison so the quintile
+    boundaries are bit-identical in any engine; scores are
+    strictly-greater counts (1 + #thresholds below the value), so ties
+    at a boundary score identically everywhere. Recency scores on
+    -days (more recent = higher). Output: (key, recency_days,
+    frequency, monetary, r_score, f_score, m_score)."""
+    ref = df.agg(F.max(date_col).alias("__ref"))
+    per = (
+        df.crossJoin(F.broadcast(ref))
+        .groupBy(key_col)
+        .agg(
+            F.min(
+                F.datediff(F.col("__ref"), F.col(date_col))
+            ).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                _exact_sum(F.col(amount_col).cast("double")), 6
+            ).alias("monetary"),
+        )
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+
+    def _thresholds(col: str, prefix: str) -> list:
+        return [
+            F.round(F.expr(f"percentile({col}, {q})"), 6).alias(
+                f"{prefix}{i}"
+            )
+            for i, q in enumerate(qs)
+        ]
+
+    th = per.agg(
+        *_thresholds("recency_days", "__r"),
+        *_thresholds("frequency", "__f"),
+        *_thresholds("monetary", "__m"),
+    )
+
+    def _score(col, prefix, invert=False):
+        s = F.lit(1)
+        for i in range(4):
+            t = F.col(f"{prefix}{i}")
+            s = s + (
+                (col < t) if invert else (col > t)
+            ).cast("int")
+        return s.cast("long")
+
+    return (
+        per.crossJoin(F.broadcast(th))
+        .select(
+            key_col, "recency_days", "frequency", "monetary",
+            _score(F.col("recency_days"), "__r", invert=True).alias(
+                "r_score"
+            ),
+            _score(F.col("frequency"), "__f").alias("f_score"),
+            _score(F.col("monetary"), "__m").alias("m_score"),
+        )
+    )

@@ -199,3 +199,34 @@ def mixture_sample(
         .where(_md5_u16(F.col(key_col), salt) < F.col("thr"))
         .drop("thr")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row with probability
+    weight / max(weight) — the quality-weighted downsampling step of a
+    curation pipeline (high-quality docs survive, low-quality ones
+    thin out), reproducible across runs and engines because the coin
+    is the row's own md5, not an RNG.
+
+    Keep rule: md5_u16(salt || key) < 65536 * w / w_max. One tiny max
+    aggregate broadcast back onto a narrow filter — the corpus never
+    shuffles; the integer-vs-double compare is identical IEEE
+    arithmetic in any engine. Weights must be non-negative; rows with
+    NULL weight drop. Output: the surviving rows plus the u16 draw
+    (for audit)."""
+    wmax = df.agg(F.max(F.col(weight_col)).alias("__wmax"))
+    u16 = _md5_u16(F.col(key_col), salt)
+    return (
+        df.crossJoin(F.broadcast(wmax))
+        .withColumn("__u16", u16)
+        .where(
+            F.col("__u16")
+            < F.lit(65536.0) * F.col(weight_col) / F.col("__wmax")
+        )
+        .drop("__wmax")
+    )

@@ -748,3 +748,60 @@ def normalized_dedup(
             (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
         )
     )
+
+
+def source_profile(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source corpus profile: volume, size stats, and the language
+    mix (count + entropy) — the per-provenance drill-down a curation
+    team reads before re-weighting or dropping a source.
+
+    Plan: one (source, lang) count aggregate (tiny — both categorical)
+    and one per-source size aggregate off the same scan; the entropy
+    derives from the tiny table via the exact c*ln(c) identity used by
+    concentration_stats, decimal-accumulated. Output: (source, n_docs,
+    avg_chars, avg_tokens, n_langs, lang_entropy), floats rounded
+    to 6."""
+    d = docs.select(
+        F.col(source_col).alias("__s"),
+        F.col(lang_col).alias("__l"),
+        F.length(F.col(text_col)).cast("long").alias("__chars"),
+        F.size(tokens(text_col)).cast("long").alias("__toks"),
+    )
+    sizes = d.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("__chars").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_chars"),
+        F.round(
+            F.sum(F.col("__toks").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_tokens"),
+    )
+    lc = d.groupBy("__s", "__l").agg(F.count(F.lit(1)).alias("__c"))
+    tot = F.sum("__c")
+    clnc = F.sum(
+        (F.col("__c") * F.log(F.col("__c"))).cast("decimal(38,18)")
+    ).cast("double")
+    langs = lc.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(
+            F.log(tot.cast("double")) - clnc / tot, 6
+        ).alias("lang_entropy"),
+    )
+    return (
+        sizes.join(langs, "__s")
+        .select(
+            F.col("__s").alias(source_col),
+            "n_docs", "avg_chars", "avg_tokens", "n_langs",
+            "lang_entropy",
+        )
+    )

@@ -241,3 +241,102 @@ class TestNormalizedDedup:
         assert not rows[1]["is_dup"]
         assert rows[1]["group_size"] == 2
         assert not rows[3]["is_dup"] and rows[3]["group_size"] == 1
+
+
+from seriesly_spark.operators.analytics import (  # noqa: E402
+    cooccurrence,
+    rfm_scores,
+)
+from seriesly_spark.operators.sampling import weighted_sample  # noqa: E402
+from seriesly_spark.operators.textstats import source_profile  # noqa: E402
+
+
+class TestCooccurrence:
+    def test_jaccard_hand_checked(self, spark):
+        # users 1,2 do both a+b; user 3 only a: |a|=3 |b|=2 both=2
+        rows = [(1, "a"), (1, "b"), (1, "a"), (2, "a"), (2, "b"),
+                (3, "a")]
+        df = spark.createDataFrame(rows, "u long, i string")
+        out = cooccurrence(df, "u", "i").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["item_a"], r["item_b"]) == ("a", "b")
+        assert (r["n_a"], r["n_b"], r["n_both"]) == (3, 2, 2)
+        assert r["jaccard"] == round(2 / 3, 6)
+
+    def test_disjoint_items_produce_no_pair(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "u long, i string"
+        )
+        assert cooccurrence(df, "u", "i").count() == 0
+
+
+class TestSourceProfile:
+    def test_entropy_and_means(self, spark):
+        import math
+
+        docs = spark.createDataFrame(
+            [(1, "s1", "en", "a b"), (2, "s1", "de", "c d e f"),
+             (3, "s2", "en", "x")],
+            "doc_id long, source string, lang string, text string",
+        )
+        rows = {r["source"]: r for r in source_profile(docs).collect()}
+        assert rows["s1"]["n_docs"] == 2
+        assert rows["s1"]["avg_tokens"] == 3.0
+        assert rows["s1"]["n_langs"] == 2
+        assert rows["s1"]["lang_entropy"] == round(math.log(2), 6)
+        assert rows["s2"]["lang_entropy"] == 0.0
+
+
+class TestWeightedSample:
+    def test_max_weight_always_kept_zero_never(self, spark):
+        df = spark.createDataFrame(
+            [(i, 100 if i % 2 == 0 else 0) for i in range(50)],
+            "k long, w long",
+        )
+        out = weighted_sample(df, "k", "w").collect()
+        # weight == max -> threshold 65536, every u16 qualifies;
+        # weight 0 -> threshold 0, none qualifies
+        assert {r["k"] % 2 for r in out} == {0}
+        assert len(out) == 25
+
+    def test_proportional_in_expectation(self, spark):
+        df = spark.createDataFrame(
+            [(i, 1) for i in range(400)] + [(i, 4) for i in
+                                            range(400, 800)],
+            "k long, w long",
+        )
+        out = weighted_sample(df, "k", "w").collect()
+        lo = sum(1 for r in out if r["k"] < 400)
+        hi = len(out) - lo
+        # p=0.25 vs p=1.0: the heavy class keeps everything
+        assert hi == 400
+        assert 60 <= lo <= 140
+
+
+class TestRfm:
+    def test_scores_monotone_in_inputs(self, spark):
+        import datetime as dt
+
+        rows = []
+        # customer c gets c orders of value 100*c, latest day c
+        for c in range(1, 11):
+            for j in range(c):
+                rows.append(
+                    (c, dt.date(2024, 1, c), 100.0 * c)
+                )
+        df = spark.createDataFrame(rows, "cust long, d date, amt double")
+        out = {r["cust"]: r for r in
+               rfm_scores(df, "cust", "d", "amt").collect()}
+        assert out[10]["recency_days"] == 0
+        assert out[1]["recency_days"] == 9
+        assert out[10]["frequency"] == 10
+        assert out[10]["monetary"] == 10 * 1000.0
+        # top customer maxes all three scores; bottom customer bottoms
+        assert (out[10]["r_score"], out[10]["f_score"],
+                out[10]["m_score"]) == (5, 5, 5)
+        assert (out[1]["r_score"], out[1]["f_score"],
+                out[1]["m_score"]) == (1, 1, 1)
+        # monotone in customer id by construction
+        for c in range(1, 10):
+            assert out[c]["m_score"] <= out[c + 1]["m_score"]
