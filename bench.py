@@ -128,6 +128,28 @@ BENCH_QUERIES = [
     "tpch_q4",
     "tpch_q12",
     "tpch_q14",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "winsorize_means",
+    "inter_event_stats",
+    "welch_ttest",
+    "chisq_type_hour",
+    "activity_concentration",
+    "sliding_distinct_users",
+    "interval_coverage",
+    "length_curriculum",
+    "normalized_dedup",
+    "type_cooccurrence",
+    "source_profile",
+    "weighted_sample",
+    "rfm_scores",
 ]
 
 
