@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from seriesly_spark.functions.bucketing import idiv
+from seriesly_spark.operators.util import scoped_persist
 
 
 def cohort_retention(
@@ -886,12 +887,18 @@ def welch_ttest(
     n = F.col("__n")
     mean = F.col("__s1") / n
     svar = (F.col("__s2") - F.col("__s1") * F.col("__s1") / n) / (n - 1)
-    m = m.select(
-        F.col(group_col).alias("__g"),
-        n.alias("__n"),
-        mean.alias("__m"),
-        F.greatest(svar, F.lit(0.0)).alias("__v"),
-    ).where(F.col("__n") >= 2)
+    # Both pair sides read the same per-group moments; persisted
+    # eagerly (|groups| rows) so the corpus aggregate runs once.
+    m = scoped_persist(
+        m.select(
+            F.col(group_col).alias("__g"),
+            n.alias("__n"),
+            mean.alias("__m"),
+            F.greatest(svar, F.lit(0.0)).alias("__v"),
+        ).where(F.col("__n") >= 2),
+        "analytics.welch_moments",
+        eager=True,
+    )
     a = m.select(
         F.col("__g").alias("group_a"), F.col("__n").alias("__na"),
         F.col("__m").alias("__ma"), F.col("__v").alias("__va"),
@@ -946,7 +953,15 @@ def chisq_independence(
     Output: one row — chi2_stat (rounded to 6), dof, n,
     n_cells (the full grid size).
     """
-    obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
+    # The observed table fans out to FOUR consumers (both marginals,
+    # the total, the grid join); without materialization each one
+    # re-executes the corpus aggregate — 4 scans at 100 TB. Persisted
+    # eagerly: it is |A|x|B| rows, trivially cacheable.
+    obs = scoped_persist(
+        df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o")),
+        "analytics.chisq_obs",
+        eager=True,
+    )
     ra = obs.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
     cb = obs.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
     tot = obs.agg(F.sum("__o").alias("__n"))
@@ -1036,9 +1051,17 @@ def cooccurrence(
     aggregate is item-pair-cardinality tiny. Integer counts, one
     rounded division. Output: (item_a, item_b, n_a, n_b, n_both,
     jaccard)."""
-    d = df.select(
-        F.col(key_col).alias("__k"), F.col(item_col).alias("__i")
-    ).distinct()
+    # The distinct (key, item) table fans out to three consumers (both
+    # self-join sides + the size aggregate); persisted eagerly so the
+    # corpus-wide distinct runs once, not three times. The cached table
+    # is keys x items pairs — orders of magnitude under the corpus.
+    d = scoped_persist(
+        df.select(
+            F.col(key_col).alias("__k"), F.col(item_col).alias("__i")
+        ).distinct(),
+        "analytics.cooccurrence_d",
+        eager=True,
+    )
     sizes = d.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
     a = d.select(F.col("__k"), F.col("__i").alias("item_a"))
     b = d.select(F.col("__k"), F.col("__i").alias("item_b"))
@@ -1080,27 +1103,41 @@ def rfm_scores(
     (decimal-summed spend), each scored 1-5 by exact quintile
     thresholds — the classic marketing cut, computed engine-stably.
 
-    Plan: one per-key aggregate (three partial aggregates move, not
-    orders), then ONE percentile aggregate over the tiny per-key table
-    produces all 12 thresholds, broadcast back as a single row.
-    Thresholds are rounded to 6 before comparison so the quintile
-    boundaries are bit-identical in any engine; scores are
+    Plan: ONE scan of the orders — the per-key aggregate keeps
+    max(date) so recency derives as datediff(global max, key max) on
+    the tiny per-key table, with the global reference itself an
+    aggregate OF that table (min over dates commutes with the diff;
+    no pre-group crossJoin, no second corpus scan). The per-key table
+    is persisted eagerly because three consumers fan out of it (the
+    reference max, the percentile thresholds, the scored output). One
+    percentile aggregate produces all 12 thresholds, broadcast back as
+    a single row. Thresholds are rounded to 6 before comparison so the
+    quintile boundaries are bit-identical in any engine; scores are
     strictly-greater counts (1 + #thresholds below the value), so ties
     at a boundary score identically everywhere. Recency scores on
     -days (more recent = higher). Output: (key, recency_days,
     frequency, monetary, r_score, f_score, m_score)."""
-    ref = df.agg(F.max(date_col).alias("__ref"))
-    per = (
-        df.crossJoin(F.broadcast(ref))
-        .groupBy(key_col)
-        .agg(
-            F.min(
-                F.datediff(F.col("__ref"), F.col(date_col))
-            ).cast("long").alias("recency_days"),
+    per0 = scoped_persist(
+        df.groupBy(key_col).agg(
+            F.max(date_col).alias("__last"),
             F.count(F.lit(1)).alias("frequency"),
             F.round(
                 _exact_sum(F.col(amount_col).cast("double")), 6
             ).alias("monetary"),
+        ),
+        "analytics.rfm_per_key",
+        eager=True,
+    )
+    ref = per0.agg(F.max("__last").alias("__ref"))
+    per = (
+        per0.crossJoin(F.broadcast(ref))
+        .select(
+            key_col,
+            F.datediff(F.col("__ref"), F.col("__last"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
         )
     )
     qs = [0.2, 0.4, 0.6, 0.8]

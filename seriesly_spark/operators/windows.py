@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from seriesly_spark.functions.bucketing import idiv
+from seriesly_spark.operators.util import scoped_persist
 
 
 def topk_per_group(
@@ -470,6 +471,15 @@ def interval_coverage(
     on the tiny key table. Integer-µs bounds, inclusive [s, e].
     Output: (key..., n_islands, covered_us, n_points, n_covered,
     coverage_ratio rounded to 6)."""
+    # Islands fan out to two consumers (the per-key rollup and the
+    # point match); merge_intervals output sits on a window sort, so
+    # recomputing it per consumer doubles that shuffle — persisted
+    # eagerly (post-merge islands are far under the corpus). The point
+    # side reads the scan twice instead: its filters push down, which
+    # beats caching a corpus-sized table.
+    intervals = scoped_persist(
+        intervals, "windows.interval_coverage_islands", eager=True
+    )
     ivl = intervals.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col(end_col) - F.col(start_col)).alias("covered_us"),
