@@ -2482,6 +2482,63 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q14_SQL)
 
 
+_TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(distinct l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand <> 'Brand#5'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship (no partsupp table in the
+    driver schema — lineitem IS the observed part-supplier relation, so
+    the distinct-supplier count runs over l_suppkey; the complaint-
+    supplier NOT IN needs s_comment, also absent — dropped): part's
+    brand/size filters prune before the broadcast join, and the
+    distinct count is the standard two-phase partial dedup on
+    (brand, type, size, suppkey)."""
+    for t in ("lineitem", "part"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q16_SQL)
+
+
+_TPCH_Q21_SQL = """
+WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+last AS (
+  SELECT l1.l_orderkey, l1.l_suppkey
+  FROM l l1, orders
+  WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    AND EXISTS (SELECT 1 FROM l l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+                  AND l2.l_shipdate < l1.l_shipdate)
+    AND NOT EXISTS (SELECT 1 FROM l l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate >= l1.l_shipdate))
+SELECT s_name, count(*) AS numwait
+FROM last, supplier WHERE s_suppkey = l_suppkey
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting (no
+    commit/receipt dates in the driver schema — "late" becomes
+    "strictly the last supplier to ship in a multi-supplier finished
+    order", preserving the spec's signature EXISTS + NOT EXISTS
+    correlated pair on the same fact): both subqueries decorrelate to
+    a LEFT SEMI and a LEFT ANTI join on l_orderkey, the status filter
+    prunes orders before its join, and the supplier dim broadcasts
+    into the 100-row top-k."""
+    for t in ("lineitem", "orders", "supplier"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q21_SQL)
+
+
 def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type affinity: per-user distinct type sets self-joined
     into unordered pairs with support + Jaccard — the association
@@ -2916,6 +2973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_profile": q_source_profile,
         "weighted_sample": q_weighted_sample,
         "rfm_scores": q_rfm,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q21": q_tpch_q21,
         "trend_slope": q_trend_slope,
         "autocorr_lag1": q_autocorr_lag1,
         "corr_pairs_hourly": q_corr_pairs_hourly,
@@ -4378,6 +4437,8 @@ FROM l
         "tpch_q18": _TPCH_Q18_SQL,
         "tpch_q19": _TPCH_Q19_SQL,
         "tpch_q22": _TPCH_Q22_SQL,
+        "tpch_q16": _TPCH_Q16_SQL,
+        "tpch_q21": _TPCH_Q21_SQL,
         "winsorize_means": """
 WITH caps AS (
   SELECT event_type,

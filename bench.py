@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "source_profile",
     "weighted_sample",
     "rfm_scores",
+    "tpch_q16",
+    "tpch_q21",
 ]
 
 
