@@ -611,19 +611,42 @@ def substring_dup_stats(
     to one count row.
     """
     t = tokens(text_col)
+    # Hash each token ONCE into a materialized array column, then form
+    # window identities by hashing n fixed-width longs — hashing the
+    # window TEXT instead (slice+concat per window) re-touches every
+    # character n times (measured 2.5x slower on the explode stage at
+    # sf0.1). The projection boundary matters: inlining the token-hash
+    # transform into the window lambda re-evaluates it per window.
+    th = F.transform(t, lambda x: F.xxhash64(x))
+    pre = spread(docs).select(
+        F.col(id_col), th.alias("__th"), F.size(t).alias("__nt")
+    )
     # CaseWhen evaluates only the matched branch, so the sequence()
     # never sees a negative upper bound on short documents.
     win = F.when(
-        F.size(t) >= n,
+        F.col("__nt") >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice(t, i + 1, n))),
+            F.sequence(F.lit(0), F.col("__nt") - n),
+            lambda i: F.xxhash64(
+                *[
+                    F.element_at(F.col("__th"), i + F.lit(j + 1))
+                    for j in range(n)
+                ]
+            ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    base = spread(docs).select(F.col(id_col), win.alias("__w"))
+    # ONE select around the explode: aliasing the window array as a
+    # column and exploding it by name in a second select invites
+    # CollapseProject to substitute the token-hash transform INTO the
+    # generator, where it re-evaluates per element_at — measured 19.5 s
+    # vs 1.0 s for this exact subtree at sf0.1. EAGER persist: both
+    # consumers (the corpus count and the count join) run inside one
+    # action — a lazy persist gives zero hits there and the explode
+    # subtree executes twice (the semantic_dedup lesson).
     occ = scoped_persist(
-        base.select(F.col(id_col), F.explode("__w").alias("__h")),
+        pre.select(F.col(id_col), F.explode(win).alias("__h")),
         "dedup.substr_occ",
+        eager=True,
     )
     counts = occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
     per_doc = (
