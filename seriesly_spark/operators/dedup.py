@@ -165,7 +165,7 @@ def minhash_lsh_pairs(
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     # One signature row per (doc, band) — computing the md5 minhashes is the
     # expensive part, the self-join must not run it twice (see hamming_pairs).
-    banded = scoped_persist(banded, "dedup.minhash_banded")
+    banded = scoped_persist(banded, "dedup.minhash_banded", eager=True)
     left = banded.select(F.col("id").alias("a"), "band", "sig")
     right = banded.select(F.col("id").alias("b"), "band", "sig")
     return (
@@ -332,6 +332,7 @@ def hamming_pairs(
     sh = scoped_persist(
         fingerprints.select(F.col(id_col).alias("id"), F.col(fp_col).alias("f")),
         "dedup.simhash_fp",
+        eager=True,
     )
     mask = (1 << width) - 1
     chunks = sh.select(
