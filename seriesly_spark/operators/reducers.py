@@ -79,6 +79,15 @@ class ReducerSpec:
     # summation needed taming).
     agg_sql_exact: Callable[[int], str] | None = None
     rate_agg_sql_exact: Callable[[int], str] | None = None
+    # True for the obj_keys family: the planner projects a parsed
+    # per-row column ok{i} = CASE WHEN doc is an object THEN
+    # struct(ts_ns, map_keys(from_json(doc))) END so the JSON parse
+    # runs in the whole-stage-codegen'd Project (with subexpression
+    # elimination across fields sharing a pointer — identical trees
+    # evaluate ONCE per row) instead of inside the ObjectHashAggregate
+    # buffer per aggregate function (measured: two same-pointer
+    # obj-keys reducers parsed every document twice).
+    pre_obj: bool = False
 
     def plain_sql(self, i: int, exact: bool = False) -> str:
         fn = self.agg_sql_exact if exact and self.agg_sql_exact else self.agg_sql
@@ -122,12 +131,10 @@ def _distinct(i: int) -> str:
 
 
 def _obj_keys(i: int) -> str:
-    per_doc = (
-        f"case when substring(v{i}, 1, 1) = '{{' then "
-        f"struct(ts_ns, map_keys(from_json(v{i}, 'map<string,string>')) as ks) end"
-    )
+    # ok{i} is projected by the planner (see ReducerSpec.pre_obj): the
+    # parse happens once per row in codegen, the aggregate only collects.
     return (
-        f"flatten(filter(transform(array_sort(collect_list({per_doc})), "
+        f"flatten(filter(transform(array_sort(collect_list(ok{i})), "
         f"x -> x.ks), ks -> ks is not null))"
     )
 
@@ -177,11 +184,13 @@ REDUCERS: dict[str, ReducerSpec] = {
     "obj_keys": ReducerSpec(
         "obj_keys", "plain", agg_sql=_obj_keys,
         default_sql="cast(array() as array<string>)",
+        pre_obj=True,
     ),
     "obj_distinct_keys": ReducerSpec(
         "obj_distinct_keys", "plain",
         agg_sql=lambda i: f"array_sort(array_distinct({_obj_keys(i)}))",
         default_sql="cast(array() as array<string>)",
+        pre_obj=True,
     ),
     # Rate family: per-consecutive-pair rates (value delta / seconds delta)
     # attributed to the earlier sample's bucket; reference query.go:358-405.
