@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""TPC-H-shaped join stress at 20M lineitems / 5M orders / 200k
+customers (~33x the sf0.1 bench inputs): the join-heavy queries from
+the gate registry run against hash-generated tables with the SAME
+schema, so the exact gate SQL executes unmodified. Measures the
+families the analytics stress rig (stress_r4.py) does not cover:
+multi-dim broadcast chains (Q7), semi-join aggregates (Q18), the
+double-correlated EXISTS/NOT EXISTS (Q21), outer-join distributions
+(Q13), and the per-customer RFM rollup at 5M orders.
+
+Deterministic inputs (xxhash64 of the row id), written to parquet
+first so every measured query pays a real scan; noop sink; results as
+a markdown table for PLANS.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from seriesly_spark.session import get_spark  # noqa: E402
+
+ROOT = os.environ.get("STRESS_DIR", "/tmp/seriesly-stress-tpch")
+N_LINE = int(os.environ.get("STRESS_LINES", 20_000_000))
+N_ORD = int(os.environ.get("STRESS_ORDERS", 5_000_000))
+N_CUST = int(os.environ.get("STRESS_CUST", 200_000))
+N_SUPP = 1_000
+N_PART = 200_000
+
+
+def h(c, seed):
+    return F.abs(F.xxhash64(c, F.lit(seed)))
+
+
+def gen(spark):
+    paths = {t: os.path.join(ROOT, t) for t in (
+        "lineitem", "orders", "customer", "supplier", "part",
+        "nation", "region",
+    )}
+    if not os.path.isdir(paths["lineitem"]):
+        ids = spark.range(N_LINE)
+        (
+            ids.select(
+                (F.col("id") % N_ORD).alias("l_orderkey"),
+                (h("id", 1) % N_PART).alias("l_partkey"),
+                (h("id", 2) % N_SUPP).alias("l_suppkey"),
+                (F.col("id") % 7).alias("l_linenumber"),
+                (h("id", 3) % 50 + 1).cast("double").alias("l_quantity"),
+                (h("id", 4) % 100_000 / 100.0 + 1.0).alias(
+                    "l_extendedprice"
+                ),
+                (h("id", 5) % 11 / 100.0).alias("l_discount"),
+                (h("id", 6) % 9 / 100.0).alias("l_tax"),
+                F.element_at(
+                    F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+                    (h("id", 7) % 3 + 1).cast("int"),
+                ).alias("l_returnflag"),
+                F.element_at(
+                    F.array(F.lit("F"), F.lit("O")),
+                    (h("id", 8) % 2 + 1).cast("int"),
+                ).alias("l_linestatus"),
+                F.date_add(
+                    F.lit("1995-01-01").cast("date"),
+                    (h("id", 9) % 2500).cast("int"),
+                ).alias("l_shipdate"),
+            )
+            .repartition(64)
+            .write.mode("overwrite").parquet(paths["lineitem"])
+        )
+        ids = spark.range(N_ORD)
+        (
+            ids.select(
+                F.col("id").alias("o_orderkey"),
+                (h("id", 11) % N_CUST).alias("o_custkey"),
+                F.element_at(
+                    F.array(F.lit("F"), F.lit("O"), F.lit("P")),
+                    (h("id", 12) % 3 + 1).cast("int"),
+                ).alias("o_orderstatus"),
+                (h("id", 13) % 500_000 / 100.0).alias("o_totalprice"),
+                F.date_add(
+                    F.lit("1995-01-01").cast("date"),
+                    (h("id", 14) % 2500).cast("int"),
+                ).alias("o_orderdate"),
+                F.element_at(
+                    F.array(
+                        F.lit("1-URGENT"), F.lit("2-HIGH"),
+                        F.lit("3-MEDIUM"), F.lit("4-NOT SPECIFIED"),
+                        F.lit("5-LOW"),
+                    ),
+                    (h("id", 15) % 5 + 1).cast("int"),
+                ).alias("o_orderpriority"),
+            )
+            .repartition(32)
+            .write.mode("overwrite").parquet(paths["orders"])
+        )
+        ids = spark.range(N_CUST)
+        (
+            ids.select(
+                F.col("id").alias("c_custkey"),
+                F.concat(F.lit("Customer#"), F.col("id")).alias("c_name"),
+                (h("id", 21) % 25).alias("c_nationkey"),
+                (h("id", 22) % 1_100_000 / 100.0 - 1000.0).alias(
+                    "c_acctbal"
+                ),
+                F.element_at(
+                    F.array(
+                        F.lit("AUTOMOBILE"), F.lit("BUILDING"),
+                        F.lit("FURNITURE"), F.lit("MACHINERY"),
+                        F.lit("HOUSEHOLD"),
+                    ),
+                    (h("id", 23) % 5 + 1).cast("int"),
+                ).alias("c_mktsegment"),
+            )
+            .coalesce(8)
+            .write.mode("overwrite").parquet(paths["customer"])
+        )
+        ids = spark.range(N_SUPP)
+        (
+            ids.select(
+                F.col("id").alias("s_suppkey"),
+                F.concat(F.lit("Supplier#"), F.col("id")).alias("s_name"),
+                (h("id", 31) % 25).alias("s_nationkey"),
+                (h("id", 32) % 1_100_000 / 100.0 - 1000.0).alias(
+                    "s_acctbal"
+                ),
+            )
+            .coalesce(1)
+            .write.mode("overwrite").parquet(paths["supplier"])
+        )
+        ids = spark.range(N_PART)
+        (
+            ids.select(
+                F.col("id").alias("p_partkey"),
+                F.concat(F.lit("part "), F.col("id")).alias("p_name"),
+                F.concat(F.lit("Brand#"), (h("id", 41) % 25 + 1)).alias(
+                    "p_brand"
+                ),
+                F.element_at(
+                    F.array(
+                        F.lit("ECONOMY"), F.lit("STANDARD"),
+                        F.lit("LARGE"), F.lit("MEDIUM"), F.lit("SMALL"),
+                        F.lit("PROMO"),
+                    ),
+                    (h("id", 42) % 6 + 1).cast("int"),
+                ).alias("p_type"),
+                (h("id", 43) % 50 + 1).cast("int").alias("p_size"),
+                (h("id", 44) % 200_000 / 100.0).alias("p_retailprice"),
+            )
+            .coalesce(4)
+            .write.mode("overwrite").parquet(paths["part"])
+        )
+        ids = spark.range(25)
+        (
+            ids.select(
+                F.col("id").alias("n_nationkey"),
+                F.concat(F.lit("NATION_"), F.col("id")).alias("n_name"),
+                (F.col("id") % 5).alias("n_regionkey"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite").parquet(paths["nation"])
+        )
+        region = spark.createDataFrame(
+            list(enumerate(
+                ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+            )),
+            "r_regionkey long, r_name string",
+        )
+        region.coalesce(1).write.mode("overwrite").parquet(paths["region"])
+    return paths
+
+
+def main():
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("stress-tpch", cpus=32, shuffle_partitions=64)
+    os.makedirs(ROOT, exist_ok=True)
+    print("generating inputs ...", flush=True)
+    paths = gen(spark)
+    for t, p in paths.items():
+        spark.read.parquet(p).createOrReplaceTempView(t)
+
+    results = []
+    sqls = {
+        "tpch_q7 (2-nation volume, 6-way join)": entry_mod._TPCH_Q7_SQL,
+        "tpch_q8 (market share, 8-way join)": entry_mod._TPCH_Q8_SQL,
+        "tpch_q10 (returned items top-20)": entry_mod._TPCH_Q10_SQL,
+        "tpch_q13 (outer-join distribution)": entry_mod._TPCH_Q13_SQL,
+        "tpch_q18 (semi-join aggregate)": entry_mod._TPCH_Q18_SQL,
+        "tpch_q21 (EXISTS + NOT EXISTS self-joins)": entry_mod._TPCH_Q21_SQL,
+    }
+    for name, sql in sqls.items():
+        df = spark.sql(sql)
+        df.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        spark.sql(sql).write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        thr = N_LINE / wall
+        results.append((name, wall, thr))
+        print(f"  {name}: {wall:.1f} s  ({thr/1e6:.1f}M lineitems/s)",
+              flush=True)
+        spark.catalog.clearCache()
+
+    from seriesly_spark.operators.analytics import rfm_scores
+    orders = spark.read.parquet(paths["orders"])
+    df = rfm_scores(orders, "o_custkey", "o_orderdate", "o_totalprice")
+    df.write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    rfm_scores(orders, "o_custkey", "o_orderdate", "o_totalprice").write \
+        .format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    results.append(("rfm_scores (5M orders, 200k customers)", wall,
+                    N_ORD / wall))
+    print(f"  rfm: {wall:.1f} s", flush=True)
+
+    print("\n| Query | Wall | Throughput |", flush=True)
+    print("|---|---|---|", flush=True)
+    for name, wall, thr in results:
+        print(f"| {name} | {wall:.1f} s | {thr/1e6:.1f}M rows/s |",
+              flush=True)
+    spark.stop()
+    if os.environ.get("STRESS_KEEP") != "1":
+        shutil.rmtree(ROOT, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
