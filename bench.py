@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "rfm_scores",
     "tpch_q16",
     "tpch_q21",
+    "tpch_q21_fast",
 ]
 
 

@@ -193,6 +193,8 @@ def main():
         "tpch_q13 (outer-join distribution)": entry_mod._TPCH_Q13_SQL,
         "tpch_q18 (semi-join aggregate)": entry_mod._TPCH_Q18_SQL,
         "tpch_q21 (EXISTS + NOT EXISTS self-joins)": entry_mod._TPCH_Q21_SQL,
+        "tpch_q21_fast (one-shuffle window rewrite)":
+            entry_mod._TPCH_Q21_FAST_SQL,
     }
     for name, sql in sqls.items():
         df = spark.sql(sql)
