@@ -2591,6 +2591,31 @@ def q_tpch_q21_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q21_FAST_SQL)
 
 
+_TPCH_Q18_FAST_SQL = """
+WITH oq AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 170)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum_qty
+FROM oq JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_tpch_q18_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 with ONE lineitem scan: the naive shape scans the fact
+    twice (the HAVING subquery, then the display re-aggregation over
+    the customer join); since orders/customer join 1:1 per order, the
+    display sum IS the per-order sum, so one CTE aggregate serves
+    both the filter and the output. Oracle entry is DELIBERATELY the
+    naive spec-shaped SQL — the driver's hash comparison proves the
+    rewrite equivalent (same discipline as tpch_q21_fast)."""
+    for t in ("customer", "orders", "lineitem"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q18_FAST_SQL)
+
+
 def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type affinity: per-user distinct type sets self-joined
     into unordered pairs with support + Jaccard — the association
@@ -3028,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q21": q_tpch_q21,
         "tpch_q21_fast": q_tpch_q21_fast,
+        "tpch_q18_fast": q_tpch_q18_fast,
         "trend_slope": q_trend_slope,
         "autocorr_lag1": q_autocorr_lag1,
         "corr_pairs_hourly": q_corr_pairs_hourly,
@@ -4496,6 +4522,7 @@ FROM l
         # the one-shuffle rewrite against the EXISTS/NOT EXISTS form is
         # the equivalence proof for the rewrite.
         "tpch_q21_fast": _TPCH_Q21_SQL,
+        "tpch_q18_fast": _TPCH_Q18_SQL,
         "winsorize_means": """
 WITH caps AS (
   SELECT event_type,

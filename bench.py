@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "tpch_q16",
     "tpch_q21",
     "tpch_q21_fast",
+    "tpch_q18_fast",
 ]
 
 
