@@ -80,18 +80,42 @@ def ngram_jaccard_pairs(
     jaccard (set sizes still count the dropped shingles); leave None for
     the exact oracle-checked definition.
     """
-    sh = spread(docs).select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
-    ).withColumn("sz", F.size("grams"))
-    # Join key: xxhash64 of the shingle — an 8-byte shuffle key instead of
-    # the shingle text (or a 32-char md5 hex). The key never leaves Spark
-    # (the oracle brute-forces jaccard on the raw shingle sets), so engine
-    # portability doesn't apply; 64-bit collisions only perturb intersection
-    # counts at ~n²/2⁶⁵ odds. persist(): the self-join reads this subtree
-    # twice — shingling + explode runs once, not twice.
+    # Shingle identity = xxhash64 over the window's TOKEN HASHES: each
+    # token is hashed once into a materialized array, windows combine n
+    # fixed-width longs, and distinctness/join keys live entirely in
+    # long-space — no window text is ever built (the old
+    # concat-then-hash shape re-touched every character n times;
+    # measured 3.7 s -> 0.64 s for this subtree at sf0.1). The key
+    # never leaves Spark (the oracle brute-forces jaccard on the raw
+    # shingle sets), so engine portability doesn't apply; 64-bit
+    # collisions perturb counts at ~n²/2⁶⁵ odds — the same accepted
+    # contract the join key already had. ONE select around the explode
+    # (size + explode of the same expression): a second select invites
+    # the CollapseProject re-inline pitfall (see substring_dup_stats),
+    # measured at 20 s for this identical subtree. persist(): lazy by
+    # the measured A/B in PLANS.md (cheap-but-large explode).
+    toks = tokens(text_col)
+    pre = spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda x: F.xxhash64(x)).alias("__th"),
+        F.size(toks).alias("__nt"),
+    )
+    win = F.when(
+        F.col("__nt") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__nt") - n),
+            lambda i: F.xxhash64(
+                *[
+                    F.element_at(F.col("__th"), i + F.lit(j + 1))
+                    for j in range(n)
+                ]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    gh = F.array_distinct(win)
     exploded = scoped_persist(
-        sh.select("id", "sz", F.explode("grams").alias("g")).withColumn(
-            "g", F.xxhash64("g")
+        pre.select(
+            "id", F.size(gh).alias("sz"), F.explode(gh).alias("g")
         ),
         "dedup.ngram_exploded",
     )
