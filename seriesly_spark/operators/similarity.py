@@ -22,7 +22,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from seriesly_spark.operators.util import spread
+from seriesly_spark.operators.util import scoped_persist, spread
 
 _DEC = "decimal(38,18)"
 
@@ -253,16 +253,22 @@ def cosine_near_dup_pairs(
     """
     vectors = spread(vectors)
     sig = lsh_signature(vectors, planes, dim, id_col, vec_col)
-    v = _with_norm2(vectors, id_col, vec_col).persist()
+    v = scoped_persist(
+        _with_norm2(vectors, id_col, vec_col), "similarity.cosine_norms"
+    )
     # The plane-projection is the expensive subtree; the self-join reads
-    # it twice — persist one (id, band, chunk) copy (three longs per row).
-    banded = (
+    # it twice — persist one (id, band, chunk) copy (three longs per
+    # row). LAZY by the measured A/B (PLANS.md): eager's two count
+    # passes cost more than the warm-cache hit CacheManager already
+    # provides; scoped_persist (vs the old bare persist) adds the
+    # one-live-copy lifecycle so the blocks stop leaking across a long
+    # gate run.
+    banded = scoped_persist(
         sig.select(
             F.col(id_col).alias("id"),
             F.explode(F.array(*_band_chunks(planes, bands))).alias("bc"),
-        )
-        .select("id", "bc.band", "bc.chunk")
-        .persist()
+        ).select("id", "bc.band", "bc.chunk"),
+        "similarity.cosine_banded",
     )
     cand = (
         banded.select(F.col("id").alias("a"), "band", "chunk")
@@ -307,14 +313,14 @@ def ann_topk_lsh(
     exactly."""
     sig = lsh_signature(vectors, planes, dim, id_col, vec_col)
     # Probe side and corpus side both read the signatures — persist so the
-    # plane projections run once (see cosine_near_dup_pairs).
-    banded = (
+    # plane projections run once (see cosine_near_dup_pairs; scoped for
+    # the one-live-copy lifecycle).
+    banded = scoped_persist(
         sig.select(
             F.col(id_col).alias("id"),
             F.explode(F.array(*_band_chunks(planes, bands))).alias("bc"),
-        )
-        .select("id", "bc.band", "bc.chunk")
-        .persist()
+        ).select("id", "bc.band", "bc.chunk"),
+        "similarity.lsh_banded",
     )
     qb = F.broadcast(
         banded.where(F.col("id") == query_id).select("band", "chunk")
