@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from seriesly_spark.operators.util import scoped_persist
+
 from seriesly_spark.operators.similarity import _DEC, _dec_sum
 
 
@@ -69,7 +71,10 @@ def kmeans_lloyd(
     """
     if k < 1 or iterations < 1:
         raise ValueError("k and iterations must be >= 1")
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist()
+    v = scoped_persist(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "clustering.kmeans_v",
+    )
     centroids = v.orderBy("id").limit(k).select(
         F.col("id").alias("cid"),
         F.transform("v", lambda x: x.cast("double")).alias("cv"),

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from seriesly_spark.functions.bucketing import bucket_ms_col
 from seriesly_spark.operators.reducers import REDUCERS
+from seriesly_spark.operators.util import scoped_persist
 
 _PAIR_SCHEMA = "ts_ns long, x double, next_ts_ns long, next_x double"
 
@@ -56,7 +57,7 @@ def _global_pairs_scalable(samples: DataFrame) -> DataFrame:
     s = samples.repartitionByRange(n, "ts_ns").sortWithinPartitions("ts_ns")
     # Two passes over the range-shuffled samples (pairs + boundary marks);
     # persist the 16-byte rows so the shuffle runs once.
-    s = s.persist()
+    s = scoped_persist(s, "rate.range_sorted")
 
     def intra(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Streaming over Arrow batches with a one-row carry between

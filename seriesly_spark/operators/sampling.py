@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from seriesly_spark.operators.dedup import word_shingles
-from seriesly_spark.operators.util import spread
+from seriesly_spark.operators.util import scoped_persist, spread
 
 
 def _md5_u16(key: Column, salt: str) -> Column:
@@ -124,7 +124,8 @@ def contamination_overlap(
         F.col(id_col),
         probe_filter.alias("__probe"),
         word_shingles(text_col, n).alias("grams"),
-    ).persist()
+    )
+    sh = scoped_persist(sh, "sampling.contamination_shingles")
     probe = (
         sh.where(F.col("__probe") & (F.size("grams") > 0))
         .select(id_col, F.size("grams").alias("n_shingles"), F.explode("grams").alias("g"))

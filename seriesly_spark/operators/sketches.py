@@ -30,6 +30,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from seriesly_spark.operators.util import scoped_persist
+
 
 def hll_bucket_rollup(
     df: DataFrame, key_col: str, bucket_col: str
@@ -39,11 +41,11 @@ def hll_bucket_rollup(
     row is a union of the per-bucket sketches, not a rescan. Returns
     ``(bucket_col, est_distinct)``.
     """
-    buckets = (
-        df.groupBy(bucket_col)
-        .agg(F.hll_sketch_agg(key_col).alias("sk"))
-        # read twice: per-bucket estimates and the union rollup
-        .persist()
+    # read twice: per-bucket estimates and the union rollup (scoped for
+    # the one-live-copy lifecycle)
+    buckets = scoped_persist(
+        df.groupBy(bucket_col).agg(F.hll_sketch_agg(key_col).alias("sk")),
+        "sketches.hll_buckets",
     )
     per_bucket = buckets.select(
         bucket_col, F.hll_sketch_estimate("sk").alias("est_distinct")

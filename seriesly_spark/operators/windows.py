@@ -109,7 +109,7 @@ def fill_gaps(
     # and the join's observed side — without it the (possibly expensive)
     # upstream aggregation runs twice. The cached set is only series x
     # buckets rows, tiny at any scale.
-    bucketed = bucketed.persist()
+    bucketed = scoped_persist(bucketed, "windows.fill_gaps_bucketed")
     spine = (
         bucketed.groupBy(*series_cols)
         .agg(F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
