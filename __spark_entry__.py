@@ -2435,10 +2435,10 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q12_SQL = """
 SELECT l_linestatus,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      THEN 1 ELSE 0 END) AS high_line_count,
-  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-      THEN 1 ELSE 0 END) AS low_line_count
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders, lineitem
 WHERE o_orderkey = l_orderkey
   AND l_returnflag IN ('N', 'R')
@@ -4536,7 +4536,7 @@ SELECT e.event_type, count(*) AS n,
   cast(sum(CASE WHEN value > c.hi_cap THEN 1 ELSE 0 END) as bigint)
     AS n_clip_hi,
   round(cast(sum(cast(least(greatest(value, c.lo_cap), c.hi_cap)
-    as decimal(38,18))) as double) / count(*), 6) AS mean_winsorized
+    as decimal(38,18))) as double) / count(value), 6) AS mean_winsorized
 FROM events e JOIN caps c ON e.event_type = c.event_type
 GROUP BY e.event_type
 """,
@@ -4587,7 +4587,9 @@ WHERE a.g < b.g AND a.v / a.n + b.v / b.n > 0
         "chisq_type_hour": """
 WITH obs AS (
   SELECT event_type AS a, hour(ts) AS b, count(*) AS o
-  FROM events GROUP BY 1, 2),
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
 ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY a),
 cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY b),
 tot AS (SELECT sum(o) AS n FROM obs),

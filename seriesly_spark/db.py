@@ -149,7 +149,16 @@ class SerieslyDB:
 
         d = os.path.join(self._path(name), _CHANGELOG_DIR)
         os.makedirs(d, exist_ok=True)
-        seq = time.time_ns()
+        # Monotonic guard: time_ns alone can collide (two mutations in
+        # one ns) or step backwards (clock adjustment); the log's file
+        # names ARE its commit order, so seq must strictly increase.
+        # The directory listing is the per-db source of truth — file
+        # names embed the seq, so max(existing)+1 floors the new seq.
+        last = max(
+            (int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".parquet")),
+            default=0,
+        )
+        seq = max(time.time_ns(), last + 1)
         table = pa.table(
             {
                 "seq": pa.array([seq], pa.int64()),

@@ -801,7 +801,10 @@ def winsorize_stats(
             F.sum(F.when(v > F.col("hi_cap"), 1).otherwise(0)).alias(
                 "n_clip_hi"
             ),
-            F.round(_exact_sum(w) / F.count(F.lit(1)), 6).alias(
+            # divide by the NON-NULL value count: percentile ignored
+            # NULLs when computing the caps, so a count(*) denominator
+            # would silently understate the mean on NULL-bearing input
+            F.round(_exact_sum(w) / F.count(v), 6).alias(
                 "mean_winsorized"
             ),
         )
@@ -952,7 +955,15 @@ def chisq_independence(
 
     Output: one row — chi2_stat (rounded to 6), dof, n,
     n_cells (the full grid size).
+
+    NULL categories are excluded up front: the grid's equi-join can
+    never match a NULL key, so a NULL group would keep its mass in the
+    marginals while contributing an observed 0 to the grid — an
+    internally inconsistent (inflated) statistic. Rows where either
+    column is NULL are dropped before counting, which keeps observed,
+    marginals, dof and n all consistent on the same population.
     """
+    df = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     # The observed table fans out to FOUR consumers (both marginals,
     # the total, the grid join); without materialization each one
     # re-executes the corpus aggregate — 4 scans at 100 TB. Persisted
@@ -1017,8 +1028,16 @@ def concentration_stats(
     ).cast("double")
     # -sum(p ln p) = ln(T) - sum(c ln c)/T  (exact integer c, one /T)
     entropy = F.log(tot.cast("double")) + ent / tot
+    # rank*count products are ~n_keys*n_total per term — far past the
+    # bigint range at advertised corpus scale (1e7 keys x 1e12 rows),
+    # so each term is cast to decimal BEFORE multiply and the sum stays
+    # decimal(38,0) (mirroring the entropy term's treatment); the
+    # nk*tot denominator likewise computes in double, not long.
+    rank_mass = F.sum(
+        F.col("__i").cast("decimal(19,0)") * F.col("__c").cast("decimal(19,0)")
+    ).cast("double")
     gini = (
-        F.lit(2.0) * F.sum(F.col("__i") * F.col("__c")) / (nk * tot)
+        F.lit(2.0) * rank_mass / (nk.cast("double") * tot.cast("double"))
         - (nk + F.lit(1.0)) / nk
     )
     return ranked.agg(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import threading
 from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame
@@ -23,6 +24,7 @@ def round_half_up(x: float, ndigits: int = 6) -> float:
 
 
 _SCOPED_CACHE: dict[str, DataFrame] = {}
+_SCOPED_CACHE_LOCK = threading.Lock()
 
 
 def scoped_persist(df: DataFrame, scope: str, eager: bool = False) -> DataFrame:
@@ -36,14 +38,32 @@ def scoped_persist(df: DataFrame, scope: str, eager: bool = False) -> DataFrame:
     live copy per operator scope. The only cost: a PRIOR invocation's
     still-uncollected result recomputes if driven after a newer call —
     slower, never wrong.
+
+    Concurrency/lifetime hardening: the registry is guarded by a lock
+    (two threads building the same scope must not interleave pop/insert
+    and leak a persisted copy), and the eviction tolerates a cached
+    frame whose SparkSession has since been stopped — ``unpersist`` on
+    a dead session raises, but the entry is already unreachable, so the
+    failure is swallowed and the new frame takes the slot.
     """
-    prev = _SCOPED_CACHE.pop(scope, None)
+    with _SCOPED_CACHE_LOCK:
+        prev = _SCOPED_CACHE.pop(scope, None)
     if prev is not None:
-        prev.unpersist(blocking=False)
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # stale entry from a stopped SparkSession
     p = df.persist()
     if eager:
         p.count()
-    _SCOPED_CACHE[scope] = p
+    with _SCOPED_CACHE_LOCK:
+        stale = _SCOPED_CACHE.pop(scope, None)
+        _SCOPED_CACHE[scope] = p
+    if stale is not None and stale is not p:
+        try:
+            stale.unpersist(blocking=False)
+        except Exception:
+            pass
     return p
 
 

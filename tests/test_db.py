@@ -350,6 +350,27 @@ class TestChangeLog:
             ("write", 3), ("delete", 1), ("compact", 2),
         ]
 
+    def test_same_ns_mutations_get_distinct_monotone_seqs(self, dbs, monkeypatch):
+        """Two mutations landing in the SAME nanosecond (or a clock
+        step-back) must still produce strictly increasing seqs — the
+        log's file names are its commit order."""
+        import seriesly_spark.db as dbmod
+
+        dbs.create("cl")
+        frozen = self.NS  # freeze the clock: every call same ns
+        monkeypatch.setattr(dbmod.time, "time_ns", lambda: frozen)
+        dbs.write_batch("cl", [(self.k(1), _doc(1))])
+        dbs.write_batch("cl", [(self.k(2), _doc(2))])
+        # clock steps BACKWARDS past both commits
+        monkeypatch.setattr(dbmod.time, "time_ns", lambda: frozen - 10**9)
+        dbs.delete_range("cl", self.k(1), self.k(1))
+        rows = dbs.change_log("cl").collect()
+        seqs = [r.seq for r in rows]
+        assert len(seqs) == 3
+        assert len(set(seqs)) == 3
+        assert seqs == sorted(seqs)
+        assert [r.op for r in rows] == ["write", "write", "delete"]
+
     def test_changelog_opt_out(self, spark, tmp_path):
         dbs = SerieslyDB(spark, str(tmp_path / "nolog"), changelog=False)
         dbs.create("x")
