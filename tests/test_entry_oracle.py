@@ -84,13 +84,10 @@ def test_query_and_oracle_keys_align():
     q = set(entry_mod.queries())
     o = set(entry_mod.oracle_sql())
     assert o - q == set(), f"oracle_sql keys without a query: {sorted(o - q)}"
-    # Explicit rows-only waivers: operators whose result is deterministic
-    # but not SQL-expressible (the driver records the weaker rows-only
-    # check; unit tests carry the semantic verification).
-    rows_only_waivers = {"compression_ratio"}  # deflate has no SQL mirror
-    assert q - o == rows_only_waivers, (
-        f"queries without oracle_sql: {sorted(q - o - rows_only_waivers)}"
-    )
+    # No rows-only waivers remain: compression_ratio gained a
+    # value-checked certificate oracle in round 5 (raw lengths exact,
+    # deflate envelope booleans provable — see compression_certificate).
+    assert q - o == set(), f"queries without oracle_sql: {sorted(q - o)}"
 
 
 def test_entry_smoke(spark):

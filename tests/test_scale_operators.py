@@ -808,6 +808,24 @@ class TestCompressionRatio:
         b = compression_ratio(df).collect()[0]
         assert (a.n_compressed, a.ratio) == (b.n_compressed, b.ratio)
 
+    def test_certificate_booleans_hold(self, spark):
+        """Every certificate boolean must be TRUE on arbitrary input —
+        that is what makes the SQL oracle's hardcoded `true` columns a
+        legitimate value check (raw n_bytes is compared exactly)."""
+        from seriesly_spark.operators.textstats import compression_certificate
+
+        df = spark.createDataFrame(
+            [(1, "spam " * 80), (2, "plain prose here"), (3, ""), (4, None)],
+            "doc_id long, text string",
+        )
+        rows = compression_certificate(df).collect()
+        assert len(rows) == 4
+        for r in rows:
+            assert r.bound_ok and r.const_ok and r.rand_ok and r.order_ok, r
+        by_id = {r.doc_id: r for r in rows}
+        assert by_id[1].n_bytes == 400
+        assert by_id[3].n_bytes == 0 and by_id[4].n_bytes == 0
+
 
 class TestTypeTokenRatio:
     def test_known_ratios(self, spark):
