@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 from seriesly_spark.functions.bucketing import bucket_ms_col
 from seriesly_spark.functions.timeparse import canonical_key, parse_any_ts_ns
 from seriesly_spark.operators.dedup import (
+    boilerplate_ngrams,
     connected_components,
+    containment_pairs,
     substring_dup_stats,
     dedup_exact,
     hamming_pairs,
@@ -54,11 +56,14 @@ from seriesly_spark.operators.multimodal import (
     payload_metadata,
 )
 from seriesly_spark.operators.sketches import (
+    heavy_hitters,
     approx_quantile_ranks,
     hll_bucket_rollup,
 )
 from seriesly_spark.operators.sampling import (
     contamination_overlap,
+    rare_label_collapse,
+    reservoir_per_group,
     hash_sample,
     hash_split,
     mixture_sample,
@@ -68,6 +73,7 @@ from seriesly_spark.operators.sampling import (
 )
 from seriesly_spark.operators.similarity import (
     ann_topk_cosine,
+    hard_negatives,
     ann_topk_lsh,
     cosine_near_dup_pairs,
     embedding_centroids,
@@ -127,7 +133,8 @@ from seriesly_spark.operators.analytics import (
     unpivot_metrics,
     zscore_outliers,
 )
-from seriesly_spark.operators.clustering import kmeans_lloyd
+from seriesly_spark.operators.clustering import kmeans_lloyd, pca_power_iteration
+from seriesly_spark.operators.urls import normalize_url, url_dedup_stats
 from seriesly_spark.operators.packing import chunk_documents, pack_sequences
 from seriesly_spark.operators.windows import (
     fill_gaps,
@@ -3032,6 +3039,108 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q22_SQL)
 
 
+# --- round 5: dedup ladder completion + pipeline preprocessing ---------
+
+
+def q_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (|A∩B|/min sizes >= 0.8):
+    the doc-inside-doc screen Jaccard misses. Same exploded-shingle
+    equi-join spine as dedup_ngram_jaccard; only the divisor changes."""
+    return containment_pairs(
+        _table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate contamination: distinct 3-grams whose corpus
+    document frequency >= 1% of docs, counted per document. One
+    (gram)-keyed DF aggregate over the shared shingle table."""
+    return boilerplate_ngrams(_table(spark, sf_dir, "documents"))
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tokens with frequency > n/40 via per-partition Misra-Gries
+    + candidate-only recount — the vocabulary never shuffles (candidate
+    keys are bounded by 40 x partitions); MG's order-dependence never
+    escapes the map side because the exact recount replays candidates."""
+    toks = (
+        _table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    return heavy_hitters(toks, "tok", 40)
+
+
+def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source uniform document sample by md5 hash
+    rank (the distributed reservoir): one shuffle on source, window
+    top-k that Catalyst turns into a per-partition partial limit."""
+    docs = _table(spark, sf_dir, "documents")
+    return reservoir_per_group(docs, ["source"], "doc_id", 5).select(
+        "source", "doc_id", "sample_rank"
+    )
+
+
+def q_rare_label_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail label cleanup: languages with support < 75 collapse to
+    __other__. One broadcast label-count join; the corpus never
+    shuffles."""
+    docs = _table(spark, sf_dir, "documents")
+    return rare_label_collapse(docs, "lang", 75).select(
+        "doc_id", "label_final", "label_n"
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: top-5 most-similar
+    different-label vectors for each of 4 query vectors. Broadcast
+    query side; rank-filter window compiled to a per-partition partial
+    top-k (WindowGroupLimit) so the scored corpus never shuffles."""
+    return hard_negatives(
+        _table(spark, sf_dir, "embeddings"), [0, 1, 2, 3], k=5
+    )
+
+
+def q_pca_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by power iteration (12 rounds, one
+    corpus scan each, d x partitions shuffle per round), certified
+    in-engine: exact SQL-replayable moments (n, dim, total variance)
+    plus eigenpair envelope booleans (λ within [0.95 x max axis var,
+    trace]; residual <= 10% of λ)."""
+    return pca_power_iteration(_table(spark, sf_dir, "embeddings"))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 URL canonicalization + crawl-frontier dedup, checked
+    cross-engine: both engines PLANT the same raw URL per doc_id
+    (case/port/fragment/tracking-param/trailing-slash variants) and
+    normalize INDEPENDENTLY — the oracle re-implements the
+    normalization in SQL, so the rule set itself is value-checked.
+    The rollup counts raw variants per canonical URL."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.lit("WWW.Example"),
+        (d % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(d % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Path/"),
+        (d % 5).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b="),
+        (d % 3).cast("string"),
+        F.lit("&a="),
+        (d % 2).cast("string"),
+        F.lit("#sec"),
+        (d % 2).cast("string"),
+    )
+    return (
+        url_dedup_stats(docs.select(raw.alias("url")), "url")
+        .select("url_norm", "n_variants")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -3049,6 +3158,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "tpch_q12": q_tpch_q12,
         "sliding_distinct_approx": q_sliding_distinct_approx,
+        # --- new round-5 queries: dedup ladder + pipeline preprocessing ---
+        "containment_dup": q_containment_dup,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "heavy_hitters_tokens": q_heavy_hitters,
+        "reservoir_per_group": q_reservoir_per_group,
+        "rare_label_collapse": q_rare_label_collapse,
+        "hard_negatives": q_hard_negatives,
+        "pca_certify": q_pca_certify,
+        "url_dedup": q_url_dedup,
         # --- re-certification rotations: certified in r01-r04 but
         # their implementation changed AFTER that green row (r04
         # optimization commits + this round's review fixes); the
@@ -3881,6 +3999,145 @@ SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n_bytes,
        true AS bound_ok, true AS const_ok, true AS rand_ok,
        true AS order_ok
 FROM documents
+""",
+        "containment_dup": r"""
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  round(len(list_intersect(a.grams, b.grams)) /
+        least(len(a.grams), len(b.grams)), 6) AS containment
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.grams, b.grams)) /
+      least(len(a.grams), len(b.grams)), 6) >= 0.8
+""",
+        "boilerplate_ngrams": r"""
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3),
+e AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+df AS (SELECT gr, count(*) AS df FROM e GROUP BY gr),
+nd AS (SELECT count(*) AS nd FROM documents),
+b AS (SELECT gr FROM df, nd WHERE df >= 0.01 * nd),
+hits AS (SELECT e.doc_id, count(*) AS n_boiler
+         FROM e JOIN b USING (gr) GROUP BY e.doc_id)
+SELECT g.doc_id, len(g.grams) AS n_grams,
+  cast(coalesce(h.n_boiler, 0) AS bigint) AS n_boiler,
+  round(coalesce(h.n_boiler, 0) / len(g.grams), 6) AS boiler_ratio
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+""",
+        "heavy_hitters_tokens": r"""
+WITH t AS (
+  SELECT t FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                 AS t FROM documents) WHERE t <> ''),
+tot AS (SELECT count(*) AS n_total FROM t)
+SELECT t AS item, count(*) AS n, any_value(n_total) AS n_total,
+  round(any_value(n_total) / 40.0, 6) AS threshold
+FROM t, tot GROUP BY t
+HAVING count(*) > any_value(n_total) / 40.0
+""",
+        "reservoir_per_group": """
+SELECT source, doc_id, sample_rank FROM (
+  SELECT source, doc_id,
+    row_number() OVER (PARTITION BY source
+      ORDER BY md5('rpg' || cast(doc_id AS varchar)), doc_id)
+      AS sample_rank
+  FROM documents) WHERE sample_rank <= 5
+""",
+        "rare_label_collapse": """
+WITH c AS (SELECT lang, count(*) AS n FROM documents
+           WHERE lang IS NOT NULL GROUP BY lang)
+SELECT d.doc_id,
+  CASE WHEN c.n >= 75 THEN d.lang ELSE '__other__' END AS label_final,
+  cast(coalesce(CASE WHEN c.n >= 75 THEN c.n END, 0) AS bigint) AS label_n
+FROM documents d LEFT JOIN c ON d.lang = c.lang
+""",
+        "hard_negatives": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+s AS (
+  SELECT q.query_id, e.vec_id,
+    round(cast(list_sum(list_transform(list_zip(e.embedding, q.qe),
+        p -> cast(cast(p[1] as double) * cast(p[2] as double)
+             as decimal(38,18)))) as double)
+      / (sqrt(cast(list_sum(list_transform(e.embedding,
+           x -> cast(cast(x as double) * cast(x as double)
+                as decimal(38,18)))) as double))
+         * sqrt(cast(list_sum(list_transform(q.qe,
+           x -> cast(cast(x as double) * cast(x as double)
+                as decimal(38,18)))) as double))), 6) AS cos_sim
+  FROM embeddings e, q
+  WHERE e.label <> q.ql AND e.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, vec_id) AS rnk FROM s)
+SELECT query_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
+""",
+        # exact moments replayed in SQL; the eigenpair booleans are the
+        # certified power-iteration envelope (see q_pca_certify)
+        "pca_certify": """
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         cast(unnest(embedding) AS double) AS val
+  FROM embeddings),
+m AS (
+  SELECT dim,
+    cast(sum(cast(val AS decimal(38,18))) AS double) AS s1,
+    cast(sum(cast(val * val AS decimal(38,18))) AS double) AS s2,
+    count(*) AS n
+  FROM x GROUP BY dim),
+v AS (SELECT dim, (s2 - s1 * s1 / n) / n AS var FROM m)
+SELECT (SELECT count(*) FROM embeddings) AS n,
+       (SELECT max(len(embedding)) FROM embeddings) AS dim,
+       round(cast(sum(cast(var AS decimal(38,18))) AS double), 6)
+         AS total_var,
+       true AS lambda_ratio_ok, true AS resid_ok, true AS lambda_le_total
+FROM v
+""",
+        "url_dedup": r"""
+WITH raw AS (
+  SELECT (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END
+    || 'WWW.Example' || cast(doc_id % 7 AS varchar) || '.COM'
+    || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
+    || '/Path/' || cast(doc_id % 5 AS varchar)
+    || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+    || '?utm_source=feed&b=' || cast(doc_id % 3 AS varchar)
+    || '&a=' || cast(doc_id % 2 AS varchar)
+    || '#sec' || cast(doc_id % 2 AS varchar)) AS url
+  FROM documents),
+parts AS (
+  SELECT
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_extract(u, '^[^:/?]+://([^/?]+)', 1) AS hostport,
+    regexp_extract(u, '^[^:/?]+://[^/?]+([^?]*)', 1) AS path_raw,
+    regexp_extract(u, '\?([^#]*)', 1) AS query
+  FROM (SELECT regexp_replace(trim(url), '#.*$', '') AS u FROM raw)),
+norm AS (
+  SELECT scheme,
+    lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    CASE WHEN path_raw = '' THEN '/'
+         WHEN len(path_raw) > 1 THEN regexp_replace(path_raw, '/$', '')
+         ELSE path_raw END AS path,
+    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT regexp_matches(p,
+        '^(?i)(utm_[^=]*|gclid|fbclid)='))), '&') AS q
+  FROM parts)
+SELECT url_norm, count(*) AS n_variants FROM (
+  SELECT scheme || '://' || host
+    || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+            OR (scheme = 'https' AND port = '443'))
+            THEN ':' || port ELSE '' END
+    || path
+    || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url_norm
+  FROM norm)
+GROUP BY url_norm
 """,
         "streaming_dedup": """
 SELECT event_type, count(*) AS cnt FROM events GROUP BY 1

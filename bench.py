@@ -154,6 +154,16 @@ BENCH_QUERIES = [
     "tpch_q21",
     "tpch_q21_fast",
     "tpch_q18_fast",
+    # round 5
+    "sliding_distinct_approx",
+    "containment_dup",
+    "boilerplate_ngrams",
+    "heavy_hitters_tokens",
+    "reservoir_per_group",
+    "rare_label_collapse",
+    "hard_negatives",
+    "pca_certify",
+    "url_dedup",
 ]
 
 
@@ -184,8 +194,15 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    # The driver preserves only the TAIL (~2000 chars) of this output —
+    # 124 per-query medians cannot fit. Full per-query detail goes to a
+    # committed file; stdout carries the headline total plus the top-20
+    # slowest queries (the ones any round-over-round review reads first).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        json.dump(
             {
                 "metric": "seriesly_spark headline queries, warm, noop sink, "
                 f"median of {reps}",
@@ -193,6 +210,25 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": floors,
+                "sf": sf,
+                "cpus": cpus,
+            },
+            f,
+            indent=1,
+        )
+    top = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "seriesly_spark headline queries, warm, noop sink, "
+                f"median of {reps}",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": top,
+                "detail_file": "BENCH_LOCAL.json",
                 "sf": sf,
             }
         )

@@ -208,6 +208,51 @@ def main():
               flush=True)
         spark.catalog.clearCache()
 
+    # High-multiplicity Q21: the base lineitem has ~4 lines/order drawn
+    # from 1000 suppliers (~1.2 lines per order-supplier), where the
+    # one-shuffle rewrite cannot show its advantage. Spec shape is ~7
+    # lines/order across a ~4-supplier per-order pool (~1.75 lines per
+    # order-supplier, 35M rows) — regenerate lineitem in that shape,
+    # re-run BOTH Q21 texts, and assert result equality.
+    hm_path = os.path.join(ROOT, "lineitem_hm")
+    n_hm = 7 * N_ORD
+    if not os.path.isdir(hm_path):
+        ids = spark.range(n_hm)
+        ok = F.col("id") % N_ORD
+        pool_base = F.abs(F.xxhash64(ok, F.lit(51)))
+        (
+            ids.select(
+                ok.alias("l_orderkey"),
+                ((pool_base + h("id", 52) % 4) % N_SUPP).alias("l_suppkey"),
+                F.date_add(
+                    F.lit("1995-01-01").cast("date"),
+                    (h("id", 53) % 2500).cast("int"),
+                ).alias("l_shipdate"),
+            )
+            .repartition(64)
+            .write.mode("overwrite").parquet(hm_path)
+        )
+    spark.read.parquet(hm_path).createOrReplaceTempView("lineitem")
+    hm_rows = {}
+    for name, sql in (
+        ("tpch_q21 @7 lines/order, 4-supplier pool", entry_mod._TPCH_Q21_SQL),
+        ("tpch_q21_fast @7 lines/order, 4-supplier pool",
+         entry_mod._TPCH_Q21_FAST_SQL),
+    ):
+        df = spark.sql(sql)
+        df.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        spark.sql(sql).write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        hm_rows[name] = [tuple(r) for r in spark.sql(sql).collect()]
+        results.append((name, wall, n_hm / wall))
+        print(f"  {name}: {wall:.1f} s", flush=True)
+        spark.catalog.clearCache()
+    a, b = hm_rows.values()
+    assert a == b, "Q21 naive vs fast DIVERGED at high multiplicity"
+    print("  Q21 naive == fast at 35M rows: equivalent", flush=True)
+    spark.read.parquet(paths["lineitem"]).createOrReplaceTempView("lineitem")
+
     from seriesly_spark.operators.analytics import rfm_scores
     orders = spark.read.parquet(paths["orders"])
     df = rfm_scores(orders, "o_custkey", "o_orderdate", "o_totalprice")

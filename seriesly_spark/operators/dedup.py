@@ -58,6 +58,52 @@ def word_shingles(text_col: str, n: int = 3) -> "F.Column":
     return F.array_distinct(F.when(k > 0, grams).otherwise(F.array()))
 
 
+def _shingle_sets(
+    docs: DataFrame, text_col: str, id_col: str, n: int, scope: str
+) -> DataFrame:
+    """Exploded distinct word-n-gram shingle table ``(id, sz, g)`` —
+    the shared front half of every set-similarity miner (jaccard,
+    containment). Shingle identity is xxhash64 over the window's TOKEN
+    HASHES: each token is hashed once into a materialized array,
+    windows combine n fixed-width longs, and distinctness/join keys
+    live entirely in long-space — no window text is ever built (the
+    concat-then-hash shape re-touched every character n times; measured
+    3.7 s -> 0.64 s for this subtree at sf0.1). The key never leaves
+    Spark (oracles brute-force on raw shingle sets) so engine
+    portability doesn't apply; 64-bit collisions perturb counts at
+    ~n²/2⁶⁵ odds — the same contract the join key already had. ONE
+    select around the explode (size + explode of the same expression):
+    a second select invites the CollapseProject re-inline pitfall (see
+    substring_dup_stats), measured at 20 s for this identical subtree.
+    persist(): lazy by the measured A/B in PLANS.md (cheap-but-large
+    explode)."""
+    toks = tokens(text_col)
+    pre = spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda x: F.xxhash64(x)).alias("__th"),
+        F.size(toks).alias("__nt"),
+    )
+    win = F.when(
+        F.col("__nt") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__nt") - n),
+            lambda i: F.xxhash64(
+                *[
+                    F.element_at(F.col("__th"), i + F.lit(j + 1))
+                    for j in range(n)
+                ]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    gh = F.array_distinct(win)
+    return scoped_persist(
+        pre.select(
+            "id", F.size(gh).alias("sz"), F.explode(gh).alias("g")
+        ),
+        scope,
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -80,45 +126,7 @@ def ngram_jaccard_pairs(
     jaccard (set sizes still count the dropped shingles); leave None for
     the exact oracle-checked definition.
     """
-    # Shingle identity = xxhash64 over the window's TOKEN HASHES: each
-    # token is hashed once into a materialized array, windows combine n
-    # fixed-width longs, and distinctness/join keys live entirely in
-    # long-space — no window text is ever built (the old
-    # concat-then-hash shape re-touched every character n times;
-    # measured 3.7 s -> 0.64 s for this subtree at sf0.1). The key
-    # never leaves Spark (the oracle brute-forces jaccard on the raw
-    # shingle sets), so engine portability doesn't apply; 64-bit
-    # collisions perturb counts at ~n²/2⁶⁵ odds — the same accepted
-    # contract the join key already had. ONE select around the explode
-    # (size + explode of the same expression): a second select invites
-    # the CollapseProject re-inline pitfall (see substring_dup_stats),
-    # measured at 20 s for this identical subtree. persist(): lazy by
-    # the measured A/B in PLANS.md (cheap-but-large explode).
-    toks = tokens(text_col)
-    pre = spread(docs).select(
-        F.col(id_col).alias("id"),
-        F.transform(toks, lambda x: F.xxhash64(x)).alias("__th"),
-        F.size(toks).alias("__nt"),
-    )
-    win = F.when(
-        F.col("__nt") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.col("__nt") - n),
-            lambda i: F.xxhash64(
-                *[
-                    F.element_at(F.col("__th"), i + F.lit(j + 1))
-                    for j in range(n)
-                ]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    gh = F.array_distinct(win)
-    exploded = scoped_persist(
-        pre.select(
-            "id", F.size(gh).alias("sz"), F.explode(gh).alias("g")
-        ),
-        "dedup.ngram_exploded",
-    )
+    exploded = _shingle_sets(docs, text_col, id_col, n, "dedup.ngram_exploded")
     if max_df is not None:
         keep = (
             exploded.groupBy("g")
@@ -144,6 +152,50 @@ def ngram_jaccard_pairs(
         inter.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("a", "b", "jaccard")
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by shingle-set CONTAINMENT —
+    ``C = |A∩B| / min(|A|, |B|)`` — the screen Jaccard misses: a short
+    document fully embedded in a long one (quote farms, page-plus-
+    boilerplate wrappers, partial scrapes) has tiny Jaccard (union is
+    dominated by the long doc) but containment ~1. Broder's resemblance
+    vs containment distinction; the dedup ladder runs BOTH.
+
+    Identical scale shape to :func:`ngram_jaccard_pairs` — the shared
+    exploded shingle table (token-hash identity, long-space keys),
+    equi-join on the shingle hash, per-pair intersection count — only
+    the final score divides by min(|A|,|B|) instead of the union.
+    Output: (a, b, containment rounded to 6) for pairs a < b with
+    containment >= threshold.
+    """
+    exploded = _shingle_sets(
+        docs, text_col, id_col, n, "dedup.containment_exploded"
+    )
+    a = exploded.select(
+        F.col("id").alias("a"), F.col("sz").alias("sza"), "g"
+    )
+    b = exploded.select(
+        F.col("id").alias("b"), F.col("sz").alias("szb"), "g"
+    )
+    inter = (
+        a.join(b, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "sza", "szb")
+        .agg(F.count("*").alias("i"))
+    )
+    cont = F.col("i") / F.least(F.col("sza"), F.col("szb"))
+    return (
+        inter.withColumn("containment", F.round(cont, 6))
+        .where(F.col("containment") >= F.lit(threshold))
+        .select("a", "b", "containment")
     )
 
 
@@ -690,4 +742,61 @@ def substring_dup_stats(
         F.round(
             F.col("n_dup_windows") / F.col("n_windows"), 6
         ).alias("dup_ratio"),
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df_frac: float = 0.01,
+) -> DataFrame:
+    """Per-document boilerplate contamination by corpus n-gram document
+    frequency — the CCNet/RefinedWeb-style screen for template text:
+    an n-gram appearing in >= ``min_df_frac`` of all documents is
+    boilerplate (navigation chrome, cookie banners, license footers),
+    and a document whose distinct-gram set is dominated by such grams
+    is template, not content.
+
+    Same scale spine as the set-similarity miners: the shared exploded
+    shingle table (token-hash identity — no gram text ever moves), ONE
+    (gram)-keyed document-frequency aggregate, the heavy-gram set
+    joined back g-keyed (co-partitioned with the exploded table — no
+    extra shuffle pattern), then a per-doc rollup. Distinct grams per
+    doc (a doc repeating its own banner 50x counts it once — DF is
+    about cross-document spread). Documents with fewer than ``n``
+    tokens have no grams and emit no row (mirrors the jaccard family).
+
+    Output: (doc_id, n_grams, n_boiler, boiler_ratio rounded to 6).
+    """
+    ex = _shingle_sets(docs, text_col, id_col, n, "dedup.boiler_shingles")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__nd"))
+    heavy = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("__df") >= F.lit(min_df_frac) * F.col("__nd"))
+        .select("g")
+    )
+    hits = (
+        ex.join(heavy, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    base = ex.groupBy("id").agg(
+        F.first("sz").cast("long").alias("n_grams")
+    )
+    return (
+        base.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            F.round(
+                F.coalesce(F.col("n_boiler"), F.lit(0))
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("boiler_ratio"),
+        )
     )

@@ -231,3 +231,77 @@ def weighted_sample(
         )
         .drop("__wmax")
     )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    salt: str = "rpg",
+) -> DataFrame:
+    """Deterministic k-per-group uniform sample — the "inspect 100 docs
+    per source", "cap any one domain's contribution at k" primitive of
+    corpus curation. A classic reservoir is sequential state; the
+    distributed equivalent is hash-ranking: md5(salt || key) is an
+    i.i.d. uniform draw per row, so the k smallest hashes per group ARE
+    a uniform k-subset — reproducible across runs, engines and
+    partitionings (no RNG state, unlike ``rand()``-based sampling).
+
+    Plan: ONE shuffle on the group key; ``row_number`` over (hash, key)
+    inside each group then the ``<= k`` filter. Spark plans the window
+    + filter as a running TopK per partition after AQE; the per-group
+    state is k rows. Skewed groups: the window sort is (group) ×
+    (hash) — a single hot group still sorts its partition, so at
+    extreme skew pre-filter with an approximate per-group hash
+    threshold first (same two-pass shape as mixture_sample).
+
+    Output: the surviving rows + ``sample_rank`` (1..k by hash order,
+    audit/debug column).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary"))
+    w = Window.partitionBy(*group_cols).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+def rare_label_collapse(
+    df: DataFrame,
+    label_col: str,
+    min_support: int,
+    other: str = "__other__",
+) -> DataFrame:
+    """Collapse long-tail categories below a support threshold into a
+    single ``other`` bucket — the label-space cleanup run before
+    stratified splits or per-class metrics (a class with 3 examples
+    destabilizes both). NULL labels also collapse into ``other``.
+
+    Plan: one count aggregate over the label column (tiny — label
+    cardinality), broadcast back onto the fact as a left join + 
+    conditional projection; the corpus itself never shuffles. At
+    100 TB the label table is still label-cardinality-sized, so the
+    broadcast holds; if labels are unbounded (raw domains), cap with
+    vocab_topk first — same shape.
+
+    Output: the input rows with ``label_final`` (original or
+    ``other``) plus the original label's support count ``label_n``
+    (0-filled for NULL labels, audit column).
+    """
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("label_n"))
+    keep = counts.where(
+        F.col(label_col).isNotNull() & (F.col("label_n") >= min_support)
+    )
+    return (
+        df.join(F.broadcast(keep.select(label_col, "label_n")), [label_col], "left")
+        .withColumn(
+            "label_final",
+            F.when(F.col("label_n").isNotNull(), F.col(label_col)).otherwise(
+                F.lit(other)
+            ),
+        )
+        .withColumn("label_n", F.coalesce(F.col("label_n"), F.lit(0)))
+    )

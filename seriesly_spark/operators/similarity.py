@@ -575,3 +575,61 @@ def ann_topk_quantized(
     )
     pool = vectors.join(pool_ids, id_col)
     return ann_topk_cosine(pool, query_id, k, id_col=id_col, vec_col=vec_col)
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k most-similar corpus vectors with a DIFFERENT label —
+    the negatives that actually move a contrastive loss (random
+    negatives are trivially separable; the hard ones live at the
+    decision boundary).
+
+    Plan: the bounded query set broadcasts (BroadcastNestedLoopJoin
+    with a |Q|-row side — the different-label predicate is a residual,
+    not a cross product risk); cosine scores stay JVM-side; the top-k
+    per query is a rank-filter over a window, which Catalyst's
+    InferWindowGroupLimit rewrites into a PER-PARTITION partial top-k
+    (WindowGroupLimit before the exchange) — so the shuffle carries at
+    most k * partitions rows per query, not the scored corpus.
+    Similarities round to 6 BEFORE ranking so last-ulp engine
+    differences cannot flip ranks; ties break on vec_id.
+
+    Output: (query_id, vec_id, cos_sim, rnk) with rnk 1..k.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        vectors.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col(label_col).alias("__ql"),
+        )
+    )
+    scored = (
+        vectors.join(
+            q,
+            (F.col(label_col) != F.col("__ql"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )

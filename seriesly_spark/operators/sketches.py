@@ -90,3 +90,68 @@ def approx_quantile_ranks(
     return joined.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"), *ranks
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact frequency-above-n/k items (heavy hitters) WITHOUT a
+    vocabulary-sized shuffle — the "which domains/tokens dominate the
+    corpus" screen where the vocabulary itself is too large to groupBy
+    (raw URLs, shingles). Two passes:
+
+    1. Per-partition Misra-Gries summaries (k counters each, classic
+       streaming bound): any item with GLOBAL frequency > n/k must
+       exceed n_p/k in at least one partition (otherwise summing the
+       per-partition bounds gives total <= n/k), and per-partition MG
+       with k counters retains every item with local frequency >
+       n_p/k — so the union of partition candidates is a SUPERSET of
+       the true heavy hitters. At most k * partitions candidate keys
+       leave the map side — independent of vocabulary size.
+    2. Exact recount of the candidate set only (broadcast semi-join +
+       hash aggregate over candidate rows) and the > n/k filter. The
+       superset property makes the final answer EXACT and independent
+       of partitioning — MG's order-dependent estimates never escape
+       the map side.
+
+    Output: (item, n, n_total, threshold) for items with n > n_total/k,
+    deterministic, SQL-replayable (the oracle is a plain
+    GROUP BY/HAVING).
+    """
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    src = df.select(F.col(item_col).cast("string").alias("item")).where(
+        F.col(item_col).isNotNull()
+    )
+
+    def mg(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        # Mergeable Misra-Gries (Agarwal et al., PODS'12): per Arrow
+        # batch take exact counts (C-speed value_counts), SUM into the
+        # running summary, then if over k counters subtract the
+        # (k+1)-th largest count from all and drop the non-positive —
+        # the merge preserves MG's error bound (<= n_p/(k+1)), so the
+        # retained set still covers every locally-heavy item. No
+        # per-row Python.
+        summary = _pd.Series(dtype="int64")
+        for pdf in batches:
+            summary = summary.add(pdf["item"].value_counts(), fill_value=0)
+            if len(summary) > k:
+                cut = summary.nlargest(k + 1).iloc[-1]
+                summary = summary[summary > cut] - cut
+        yield _pd.DataFrame({"item": summary.index.astype(str)})
+
+    cand = src.mapInPandas(mg, "item string").distinct()
+    tot = src.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        src.join(F.broadcast(cand), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("threshold", (F.col("n_total") / F.lit(k)))
+        .where(F.col("n") > F.col("threshold"))
+        .select("item", "n", "n_total", F.round("threshold", 6).alias("threshold"))
+    )

@@ -1,0 +1,240 @@
+"""Unit tests for the round-5 operators: containment, boilerplate,
+heavy hitters, reservoir sampling, label collapse, hard negatives,
+PCA power iteration, URL canonicalization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestContainmentPairs:
+    def test_short_doc_inside_long_doc(self, spark):
+        """The signature case: Jaccard small, containment 1.0."""
+        from seriesly_spark.operators.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        short = "alpha beta gamma delta epsilon"
+        long_ = short + " " + " ".join(f"tok{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [(1, short), (2, long_), (3, "unrelated words only here")],
+            "doc_id long, text string",
+        )
+        got = {(r.a, r.b): r.containment for r in containment_pairs(df).collect()}
+        assert got == {(1, 2): 1.0}
+        jac = {
+            (r.a, r.b): r.jaccard
+            for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+        }
+        assert jac[(1, 2)] < 0.1  # jaccard misses what containment catches
+
+    def test_threshold_filters(self, spark):
+        from seriesly_spark.operators.dedup import containment_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d x y")],
+            "doc_id long, text string",
+        )
+        # grams: doc1 {abc,bcd,cde,def}, doc2 {abc,bcd,cdx,dxy} -> i=2/4
+        assert containment_pairs(df, threshold=0.6).count() == 0
+        rows = containment_pairs(df, threshold=0.5).collect()
+        assert [(r.a, r.b, r.containment) for r in rows] == [(1, 2, 0.5)]
+
+
+class TestBoilerplateNgrams:
+    def test_known_counts(self, spark):
+        from seriesly_spark.operators.dedup import boilerplate_ngrams
+
+        banner = "all rights reserved"
+        rows = [(i, f"unique{i} content{i} here{i} " + banner) for i in range(10)]
+        rows.append((99, "totally different text entirely"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: (r.n_grams, r.n_boiler)
+            for r in boilerplate_ngrams(df, min_df_frac=0.5).collect()
+        }
+        # every banner doc: 4 distinct 3-grams, exactly 1 shared by all 10
+        assert out[0] == (4, 1)
+        assert out[99] == (2, 0)
+
+    def test_short_docs_emit_no_row(self, spark):
+        from seriesly_spark.operators.dedup import boilerplate_ngrams
+
+        df = spark.createDataFrame(
+            [(1, "just two"), (2, "three tokens here now")],
+            "doc_id long, text string",
+        )
+        assert [r.doc_id for r in boilerplate_ngrams(df).collect()] == [2]
+
+
+class TestHeavyHitters:
+    def test_exact_above_threshold(self, spark):
+        from seriesly_spark.operators.sketches import heavy_hitters
+
+        rows = (
+            [("hot",)] * 50 + [("warm",)] * 30 + [("cold%d" % i,) for i in range(20)]
+        )
+        df = spark.createDataFrame(rows, "item string")
+        out = {r.item: r.n for r in heavy_hitters(df, "item", 4).collect()}
+        # n=100, threshold 25: hot(50) and warm(30) qualify, no cold
+        assert out == {"hot": 50, "warm": 30}
+
+    def test_partitioning_invariant(self, spark):
+        """MG candidates depend on partition layout; the recount+filter
+        answer must NOT."""
+        from seriesly_spark.operators.sketches import heavy_hitters
+
+        rows = [(f"t{i % 7}",) for i in range(700)] + [("rare",)] * 3
+        df = spark.createDataFrame(rows, "item string")
+        a = sorted(
+            (r.item, r.n) for r in heavy_hitters(df.repartition(1), "item", 10).collect()
+        )
+        b = sorted(
+            (r.item, r.n)
+            for r in heavy_hitters(df.repartition(13), "item", 10).collect()
+        )
+        assert a == b
+        assert len(a) == 7  # each t0..t6 has 100 > 703/10
+
+
+class TestReservoirPerGroup:
+    def test_deterministic_and_k_bounded(self, spark):
+        from seriesly_spark.operators.sampling import reservoir_per_group
+
+        df = spark.createDataFrame(
+            [(i, "g%d" % (i % 3)) for i in range(90)], "id long, g string"
+        )
+        a = sorted(
+            (r.g, r.id, r.sample_rank)
+            for r in reservoir_per_group(df, ["g"], "id", 4).collect()
+        )
+        b = sorted(
+            (r.g, r.id, r.sample_rank)
+            for r in reservoir_per_group(
+                df.repartition(7), ["g"], "id", 4
+            ).collect()
+        )
+        assert a == b  # partitioning-invariant (hash rank, no RNG)
+        per_g = {}
+        for g, _, rank in a:
+            per_g.setdefault(g, []).append(rank)
+        assert all(sorted(v) == [1, 2, 3, 4] for v in per_g.values())
+
+    def test_different_salt_different_sample(self, spark):
+        from seriesly_spark.operators.sampling import reservoir_per_group
+
+        df = spark.createDataFrame(
+            [(i, "g") for i in range(200)], "id long, g string"
+        )
+        a = {r.id for r in reservoir_per_group(df, ["g"], "id", 10).collect()}
+        b = {
+            r.id
+            for r in reservoir_per_group(df, ["g"], "id", 10, salt="x").collect()
+        }
+        assert a != b
+
+
+class TestRareLabelCollapse:
+    def test_collapse_and_nulls(self, spark):
+        from seriesly_spark.operators.sampling import rare_label_collapse
+
+        df = spark.createDataFrame(
+            [(1, "en"), (2, "en"), (3, "en"), (4, "fr"), (5, None)],
+            "id long, lang string",
+        )
+        out = {
+            r.id: (r.label_final, r.label_n)
+            for r in rare_label_collapse(df, "lang", 2).collect()
+        }
+        assert out[1] == ("en", 3)
+        assert out[4] == ("__other__", 0)
+        assert out[5] == ("__other__", 0)
+        assert len(out) == 5  # no rows lost to the NULL join
+
+
+class TestHardNegatives:
+    def test_excludes_same_label_and_ranks(self, spark):
+        from seriesly_spark.operators.similarity import hard_negatives
+
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.1], 0),   # same label: must never appear for q0
+            (2, [0.9, 0.4], 1),
+            (3, [0.0, 1.0], 1),
+            (4, [0.7, 0.7], 2),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        out = hard_negatives(df, [0], k=2).collect()
+        ids = [r.vec_id for r in out]
+        assert 1 not in ids and 0 not in ids
+        assert ids == [2, 4]  # by descending cosine to [1, 0]
+        assert [r.rnk for r in out] == [1, 2]
+
+
+class TestPcaPowerIteration:
+    def test_dominant_direction_certifies(self, spark):
+        """Strong top component (variance concentrated on axis 0):
+        fast convergence, every certificate boolean true, total_var
+        exact."""
+        from seriesly_spark.operators.clustering import pca_power_iteration
+
+        rows = [(i, [float(i % 21 - 10), 0.5 if i % 2 else -0.5, 0.01 * (i % 3)]) for i in range(200)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        r = pca_power_iteration(df, iterations=8).collect()[0]
+        assert (r.n, r.dim) == (200, 3)
+        assert r.lambda_ratio_ok and r.resid_ok and r.lambda_le_total
+        import numpy as np
+
+        X = np.array([row[1] for row in rows])
+        tv = ((X - X.mean(0)) ** 2).mean(0).sum()
+        assert abs(r.total_var - tv) < 1e-5
+
+    def test_rejects_bad_iterations(self, spark):
+        from seriesly_spark.operators.clustering import pca_power_iteration
+
+        df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError):
+            pca_power_iteration(df, iterations=0)
+
+
+class TestNormalizeUrl:
+    CASES = [
+        # (raw, canonical)
+        ("HTTP://WWW.Example.com:80/a/?utm_source=f&b=1#top",
+         "http://www.example.com/a?b=1"),
+        ("http://www.example.com/a?b=1", "http://www.example.com/a?b=1"),
+        ("https://Example.org:443/", "https://example.org/"),
+        ("https://example.org:8443/x/?z=2&a=1&fbclid=abc",
+         "https://example.org:8443/x?a=1&z=2"),
+        ("http://example.net", "http://example.net/"),
+        ("http://example.net:8080/?UTM_CAMPAIGN=x&gclid=1",
+         "http://example.net:8080/"),
+        ("https://a.b/p/q/", "https://a.b/p/q"),
+    ]
+
+    def test_cases(self, spark):
+        from seriesly_spark.operators.urls import normalize_url
+
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _) in enumerate(self.CASES)],
+            "id long, url string",
+        )
+        got = {
+            r.id: r.n
+            for r in df.select(
+                "id", normalize_url(F.col("url")).alias("n")
+            ).collect()
+        }
+        for i, (_, want) in enumerate(self.CASES):
+            assert got[i] == want, (self.CASES[i], got[i])
+
+    def test_dedup_stats(self, spark):
+        from seriesly_spark.operators.urls import url_dedup_stats
+
+        df = spark.createDataFrame(
+            [(r,) for r, _ in self.CASES[:2]], "url string"
+        )
+        rows = url_dedup_stats(df, "url").collect()
+        assert [(r.url_norm, r.n_variants) for r in rows] == [
+            ("http://www.example.com/a?b=1", 2)
+        ]
