@@ -105,6 +105,8 @@ from seriesly_spark.operators.textstats import (
     tfidf_top_terms,
     token_counts_bpe,
     type_token_ratio,
+    bm25_topk,
+    vocab_coverage,
 )
 from seriesly_spark.operators.analytics import (
     autocorr_lag,
@@ -1275,7 +1277,7 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: split is a pure function
     of md5(doc_id), so it is reproducible across runs/engines/partitions.
     Narrow map + one tiny aggregate — no shuffle of the data itself."""
-    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(_table(spark, sf_dir, "documents").select("doc_id"))
     return (
         hash_split(docs, "doc_id")
         .groupBy("split")
@@ -1996,7 +1998,7 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(_table(spark, sf_dir, "documents").select("doc_id"))
 
     def make(batches):
         for pdf in batches:
@@ -2029,7 +2031,9 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    # spread: single-file input arrives as ONE partition; without this
+    # the whole deflate+unfilter bank runs on one core (see util.spread)
+    docs = spread(_table(spark, sf_dir, "documents").select("doc_id"))
 
     def make(batches):
         for pdf in batches:
@@ -2101,7 +2105,7 @@ def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(_table(spark, sf_dir, "documents").select("doc_id"))
 
     def make(batches):
         for pdf in batches:
@@ -3117,7 +3121,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize INDEPENDENTLY — the oracle re-implements the
     normalization in SQL, so the rule set itself is value-checked.
     The rollup counts raw variants per canonical URL."""
-    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(_table(spark, sf_dir, "documents").select("doc_id"))
     d = F.col("doc_id")
     raw = F.concat(
         F.when(d % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
@@ -3139,6 +3143,23 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_dedup_stats(docs.select(raw.alias("url")), "url")
         .select("url_norm", "n_variants")
     )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a 3-term query: query-term filter BEFORE
+    any aggregate (the (doc, term) table is |docs| x |query|, never
+    vocabulary-sized), |query|-row idf broadcast, scores rounded to 6
+    before ranking, TakeOrderedAndProject top-k."""
+    return bm25_topk(
+        _table(spark, sf_dir, "documents"), ["spark", "join", "window"], k=10
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer budgeting: exact token-instance coverage of the top-10
+    vocabulary. One explode + one vocabulary-sized count aggregate;
+    deterministic (count desc, token) ties."""
+    return vocab_coverage(_table(spark, sf_dir, "documents"), k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3167,6 +3188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "pca_certify": q_pca_certify,
         "url_dedup": q_url_dedup,
+        "bm25_topk": q_bm25_topk,
+        "vocab_coverage": q_vocab_coverage,
         # --- re-certification rotations: certified in r01-r04 but
         # their implementation changed AFTER that green row (r04
         # optimization commits + this round's review fixes); the
@@ -4138,6 +4161,41 @@ SELECT url_norm, count(*) AS n_variants FROM (
     || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url_norm
   FROM norm)
 GROUP BY url_norm
+""",
+        "bm25_topk": r"""
+WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM documents) WHERE t <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+       WHERE t IN ('spark', 'join', 'window') GROUP BY doc_id, t),
+idf AS (SELECT t, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+        FROM (SELECT t, count(*) AS df FROM tf GROUP BY t), st),
+s AS (SELECT tf.doc_id,
+        idf.idf * tf.tf * 2.2
+          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / idf.avgdl)) AS sc
+      FROM tf JOIN idf USING (t) JOIN dl USING (doc_id)),
+sc AS (SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id),
+r AS (SELECT doc_id, score,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
+SELECT doc_id, score, rnk FROM r WHERE rnk <= 10
+""",
+        "vocab_coverage": r"""
+WITH tok AS (SELECT t FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM documents) WHERE t <> ''),
+c AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT sum(c) AS n_tokens, count(*) AS n_types FROM c),
+topk AS (SELECT c FROM c ORDER BY c DESC, t LIMIT 10),
+cov AS (SELECT sum(c) AS covered FROM topk)
+SELECT cast(n_tokens AS bigint) AS n_tokens, n_types,
+       cast(10 AS bigint) AS k,
+       cast(coalesce(covered, 0) AS bigint) AS covered,
+       round(coalesce(covered, 0) / cast(n_tokens AS double), 6)
+         AS coverage
+FROM tot, cov
 """,
         "streaming_dedup": """
 SELECT event_type, count(*) AS cnt FROM events GROUP BY 1

@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "hard_negatives",
     "pca_certify",
     "url_dedup",
+    "bm25_topk",
+    "vocab_coverage",
 ]
 
 

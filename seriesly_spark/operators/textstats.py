@@ -881,3 +881,139 @@ def source_profile(
             "lang_entropy",
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k document retrieval for a bag-of-words query —
+    the lexical-search baseline every corpus tool starts from (and the
+    hard-negative source for retrieval training when paired with
+    similarity.hard_negatives).
+
+    score(d) = Σ_t idf_t · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with the Robertson/Sparck-Jones idf ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Plan: ONE tokenize-explode; the query-term filter (an ``isin`` over
+    a literal list — a broadcast in spirit, constant-folded in codegen)
+    drops every non-query token BEFORE any aggregate, so the (doc,
+    term) count table is |docs| × |query| at worst, not vocabulary-
+    sized; doc lengths ride a separate narrow aggregate; idf is a
+    |query|-row table broadcast back. Scores round to 6 BEFORE ranking
+    (cross-engine rank stability); top-k is ``orderBy().limit()`` —
+    TakeOrderedAndProject, per-partition partial top-k, no global sort.
+    Ties break on doc_id. Documents matching no query term score 0 and
+    do not appear.
+
+    Output: (doc_id, score, rnk) with rnk 1..k.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    base = scoped_persist(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(toks).alias("tok"),
+        ).where(F.col("tok") != ""),
+        "textstats.bm25_tokens",
+    )
+    dl = base.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    n_stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qt = base.where(F.col("tok").isin(list(query_terms)))
+    tf = qt.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_stats))
+        .select(
+            "tok",
+            "avgdl",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    term_score = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "id")
+        .select(
+            "id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    scored = term_score.groupBy("id").agg(
+        F.round(F.sum("s"), 6).alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), F.col("id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.col("id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        F.col("id").alias(id_col), "score", "rnk"
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-instance coverage of a size-k vocabulary — the tokenizer
+    budgeting question ("what fraction of the corpus do the top-k
+    types cover?") answered exactly: top-k tokens by (count desc,
+    token), coverage = their summed counts / all token instances.
+
+    ONE tokenize-explode feeding ONE vocabulary-sized count aggregate;
+    the top-k is orderBy().limit() over the (already tiny) type table
+    and the final ratio is a two-number division. Deterministic ties
+    (count desc, token asc). Output: one row (n_tokens, n_types,
+    k, covered, coverage rounded to 6).
+    """
+    counts = scoped_persist(
+        docs.select(F.explode(tokens(text_col)).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c")),
+        "textstats.vocab_counts",
+    )
+    tot = counts.agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_types")
+    )
+    topk = counts.orderBy(F.desc("c"), F.col("tok")).limit(k)
+    cov = topk.agg(F.sum("c").alias("covered"))
+    return (
+        tot.crossJoin(F.broadcast(cov))
+        .select(
+            "n_tokens",
+            "n_types",
+            F.lit(k).cast("long").alias("k"),
+            F.coalesce(F.col("covered"), F.lit(0)).alias("covered"),
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -238,3 +238,73 @@ class TestNormalizeUrl:
         assert [(r.url_norm, r.n_variants) for r in rows] == [
             ("http://www.example.com/a?b=1", 2)
         ]
+
+
+class TestBm25:
+    def test_known_scores_vs_reference(self, spark):
+        """Brute-force BM25 in Python on a tiny corpus must agree."""
+        import math
+
+        from seriesly_spark.operators.textstats import bm25_topk
+
+        corpus = {
+            1: "spark join window spark",
+            2: "join filter scan",
+            3: "window window window sort",
+            4: "totally unrelated words",
+        }
+        df = spark.createDataFrame(
+            list(corpus.items()), "doc_id long, text string"
+        )
+        q = ["spark", "window"]
+        got = {r.doc_id: (r.score, r.rnk) for r in bm25_topk(df, q, k=3).collect()}
+
+        toks = {d: t.split() for d, t in corpus.items()}
+        dls = {d: len(t) for d, t in toks.items()}
+        avgdl = sum(dls.values()) / len(dls)
+        n = len(corpus)
+        want = {}
+        for d, t in toks.items():
+            s = 0.0
+            for term in q:
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                df_t = sum(1 for tt in toks.values() if term in tt)
+                idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[d] / avgdl))
+            if s > 0:
+                want[d] = round(s, 6)
+        ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert got == {
+            d: (s, i + 1) for i, (d, s) in enumerate(ranked)
+        }
+
+    def test_no_match_docs_absent(self, spark):
+        from seriesly_spark.operators.textstats import bm25_topk
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "needle here")], "doc_id long, text string"
+        )
+        rows = bm25_topk(df, ["needle"], k=5).collect()
+        assert [r.doc_id for r in rows] == [2]
+
+
+class TestVocabCoverage:
+    def test_exact_coverage(self, spark):
+        from seriesly_spark.operators.textstats import vocab_coverage
+
+        df = spark.createDataFrame(
+            [(1, "a a a b b c"), (2, "a b d")], "doc_id long, text string"
+        )
+        r = vocab_coverage(df, k=2).collect()[0]
+        # counts: a=4 b=3 c=1 d=1 -> top-2 covers 7 of 9
+        assert (r.n_tokens, r.n_types, r.k, r.covered) == (9, 4, 2, 7)
+        assert r.coverage == round(7 / 9, 6)
+
+    def test_k_larger_than_vocab(self, spark):
+        from seriesly_spark.operators.textstats import vocab_coverage
+
+        df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+        r = vocab_coverage(df, k=10).collect()[0]
+        assert (r.covered, r.coverage) == (2, 1.0)
