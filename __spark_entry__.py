@@ -3145,6 +3145,82 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ladder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup-funnel report — the one-row summary a curation
+    run publishes: how many documents survive each rung of the ladder
+    (exact md5 -> normalized fingerprint -> minhash-LSH connected-
+    component clusters). Composes the certified stage operators; each
+    stage's survivor count is a countDistinct over that stage's key, so
+    the report adds NO new shuffle shape — three independent aggregates
+    plus the (already-gated) components subtree. Monotonicity
+    n_docs >= exact >= norm and clusters <= exact is structural."""
+    docs = _table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    exact = docs.agg(
+        F.count_distinct(F.md5(F.col("text").cast("binary"))).alias("n_exact")
+    )
+    norm_fp = F.md5(
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+        ).cast("binary")
+    )
+    norm = docs.agg(F.count_distinct(norm_fp).alias("n_norm"))
+    pairs = minhash_lsh_pairs(docs, n=3, bands=16)
+    nodes = docs.select("doc_id").where(
+        F.size(word_shingles("text", 3)) > 0
+    )
+    clusters = connected_components(nodes, pairs, id_col="doc_id").agg(
+        F.count_distinct("cluster_id").alias("n_clusters")
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(norm))
+        .crossJoin(F.broadcast(clusters))
+        .select(
+            "n_docs",
+            "n_exact",
+            "n_norm",
+            "n_clusters",
+            F.round(F.col("n_exact") / F.col("n_docs"), 6).alias(
+                "exact_keep_ratio"
+            ),
+            F.round(F.col("n_clusters") / F.col("n_docs"), 6).alias(
+                "cluster_keep_ratio"
+            ),
+        )
+    )
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov chain: per-user event-type
+    transition counts and row-normalized probabilities. ONE lag window
+    per user (deterministic (ts, event_id) ordering — the same
+    single-shuffle spine as sessionize), then a (src, dst)-keyed count
+    and a broadcast row-total join; only (src, dst, count) triples move
+    after the window."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = steps.groupBy("src").agg(F.sum("n").alias("__t"))
+    return (
+        steps.join(F.broadcast(tot), "src")
+        .select(
+            "src", "dst", "n", F.round(F.col("n") / F.col("__t"), 6).alias("p")
+        )
+    )
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 for a 3-term query: query-term filter BEFORE
     any aggregate (the (doc, term) table is |docs| x |query|, never
@@ -3190,6 +3266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "bm25_topk": q_bm25_topk,
         "vocab_coverage": q_vocab_coverage,
+        "dedup_ladder_report": q_dedup_ladder_report,
+        "markov_transitions": q_markov_transitions,
         # --- re-certification rotations: certified in r01-r04 but
         # their implementation changed AFTER that green row (r04
         # optimization commits + this round's review fixes); the
@@ -4196,6 +4274,49 @@ SELECT cast(n_tokens AS bigint) AS n_tokens, n_types,
        round(coalesce(covered, 0) / cast(n_tokens AS double), 6)
          AS coverage
 FROM tot, cov
+""",
+        "dedup_ladder_report": rf"""
+WITH RECURSIVE g AS ({_GRAMS_SQL}),
+sig AS (
+  SELECT doc_id, band,
+    list_min(list_transform(grams, x -> md5(band::VARCHAR || '|' || x))) AS sig
+  FROM g, unnest(range(0, 16)) AS u(band)
+),
+e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+    AND a.doc_id <> b.doc_id
+),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM g
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+)
+,
+cl AS (SELECT count(DISTINCT mn) AS n_clusters FROM
+        (SELECT u, min(v) AS mn FROM reach GROUP BY u)),
+base AS (SELECT count(*) AS n_docs,
+        count(DISTINCT md5(text)) AS n_exact,
+        count(DISTINCT md5(trim(regexp_replace(lower(text),
+          '[^a-z0-9]+', ' ', 'g')))) AS n_norm
+        FROM documents)
+SELECT n_docs, n_exact, n_norm, n_clusters,
+  round(n_exact / cast(n_docs AS double), 6) AS exact_keep_ratio,
+  round(n_clusters / cast(n_docs AS double), 6) AS cluster_keep_ratio
+FROM base, cl
+""",
+        "markov_transitions": """
+WITH s AS (
+  SELECT user_id,
+    lag(event_type) OVER (PARTITION BY user_id
+      ORDER BY epoch_us(ts), event_id) AS src,
+    event_type AS dst
+  FROM events),
+c AS (SELECT src, dst, count(*) AS n FROM s
+      WHERE src IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT src, sum(n) AS t FROM c GROUP BY 1)
+SELECT c.src, c.dst, c.n, round(c.n / cast(t.t AS double), 6) AS p
+FROM c JOIN t USING (src)
 """,
         "streaming_dedup": """
 SELECT event_type, count(*) AS cnt FROM events GROUP BY 1

@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "url_dedup",
     "bm25_topk",
     "vocab_coverage",
+    "dedup_ladder_report",
+    "markov_transitions",
 ]
 
 

@@ -164,8 +164,16 @@ def pca_power_iteration(
 
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    x = vectors.select(
-        F.transform(F.col(vec_col), lambda c: c.cast("double")).alias("x")
+    # persisted: the Gram scan and the decimal moments aggregate both
+    # consume the cast projection — without this each pays its own
+    # parquet scan + per-element double cast (measured 27.5 -> ~17 s
+    # at 200k x 32, scripts/stress_r5.py)
+    x = scoped_persist(
+        vectors.select(
+            F.transform(F.col(vec_col), lambda c: c.cast("double")).alias("x")
+        ),
+        "clustering.pca_x",
+        eager=True,
     )
 
     def gram(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":

@@ -59,7 +59,12 @@ def word_shingles(text_col: str, n: int = 3) -> "F.Column":
 
 
 def _shingle_sets(
-    docs: DataFrame, text_col: str, id_col: str, n: int, scope: str
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    scope: str,
+    eager: bool = False,
 ) -> DataFrame:
     """Exploded distinct word-n-gram shingle table ``(id, sz, g)`` —
     the shared front half of every set-similarity miner (jaccard,
@@ -101,6 +106,7 @@ def _shingle_sets(
             "id", F.size(gh).alias("sz"), F.explode(gh).alias("g")
         ),
         scope,
+        eager=eager,
     )
 
 
@@ -126,7 +132,13 @@ def ngram_jaccard_pairs(
     jaccard (set sizes still count the dropped shingles); leave None for
     the exact oracle-checked definition.
     """
-    exploded = _shingle_sets(docs, text_col, id_col, n, "dedup.ngram_exploded")
+    # capped path has THREE consumers (df agg + both join sides) racing
+    # one action -> eager; the exact 2-consumer path stays lazy per the
+    # measured sf0.1 A/B in PLANS.md
+    exploded = _shingle_sets(
+        docs, text_col, id_col, n, "dedup.ngram_exploded",
+        eager=max_df is not None,
+    )
     if max_df is not None:
         keep = (
             exploded.groupBy("g")
@@ -161,6 +173,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-duplicate pairs by shingle-set CONTAINMENT —
     ``C = |A∩B| / min(|A|, |B|)`` — the screen Jaccard misses: a short
@@ -174,11 +187,23 @@ def containment_pairs(
     equi-join on the shingle hash, per-pair intersection count — only
     the final score divides by min(|A|,|B|) instead of the union.
     Output: (a, b, containment rounded to 6) for pairs a < b with
-    containment >= threshold.
+    containment >= threshold. ``max_df`` prunes ultra-frequent shingles
+    before the join exactly as in ngram_jaccard_pairs (quadratic-bucket
+    mitigation; slightly underestimates containment — the exact form is
+    the oracle-checked default).
     """
     exploded = _shingle_sets(
-        docs, text_col, id_col, n, "dedup.containment_exploded"
+        docs, text_col, id_col, n, "dedup.containment_exploded",
+        eager=max_df is not None,
     )
+    if max_df is not None:
+        keep = (
+            exploded.groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("g")
+        )
+        exploded = exploded.join(keep, "g")
     a = exploded.select(
         F.col("id").alias("a"), F.col("sz").alias("sza"), "g"
     )
@@ -770,7 +795,14 @@ def boilerplate_ngrams(
 
     Output: (doc_id, n_grams, n_boiler, boiler_ratio rounded to 6).
     """
-    ex = _shingle_sets(docs, text_col, id_col, n, "dedup.boiler_shingles")
+    # EAGER: three consumers (DF agg, semi-join probe, per-doc rollup).
+    # Measured at 2M docs (96M grams): eager == lazy (71 s both) — the
+    # cost is the corpus-wide gram document-frequency aggregate itself,
+    # not persist duplication; eager kept so the explode provably runs
+    # once regardless of subtree scheduling.
+    ex = _shingle_sets(
+        docs, text_col, id_col, n, "dedup.boiler_shingles", eager=True
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("__nd"))
     heavy = (
         ex.groupBy("g")

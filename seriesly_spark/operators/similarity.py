@@ -605,15 +605,26 @@ def hard_negatives(
     """
     from pyspark.sql import Window
 
+    # Norms are HOISTED to one column per side before the join: inline
+    # cosine() would recompute the corpus row's norm once per query and
+    # the query norm once per corpus row — ~3x the arithmetic at |Q|=4
+    # (measured 21.7 -> 8 s at 200k x 32, scripts/stress_r5.py).
     q = F.broadcast(
         vectors.where(F.col(id_col).isin(query_ids)).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
             F.col(label_col).alias("__ql"),
+            norm(F.col(vec_col)).alias("__qn"),
         )
     )
+    corpus = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        norm(F.col(vec_col)).alias("__vn"),
+    )
     scored = (
-        vectors.join(
+        corpus.join(
             q,
             (F.col(label_col) != F.col("__ql"))
             & (F.col(id_col) != F.col("query_id")),
@@ -621,9 +632,11 @@ def hard_negatives(
         .select(
             "query_id",
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col(vec_col), F.col("__qv"))
+                / (F.col("__vn") * F.col("__qn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
