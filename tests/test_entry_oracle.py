@@ -71,6 +71,54 @@ def test_query_matches_oracle(spark, duck, name):
     d_cols = rel.columns
     d_rows = rel.fetchall()
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    # Driver-grade TYPE check: the driver hashes each engine's result
+    # through pandas, so what matters is the CANONICAL DTYPE FAMILY,
+    # not the exact SQL type — Spark int vs DuckDB BIGINT both land in
+    # int64 (fine), but Spark BIGINT vs DuckDB HUGEINT lands int64 vs
+    # float64 and hash-MISMATCHES even when values agree (the tpch_q12
+    # r04 lesson). Flag only cross-family pairs.
+    def s_family(t):
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            return "int"
+        if t in ("float", "double"):
+            return "float"
+        if t == "string":
+            return "str"
+        if t == "boolean":
+            return "bool"
+        if t in ("date",):
+            return "date"
+        if t.startswith("timestamp"):
+            return "ts"
+        return None  # arrays/structs/binary: value compare covers them
+
+    def d_family(t):
+        if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+            return "int"
+        # HUGEINT and DECIMAL materialize as float64 in pandas
+        if t in ("FLOAT", "DOUBLE", "HUGEINT") or t.startswith("DECIMAL"):
+            return "float"
+        if t in ("VARCHAR", "JSON", "UUID"):
+            return "str"
+        if t == "BOOLEAN":
+            return "bool"
+        if t == "DATE":
+            return "date"
+        if t.startswith("TIMESTAMP"):
+            return "ts"
+        return None
+
+    d_types = {c: str(t) for c, t in zip(d_cols, rel.types)}
+    for col, st in sdf.dtypes:
+        sf, df_ = s_family(st), d_family(d_types[col])
+        if sf is None or df_ is None:
+            continue
+        assert sf == df_, (
+            f"{name}.{col}: Spark {st} ({sf}) vs DuckDB {d_types[col]} "
+            f"({df_}) — the driver hasher canonicalizes these to "
+            f"different pandas dtypes (cast in the SQL)"
+        )
     assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
     sn = _norm_rows(s_cols, s_rows)
     dn = _norm_rows(d_cols, d_rows)
