@@ -79,19 +79,25 @@ def ann_topk_cosine(
 ) -> DataFrame:
     """Exact top-k cosine neighbors of one corpus vector.
 
-    Plan: broadcast the single query row, one narrow pass computing
-    ``cos_sim``, then global top-k (sort+limit → per-partition partial
-    top-k, no full shuffle). Deterministic tie-break on (sim desc, id asc).
+    Plan: broadcast the single query row WITH its norm precomputed
+    (inline cosine() would re-derive the query norm once per corpus
+    row), one narrow pass computing ``cos_sim``, then global top-k
+    (sort+limit → per-partition partial top-k, no full shuffle).
+    Deterministic tie-break on (sim desc, id asc).
     """
     q = vectors.where(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__qv")
+        F.col(vec_col).alias("__qv"), norm(F.col(vec_col)).alias("__qn")
     )
     sims = (
         vectors.where(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col(vec_col), F.col("__qv"))
+                / (norm(F.col(vec_col)) * F.col("__qn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     return sims.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
