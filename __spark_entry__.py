@@ -62,6 +62,7 @@ from seriesly_spark.operators.sketches import (
 )
 from seriesly_spark.operators.sampling import (
     contamination_overlap,
+    epoch_shuffle,
     rare_label_collapse,
     reservoir_per_group,
     hash_sample,
@@ -3221,6 +3222,16 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-epoch 4-shard training-order shuffle: each row
+    draws (shard, position) from its own md5 — reproducible with no RNG
+    state; the rank window is keyed per (epoch, shard) so no global
+    single-partition sort exists."""
+    return epoch_shuffle(
+        _table(spark, sf_dir, "documents"), "doc_id", epochs=2, shards=4
+    )
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 for a 3-term query: query-term filter BEFORE
     any aggregate (the (doc, term) table is |docs| x |query|, never
@@ -3268,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "dedup_ladder_report": q_dedup_ladder_report,
         "markov_transitions": q_markov_transitions,
+        "epoch_shuffle": q_epoch_shuffle,
         # --- re-certification rotations: certified in r01-r04 but
         # their implementation changed AFTER that green row (r04
         # optimization commits + this round's review fixes); the
@@ -4304,6 +4316,17 @@ SELECT n_docs, n_exact, n_norm, n_clusters,
   round(n_exact / cast(n_docs AS double), 6) AS exact_keep_ratio,
   round(n_clusters / cast(n_docs AS double), 6) AS cluster_keep_ratio
 FROM base, cl
+""",
+        "epoch_shuffle": f"""
+WITH r AS (
+  SELECT doc_id, u.e AS epoch,
+         md5('ep' || cast(u.e AS varchar) || ':'
+             || cast(doc_id AS varchar)) AS h
+  FROM documents CROSS JOIN (SELECT unnest(range(0, 2)) AS e) u),
+s AS (SELECT doc_id, epoch, {_MD5_U16_SQL} % 4 AS shard, h FROM r)
+SELECT doc_id, epoch, shard,
+  row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS pos
+FROM s
 """,
         "markov_transitions": """
 WITH s AS (

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "vocab_coverage",
     "dedup_ladder_report",
     "markov_transitions",
+    "epoch_shuffle",
 ]
 
 

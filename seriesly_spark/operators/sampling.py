@@ -305,3 +305,52 @@ def rare_label_collapse(
         )
         .withColumn("label_n", F.coalesce(F.col("label_n"), F.lit(0)))
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epochs: int = 1,
+    shards: int = 8,
+    salt: str = "ep",
+) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle — the "global
+    shuffle" stage of a training-data loader, reproducible across runs
+    and engines (the order is a pure function of (epoch, key), no RNG
+    state to checkpoint).
+
+    A TOTAL order per epoch would need a global sort; no loader
+    actually consumes one — they consume SHARDS, each internally
+    ordered. So each row draws a shard (md5 bucket over epoch+key) and
+    a position within that shard (rank of md5(epoch || salt || key)
+    inside the shard): one window per (epoch, shard) partition — the
+    shuffle is keyed on epochs x shards groups, each ~n/shards rows,
+    and no global single-partition sort ever exists. Epochs explode
+    from a literal sequence (narrow).
+
+    Output: input key + (epoch, shard, pos) with pos 1.. per shard —
+    ORDER BY (epoch, shard, pos) reproduces the loader's read order.
+    """
+    from pyspark.sql import Window
+
+    e = F.explode(
+        F.sequence(F.lit(0), F.lit(int(epochs) - 1))
+    ).alias("epoch")
+    rows = df.select(F.col(key_col), e)
+    h = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col(key_col).cast("string"),
+        ).cast("binary")
+    )
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % shards).alias(
+        "shard"
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy(h, F.col(key_col))
+    return (
+        rows.select(F.col(key_col), F.col("epoch"), shard, h.alias("__h"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )

@@ -308,3 +308,28 @@ class TestVocabCoverage:
         df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
         r = vocab_coverage(df, k=10).collect()[0]
         assert (r.covered, r.coverage) == (2, 1.0)
+
+
+class TestEpochShuffle:
+    def test_structure_and_determinism(self, spark):
+        from seriesly_spark.operators.sampling import epoch_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+        a = sorted(tuple(r) for r in epoch_shuffle(df, "id", 2, 4).collect())
+        b = sorted(
+            tuple(r)
+            for r in epoch_shuffle(df.repartition(7), "id", 2, 4).collect()
+        )
+        assert a == b  # partitioning-invariant
+        rows = epoch_shuffle(df, "id", 2, 4).collect()
+        assert len(rows) == 200  # every row in every epoch
+        per = {}
+        for r in rows:
+            per.setdefault((r.epoch, r.shard), []).append(r.pos)
+        assert set(e for e, _ in per) == {0, 1}
+        for (_, _), poss in per.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+        # epochs produce different orders (different hash inputs)
+        order0 = [r.id for r in sorted(rows, key=lambda r: (r.shard, r.pos)) if r.epoch == 0]
+        order1 = [r.id for r in sorted(rows, key=lambda r: (r.shard, r.pos)) if r.epoch == 1]
+        assert order0 != order1
