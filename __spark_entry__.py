@@ -168,6 +168,7 @@ from seriesly_spark.sources.tables import latest_by_key, load_table
 from seriesly_spark.streaming.ingest import (
     streaming_bucket_counts,
     streaming_dedup_counts,
+    streaming_distinct_users,
     streaming_join_pairs,
     streaming_sessionize,
 )
@@ -1206,6 +1207,36 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     return streaming_sessionize(
         spark, f"{sf_dir}/events.parquet", gap_us=1_800_000_000
+    )
+
+
+def q_streaming_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed approx-distinct users, certified: per-window
+    state is one fixed-size HLL++ sketch (the only viable unbounded-
+    cardinality streaming shape); the gate joins the exact batch count
+    per window and pins the deterministic estimate inside a ±6%
+    envelope (3x the 2% rsd). The oracle replays the exact counts and
+    the provably-true boolean."""
+    _prep(spark)
+    est = streaming_distinct_users(
+        spark, f"{sf_dir}/events.parquet", group_ms=DAY_MS,
+        query_name="gate_stream_distinct",
+    )
+    ev = _events(spark, sf_dir)
+    day_ns = DAY_MS * 1_000_000
+    exact = ev.withColumn(
+        "bucket_ms", F.expr(f"(ts_ns div {day_ns}) * {DAY_MS}")
+    ).groupBy("bucket_ms").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    return exact.join(est, "bucket_ms").select(
+        "bucket_ms",
+        "n_events",
+        "n_users",
+        (
+            F.abs(F.col("est_users").cast("double") / F.col("n_users") - 1.0)
+            <= F.lit(0.06)
+        ).alias("est_ok"),
     )
 
 
@@ -3280,6 +3311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ladder_report": q_dedup_ladder_report,
         "markov_transitions": q_markov_transitions,
         "epoch_shuffle": q_epoch_shuffle,
+        "streaming_distinct": q_streaming_distinct,
         # --- re-certification rotations: certified in r01-r04 but
         # their implementation changed AFTER that green row (r04
         # optimization commits + this round's review fixes); the
@@ -4327,6 +4359,14 @@ s AS (SELECT doc_id, epoch, {_MD5_U16_SQL} % 4 AS shard, h FROM r)
 SELECT doc_id, epoch, shard,
   row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS pos
 FROM s
+""",
+        # exact counts replayed in SQL; est_ok is the certified HLL++
+        # envelope (see q_streaming_distinct)
+        "streaming_distinct": f"""
+SELECT {_bucket('epoch_us(ts)*1000', DAY_MS)} AS bucket_ms,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users, true AS est_ok
+FROM events GROUP BY 1
 """,
         "markov_transitions": """
 WITH s AS (

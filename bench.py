@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "markov_transitions",
     "epoch_shuffle",
 ]
+# (streaming_distinct intentionally NOT benched: its cost is micro-batch
+# harness setup, not query work — same policy as the other streaming gates)
 
 
 def main() -> None:

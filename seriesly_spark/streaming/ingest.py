@@ -133,6 +133,41 @@ def streaming_bucket_counts(
     return out
 
 
+def streaming_distinct_users(
+    spark: SparkSession,
+    events_path: str,
+    group_ms: int = 86_400_000,
+    query_name: str = "stream_distinct_users",
+) -> DataFrame:
+    """Windowed APPROXIMATE distinct users computed as a stream — the
+    streaming analogue of ``sliding_distinct_approx`` and the only
+    viable shape for unbounded cardinality: per-window streaming state
+    is ONE fixed-size HLL++ sketch (``approx_count_distinct``, rsd
+    0.02) instead of the per-key set an exact streaming distinct would
+    have to hold. Deterministic (hash-based sketch, no RNG), so the
+    gate can pin the estimate inside an error envelope against the
+    exact batch count.
+
+    Output: (bucket_ms LONG, n_events LONG, est_users LONG).
+    """
+    src, staged = _stream_source(spark, events_path)
+    agg = src.groupBy(
+        F.window(F.col("ts"), f"{group_ms} milliseconds")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id", 0.02).alias("est_users"),
+    )
+    try:
+        tbl = _run_to_memory(agg, query_name, "complete", spark)
+    finally:
+        _rm_staging(staged)
+    return tbl.select(
+        F.unix_millis(F.col("window.start")).alias("bucket_ms"),
+        "n_events",
+        "est_users",
+    )
+
+
 _SESS_OUT = StructType(
     [
         StructField("user_id", LongType()),

@@ -30,6 +30,7 @@ SKIP = {
     "streaming_watermarked_agg",
     "streaming_sessionize",
     "streaming_dedup",
+    "streaming_distinct",
     "streaming_join",
     "continuous_rollup",
     "s13_changes_feed",
