@@ -1,0 +1,142 @@
+"""Empty-input robustness: every batch operator must return an EMPTY
+(or well-defined single-row) result on an empty input — never raise.
+At 100 TB an empty partition-pruned subset is an everyday input shape
+(a date filter matching nothing, a new tenant, a source with no docs),
+and a pipeline that crashes on it fails in production, not in tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark):
+    return spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, ts_ns long, user_id long, "
+        "event_type string, value double, props string",
+    )
+
+
+@pytest.fixture(scope="module")
+def empty_vecs(spark):
+    return spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+
+
+class TestEmptyDocs:
+    def test_doc_operators_empty_in_empty_out(self, spark, empty_docs):
+        from seriesly_spark.operators.dedup import (
+            boilerplate_ngrams,
+            containment_pairs,
+            dedup_exact,
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+            paragraph_dedup,
+        )
+        from seriesly_spark.operators.textstats import (
+            bm25_topk,
+            char_entropy,
+            clean_text,
+            compression_ratio,
+            lang_id,
+            repetition_stats,
+            text_stats,
+            type_token_ratio,
+        )
+
+        for op in (
+            dedup_exact,
+            ngram_jaccard_pairs,
+            containment_pairs,
+            minhash_lsh_pairs,
+            boilerplate_ngrams,
+            paragraph_dedup,
+            text_stats,
+            repetition_stats,
+            clean_text,
+            lang_id,
+            char_entropy,
+            type_token_ratio,
+            compression_ratio,
+        ):
+            assert op(empty_docs).count() == 0, op.__name__
+
+        assert bm25_topk(empty_docs, ["x"]).count() == 0
+
+    def test_sampling_empty(self, spark, empty_docs):
+        from seriesly_spark.operators.sampling import (
+            epoch_shuffle,
+            hash_sample,
+            rare_label_collapse,
+            reservoir_per_group,
+        )
+
+        assert hash_sample(empty_docs, "doc_id", 0.5).count() == 0
+        assert reservoir_per_group(empty_docs, ["source"], "doc_id", 3).count() == 0
+        assert rare_label_collapse(empty_docs, "lang", 2).count() == 0
+        assert epoch_shuffle(empty_docs, "doc_id", 2, 4).count() == 0
+
+    def test_heavy_hitters_empty(self, spark):
+        from seriesly_spark.operators.sketches import heavy_hitters
+
+        df = spark.createDataFrame([], "item string")
+        assert heavy_hitters(df, "item", 5).count() == 0
+
+    def test_urls_empty(self, spark):
+        from seriesly_spark.operators.urls import url_dedup_stats
+
+        df = spark.createDataFrame([], "url string")
+        assert url_dedup_stats(df, "url").count() == 0
+
+
+class TestEmptyEvents:
+    def test_event_operators_empty(self, spark, empty_events):
+        from seriesly_spark.operators.analytics import (
+            chisq_independence,
+            concentration_stats,
+            rfm_scores,
+            welch_ttest,
+            winsorize_stats,
+        )
+        from seriesly_spark.operators.windows import (
+            sliding_distinct,
+            sliding_distinct_approx,
+        )
+
+        assert winsorize_stats(
+            empty_events, "value", ["event_type"]
+        ).count() == 0
+        assert welch_ttest(empty_events, "value", "event_type").count() == 0
+        assert sliding_distinct(
+            empty_events, "ts", 3_600_000, 3_600_000, "user_id"
+        ).count() == 0
+        assert sliding_distinct_approx(
+            empty_events, "ts", 3_600_000, 3_600_000, "user_id"
+        ).count() == 0
+        # one-row summaries on empty input: a row of zeros/nulls or no
+        # row are both defensible; they must simply not raise
+        chisq_independence(empty_events, "event_type", "user_id").collect()
+        concentration_stats(empty_events, "event_type").collect()
+        rfm_scores(empty_events, "user_id", "ts", "value").collect()
+
+
+class TestEmptyVectors:
+    def test_vector_operators_empty(self, spark, empty_vecs):
+        from seriesly_spark.operators.clustering import pca_power_iteration
+        from seriesly_spark.operators.similarity import (
+            hard_negatives,
+            l2_normalize,
+        )
+
+        assert l2_normalize(empty_vecs).count() == 0
+        assert hard_negatives(empty_vecs, [0, 1], k=3).count() == 0
+        r = pca_power_iteration(empty_vecs).collect()
+        assert len(r) == 1 and r[0].n == 0  # explicit all-false row
