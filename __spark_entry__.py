@@ -3087,6 +3087,17 @@ def q_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped containment (max_df=4): the same skew knob as the capped
+    jaccard miner — corpus-frequent shingles are dropped before the
+    self-join (quadratic-bucket mitigation); containment still divides
+    by the FULL min set size, so it underestimates. Threshold 0.5 keeps
+    the surviving strong pairs visible at sf0.01."""
+    return containment_pairs(
+        _table(spark, sf_dir, "documents"), threshold=0.5, max_df=4
+    )
+
+
 def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc boilerplate contamination: distinct 3-grams whose corpus
     document frequency >= 1% of docs, counted per document. One
@@ -3299,6 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct_approx": q_sliding_distinct_approx,
         # --- new round-5 queries: dedup ladder + pipeline preprocessing ---
         "containment_dup": q_containment_dup,
+        "containment_dup_capped": q_containment_dup_capped,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "heavy_hitters_tokens": q_heavy_hitters,
         "reservoir_per_group": q_reservoir_per_group,
@@ -4159,6 +4171,24 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM g a JOIN g b ON a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.grams, b.grams)) /
       least(len(a.grams), len(b.grams)), 6) >= 0.8
+""",
+        "containment_dup_capped": r"""
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+x AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS gr FROM g),
+d AS (SELECT gr FROM x GROUP BY gr HAVING count(*) <= 4),
+k AS (SELECT x.doc_id, x.sz, x.gr FROM x JOIN d USING (gr)),
+cand AS (SELECT a.doc_id AS a, b.doc_id AS b, a.sz AS sza, b.sz AS szb,
+           count(*) AS i
+         FROM k a JOIN k b ON a.gr = b.gr AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4)
+SELECT a, b, round(i / least(sza, szb), 6) AS containment
+FROM cand WHERE round(i / least(sza, szb), 6) >= 0.5
 """,
         "boilerplate_ngrams": r"""
 WITH g AS (

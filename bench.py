@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     # round 5
     "sliding_distinct_approx",
     "containment_dup",
+    "containment_dup_capped",
     "boilerplate_ngrams",
     "heavy_hitters_tokens",
     "reservoir_per_group",
