@@ -98,6 +98,7 @@ from seriesly_spark.operators.textstats import (
     curriculum_bins,
     fingerprint,
     normalized_dedup,
+    lang_confusion,
     lang_id,
     quality_filter,
     repetition_stats,
@@ -3274,6 +3275,13 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs the labeled lang column: one
+    corpus scan (label passed through the classifier projection), a
+    tiny (label x prediction) aggregate, broadcast row totals."""
+    return lang_confusion(_table(spark, sf_dir, "documents"))
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 for a 3-term query: query-term filter BEFORE
     any aggregate (the (doc, term) table is |docs| x |query|, never
@@ -3322,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "epoch_shuffle": q_epoch_shuffle,
         "streaming_distinct": q_streaming_distinct,
+        "lang_confusion": q_lang_confusion,
         "winsorize_means": q_winsorize,
         "chisq_type_hour": q_chisq_type_hour,
         "activity_concentration": q_concentration,
@@ -4389,6 +4398,31 @@ SELECT {_bucket('epoch_us(ts)*1000', DAY_MS)} AS bucket_ms,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users, true AS est_ok
 FROM events GROUP BY 1
+""",
+        "lang_confusion": r"""
+WITH s AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), sc AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['the','and','of','is','with'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr
+  FROM s
+), p AS (
+  SELECT lang,
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM sc
+), c AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2),
+t AS (SELECT lang AS tl, sum(n) AS t FROM c GROUP BY 1)
+SELECT c.lang, c.lang_pred, c.n,
+       round(c.n / cast(t.t AS double), 6) AS frac
+FROM c JOIN t ON c.lang IS NOT DISTINCT FROM t.tl
 """,
         "markov_transitions": """
 WITH s AS (

@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "dedup_ladder_report",
     "markov_transitions",
     "epoch_shuffle",
+    "lang_confusion",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -106,10 +106,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def lang_id(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Argmax marker-hit language with deterministic tie-break (score desc,
-    then language code asc); 'und' when nothing matches."""
+    then language code asc); 'und' when nothing matches. ``keep_cols``
+    pass through unchanged so compositions (e.g. lang_confusion) stay a
+    single scan instead of re-joining on the id."""
     t = tokens(text_col)
     scored = F.array(
         *[
@@ -123,7 +128,45 @@ def lang_id(
     best = F.array_min(scored)  # struct compare: lowest neg = highest score
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def lang_confusion(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against labeled
+    data — the model-eval table every classifier-backed curation stage
+    publishes (which languages leak into which buckets, and how much
+    of each label survives a lang filter).
+
+    ONE corpus scan (lang_id with the label passed through — no
+    re-join on the id), one tiny (label x prediction) count aggregate,
+    and a broadcast row-total join for per-label recall shares. NULL
+    labels group as their own row (a real pipeline wants to see the
+    unlabeled mass). Output: (lang, lang_pred, n, frac rounded to 6)
+    where frac is the row-normalized share within the true label.
+    """
+    pred = lang_id(docs, text_col, id_col, keep_cols=(label_col,))
+    cell = pred.groupBy(
+        F.col(label_col).alias("lang"), "lang_pred"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cell.groupBy("lang").agg(F.sum("n").alias("__t")).withColumnRenamed(
+        "lang", "__lang"
+    )
+    # null-SAFE join: a plain equi-join would silently drop the NULL
+    # label's rows — exactly the unlabeled mass the matrix must show
+    return cell.join(
+        F.broadcast(tot), cell["lang"].eqNullSafe(tot["__lang"])
+    ).select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.col("__t"), 6).alias("frac"),
     )
 
 

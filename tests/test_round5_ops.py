@@ -333,3 +333,28 @@ class TestEpochShuffle:
         order0 = [r.id for r in sorted(rows, key=lambda r: (r.shard, r.pos)) if r.epoch == 0]
         order1 = [r.id for r in sorted(rows, key=lambda r: (r.shard, r.pos)) if r.epoch == 1]
         assert order0 != order1
+
+
+class TestLangConfusion:
+    def test_matrix_vs_reference(self, spark):
+        from seriesly_spark.operators.textstats import lang_confusion
+
+        df = spark.createDataFrame(
+            [
+                (1, "en", "the cat and the dog is here with us"),
+                (2, "en", "xyzzy plugh"),              # -> und
+                (3, "de", "der hund und die katze ist da"),
+                (4, "fr", "le chien et la vie est belle"),
+                (5, None, "the unlabeled one is here"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        out = {
+            (r.lang, r.lang_pred): (r.n, r.frac)
+            for r in lang_confusion(df).collect()
+        }
+        assert out[("en", "en")] == (1, 0.5)
+        assert out[("en", "und")] == (1, 0.5)
+        assert out[("de", "de")] == (1, 1.0)
+        assert out[("fr", "fr")] == (1, 1.0)
+        assert out[(None, "en")] == (1, 1.0)  # unlabeled mass visible
