@@ -3309,9 +3309,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replays the oracle gate over ALL entries). tests/test_certified.py
     asserts every entry is certified or inside the current head-50."""
     return {
-        # (head swap r05: image/hash_split/ann_topk_cosine changed
-        # this round — spread / norm hoist — and take the slots of
-        # three speculative recerts, which the local oracle covers)
+        # --- head-50 layout for the r05 driver window ---
+        # slots 1-3: never driver-certified (compression_ratio gained
+        #   its value-checked oracle this round; tpch_q12's r04 row was
+        #   a hasher type mismatch, now cast; sliding approx is new);
+        # then: the new round-5 queries (containment..lang_confusion);
+        # then: re-certification rotations — every query whose
+        #   implementation changed AFTER its last green driver row
+        #   (r04 optimization commits + round-5 review fixes, spread,
+        #   norm hoists). The local oracle replica covers the certified
+        #   tail (tests/test_entry_oracle.py replays ALL entries).
         "compression_ratio": q_compression_ratio,
         "tpch_q12": q_tpch_q12,
         "sliding_distinct_approx": q_sliding_distinct_approx,
@@ -3357,12 +3364,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_pct_certify": q_approx_pct_certify,
         "mixture_sample": q_mixture_sample,
         "p03_eq_filter": q_p03_eq_filter,
-        "sample_hash": q_sample_hash,
+        "jpeg_decode_stats": q_jpeg_decode_stats,
         "ann_topk_cosine": q_ann_topk_cosine,
         "contamination": q_contamination,
         "audio_decode_stats": q_audio_decode_stats,
         "png_decode_stats": q_png_decode_stats,
-        "jpeg_decode_stats": q_jpeg_decode_stats,
+        "sample_hash": q_sample_hash,
         "bigram_lm": q_bigram_lm,
         "pii_screen": q_pii_screen,
         "substring_dup": q_substring_dup,
