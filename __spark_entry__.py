@@ -29,6 +29,7 @@ from seriesly_spark.functions.bucketing import bucket_ms_col
 from seriesly_spark.functions.timeparse import canonical_key, parse_any_ts_ns
 from seriesly_spark.operators.dedup import (
     boilerplate_ngrams,
+    lsh_eval,
     connected_components,
     containment_pairs,
     substring_dup_stats,
@@ -3275,6 +3276,14 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the minhash-LSH candidate generator against
+    exact Jaccard truth at 0.5 — turns the bands knob into a measured
+    dial. Composes the two certified miners; the report joins two
+    pair-id sets."""
+    return lsh_eval(_table(spark, sf_dir, "documents"))
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix vs the labeled lang column: one
     corpus scan (label passed through the classifier projection), a
@@ -3338,6 +3347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "streaming_distinct": q_streaming_distinct,
         "lang_confusion": q_lang_confusion,
+        "lsh_eval": q_lsh_eval,
         "winsorize_means": q_winsorize,
         "chisq_type_hour": q_chisq_type_hour,
         "activity_concentration": q_concentration,
@@ -3366,9 +3376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p03_eq_filter": q_p03_eq_filter,
         "jpeg_decode_stats": q_jpeg_decode_stats,
         "ann_topk_cosine": q_ann_topk_cosine,
-        "contamination": q_contamination,
-        "audio_decode_stats": q_audio_decode_stats,
         "png_decode_stats": q_png_decode_stats,
+        "audio_decode_stats": q_audio_decode_stats,
+        "contamination": q_contamination,
         "sample_hash": q_sample_hash,
         "bigram_lm": q_bigram_lm,
         "pii_screen": q_pii_screen,
@@ -4405,6 +4415,40 @@ SELECT {_bucket('epoch_us(ts)*1000', DAY_MS)} AS bucket_ms,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users, true AS est_ok
 FROM events GROUP BY 1
+""",
+        "lsh_eval": r"""
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+sig AS (
+  SELECT doc_id, band,
+    list_min(list_transform(grams, x -> md5(band::VARCHAR || '|' || x))) AS sig
+  FROM g, unnest(range(0, 16)) AS u(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+    AND a.doc_id < b.doc_id),
+truth AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.grams, b.grams)) /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+        6) >= 0.5),
+hit AS (SELECT t.a, t.b FROM truth t JOIN cand c ON t.a = c.a AND t.b = c.b),
+m AS (SELECT (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM cand) AS n_cand,
+             (SELECT count(*) FROM hit) AS n_hit)
+SELECT n_true, n_cand, n_hit,
+  round(CASE WHEN n_true > 0 THEN n_hit / cast(n_true AS double) END, 6)
+    AS recall,
+  round(CASE WHEN n_cand > 0 THEN n_hit / cast(n_cand AS double) END, 6)
+    AS precision
+FROM m
 """,
         "lang_confusion": r"""
 WITH s AS (

@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "markov_transitions",
     "epoch_shuffle",
     "lang_confusion",
+    "lsh_eval",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -832,3 +832,59 @@ def boilerplate_ngrams(
             ).alias("boiler_ratio"),
         )
     )
+
+
+def lsh_eval(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality report for the minhash-LSH candidate generator: recall
+    and precision of its candidate pairs against the EXACT Jaccard
+    truth at ``threshold`` — the measurement that turns "bands=16" from
+    folklore into a dial (raise bands for recall, widen bands for
+    precision; the r=1 collision curve is 1-(1-s)^bands).
+
+    Composes the two certified miners: candidates from
+    :func:`minhash_lsh_pairs`, truth from :func:`ngram_jaccard_pairs`
+    (threshold=0 then filtered, so the SAME pair universe feeds both
+    sides); both subtrees are self-joins over persisted signature /
+    shingle tables, and the final report joins two pair-id sets —
+    nothing here is heavier than the miners themselves. Output: one
+    row (n_true, n_cand, n_hit, recall, precision) with ratios rounded
+    to 6 (NULL when the denominator is 0).
+    """
+    cand = minhash_lsh_pairs(docs, text_col, id_col, n, bands)
+    truth = ngram_jaccard_pairs(docs, text_col, id_col, n, threshold).select(
+        "a", "b"
+    )
+    hit = truth.join(cand, ["a", "b"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(
+                F.when(
+                    F.col("n_true") > 0,
+                    F.col("n_hit") / F.col("n_true").cast("double"),
+                ),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("n_cand") > 0,
+                    F.col("n_hit") / F.col("n_cand").cast("double"),
+                ),
+                6,
+            ).alias("precision"),
+        )
+    )

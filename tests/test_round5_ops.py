@@ -358,3 +358,32 @@ class TestLangConfusion:
         assert out[("de", "de")] == (1, 1.0)
         assert out[("fr", "fr")] == (1, 1.0)
         assert out[(None, "en")] == (1, 1.0)  # unlabeled mass visible
+
+
+class TestLshEval:
+    def test_planted_dups_counted(self, spark):
+        from seriesly_spark.operators.dedup import lsh_eval
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base),                       # exact dup: jaccard 1.0
+                (3, base + " extra trailing"),   # near dup
+                (4, "completely different words here now ok"),
+            ],
+            "doc_id long, text string",
+        )
+        r = lsh_eval(df, threshold=0.5).collect()[0]
+        # identical docs share every band signature: recall must be 1.0
+        assert r.n_true >= 2 and r.n_hit == r.n_true and r.recall == 1.0
+        assert r.n_cand >= r.n_hit
+        assert 0.0 < r.precision <= 1.0
+
+    def test_empty_corpus(self, spark):
+        from seriesly_spark.operators.dedup import lsh_eval
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        r = lsh_eval(df).collect()[0]
+        assert (r.n_true, r.n_cand, r.n_hit) == (0, 0, 0)
+        assert r.recall is None and r.precision is None
