@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 
 from seriesly_spark.functions.bucketing import bucket_ms_col
 from seriesly_spark.functions.timeparse import canonical_key, parse_any_ts_ns
+from seriesly_spark.operators.dedup_index import (
+    DedupIndex,
+    index_update_report,
+)
 from seriesly_spark.operators.dedup import (
     boilerplate_ngrams,
     lsh_eval,
@@ -3276,6 +3280,31 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup shape, certified end-to-end: a persistent
+    content-hash index receives two shards — even-id docs, then odd-id
+    docs plus planted re-keyed replays of every id%10==0 document. Each
+    update probes the 16-byte-digest index (never text), reports
+    in-batch vs vs-history duplication separately, and appends only
+    novel digests. The oracle replays both shard classifications in
+    SQL (index-before-B = distinct hashes of A)."""
+    import tempfile as _tf
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    replay = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    b = docs.where(F.col("doc_id") % 2 == 1).unionByName(replay)
+    root = _tf.mkdtemp(prefix="seriesly-dedupidx-")
+    idx = DedupIndex(spark, f"{root}/idx")
+    ra = index_update_report(idx.update(a)).withColumn("batch", F.lit("a"))
+    rb = index_update_report(idx.update(b)).withColumn("batch", F.lit("b"))
+    return ra.unionByName(rb).select(
+        "batch", "n_in", "n_dup_in_batch", "n_dup_vs_index", "n_new"
+    )
+
+
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/precision of the minhash-LSH candidate generator against
     exact Jaccard truth at 0.5 — turns the bands knob into a measured
@@ -3348,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_distinct": q_streaming_distinct,
         "lang_confusion": q_lang_confusion,
         "lsh_eval": q_lsh_eval,
+        "dedup_index_incremental": q_dedup_index_incremental,
         "winsorize_means": q_winsorize,
         "chisq_type_hour": q_chisq_type_hour,
         "activity_concentration": q_concentration,
@@ -3372,12 +3402,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "hll_rollup_users": q_hll_rollup_users,
         "approx_pct_certify": q_approx_pct_certify,
-        "mixture_sample": q_mixture_sample,
+        "audio_decode_stats": q_audio_decode_stats,
         "p03_eq_filter": q_p03_eq_filter,
         "jpeg_decode_stats": q_jpeg_decode_stats,
         "ann_topk_cosine": q_ann_topk_cosine,
         "png_decode_stats": q_png_decode_stats,
-        "audio_decode_stats": q_audio_decode_stats,
+        "mixture_sample": q_mixture_sample,
         "contamination": q_contamination,
         "sample_hash": q_sample_hash,
         "bigram_lm": q_bigram_lm,
@@ -4415,6 +4445,36 @@ SELECT {_bucket('epoch_us(ts)*1000', DAY_MS)} AS bucket_ms,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users, true AS est_ok
 FROM events GROUP BY 1
+""",
+        "dedup_index_incremental": r"""
+WITH a AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 2 = 0),
+b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, md5(text) AS h FROM documents
+      WHERE doc_id % 10 = 0),
+ar AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) > 1
+         AS dib FROM a),
+bi AS (SELECT DISTINCT h FROM a),
+br AS (SELECT b.doc_id,
+         row_number() OVER (PARTITION BY b.h ORDER BY b.doc_id) > 1 AS dib,
+         bi.h IS NOT NULL AS dvi
+       FROM b LEFT JOIN bi ON b.h = bi.h),
+ra AS (SELECT 'a' AS batch, count(*) AS n_in,
+         cast(sum(CASE WHEN dib THEN 1 ELSE 0 END) AS bigint)
+           AS n_dup_in_batch,
+         cast(0 AS bigint) AS n_dup_vs_index,
+         cast(sum(CASE WHEN NOT dib THEN 1 ELSE 0 END) AS bigint) AS n_new
+       FROM ar),
+rb AS (SELECT 'b' AS batch, count(*) AS n_in,
+         cast(sum(CASE WHEN dib THEN 1 ELSE 0 END) AS bigint)
+           AS n_dup_in_batch,
+         cast(sum(CASE WHEN dvi THEN 1 ELSE 0 END) AS bigint)
+           AS n_dup_vs_index,
+         cast(sum(CASE WHEN NOT dib AND NOT dvi THEN 1 ELSE 0 END)
+           AS bigint) AS n_new
+       FROM br)
+SELECT * FROM ra UNION ALL SELECT * FROM rb
 """,
         "lsh_eval": r"""
 WITH g AS (

@@ -387,3 +387,51 @@ class TestLshEval:
         r = lsh_eval(df).collect()[0]
         assert (r.n_true, r.n_cand, r.n_hit) == (0, 0, 0)
         assert r.recall is None and r.precision is None
+
+
+class TestDedupIndex:
+    def test_two_batches_and_persistence(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import (
+            DedupIndex,
+            index_update_report,
+        )
+
+        path = str(tmp_path / "idx")
+        idx = DedupIndex(spark, path)
+        a = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "alpha")],  # 3 repeats 1
+            "doc_id long, text string",
+        )
+        ra = index_update_report(idx.update(a)).collect()[0]
+        assert (ra.n_in, ra.n_dup_in_batch, ra.n_dup_vs_index, ra.n_new) == (
+            3, 1, 0, 2,
+        )
+        assert idx.size() == 2
+        # a FRESH instance over the same path sees the persisted index
+        idx2 = DedupIndex(spark, path)
+        b = spark.createDataFrame(
+            [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "beta")],
+            "doc_id long, text string",
+        )
+        rows = idx2.update(b).collect()
+        by_id = {r.id: (r.dup_in_batch, r.dup_vs_index) for r in rows}
+        assert by_id[10] == (False, True)    # history dup
+        assert by_id[11] == (False, False)   # novel
+        assert by_id[12] == (True, False)    # in-batch dup
+        assert by_id[13] == (False, True)
+        assert idx2.size() == 3  # alpha, beta, gamma
+
+    def test_replayed_batch_is_all_history_dups(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import (
+            DedupIndex,
+            index_update_report,
+        )
+
+        idx = DedupIndex(spark, str(tmp_path / "idx2"))
+        batch = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+        )
+        idx.update(batch)
+        r = index_update_report(idx.update(batch)).collect()[0]
+        assert (r.n_dup_vs_index, r.n_new) == (10, 0)
+        assert idx.size() == 10  # exactly-once growth
