@@ -29,6 +29,7 @@ from seriesly_spark.functions.bucketing import bucket_ms_col
 from seriesly_spark.functions.timeparse import canonical_key, parse_any_ts_ns
 from seriesly_spark.operators.dedup_index import (
     DedupIndex,
+    MinhashIndex,
     index_update_report,
 )
 from seriesly_spark.operators.dedup import (
@@ -3305,6 +3306,38 @@ def q_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup sibling of the incremental index gate: shard A seeds a
+    persistent band-signature index; shard B (odd docs + planted
+    near-dup variants of every id%10==0 doc — original text plus a
+    3-token tail, re-keyed) probes it. Per batch: docs in, docs with
+    >= 1 band hit vs history. The oracle replays both shards' minhash
+    constructions in SQL."""
+    import tempfile as _tf
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    nd = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted tail token")).alias("text"),
+    )
+    b = docs.where(F.col("doc_id") % 2 == 1).unionByName(nd)
+    root = _tf.mkdtemp(prefix="seriesly-mhidx-")
+    idx = MinhashIndex(spark, f"{root}/idx")
+
+    def rep(updated, tag):
+        return updated.agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.col("near_dup_candidate").cast("long")).alias(
+                "n_candidates"
+            ),
+        ).withColumn("batch", F.lit(tag))
+
+    ra = rep(idx.update(a), "a")
+    rb = rep(idx.update(b), "b")
+    return ra.unionByName(rb).select("batch", "n_in", "n_candidates")
+
+
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/precision of the minhash-LSH candidate generator against
     exact Jaccard truth at 0.5 — turns the bands knob into a measured
@@ -3378,6 +3411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "lsh_eval": q_lsh_eval,
         "dedup_index_incremental": q_dedup_index_incremental,
+        "minhash_index_incremental": q_minhash_index_incremental,
         "winsorize_means": q_winsorize,
         "chisq_type_hour": q_chisq_type_hour,
         "activity_concentration": q_concentration,
@@ -3403,10 +3437,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup_users": q_hll_rollup_users,
         "approx_pct_certify": q_approx_pct_certify,
         "audio_decode_stats": q_audio_decode_stats,
-        "p03_eq_filter": q_p03_eq_filter,
+        "png_decode_stats": q_png_decode_stats,
         "jpeg_decode_stats": q_jpeg_decode_stats,
         "ann_topk_cosine": q_ann_topk_cosine,
-        "png_decode_stats": q_png_decode_stats,
+        "p03_eq_filter": q_p03_eq_filter,
         "mixture_sample": q_mixture_sample,
         "contamination": q_contamination,
         "sample_hash": q_sample_hash,
@@ -4445,6 +4479,40 @@ SELECT {_bucket('epoch_us(ts)*1000', DAY_MS)} AS bucket_ms,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users, true AS est_ok
 FROM events GROUP BY 1
+""",
+        "minhash_index_incremental": r"""
+WITH da AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+db AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+       UNION ALL
+       SELECT doc_id + 200000 AS doc_id, text || ' planted tail token'
+       FROM documents WHERE doc_id % 10 = 0),
+ga AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> array_to_string(toks[i:i+2], ' '))) AS grams
+       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             FROM da) WHERE len(toks) >= 3),
+gb AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> array_to_string(toks[i:i+2], ' '))) AS grams
+       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             FROM db) WHERE len(toks) >= 3),
+sa AS (SELECT doc_id, band,
+         list_min(list_transform(grams,
+           x -> md5(band::VARCHAR || '|' || x))) AS sig
+       FROM ga, unnest(range(0, 16)) AS u(band)),
+sb AS (SELECT doc_id, band,
+         list_min(list_transform(grams,
+           x -> md5(band::VARCHAR || '|' || x))) AS sig
+       FROM gb, unnest(range(0, 16)) AS u(band)),
+ia AS (SELECT DISTINCT band, sig FROM sa),
+hb AS (SELECT sb.doc_id, count(*) AS hits
+       FROM sb JOIN ia ON sb.band = ia.band AND sb.sig = ia.sig
+       GROUP BY 1),
+ra AS (SELECT 'a' AS batch, count(*) AS n_in,
+         cast(0 AS bigint) AS n_candidates FROM ga),
+rb AS (SELECT 'b' AS batch,
+         (SELECT count(*) FROM gb) AS n_in,
+         cast(count(*) AS bigint) AS n_candidates
+       FROM hb)
+SELECT * FROM ra UNION ALL SELECT * FROM rb
 """,
         "dedup_index_incremental": r"""
 WITH a AS (SELECT doc_id, md5(text) AS h FROM documents

@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "lang_confusion",
     "lsh_eval",
     "dedup_index_incremental",
+    "minhash_index_incremental",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

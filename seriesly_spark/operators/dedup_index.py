@@ -104,3 +104,107 @@ def index_update_report(updated: DataFrame) -> DataFrame:
             (~F.col("dup_in_batch") & ~F.col("dup_vs_index")).cast("long")
         ).alias("n_new"),
     )
+
+
+class MinhashIndex:
+    """Near-duplicate sibling of :class:`DedupIndex`: a persistent
+    index of per-band minhash signatures (``band``, ``sig``) that each
+    incoming shard probes for HISTORY near-dup candidates before its
+    own signatures are appended. Same scale story — signatures are
+    bands x 32-hex-char rows per document (constant per doc, no text),
+    the probe is a (band, sig)-keyed join, and at real scale the index
+    is bucketed by (band, sig) and compacted periodically. Probing
+    yields CANDIDATES (pairs that agree on >= 1 band); a pipeline
+    verifies them with the exact miners, exactly as in batch LSH.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n: int = 3,
+        bands: int = 16,
+    ):
+        self.spark = spark
+        self.path = path
+        self.n = n
+        self.bands = bands
+
+    def _index_df(self) -> DataFrame:
+        if os.path.isdir(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        ):
+            return self.spark.read.schema("band int, sig string").parquet(
+                self.path
+            )
+        return self.spark.createDataFrame([], "band int, sig string")
+
+    def _signatures(
+        self, docs: DataFrame, text_col: str, id_col: str
+    ) -> DataFrame:
+        from seriesly_spark.operators.dedup import word_shingles
+
+        sh = docs.select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, self.n).alias("grams"),
+        ).where(F.size("grams") > 0)
+        return sh.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(self.bands - 1)),
+                    lambda i: F.struct(
+                        i.cast("int").alias("band"),
+                        F.array_min(
+                            F.transform(
+                                F.col("grams"),
+                                lambda g: F.md5(
+                                    F.concat(
+                                        i.cast("string"), F.lit("|"), g
+                                    ).cast("binary")
+                                ),
+                            )
+                        ).alias("sig"),
+                    ),
+                )
+            ).alias("bs"),
+        ).select("id", "bs.band", "bs.sig")
+
+    def update(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Probe the shard against history, then append its signatures.
+        Returns one row per input doc (with >= n shingles):
+        (id, n_band_hits — bands whose signature already exists in the
+        index, near_dup_candidate — >= 1 hit). Classification is
+        checkpointed BEFORE the append (a doc must not match its own
+        signatures)."""
+        sig = self._signatures(docs, text_col, id_col).localCheckpoint(
+            eager=True
+        )
+        idx = self._index_df().distinct()
+        hits = (
+            sig.join(idx, ["band", "sig"], "left_semi")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_band_hits"))
+        )
+        out = (
+            sig.select("id")
+            .distinct()
+            .join(hits, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("n_band_hits"), F.lit(0)).alias(
+                    "n_band_hits"
+                ),
+                (F.coalesce(F.col("n_band_hits"), F.lit(0)) > 0).alias(
+                    "near_dup_candidate"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        sig.select("band", "sig").write.mode("append").parquet(self.path)
+        return out

@@ -435,3 +435,41 @@ class TestDedupIndex:
         r = index_update_report(idx.update(batch)).collect()[0]
         assert (r.n_dup_vs_index, r.n_new) == (10, 0)
         assert idx.size() == 10  # exactly-once growth
+
+
+class TestMinhashIndex:
+    def test_near_dup_probe_across_shards(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import MinhashIndex
+
+        idx = MinhashIndex(spark, str(tmp_path / "mh"))
+        base = "one two three four five six seven eight nine ten"
+        a = spark.createDataFrame(
+            [(1, base), (2, "totally different content in this one here")],
+            "doc_id long, text string",
+        )
+        ra = idx.update(a).collect()
+        assert all(not r.near_dup_candidate for r in ra)  # empty history
+        b = spark.createDataFrame(
+            [
+                (10, base + " extra"),            # near-dup of doc 1
+                (11, "nothing like anything prior at all ok then"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.id: (r.n_band_hits, r.near_dup_candidate) for r in idx.update(b).collect()}
+        assert out[10][1] is True and out[10][0] >= 1
+        assert out[11] == (0, False)
+
+    def test_self_match_excluded(self, spark, tmp_path):
+        """A doc must not match its OWN signatures (classification is
+        checkpointed before the append)."""
+        from seriesly_spark.operators.dedup_index import MinhashIndex
+
+        idx = MinhashIndex(spark, str(tmp_path / "mh2"))
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        )
+        r = idx.update(df).collect()[0]
+        assert (r.n_band_hits, r.near_dup_candidate) == (0, False)
+        r2 = idx.update(df).collect()[0]  # replay: now full-band hit
+        assert r2.n_band_hits == 16 and r2.near_dup_candidate
