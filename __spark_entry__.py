@@ -2037,7 +2037,11 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = spread(_table(spark, sf_dir, "documents").select("doc_id"))
+    # No spread() here: PPM encode/decode is ~O(100 bytes)/row of pure
+    # numpy — the round-robin shuffle costs more than the compute it
+    # parallelizes (r05 bench: +0.4 s). PNG/JPEG keep it (inflate/IDCT
+    # dominate there).
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
 
     def make(batches):
         for pdf in batches:
@@ -2144,7 +2148,9 @@ def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = spread(_table(spark, sf_dir, "documents").select("doc_id"))
+    # No spread(): WAV RIFF parse is trivial per row — same rationale
+    # as image_decode_stats (the shuffle was the r05 regression).
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
 
     def make(batches):
         for pdf in batches:
@@ -3156,11 +3162,13 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pca_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component by power iteration (12 rounds, one
-    corpus scan each, d x partitions shuffle per round), certified
-    in-engine: exact SQL-replayable moments (n, dim, total variance)
-    plus eigenpair envelope booleans (λ within [0.95 x max axis var,
-    trace]; residual <= 10% of λ)."""
+    """Top principal component via a single-scan Gram sketch: ONE
+    corpus pass aggregates the d x d covariance sketch (d^2 numbers,
+    partial-aggregated map-side), then power iteration runs ~100
+    rounds driver-side in numpy on that tiny matrix — no per-round
+    corpus scans. Certified in-engine: exact SQL-replayable moments
+    (n, dim, total variance) plus eigenpair envelope booleans
+    (λ within [0.95 x max axis var, trace]; residual <= 5% of λ)."""
     return pca_power_iteration(_table(spark, sf_dir, "embeddings"))
 
 

@@ -74,6 +74,12 @@ class SerieslyDB:
         self.spark = spark
         self.root = root
         self.changelog = changelog
+        # Per-db last commit seq. The changelog directory listing is the
+        # durable source of truth, but listing it on EVERY mutation makes
+        # commit cost grow with log length; a handle lists once on first
+        # touch and counts forward from memory after that. A fresh handle
+        # (reopen) re-lists, so monotonicity survives restarts.
+        self._last_seq: dict[str, int] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- DDL (S8) -----------------------------------------------------------
@@ -94,6 +100,10 @@ class SerieslyDB:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._path(name), ignore_errors=True)
+        # A re-created db starts a fresh log; the stale cached seq must
+        # not leak into it (it would be far in the future, not wrong,
+        # but the listing-on-first-touch is the honest source of truth).
+        self._last_seq.pop(name, None)
 
     def list(self) -> list[str]:
         return sorted(
@@ -152,13 +162,22 @@ class SerieslyDB:
         # Monotonic guard: time_ns alone can collide (two mutations in
         # one ns) or step backwards (clock adjustment); the log's file
         # names ARE its commit order, so seq must strictly increase.
-        # The directory listing is the per-db source of truth — file
-        # names embed the seq, so max(existing)+1 floors the new seq.
-        last = max(
-            (int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".parquet")),
-            default=0,
-        )
+        # File names embed the seq, so max(existing)+1 floors the new
+        # seq — but the directory is listed only on the handle's FIRST
+        # touch of this db (O(log) per commit otherwise); after that the
+        # cached last seq counts forward.
+        last = self._last_seq.get(name)
+        if last is None:
+            last = max(
+                (
+                    int(f.split(".")[0])
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                ),
+                default=0,
+            )
         seq = max(time.time_ns(), last + 1)
+        self._last_seq[name] = seq
         table = pa.table(
             {
                 "seq": pa.array([seq], pa.int64()),
@@ -382,12 +401,53 @@ class SerieslyDB:
                 target_bytes=target_file_bytes,
             )
         if self.changelog:
+            # Fold the accumulated one-file-per-commit log segments into
+            # a single consolidated segment BEFORE recording this
+            # compaction (which then lands as a fresh segment). The log
+            # grows one tiny file per mutation; without folding, both
+            # change_log reads and the first-touch seq listing degrade
+            # with mutation count.
+            self._fold_changelog(name)
             # Post-compaction the physical rows ARE the live set; record
             # it (one metadata-cheap count of freshly-merged files).
             n_live = 0
             if self._partitions(name):
                 n_live = self.spark.read.parquet(self._path(name)).count()
             self._log_change(name, "compact", None, None, n_live)
+
+    def _fold_changelog(self, name: str) -> None:
+        """Merge every commit-log segment into one file named with the
+        max folded seq (so first-touch seq recovery still reads the
+        floor from file names, and the batch ``change_log`` view is
+        byte-identical — rows carry their seq; order comes from the
+        sort, not the file split). Driver-side pyarrow, like the writes:
+        the whole log is metadata-sized.
+
+        Streaming caveat (same in-place-maintenance story as the data
+        partitions): the consolidated file REUSES the newest segment's
+        path, which an up-to-date ``changes_log_stream`` has already
+        seen — nothing is re-delivered to it, and a stream started
+        after the fold reads the full consolidated history exactly
+        once. A stream LAGGING behind the fold point can miss folded
+        segments; fold during maintenance windows, as with any
+        file-source compaction."""
+        d = os.path.join(self._path(name), _CHANGELOG_DIR)
+        if not os.path.isdir(d):
+            return
+        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        if len(files) <= 1:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        merged = pa.concat_tables(
+            [pq.read_table(os.path.join(d, f)) for f in files]
+        ).sort_by("seq")
+        tmp = os.path.join(d, "_fold.tmp")
+        pq.write_table(merged, tmp)
+        for f in files[:-1]:
+            os.remove(os.path.join(d, f))
+        os.replace(tmp, os.path.join(d, files[-1]))
 
     def info(self, name: str) -> dict:
         """S9: doc_count (live keys), space_used, partition/file counts.
@@ -438,6 +498,12 @@ class SerieslyDB:
         return (
             self.spark.readStream.schema(DOC_SCHEMA + ", date date")
             .option("basePath", self._path(name))
+            # Per-source (NOT session-wide): this feed races in-place
+            # maintenance — delete_range/compact may remove a file the
+            # FileStreamSource already listed. Skipping the vanished
+            # file yields pre-delete or post-delete state, never a
+            # crash; batch reads elsewhere stay fail-fast.
+            .option("ignoreMissingFiles", "true")
             .parquet(self._path(name))
         )
 

@@ -850,8 +850,12 @@ def lsh_eval(
 
     Composes the two certified miners: candidates from
     :func:`minhash_lsh_pairs`, truth from :func:`ngram_jaccard_pairs`
-    (threshold=0 then filtered, so the SAME pair universe feeds both
-    sides); both subtrees are self-joins over persisted signature /
+    at the given ``threshold`` (exact, not sampled: the shared-shingle
+    equi-join enumerates every pair with >= 1 common shingle, and any
+    pair with Jaccard > 0 — in particular >= threshold — shares one,
+    so passing the threshold straight through loses nothing and skips
+    scoring the sub-threshold tail);
+    both subtrees are self-joins over persisted signature /
     shingle tables, and the final report joins two pair-id sets —
     nothing here is heavier than the miners themselves. Output: one
     row (n_true, n_cand, n_hit, recall, precision) with ratios rounded

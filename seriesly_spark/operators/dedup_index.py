@@ -9,45 +9,94 @@ content hashes that each incoming batch probes and then extends.
 
 Design for 100 TB of history:
   * the index stores ONLY 16-byte md5 digests (never text) in parquet —
-    ~1/1000th of the corpus; the probe is a hash-keyed left join of the
-    batch's digests against it (AQE-planned; at real scale lay the
-    index out bucketed by digest so the probe co-locates, and compact
-    its append files periodically — same maintenance story as
-    db.compact);
+    ~1/1000th of the corpus; the probe is a hash-keyed join of the
+    batch's digests against it;
+  * the index is laid out BUCKETED by digest (``bucket = crc32(h) %
+    n_buckets`` as a partition directory): appends land inside their
+    bucket, :meth:`compact` rewrites each bucket's accumulated small
+    files into one sorted file without touching the others, and at
+    real scale the bucket column is the unit of a storage-partitioned
+    or pre-shuffled probe join (history never re-shuffles);
+  * every update stages its classification DURABLY (parquet under
+    ``staging/``, written then read back) before the index mutates —
+    no ``localCheckpoint``: a driver restart between classify and
+    consume loses nothing, and the staging files double as a per-shard
+    audit trail;
   * updates append ONLY the batch's novel digests — the index grows by
     new content, not by traffic;
   * in-batch and vs-index duplication are reported separately (a shard
     repeating itself is a different signal from a shard repeating
     history).
+
+Layout on disk (DedupIndex at ``path``)::
+
+    path/data/bucket=NN/*.parquet   # digest rows ("h" string)
+    path/staging/<epoch>/*.parquet  # one dir per update: classification
+
+MinhashIndex uses the same shape with ``band`` as the bucket column.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
-class DedupIndex:
-    """Exact-content dedup index at ``path`` (a parquet directory of
-    ``h`` digests). ``update`` classifies a batch and extends the
-    index; ``size`` reports distinct indexed hashes."""
+def _has_parquet(d: str) -> bool:
+    """True when directory ``d`` holds at least one parquet file
+    (directly or inside partition subdirectories)."""
+    if not os.path.isdir(d):
+        return False
+    for root, _dirs, files in os.walk(d):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
-    def __init__(self, spark: SparkSession, path: str):
+
+def _next_epoch(staging_root: str) -> int:
+    if not os.path.isdir(staging_root):
+        return 1
+    last = max(
+        (int(d) for d in os.listdir(staging_root) if d.isdigit()),
+        default=0,
+    )
+    return last + 1
+
+
+class DedupIndex:
+    """Exact-content dedup index at ``path``: a bucketed parquet
+    directory of ``h`` digests plus a durable per-update staging area.
+    ``update`` classifies a batch and extends the index; ``size``
+    reports distinct indexed hashes; ``compact`` folds each bucket's
+    append files into one."""
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 64):
         self.spark = spark
         self.path = path
+        self.n_buckets = n_buckets
+        self._data = os.path.join(path, "data")
+        self._staging = os.path.join(path, "staging")
+
+    def _bucket(self, h):
+        return F.pmod(F.crc32(h.cast("binary")), F.lit(self.n_buckets)).cast(
+            "int"
+        )
 
     def _index_df(self) -> DataFrame:
-        if os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        ):
-            return self.spark.read.schema("h string").parquet(self.path)
-        return self.spark.createDataFrame([], "h string")
+        if _has_parquet(self._data):
+            return (
+                self.spark.read.option("basePath", self._data)
+                .schema("h string, bucket int")
+                .parquet(self._data)
+            )
+        return self.spark.createDataFrame([], "h string, bucket int")
 
     def size(self) -> int:
-        return self._index_df().distinct().count()
+        return self._index_df().select("h").distinct().count()
 
     def update(
         self,
@@ -61,18 +110,31 @@ class DedupIndex:
 
         Returns the batch annotated per row: (id, h, dup_in_batch —
         an earlier batch row (lower id) has the same digest,
-        dup_vs_index — the digest was already indexed). The returned
-        frame is computed BEFORE the append and cached through it, so
-        its classification is stable no matter when it is consumed.
+        dup_vs_index — the digest was already indexed). The
+        classification is WRITTEN to ``staging/<epoch>`` and read back
+        before the append, so the returned frame is durable and stable
+        no matter when (or how often) it is consumed — and survives a
+        driver restart, unlike a ``localCheckpoint``.
+
+        NULL text hashes to a NULL digest: such rows are returned with
+        both dup flags False (they cannot match anything, including
+        each other) and are NEVER appended to the index — a NULL never
+        satisfies the equi-join probe, so indexing it would grow the
+        index by one NULL per shard forever without ever deduplicating
+        anything.
         """
         h = F.md5(F.col(text_col).cast("binary"))
         batch = docs.select(F.col(id_col).alias("id"), h.alias("h"))
         w = Window.partitionBy("h").orderBy("id")
         ranked = batch.withColumn(
-            "dup_in_batch", F.row_number().over(w) > 1
+            "dup_in_batch",
+            F.col("h").isNotNull() & (F.row_number().over(w) > 1),
         )
-        idx = self._index_df().distinct().withColumn(
-            "__in_idx", F.lit(True)
+        idx = (
+            self._index_df()
+            .select("h")
+            .distinct()
+            .withColumn("__in_idx", F.lit(True))
         )
         out = (
             ranked.join(idx, "h", "left")
@@ -81,27 +143,93 @@ class DedupIndex:
             )
             .drop("__in_idx")
         )
-        # Materialize the classification BEFORE mutating the index —
-        # a lazily-consumed result re-reading the index after append
-        # would classify the batch against itself.
-        out = out.localCheckpoint(eager=True)
-        novel = out.where(
-            ~F.col("dup_in_batch") & ~F.col("dup_vs_index")
-        ).select("h")
-        novel.write.mode("append").parquet(self.path)
-        return out
+        # Durable staging: materialize the classification BEFORE
+        # mutating the index (a lazily-consumed result re-reading the
+        # index after append would classify the batch against itself).
+        epoch = _next_epoch(self._staging)
+        stage_dir = os.path.join(self._staging, str(epoch))
+        out.write.mode("overwrite").parquet(stage_dir)
+        staged = self.spark.read.schema(
+            "id long, h string, dup_in_batch boolean, dup_vs_index boolean"
+        ).parquet(stage_dir)
+        novel = staged.where(
+            F.col("h").isNotNull()
+            & ~F.col("dup_in_batch")
+            & ~F.col("dup_vs_index")
+        ).select("h", self._bucket(F.col("h")).alias("bucket"))
+        novel.write.mode("append").partitionBy("bucket").parquet(self._data)
+        return staged
+
+    def compact(self, keep_staging: int = 2) -> dict:
+        """Index maintenance: rewrite the whole data directory so each
+        bucket holds ONE sorted, deduplicated file (daily appends leave
+        a file per update per bucket; probes degrade with file count),
+        and drop staging dirs older than the newest ``keep_staging``
+        (their classification has been consumed; keeping the most
+        recent ones preserves the audit trail for in-flight shards).
+        Same maintenance story as ``db.compact``: read, collapse,
+        write to a fresh directory, atomic swap. Returns
+        {"files_before", "files_after", "staging_removed"}."""
+
+        def _nfiles(d: str) -> int:
+            return sum(
+                sum(1 for f in files if f.endswith(".parquet"))
+                for _r, _d, files in os.walk(d)
+            )
+
+        before = _nfiles(self._data)
+        if before:
+            tmp = self._data + ".compact-tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                self._index_df()
+                .distinct()
+                # one shuffle keyed on the partition column: every
+                # bucket's digests land in one task -> one output file
+                .repartition(self.n_buckets, "bucket")
+                .sortWithinPartitions("h")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(tmp)
+            )
+            old = self._data + ".compact-old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(self._data, old)
+            os.rename(tmp, self._data)
+            shutil.rmtree(old, ignore_errors=True)
+        removed = 0
+        if os.path.isdir(self._staging):
+            epochs = sorted(
+                (int(d) for d in os.listdir(self._staging) if d.isdigit())
+            )
+            for e in epochs[: max(0, len(epochs) - keep_staging)]:
+                shutil.rmtree(
+                    os.path.join(self._staging, str(e)), ignore_errors=True
+                )
+                removed += 1
+        return {
+            "files_before": before,
+            "files_after": _nfiles(self._data),
+            "staging_removed": removed,
+        }
 
 
 def index_update_report(updated: DataFrame) -> DataFrame:
     """One-row shard report from an ``update`` result: rows in, rows
     duplicating earlier rows of the same batch, rows duplicating
-    indexed history, and the novel-hash count appended."""
+    indexed history, and the novel-hash count appended (NULL-text rows
+    count in ``n_in`` but are neither dups nor appended — ``n_new``
+    counts only rows with a real digest)."""
     return updated.agg(
         F.count(F.lit(1)).alias("n_in"),
         F.sum(F.col("dup_in_batch").cast("long")).alias("n_dup_in_batch"),
         F.sum(F.col("dup_vs_index").cast("long")).alias("n_dup_vs_index"),
         F.sum(
-            (~F.col("dup_in_batch") & ~F.col("dup_vs_index")).cast("long")
+            (
+                F.col("h").isNotNull()
+                & ~F.col("dup_in_batch")
+                & ~F.col("dup_vs_index")
+            ).cast("long")
         ).alias("n_new"),
     )
 
@@ -112,10 +240,16 @@ class MinhashIndex:
     incoming shard probes for HISTORY near-dup candidates before its
     own signatures are appended. Same scale story — signatures are
     bands x 32-hex-char rows per document (constant per doc, no text),
-    the probe is a (band, sig)-keyed join, and at real scale the index
-    is bucketed by (band, sig) and compacted periodically. Probing
-    yields CANDIDATES (pairs that agree on >= 1 band); a pipeline
-    verifies them with the exact miners, exactly as in batch LSH.
+    the probe is a (band, sig)-keyed join, the index is laid out
+    partitioned by ``band`` (appends land per band; :meth:`compact`
+    folds each band's files), and every update stages its shard's
+    signatures AND its classification durably under ``staging/``
+    before the append. Probing yields CANDIDATES (pairs that agree on
+    >= 1 band); a pipeline verifies them with the exact miners,
+    exactly as in batch LSH.
+
+    Layout: ``path/data/band=N/*.parquet`` (sig rows),
+    ``path/staging/<epoch>/{sig,out}/*.parquet``.
     """
 
     def __init__(
@@ -129,15 +263,17 @@ class MinhashIndex:
         self.path = path
         self.n = n
         self.bands = bands
+        self._data = os.path.join(path, "data")
+        self._staging = os.path.join(path, "staging")
 
     def _index_df(self) -> DataFrame:
-        if os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        ):
-            return self.spark.read.schema("band int, sig string").parquet(
-                self.path
+        if _has_parquet(self._data):
+            return (
+                self.spark.read.option("basePath", self._data)
+                .schema("sig string, band int")
+                .parquet(self._data)
             )
-        return self.spark.createDataFrame([], "band int, sig string")
+        return self.spark.createDataFrame([], "sig string, band int")
 
     def _signatures(
         self, docs: DataFrame, text_col: str, id_col: str
@@ -179,11 +315,19 @@ class MinhashIndex:
         """Probe the shard against history, then append its signatures.
         Returns one row per input doc (with >= n shingles):
         (id, n_band_hits — bands whose signature already exists in the
-        index, near_dup_candidate — >= 1 hit). Classification is
-        checkpointed BEFORE the append (a doc must not match its own
-        signatures)."""
-        sig = self._signatures(docs, text_col, id_col).localCheckpoint(
-            eager=True
+        index, near_dup_candidate — >= 1 hit). Both the shard's
+        signature set and its classification are staged to parquet
+        BEFORE the append (a doc must not match its own signatures,
+        and the result must survive a driver restart — no
+        localCheckpoint)."""
+        epoch = _next_epoch(self._staging)
+        sig_dir = os.path.join(self._staging, str(epoch), "sig")
+        out_dir = os.path.join(self._staging, str(epoch), "out")
+        self._signatures(docs, text_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(sig_dir)
+        sig = self.spark.read.schema("id long, band int, sig string").parquet(
+            sig_dir
         )
         idx = self._index_df().distinct()
         hits = (
@@ -204,7 +348,59 @@ class MinhashIndex:
                     "near_dup_candidate"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
-        sig.select("band", "sig").write.mode("append").parquet(self.path)
-        return out
+        out.write.mode("overwrite").parquet(out_dir)
+        staged = self.spark.read.schema(
+            "id long, n_band_hits long, near_dup_candidate boolean"
+        ).parquet(out_dir)
+        sig.select("sig", "band").write.mode("append").partitionBy(
+            "band"
+        ).parquet(self._data)
+        return staged
+
+    def compact(self, keep_staging: int = 2) -> dict:
+        """Fold each band's accumulated append files into one sorted,
+        deduplicated file and prune old staging epochs — the
+        :meth:`DedupIndex.compact` story with ``band`` as the bucket
+        column. Returns {"files_before", "files_after",
+        "staging_removed"}."""
+
+        def _nfiles(d: str) -> int:
+            return sum(
+                sum(1 for f in files if f.endswith(".parquet"))
+                for _r, _d, files in os.walk(d)
+            )
+
+        before = _nfiles(self._data)
+        if before:
+            tmp = self._data + ".compact-tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                self._index_df()
+                .distinct()
+                .repartition(self.bands, "band")
+                .sortWithinPartitions("sig")
+                .write.mode("overwrite")
+                .partitionBy("band")
+                .parquet(tmp)
+            )
+            old = self._data + ".compact-old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(self._data, old)
+            os.rename(tmp, self._data)
+            shutil.rmtree(old, ignore_errors=True)
+        removed = 0
+        if os.path.isdir(self._staging):
+            epochs = sorted(
+                (int(d) for d in os.listdir(self._staging) if d.isdigit())
+            )
+            for e in epochs[: max(0, len(epochs) - keep_staging)]:
+                shutil.rmtree(
+                    os.path.join(self._staging, str(e)), ignore_errors=True
+                )
+                removed += 1
+        return {
+            "files_before": before,
+            "files_after": _nfiles(self._data),
+            "staging_removed": removed,
+        }

@@ -256,6 +256,13 @@ def reservoir_per_group(
     extreme skew pre-filter with an approximate per-group hash
     threshold first (same two-pass shape as mixture_sample).
 
+    PRECONDITION — ``key_col`` must be unique within each group: the
+    draw is a pure function of the key, so two rows sharing a key tie
+    on BOTH window sort keys (hash, key) and their relative
+    ``row_number`` falls to partition order — the reproducibility
+    guarantee holds only over unique keys. With a non-unique natural
+    key, pass a derived unique one (e.g. ``concat(key, '|', offset)``).
+
     Output: the surviving rows + ``sample_rank`` (1..k by hash order,
     audit/debug column).
     """
@@ -327,6 +334,11 @@ def epoch_shuffle(
     shuffle is keyed on epochs x shards groups, each ~n/shards rows,
     and no global single-partition sort ever exists. Epochs explode
     from a literal sequence (narrow).
+
+    PRECONDITION — ``key_col`` must be unique (it is the document id):
+    duplicate keys tie on the within-shard rank hash and their relative
+    ``pos`` falls to partition order, voiding cross-run reproducibility
+    for exactly those rows. Dedup first, or derive a unique key.
 
     Output: input key + (epoch, shard, pos) with pos 1.. per shard —
     ORDER BY (epoch, shard, pos) reproduces the loader's read order.

@@ -37,16 +37,14 @@ def get_spark(
         # Spark's vectorized reader otherwise rejects; reading it as a LONG
         # of ns-since-epoch is exactly the engine's ts_ns representation.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The db layout mutates in place (delete_range / compact drop
-        # whole partition directories); a live reader — batch scan or
-        # the changes-feed FileStreamSource — may list a directory the
-        # instant before it vanishes. With this set, Spark skips
-        # vanished files/dirs instead of failing the job: a reader sees
-        # pre-delete or post-delete state, never a crash. This is the
-        # standard setting for any file-backed store with concurrent
-        # maintenance (observed: FileStreamSource FileNotFoundException
-        # racing delete_range in the append-only feed test).
-        .config("spark.sql.files.ignoreMissingFiles", "true")
+        # NOTE: spark.sql.files.ignoreMissingFiles is deliberately NOT
+        # set session-wide. Only the changes-feed FileStreamSource races
+        # in-place maintenance (delete_range / compact dropping files it
+        # already listed), and only that reader opts in per-source
+        # (db.changes sets the reader option). Batch reads stay
+        # fail-fast: a vanished file under a batch scan is data loss or
+        # a maintenance bug and must surface as an error, not silently
+        # truncate results.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -1,0 +1,209 @@
+"""Round-6 hardening tests: durable incremental indexes (staging
+parquet instead of localCheckpoint, bucketed layout, compaction),
+NULL-text classification, and commit-log seq caching."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _nfiles(d):
+    return sum(
+        sum(1 for f in files if f.endswith(".parquet"))
+        for _r, _d, files in os.walk(d)
+    )
+
+
+class TestDedupIndexDurability:
+    def test_layout_bucketed_and_staged(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import DedupIndex
+
+        path = str(tmp_path / "idx")
+        idx = DedupIndex(spark, path, n_buckets=8)
+        batch = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+        )
+        idx.update(batch)
+        # digests live under data/bucket=N partition dirs
+        data = os.path.join(path, "data")
+        assert any(d.startswith("bucket=") for d in os.listdir(data))
+        # the classification was staged durably
+        staging = os.path.join(path, "staging")
+        assert _nfiles(os.path.join(staging, "1")) > 0
+
+    def test_classification_stable_after_later_updates(self, spark, tmp_path):
+        """The returned frame reads from durable staging: consuming it
+        AFTER a later update (which mutated the index) must still show
+        the classification as of ITS update — the failure mode that
+        motivated the old localCheckpoint."""
+        from seriesly_spark.operators.dedup_index import DedupIndex
+
+        idx = DedupIndex(spark, str(tmp_path / "idx"))
+        a = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+        )
+        out_a = idx.update(a)  # not consumed yet
+        b = spark.createDataFrame([(3, "alpha")], "doc_id long, text string")
+        out_b = idx.update(b)
+        rows_a = {r.id: r.dup_vs_index for r in out_a.collect()}
+        assert rows_a == {1: False, 2: False}  # not classified vs itself
+        assert out_b.collect()[0].dup_vs_index is True
+
+    def test_null_text_never_indexed(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import (
+            DedupIndex,
+            index_update_report,
+        )
+
+        idx = DedupIndex(spark, str(tmp_path / "idx"))
+        batch = spark.createDataFrame(
+            [(1, None), (2, "real"), (3, None)], "doc_id long, text string"
+        )
+        r = index_update_report(idx.update(batch)).collect()[0]
+        # NULL-text rows: in n_in, never dups, never appended
+        assert (r.n_in, r.n_dup_in_batch, r.n_dup_vs_index, r.n_new) == (
+            3, 0, 0, 1,
+        )
+        assert idx.size() == 1
+        # replaying NULLs stays at zero matches and zero growth forever
+        r2 = index_update_report(idx.update(batch)).collect()[0]
+        assert (r2.n_dup_vs_index, r2.n_new) == (1, 0)
+        assert idx.size() == 1
+
+    def test_compact_folds_files_and_prunes_staging(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import DedupIndex
+
+        path = str(tmp_path / "idx")
+        idx = DedupIndex(spark, path, n_buckets=4)
+        for e in range(4):
+            batch = spark.createDataFrame(
+                [(e * 100 + i, f"doc {e} {i}") for i in range(10)],
+                "doc_id long, text string",
+            )
+            idx.update(batch)
+        size_before = idx.size()
+        stats = idx.compact(keep_staging=1)
+        assert stats["files_before"] > stats["files_after"]
+        assert stats["files_after"] <= 4  # one per touched bucket
+        assert stats["staging_removed"] == 3
+        assert idx.size() == size_before  # lossless
+        # the index still probes correctly post-compact
+        r = idx.update(
+            spark.createDataFrame([(999, "doc 0 0")], "doc_id long, text string")
+        ).collect()[0]
+        assert r.dup_vs_index is True
+
+
+class TestMinhashIndexDurability:
+    def test_band_partitioned_layout_and_compact(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import MinhashIndex
+
+        path = str(tmp_path / "mh")
+        idx = MinhashIndex(spark, path, bands=4)
+        for e in range(3):
+            batch = spark.createDataFrame(
+                [(e * 10 + i, f"tok{e} alpha beta gamma delta w{i}")
+                 for i in range(5)],
+                "doc_id long, text string",
+            )
+            idx.update(batch)
+        data = os.path.join(path, "data")
+        assert any(d.startswith("band=") for d in os.listdir(data))
+        stats = idx.compact(keep_staging=1)
+        assert stats["files_before"] > stats["files_after"]
+        assert stats["files_after"] <= 4
+        assert stats["staging_removed"] == 2
+        # post-compact: replay of a seen doc is a full-band hit
+        r = idx.update(
+            spark.createDataFrame(
+                [(99, "tok0 alpha beta gamma delta w0")],
+                "doc_id long, text string",
+            )
+        ).collect()[0]
+        assert r.n_band_hits == 4
+
+    def test_classification_stable_after_later_updates(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import MinhashIndex
+
+        idx = MinhashIndex(spark, str(tmp_path / "mh"), bands=4)
+        a = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        )
+        out_a = idx.update(a)  # not consumed yet
+        idx.update(a)  # replay mutates the index
+        assert out_a.collect()[0].n_band_hits == 0  # still pre-append view
+
+
+NS = 1_700_000_000_000_000_000
+
+
+def _k(i):
+    return NS + i * 10**9
+
+
+class TestCommitLogSeqCache:
+    def test_seq_monotone_across_fresh_handle(self, spark, tmp_path):
+        """A fresh handle (reopen) must continue the seq sequence from
+        the on-disk log, not restart it — file names are the durable
+        source of truth, the in-memory cache only skips re-listing."""
+        import json
+
+        from seriesly_spark.db import SerieslyDB
+
+        root = str(tmp_path / "dbroot")
+        db1 = SerieslyDB(spark, root)
+        db1.create("cl")
+        db1.write_batch("cl", [(_k(1), json.dumps({"k": 1}))])
+        db1.write_batch("cl", [(_k(2), json.dumps({"k": 2}))])
+        db2 = SerieslyDB(spark, root)  # reopen
+        db2.write_batch("cl", [(_k(3), json.dumps({"k": 3}))])
+        seqs = [r.seq for r in db2.change_log("cl").collect()]
+        assert len(seqs) == 3 and seqs == sorted(set(seqs))
+
+    def test_seq_cache_survives_frozen_clock_without_listing(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """With the clock frozen, repeated mutations must still get
+        strictly increasing seqs purely from the cached counter."""
+        import json
+
+        import seriesly_spark.db as dbmod
+        from seriesly_spark.db import SerieslyDB
+
+        db = SerieslyDB(spark, str(tmp_path / "dbroot"))
+        db.create("cl")
+        monkeypatch.setattr(dbmod.time, "time_ns", lambda: NS)
+        for i in range(4):
+            db.write_batch("cl", [(_k(i), json.dumps({"k": i}))])
+        seqs = [r.seq for r in db.change_log("cl").collect()]
+        assert len(seqs) == 4 and seqs == sorted(set(seqs))
+
+    def test_compact_folds_changelog_segments(self, spark, tmp_path):
+        """compact() consolidates the one-file-per-commit log into a
+        single segment (plus its own fresh 'compact' row) with the
+        batch view unchanged, and post-fold commits keep ascending."""
+        import json
+        import os as _os
+
+        from seriesly_spark.db import SerieslyDB
+
+        root = str(tmp_path / "dbroot")
+        db = SerieslyDB(spark, root)
+        db.create("cl")
+        for i in range(5):
+            db.write_batch("cl", [(_k(i), json.dumps({"k": i}))])
+        before = [(r.seq, r.op, r.n_rows) for r in db.change_log("cl").collect()]
+        assert len(before) == 5
+        db.compact("cl")
+        logdir = _os.path.join(root, "cl", ".changelog")
+        files = [f for f in _os.listdir(logdir) if f.endswith(".parquet")]
+        assert len(files) == 2  # consolidated history + the compact row
+        after = [(r.seq, r.op, r.n_rows) for r in db.change_log("cl").collect()]
+        assert after[:5] == before  # folded history byte-identical
+        assert after[5][1] == "compact"
+        # post-fold commits keep ascending from the folded floor
+        db2 = SerieslyDB(spark, root)  # reopen: seq floor read from names
+        db2.write_batch("cl", [(_k(99), json.dumps({"k": 99}))])
+        seqs = [r.seq for r in db2.change_log("cl").collect()]
+        assert seqs == sorted(set(seqs)) and len(seqs) == 7
