@@ -34,6 +34,7 @@ from seriesly_spark.operators.dedup_index import (
 )
 from seriesly_spark.operators.dedup import (
     boilerplate_ngrams,
+    lsh_autotune,
     lsh_eval,
     connected_components,
     containment_pairs,
@@ -101,6 +102,7 @@ from seriesly_spark.operators.textstats import (
     collocation_pmi,
     compression_certificate,
     compression_ratio,
+    compression_screen,
     curriculum_bins,
     fingerprint,
     normalized_dedup,
@@ -3346,6 +3348,30 @@ def q_minhash_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ra.unionByName(rb).select("batch", "n_in", "n_candidates")
 
 
+def q_lsh_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter auto-tuner: four bandings (32x1, 16x2, 8x4, 4x8)
+    of ONE shared 32-minhash signature scored against exact Jaccard
+    truth at 0.5; picks the fewest-candidates config meeting 0.9
+    recall. The signature pass runs once (persisted); each config is a
+    slice-and-rehash plus a keyed self-join — never all-pairs. Gated on
+    a deterministic 1/3 sample (doc_id % 3) — exactly how the tuner is
+    run at corpus scale (tune on a sample, apply the picked config
+    corpus-wide); the oracle applies the same predicate."""
+    docs = _table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    return lsh_autotune(docs)
+
+
+def q_compression_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production redundancy screen (one zlib pass per doc, no
+    planted certificate payloads) projected to its oracle-checkable
+    columns: exact n_bytes (octet_length) and the provably-true
+    worst-case bound boolean. The keep decision is unit-test-pinned
+    (deflate values have no SQL mirror)."""
+    return compression_screen(_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_bytes", "bound_ok"
+    )
+
+
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/precision of the minhash-LSH candidate generator against
     exact Jaccard truth at 0.5 — turns the bands knob into a measured
@@ -3388,16 +3414,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replays the oracle gate over ALL entries). tests/test_certified.py
     asserts every entry is certified or inside the current head-50."""
     return {
-        # --- head-50 layout for the r05 driver window ---
-        # slots 1-3: never driver-certified (compression_ratio gained
-        #   its value-checked oracle this round; tpch_q12's r04 row was
-        #   a hasher type mismatch, now cast; sliding approx is new);
-        # then: the new round-5 queries (containment..lang_confusion);
-        # then: re-certification rotations — every query whose
-        #   implementation changed AFTER its last green driver row
-        #   (r04 optimization commits + round-5 review fixes, spread,
-        #   norm hoists). The local oracle replica covers the certified
-        #   tail (tests/test_entry_oracle.py replays ALL entries).
+        # --- head-50 layout for the r06 driver window ---
+        # slots 1-2: never driver-certified (new this round:
+        #   the LSH banding auto-tuner; the production
+        #   compression screen split from its certificate);
+        # slots 3-39: the OLDEST-certified cohort — every query
+        #   whose newest green driver row is round 1/2; four
+        #   rounds of shared-spine refactors (scoped_persist,
+        #   spread, norm hoists) have landed since, so "green in
+        #   some round" is re-stamped to "green on current code";
+        # slots 40-50: the oldest round-3 certifications, same
+        #   rationale. The local oracle replica
+        #   (tests/test_entry_oracle.py) still replays ALL 175.
+        "lsh_autotune": q_lsh_autotune,
+        "compression_screen": q_compression_screen,
+        "p03_eq_filter": q_p03_eq_filter,
+        "contamination": q_contamination,
+        "sample_hash": q_sample_hash,
+        "s01_range_read": q_s01_range_read,
+        "s03_point_lookup": q_s03_point_lookup,
+        "s09_db_info": q_s09_db_info,
+        "s10_dump_limit": q_s10_dump_limit,
+        "p02_canonical_numbers": q_p02_canonical_numbers,
+        "p02_canonical_filter": q_p02_canonical_filter,
+        "t01_parse_time": q_t01_parse_time,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "lang_id": q_lang_id,
+        "s06_bulk_delete_effect": q_s06_bulk_delete_effect,
+        "token_counts_bpe": q_token_counts_bpe,
+        "hopping_window": q_hopping_window,
+        "s04_upsert_lww": q_s04_upsert_lww,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "percentiles": q_percentiles,
+        "value_histogram": q_value_histogram,
+        "sessionize_users": q_sessionize_users,
+        "topk_events_per_type": q_topk_events_per_type,
+        "revenue_by_nation": q_revenue_by_nation,
+        "streaming_bucket_agg": q_streaming_bucket_agg,
+        "streaming_watermarked_agg": q_streaming_watermarked_agg,
+        "streaming_sessionize": q_streaming_sessionize,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
+        "vocab_topk": q_vocab_topk,
+        "rollup_daily": q_rollup_daily,
+        "mixture_sample": q_mixture_sample,
+        "setops_users": q_setops_users,
+        "rep_stats": q_rep_stats,
+        "clean_text": q_clean_text,
+        "embedding_centroids": q_embedding_centroids,
+        "gapfill_hourly": q_gapfill_hourly,
+        "moving_avg_6h": q_moving_avg_6h,
+        "distinct_users_daily": q_distinct_users_daily,
+        "quality_filter": q_quality_filter,
+        "s07_compact_effect": q_s07_compact_effect,
+        "s08_ddl_roundtrip": q_s08_ddl_roundtrip,
         "compression_ratio": q_compression_ratio,
         "tpch_q12": q_tpch_q12,
         "sliding_distinct_approx": q_sliding_distinct_approx,
@@ -3448,10 +3526,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode_stats": q_png_decode_stats,
         "jpeg_decode_stats": q_jpeg_decode_stats,
         "ann_topk_cosine": q_ann_topk_cosine,
-        "p03_eq_filter": q_p03_eq_filter,
-        "mixture_sample": q_mixture_sample,
-        "contamination": q_contamination,
-        "sample_hash": q_sample_hash,
         "bigram_lm": q_bigram_lm,
         "pii_screen": q_pii_screen,
         "substring_dup": q_substring_dup,
@@ -3493,16 +3567,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile": q_column_profile,
         "type_token_ratio": q_type_token_ratio,
         "levenshtein_pairs": q_levenshtein_pairs,
-        "setops_users": q_setops_users,
-        "rep_stats": q_rep_stats,
-        "clean_text": q_clean_text,
-        "embedding_centroids": q_embedding_centroids,
-        "gapfill_hourly": q_gapfill_hourly,
-        "moving_avg_6h": q_moving_avg_6h,
-        "distinct_users_daily": q_distinct_users_daily,
-        "quality_filter": q_quality_filter,
-        "s07_compact_effect": q_s07_compact_effect,
-        "s08_ddl_roundtrip": q_s08_ddl_roundtrip,
         "s14_single_doc_delete": q_s14_single_doc_delete,
         "p08_timeout": q_p08_timeout,
         "c01_cache_hit": q_c01_cache_hit,
@@ -3532,45 +3596,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_type_pivot": q_daily_type_pivot,
         "mad_outliers": q_mad_outliers,
         "char_entropy": q_char_entropy,
-        "s01_range_read": q_s01_range_read,
         "collocation_pmi": q_collocation_pmi,
         "time_weighted_avg": q_time_weighted_avg,
         "series_gaps": q_series_gaps,
         "minmax_downsample": q_minmax_downsample,
         "quantile_transform": q_quantile_transform,
-        "s03_point_lookup": q_s03_point_lookup,
-        "s09_db_info": q_s09_db_info,
-        "s10_dump_limit": q_s10_dump_limit,
-        "p02_canonical_numbers": q_p02_canonical_numbers,
-        "p02_canonical_filter": q_p02_canonical_filter,
-        "t01_parse_time": q_t01_parse_time,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "text_fingerprint": q_text_fingerprint,
-        "lang_id": q_lang_id,
-        "s06_bulk_delete_effect": q_s06_bulk_delete_effect,
-        "token_counts_bpe": q_token_counts_bpe,
-        "hopping_window": q_hopping_window,
-        "s04_upsert_lww": q_s04_upsert_lww,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "percentiles": q_percentiles,
-        "value_histogram": q_value_histogram,
-        "sessionize_users": q_sessionize_users,
-        "topk_events_per_type": q_topk_events_per_type,
-        "revenue_by_nation": q_revenue_by_nation,
-        "streaming_bucket_agg": q_streaming_bucket_agg,
-        "streaming_watermarked_agg": q_streaming_watermarked_agg,
-        "streaming_sessionize": q_streaming_sessionize,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_features": q_multimodal_features,
-        "vocab_topk": q_vocab_topk,
-        "rollup_daily": q_rollup_daily,
     }
 
 
@@ -4551,6 +4581,78 @@ rb AS (SELECT 'b' AS batch, count(*) AS n_in,
            AS bigint) AS n_new
        FROM br)
 SELECT * FROM ra UNION ALL SELECT * FROM rb
+""",
+        "compression_screen": r"""
+SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n_bytes,
+       true AS bound_ok
+FROM documents
+""",
+        "lsh_autotune": r"""
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id % 3 = 0)
+  WHERE len(toks) >= 3
+),
+mh AS (
+  SELECT doc_id, list_transform(range(0, 32), i ->
+    list_min(list_transform(grams, x ->
+      substr(md5((i // 4)::VARCHAR || '|' || x), ((i % 4) * 8 + 1)::INT, 8)
+    ))) AS mh
+  FROM g
+),
+cfg AS (SELECT * FROM (VALUES (32, 1), (16, 2), (8, 4), (4, 8))
+        AS t(bands, rows_per_band)),
+banded AS (
+  SELECT m.doc_id, c.bands, u.k AS band,
+    md5(array_to_string(
+      m.mh[u.k * c.rows_per_band + 1 : (u.k + 1) * c.rows_per_band], ''
+    )) AS sig
+  FROM mh m CROSS JOIN cfg c
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS k) u
+  WHERE u.k < c.bands
+),
+cand AS (
+  SELECT DISTINCT a.bands, a.doc_id AS a, b.doc_id AS b
+  FROM banded a JOIN banded b
+    ON a.bands = b.bands AND a.band = b.band AND a.sig = b.sig
+    AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.grams, b.grams)) /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+        6) >= 0.5),
+per AS (
+  SELECT c.bands, c.rows_per_band,
+    (SELECT count(*) FROM truth)::BIGINT AS n_true,
+    coalesce(cc.n_cand, 0)::BIGINT AS n_cand,
+    coalesce(hh.n_hit, 0)::BIGINT AS n_hit
+  FROM cfg c
+  LEFT JOIN (SELECT bands, count(*) AS n_cand FROM cand GROUP BY bands) cc
+    USING (bands)
+  LEFT JOIN (SELECT cand.bands, count(*) AS n_hit
+             FROM cand JOIN truth ON cand.a = truth.a AND cand.b = truth.b
+             GROUP BY cand.bands) hh USING (bands)
+),
+scored AS (
+  SELECT *,
+    round(CASE WHEN n_true > 0 THEN n_hit / CAST(n_true AS double) END, 6)
+      AS recall,
+    round(CASE WHEN n_cand > 0 THEN n_hit / CAST(n_cand AS double) END, 6)
+      AS precision,
+    coalesce(
+      round(CASE WHEN n_true > 0 THEN n_hit / CAST(n_true AS double) END, 6)
+        >= 0.9, false) AS meets_target
+  FROM per
+)
+SELECT bands, rows_per_band, n_true, n_cand, n_hit, recall, precision,
+  meets_target,
+  row_number() OVER (ORDER BY meets_target DESC, n_cand ASC, bands ASC) = 1
+    AS picked
+FROM scored ORDER BY bands DESC
 """,
         "lsh_eval": r"""
 WITH g AS (

@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "lsh_eval",
     "dedup_index_incremental",
     "minhash_index_incremental",
+    "lsh_autotune",
+    "compression_screen",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -514,6 +514,46 @@ def compression_ratio(
     )
 
 
+def compression_screen(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+    lo: float = 0.05,
+    hi: float = 1.1,
+) -> DataFrame:
+    """The PRODUCTION redundancy screen — what a curation run actually
+    executes per shard: one zlib pass per document and a keep/drop
+    decision (``lo < ratio < hi``; below = boilerplate/repetition,
+    above = incompressible gibberish/binary). This is
+    :func:`compression_ratio` plus the decision, WITHOUT the planted
+    constant/random payloads of :func:`compression_certificate` (those
+    triple the compress work and exist only to certify the codec path
+    cross-engine — run the certificate as the gate, run this per
+    shard).
+
+    Oracle-checkable columns only: ``n_bytes`` is replayed exactly by
+    SQL ``octet_length``; ``bound_ok`` (compressed <= zlib's worst-case
+    raw + raw/1000 + 64) is provably true whenever the codec works, so
+    a SQL oracle pins it as the constant TRUE; the keep decision itself
+    rides along in unit tests (ratios are deflate-valued, not
+    SQL-expressible). Plan shape: the operator's own single narrow
+    ``mapInPandas`` projection — no shuffle, no join.
+    """
+    cr = compression_ratio(docs, text_col=text_col, id_col=id_col, level=level)
+    return cr.select(
+        "doc_id",
+        "n_bytes",
+        (
+            F.col("n_compressed")
+            <= F.col("n_bytes") + F.col("n_bytes") / F.lit(1000) + F.lit(64)
+        ).alias("bound_ok"),
+        (
+            (F.col("ratio") > F.lit(lo)) & (F.col("ratio") < F.lit(hi))
+        ).alias("keep"),
+    )
+
+
 def compression_certificate(
     docs: DataFrame,
     text_col: str = "text",

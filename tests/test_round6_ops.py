@@ -207,3 +207,73 @@ class TestCommitLogSeqCache:
         db2.write_batch("cl", [(_k(99), json.dumps({"k": 99}))])
         seqs = [r.seq for r in db2.change_log("cl").collect()]
         assert seqs == sorted(set(seqs)) and len(seqs) == 7
+
+
+class TestLshAutotune:
+    def test_banding_tradeoff_and_pick(self, spark):
+        from seriesly_spark.operators.dedup import lsh_autotune
+
+        base = "one two three four five six seven eight nine ten"
+        rows = [(1, base), (2, base + " eleven"), (3, base),
+                (4, "totally different content entirely here now ok"),
+                (5, "a b c d e f g h i j")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = lsh_autotune(df).collect()
+        assert [r.bands for r in out] == [32, 16, 8, 4]  # bands DESC
+        assert sum(r.picked for r in out) == 1  # exactly one winner
+        by_bands = {r.bands: r for r in out}
+        # recall never increases as bands shrink (same signature)
+        recalls = [by_bands[b].recall for b in (32, 16, 8, 4)]
+        assert all(
+            a >= b for a, b in zip(recalls, recalls[1:])
+            if a is not None and b is not None
+        )
+        # candidate count is monotone in bands too
+        cands = [by_bands[b].n_cand for b in (32, 16, 8, 4)]
+        assert all(a >= b for a, b in zip(cands, cands[1:]))
+        # the pick meets target when any config does
+        if any(r.meets_target for r in out):
+            assert next(r for r in out if r.picked).meets_target
+
+    def test_empty_input(self, spark):
+        from seriesly_spark.operators.dedup import lsh_autotune
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        out = lsh_autotune(df).collect()
+        assert len(out) == 4
+        assert all((r.n_true, r.n_cand, r.n_hit) == (0, 0, 0) for r in out)
+        assert all(r.recall is None and not r.meets_target for r in out)
+        assert sum(r.picked for r in out) == 1
+
+    def test_bad_config_rejected(self, spark):
+        from seriesly_spark.operators.dedup import lsh_autotune
+
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            lsh_autotune(df, configs=((5, 5),))
+
+
+class TestCompressionScreen:
+    def test_screen_decisions(self, spark):
+        from seriesly_spark.operators.textstats import compression_screen
+
+        prose = " ".join(
+            f"sentence {i} mentions topic {i * 7 % 13} with detail {i * i}"
+            for i in range(40)
+        )
+        rows = [
+            (1, "a" * 2000),   # hyper-compressible -> drop
+            (2, prose),        # varied prose -> keep (ratio ~0.3-0.6)
+            (3, None),         # NULL text
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in compression_screen(df).collect()}
+        assert out[1].keep is False     # ratio < 0.05
+        assert out[2].keep is True      # natural-ish redundancy band
+        assert out[3].keep is None      # NULL text -> NULL ratio
+        assert all(
+            r.bound_ok for r in out.values() if r.bound_ok is not None
+        )
+        assert out[1].n_bytes == 2000
