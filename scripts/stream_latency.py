@@ -123,6 +123,29 @@ def main():
             & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
         ).select("user_id", "l_id", "r_id")
         results["streaming_join"] = drain(joined, "lat_join", "append", spark)
+
+        # 4. custom stateful sessionize (applyInPandasWithState) — the
+        # REAL operator transformation, shared with the gate runner
+        from seriesly_spark.streaming.ingest import sessionize_stream
+
+        src = source(spark, d)
+        sess = sessionize_stream(src, gap_us=1_800_000_000)
+        results["streaming_sessionize"] = drain(
+            sess, "lat_sessionize", "update", spark
+        )
+
+        # 5. windowed approximate-distinct users (one HLL++ sketch per
+        # window of state — the unbounded-cardinality streaming shape)
+        src = source(spark, d)
+        dist = src.groupBy(
+            F.window(F.col("ts"), "86400000 milliseconds")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id", 0.02).alias("est_users"),
+        )
+        results["streaming_distinct"] = drain(
+            dist, "lat_distinct", "complete", spark
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -134,6 +157,20 @@ def main():
             f" {r['median_batch_ms']} ms |"
             f" {r['rows_per_s']/1000:.0f}k rows/s |"
         )
+    # Per-round artifact: the streaming family's micro-batch latency
+    # medians, recorded alongside BENCH_LOCAL.json (the batch bench has
+    # no visibility into micro-batch behavior).
+    import json
+
+    out = {
+        "sf_dir": SF_DIR,
+        "chunks": N_CHUNKS,
+        "pipelines": results,
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "STREAM_BENCH.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("\nwrote STREAM_BENCH.json")
     spark.stop()
 
 

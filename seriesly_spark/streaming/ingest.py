@@ -185,27 +185,11 @@ _SESS_STATE = StructType(
 )
 
 
-def streaming_sessionize(
-    spark: SparkSession,
-    events_path: str,
-    gap_us: int = 1_800_000_000,
-    query_name: str = "stream_sessionize",
-) -> DataFrame:
-    """Custom stateful streaming operator via ``applyInPandasWithState``:
-    per-user session counting with an inactivity gap, state = (last event
-    time, running counts) per user — the shape the reference could never
-    express (its only state is the per-bucket reducer pipeline).
-
-    Arrow-batched per group; state is three longs per user, so the state
-    store stays tiny at any cardinality. Within a micro-batch events are
-    sorted by (ts, event_id) — correct as long as batches arrive in time
-    order per user (file/Kafka sources with event-time partitioning; a
-    production pipeline would add a watermark + buffer for disorder).
-
-    Output: (user_id, n_events, n_sessions), equal to the batch
-    sessionization on the same data (the oracle).
-    """
-    raw, staged = _stream_source(spark, events_path)
+def sessionize_stream(raw: DataFrame, gap_us: int) -> DataFrame:
+    """The sessionize transformation alone (streaming df in, update-mode
+    stateful df out) — shared by the gate runner below and the latency
+    harness (scripts/stream_latency.py), which drives it with its own
+    chunked micro-batch source."""
     src = raw.select(
         "user_id",
         "event_id",
@@ -235,13 +219,37 @@ def streaming_sessionize(
             }
         )
 
-    agg = src.groupBy("user_id").applyInPandasWithState(
+    return src.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=_SESS_OUT,
         stateStructType=_SESS_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    events_path: str,
+    gap_us: int = 1_800_000_000,
+    query_name: str = "stream_sessionize",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user session counting with an inactivity gap, state = (last event
+    time, running counts) per user — the shape the reference could never
+    express (its only state is the per-bucket reducer pipeline).
+
+    Arrow-batched per group; state is three longs per user, so the state
+    store stays tiny at any cardinality. Within a micro-batch events are
+    sorted by (ts, event_id) — correct as long as batches arrive in time
+    order per user (file/Kafka sources with event-time partitioning; a
+    production pipeline would add a watermark + buffer for disorder).
+
+    Output: (user_id, n_events, n_sessions), equal to the batch
+    sessionization on the same data (the oracle).
+    """
+    raw, staged = _stream_source(spark, events_path)
+    agg = sessionize_stream(raw, gap_us)
     try:
         tbl = _run_to_memory(agg, query_name, "update", spark)
     finally:
