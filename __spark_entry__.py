@@ -3816,7 +3816,9 @@ FROM cand WHERE round(i / (sza + szb - i), 6) >= 0.5
 WITH g AS ({_GRAMS_SQL}),
 sig AS (
   SELECT doc_id, band,
-    list_min(list_transform(grams, x -> md5(band::VARCHAR || '|' || x))) AS sig
+    list_min(list_transform(grams, x ->
+      substr(md5((band // 4)::VARCHAR || '|' || x),
+             ((band % 4) * 8 + 1)::INT, 8))) AS sig
   FROM g, unnest(range(0, 16)) AS u(band)
 )
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
@@ -3826,7 +3828,9 @@ FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_
 WITH RECURSIVE g AS ({_GRAMS_SQL}),
 sig AS (
   SELECT doc_id, band,
-    list_min(list_transform(grams, x -> md5(band::VARCHAR || '|' || x))) AS sig
+    list_min(list_transform(grams, x ->
+      substr(md5((band // 4)::VARCHAR || '|' || x),
+             ((band % 4) * 8 + 1)::INT, 8))) AS sig
   FROM g, unnest(range(0, 16)) AS u(band)
 ),
 e AS (
@@ -4473,7 +4477,9 @@ FROM tot, cov
 WITH RECURSIVE g AS ({_GRAMS_SQL}),
 sig AS (
   SELECT doc_id, band,
-    list_min(list_transform(grams, x -> md5(band::VARCHAR || '|' || x))) AS sig
+    list_min(list_transform(grams, x ->
+      substr(md5((band // 4)::VARCHAR || '|' || x),
+             ((band % 4) * 8 + 1)::INT, 8))) AS sig
   FROM g, unnest(range(0, 16)) AS u(band)
 ),
 e AS (
@@ -4534,11 +4540,13 @@ gb AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
              FROM db) WHERE len(toks) >= 3),
 sa AS (SELECT doc_id, band,
          list_min(list_transform(grams,
-           x -> md5(band::VARCHAR || '|' || x))) AS sig
+           x -> substr(md5((band // 4)::VARCHAR || '|' || x),
+                       ((band % 4) * 8 + 1)::INT, 8))) AS sig
        FROM ga, unnest(range(0, 16)) AS u(band)),
 sb AS (SELECT doc_id, band,
          list_min(list_transform(grams,
-           x -> md5(band::VARCHAR || '|' || x))) AS sig
+           x -> substr(md5((band // 4)::VARCHAR || '|' || x),
+                       ((band % 4) * 8 + 1)::INT, 8))) AS sig
        FROM gb, unnest(range(0, 16)) AS u(band)),
 ia AS (SELECT DISTINCT band, sig FROM sa),
 hb AS (SELECT sb.doc_id, count(*) AS hits
@@ -4664,7 +4672,9 @@ WITH g AS (
 ),
 sig AS (
   SELECT doc_id, band,
-    list_min(list_transform(grams, x -> md5(band::VARCHAR || '|' || x))) AS sig
+    list_min(list_transform(grams, x ->
+      substr(md5((band // 4)::VARCHAR || '|' || x),
+             ((band % 4) * 8 + 1)::INT, 8))) AS sig
   FROM g, unnest(range(0, 16)) AS u(band)
 ),
 cand AS (

@@ -224,6 +224,56 @@ def containment_pairs(
     )
 
 
+def minhash_chunk_signatures(grams_col, bands: int):
+    """Array of ``bands`` per-band minhash signatures. Band k's
+    signature is defined PER BAND as
+
+        min over grams of substr(md5((k div 4) || '|' || gram),
+                                 (k mod 4)*8 + 1, 8)
+
+    — each md5 yields FOUR independent 8-hex-char (32-bit) minhash
+    chunks, so ``bands`` bands cost ceil(bands/4) md5 evaluations per
+    gram, and the whole vector is computed as ONE fold over the gram
+    array (per-gram chunk vector, elementwise least into a running
+    minimum) instead of ``bands`` separate array_min traversals.
+    Measured 2.2x on the signature subtree at sf0.1 (the naive
+    per-band form re-walks and re-allocates the gram array per band;
+    md5 count was not the bottleneck). 32-bit chunks are standard for
+    minhash permutations; oracles replay the per-band definition
+    directly (md5 + substr exist in every engine)."""
+    n_md5 = -(-bands // 4)
+    chunks = F.transform(
+        grams_col,
+        lambda g: F.slice(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_md5 - 1)),
+                    lambda j: F.transform(
+                        F.sequence(F.lit(0), F.lit(3)),
+                        lambda c: F.substring(
+                            F.md5(
+                                F.concat(
+                                    j.cast("string"), F.lit("|"), g
+                                ).cast("binary")
+                            ),
+                            c * 8 + 1,
+                            8,
+                        ),
+                    ),
+                )
+            ),
+            1,
+            bands,
+        ),
+    )
+    init = F.array_repeat(F.lit("zzzzzzzz"), bands)
+    return F.aggregate(
+        chunks,
+        init,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -245,25 +295,10 @@ def minhash_lsh_pairs(
     ).where(F.size("grams") > 0)
     banded = sh.select(
         "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.array_min(
-                        F.transform(
-                            F.col("grams"),
-                            lambda g: F.md5(
-                                F.concat(i.cast("string"), F.lit("|"), g).cast(
-                                    "binary"
-                                )
-                            ),
-                        )
-                    ).alias("sig"),
-                ),
-            )
-        ).alias("bs"),
-    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        F.posexplode(
+            minhash_chunk_signatures(F.col("grams"), bands)
+        ).alias("band", "sig"),
+    )
     # One signature row per (doc, band) — computing the md5 minhashes is the
     # expensive part, the self-join must not run it twice (see hamming_pairs).
     banded = scoped_persist(banded, "dedup.minhash_banded", eager=True)
@@ -958,35 +993,9 @@ def lsh_autotune(
     # signature pass at sf0.1 (the naive 32-traversal form re-walks and
     # re-allocates the gram array per hash; md5 count was NOT the
     # bottleneck: hoisting md5 out of the chunk lambda changed nothing).
-    n_md5 = n_hashes // 4
-    chunks = F.transform(
-        F.col("grams"),
-        lambda g: F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_md5 - 1)),
-                lambda j: F.transform(
-                    F.sequence(F.lit(0), F.lit(3)),
-                    lambda c: F.substring(
-                        F.md5(
-                            F.concat(
-                                j.cast("string"), F.lit("|"), g
-                            ).cast("binary")
-                        ),
-                        c * 8 + 1,
-                        8,
-                    ),
-                ),
-            )
-        ),
-    )
-    init = F.array_repeat(F.lit("zzzzzzzz"), n_hashes)
     mh = sh.select(
         "id",
-        F.aggregate(
-            chunks,
-            init,
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
-        ).alias("mh"),
+        minhash_chunk_signatures(F.col("grams"), n_hashes).alias("mh"),
     )
     # ONE signature pass feeds every config's banding + self-join: the
     # md5 minhash computation dominates, so it must not re-run per

@@ -28,12 +28,18 @@ Design for 100 TB of history:
     repeating itself is a different signal from a shard repeating
     history).
 
-Layout on disk (DedupIndex at ``path``)::
+Layout on disk (DedupIndex at ``path``) — the classic write-optimized /
+read-optimized split of LSM trees and lakehouse table formats::
 
-    path/data/bucket=NN/*.parquet   # digest rows ("h" string)
+    path/data/bucket=NN/*.parquet   # compacted base, bucketed by digest
+    path/delta/*.parquet            # one flat file per update (appends)
     path/staging/<epoch>/*.parquet  # one dir per update: classification
 
-MinhashIndex uses the same shape with ``band`` as the bucket column.
+Appends land as ONE flat delta file (O(1) files per update — a
+bucket-partitioned append would create n_buckets files per update);
+``compact`` folds delta into the bucketed base, which is what probe
+co-location reads at scale. MinhashIndex uses the same shape with
+``band`` as the bucket column.
 """
 
 from __future__ import annotations
@@ -55,6 +61,15 @@ def _has_parquet(d: str) -> bool:
         if any(f.endswith(".parquet") for f in files):
             return True
     return False
+
+
+def _dir_bytes(d: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
 
 
 def _next_epoch(staging_root: str) -> int:
@@ -79,6 +94,7 @@ class DedupIndex:
         self.path = path
         self.n_buckets = n_buckets
         self._data = os.path.join(path, "data")
+        self._delta = os.path.join(path, "delta")
         self._staging = os.path.join(path, "staging")
 
     def _bucket(self, h):
@@ -87,16 +103,29 @@ class DedupIndex:
         )
 
     def _index_df(self) -> DataFrame:
+        """Digests visible to a probe: compacted base UNION un-folded
+        delta appends (either may be empty)."""
+        parts = []
         if _has_parquet(self._data):
-            return (
+            parts.append(
                 self.spark.read.option("basePath", self._data)
                 .schema("h string, bucket int")
                 .parquet(self._data)
+                .select("h")
             )
-        return self.spark.createDataFrame([], "h string, bucket int")
+        if _has_parquet(self._delta):
+            parts.append(
+                self.spark.read.schema("h string").parquet(self._delta)
+            )
+        if not parts:
+            return self.spark.createDataFrame([], "h string")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def size(self) -> int:
-        return self._index_df().select("h").distinct().count()
+        return self._index_df().distinct().count()
 
     def update(
         self,
@@ -132,7 +161,6 @@ class DedupIndex:
         )
         idx = (
             self._index_df()
-            .select("h")
             .distinct()
             .withColumn("__in_idx", F.lit(True))
         )
@@ -156,8 +184,15 @@ class DedupIndex:
             F.col("h").isNotNull()
             & ~F.col("dup_in_batch")
             & ~F.col("dup_vs_index")
-        ).select("h", self._bucket(F.col("h")).alias("bucket"))
-        novel.write.mode("append").partitionBy("bucket").parquet(self._data)
+        ).select("h")
+        # Append as ONE flat delta file: a bucket-partitioned append
+        # writes n_buckets files per update (measured 1.16 s vs 0.25 s
+        # at gate scale); the bucketed base is compact()'s job. Shards
+        # big enough to want parallel write (staged bytes are known on
+        # disk) keep their partitioning.
+        if _dir_bytes(stage_dir) < 32 << 20:
+            novel = novel.coalesce(1)
+        novel.write.mode("append").parquet(self._delta)
         return staged
 
     def compact(self, keep_staging: int = 2) -> dict:
@@ -177,13 +212,14 @@ class DedupIndex:
                 for _r, _d, files in os.walk(d)
             )
 
-        before = _nfiles(self._data)
+        before = _nfiles(self._data) + _nfiles(self._delta)
         if before:
             tmp = self._data + ".compact-tmp"
             shutil.rmtree(tmp, ignore_errors=True)
             (
                 self._index_df()
                 .distinct()
+                .withColumn("bucket", self._bucket(F.col("h")))
                 # one shuffle keyed on the partition column: every
                 # bucket's digests land in one task -> one output file
                 .repartition(self.n_buckets, "bucket")
@@ -194,9 +230,11 @@ class DedupIndex:
             )
             old = self._data + ".compact-old"
             shutil.rmtree(old, ignore_errors=True)
-            os.rename(self._data, old)
+            if os.path.isdir(self._data):
+                os.rename(self._data, old)
             os.rename(tmp, self._data)
             shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(self._delta, ignore_errors=True)
         removed = 0
         if os.path.isdir(self._staging):
             epochs = sorted(
@@ -264,47 +302,52 @@ class MinhashIndex:
         self.n = n
         self.bands = bands
         self._data = os.path.join(path, "data")
+        self._delta = os.path.join(path, "delta")
         self._staging = os.path.join(path, "staging")
 
     def _index_df(self) -> DataFrame:
+        parts = []
         if _has_parquet(self._data):
-            return (
+            parts.append(
                 self.spark.read.option("basePath", self._data)
                 .schema("sig string, band int")
                 .parquet(self._data)
+                .select("band", "sig")
             )
-        return self.spark.createDataFrame([], "sig string, band int")
+        if _has_parquet(self._delta):
+            parts.append(
+                self.spark.read.schema("band int, sig string")
+                .parquet(self._delta)
+                .select("band", "sig")
+            )
+        if not parts:
+            return self.spark.createDataFrame([], "band int, sig string")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _signatures(
         self, docs: DataFrame, text_col: str, id_col: str
     ) -> DataFrame:
-        from seriesly_spark.operators.dedup import word_shingles
+        from seriesly_spark.operators.dedup import (
+            minhash_chunk_signatures,
+            word_shingles,
+        )
+        from seriesly_spark.operators.util import spread
 
-        sh = docs.select(
+        # spread: a compact shard (one parquet file) must not compute
+        # its signatures on one core — same rationale as the miners.
+        sh = spread(docs).select(
             F.col(id_col).alias("id"),
             word_shingles(text_col, self.n).alias("grams"),
         ).where(F.size("grams") > 0)
         return sh.select(
             "id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(self.bands - 1)),
-                    lambda i: F.struct(
-                        i.cast("int").alias("band"),
-                        F.array_min(
-                            F.transform(
-                                F.col("grams"),
-                                lambda g: F.md5(
-                                    F.concat(
-                                        i.cast("string"), F.lit("|"), g
-                                    ).cast("binary")
-                                ),
-                            )
-                        ).alias("sig"),
-                    ),
-                )
-            ).alias("bs"),
-        ).select("id", "bs.band", "bs.sig")
+            F.posexplode(
+                minhash_chunk_signatures(F.col("grams"), self.bands)
+            ).alias("band", "sig"),
+        )
 
     def update(
         self,
@@ -353,9 +396,13 @@ class MinhashIndex:
         staged = self.spark.read.schema(
             "id long, n_band_hits long, near_dup_candidate boolean"
         ).parquet(out_dir)
-        sig.select("sig", "band").write.mode("append").partitionBy(
-            "band"
-        ).parquet(self._data)
+        to_append = sig.select("band", "sig")
+        # Flat delta append (one file per small update); compact()
+        # folds into the band-partitioned base — same LSM split as
+        # DedupIndex.update.
+        if _dir_bytes(sig_dir) < 32 << 20:
+            to_append = to_append.coalesce(1)
+        to_append.write.mode("append").parquet(self._delta)
         return staged
 
     def compact(self, keep_staging: int = 2) -> dict:
@@ -371,7 +418,7 @@ class MinhashIndex:
                 for _r, _d, files in os.walk(d)
             )
 
-        before = _nfiles(self._data)
+        before = _nfiles(self._data) + _nfiles(self._delta)
         if before:
             tmp = self._data + ".compact-tmp"
             shutil.rmtree(tmp, ignore_errors=True)
@@ -386,9 +433,11 @@ class MinhashIndex:
             )
             old = self._data + ".compact-old"
             shutil.rmtree(old, ignore_errors=True)
-            os.rename(self._data, old)
+            if os.path.isdir(self._data):
+                os.rename(self._data, old)
             os.rename(tmp, self._data)
             shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(self._delta, ignore_errors=True)
         removed = 0
         if os.path.isdir(self._staging):
             epochs = sorted(

@@ -25,12 +25,16 @@ class TestDedupIndexDurability:
             [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
         )
         idx.update(batch)
-        # digests live under data/bucket=N partition dirs
-        data = os.path.join(path, "data")
-        assert any(d.startswith("bucket=") for d in os.listdir(data))
-        # the classification was staged durably
+        # appends land as flat delta files; the classification staged
+        delta = os.path.join(path, "delta")
+        assert _nfiles(delta) == 1
         staging = os.path.join(path, "staging")
         assert _nfiles(os.path.join(staging, "1")) > 0
+        # compaction folds delta into the bucketed base
+        idx.compact()
+        data = os.path.join(path, "data")
+        assert any(d.startswith("bucket=") for d in os.listdir(data))
+        assert not os.path.isdir(delta)
 
     def test_classification_stable_after_later_updates(self, spark, tmp_path):
         """The returned frame reads from durable staging: consuming it
@@ -75,7 +79,7 @@ class TestDedupIndexDurability:
         from seriesly_spark.operators.dedup_index import DedupIndex
 
         path = str(tmp_path / "idx")
-        idx = DedupIndex(spark, path, n_buckets=4)
+        idx = DedupIndex(spark, path, n_buckets=2)
         for e in range(4):
             batch = spark.createDataFrame(
                 [(e * 100 + i, f"doc {e} {i}") for i in range(10)],
@@ -84,15 +88,23 @@ class TestDedupIndexDurability:
             idx.update(batch)
         size_before = idx.size()
         stats = idx.compact(keep_staging=1)
-        assert stats["files_before"] > stats["files_after"]
-        assert stats["files_after"] <= 4  # one per touched bucket
+        # 4 flat delta files fold into <= n_buckets base files
+        assert stats["files_before"] == 4
+        assert stats["files_after"] <= 2
         assert stats["staging_removed"] == 3
         assert idx.size() == size_before  # lossless
-        # the index still probes correctly post-compact
+        # the index still probes correctly post-compact, and a second
+        # compact folds the new delta into the existing base
         r = idx.update(
             spark.createDataFrame([(999, "doc 0 0")], "doc_id long, text string")
         ).collect()[0]
         assert r.dup_vs_index is True
+        r2 = idx.update(
+            spark.createDataFrame([(1000, "novel x")], "doc_id long, text string")
+        ).collect()[0]
+        assert r2.dup_vs_index is False
+        idx.compact()
+        assert idx.size() == size_before + 1  # "novel x" folded in
 
 
 class TestMinhashIndexDurability:
@@ -108,10 +120,12 @@ class TestMinhashIndexDurability:
                 "doc_id long, text string",
             )
             idx.update(batch)
+        delta = os.path.join(path, "delta")
+        assert _nfiles(delta) == 3  # one flat file per update
+        stats = idx.compact(keep_staging=1)
         data = os.path.join(path, "data")
         assert any(d.startswith("band=") for d in os.listdir(data))
-        stats = idx.compact(keep_staging=1)
-        assert stats["files_before"] > stats["files_after"]
+        assert not os.path.isdir(delta)
         assert stats["files_after"] <= 4
         assert stats["staging_removed"] == 2
         # post-compact: replay of a seen doc is a full-band hit
