@@ -103,6 +103,7 @@ from seriesly_spark.operators.textstats import (
     compression_certificate,
     compression_ratio,
     compression_screen,
+    encoding_screen,
     curriculum_bins,
     fingerprint,
     normalized_dedup,
@@ -3372,6 +3373,25 @@ def q_compression_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level encoding-health screen, value-checked like url_dedup:
+    both engines PLANT the same artifacts per doc_id (doc_id%3 U+FFFD
+    replacement chars, doc_id%2 mojibake digraphs, a C0 control char on
+    doc_id%5==0) and count INDEPENDENTLY (Spark regexp_count vs DuckDB
+    regexp_extract_all), so the rule set itself is oracle-checked. Pure
+    narrow projection, no shuffle."""
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.lit("ok text "),
+        F.repeat(F.lit("�"), (d % 3).cast("int")),
+        F.repeat(F.lit("Ã©"), (d % 2).cast("int")),
+        F.when(d % 5 == 0, F.lit("\x01")).otherwise(F.lit("")),
+        F.lit(" tail"),
+    )
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return encoding_screen(docs.select("doc_id", raw.alias("text")))
+
+
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/precision of the minhash-LSH candidate generator against
     exact Jaccard truth at 0.5 — turns the bands knob into a measured
@@ -3428,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (tests/test_entry_oracle.py) still replays ALL 175.
         "lsh_autotune": q_lsh_autotune,
         "compression_screen": q_compression_screen,
+        "encoding_screen": q_encoding_screen,
         "p03_eq_filter": q_p03_eq_filter,
         "contamination": q_contamination,
         "sample_hash": q_sample_hash,
@@ -4589,6 +4610,27 @@ rb AS (SELECT 'b' AS batch, count(*) AS n_in,
            AS bigint) AS n_new
        FROM br)
 SELECT * FROM ra UNION ALL SELECT * FROM rb
+""",
+        "encoding_screen": r"""
+WITH t AS (
+  SELECT doc_id,
+    'ok text ' || repeat(chr(65533), (doc_id % 3)::INT)
+      || repeat(chr(195) || chr(169), (doc_id % 2)::INT)
+      || CASE WHEN doc_id % 5 = 0 THEN chr(1) ELSE '' END
+      || ' tail' AS text
+  FROM documents)
+SELECT doc_id,
+  (length(text) - length(replace(text, chr(65533), '')))::BIGINT
+    AS n_replacement,
+  len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]'))::BIGINT
+    AS n_control,
+  len(regexp_extract_all(text,
+      'Ã[©¨¼«»]|â€|Â[ °£©]'))::BIGINT AS n_mojibake,
+  (length(text) - length(replace(text, chr(65533), ''))) = 0
+    AND len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) = 0
+    AND len(regexp_extract_all(text, 'Ã[©¨¼«»]|â€|Â[ °£©]')) = 0
+    AS enc_ok
+FROM t
 """,
         "compression_screen": r"""
 SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n_bytes,

@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "minhash_index_incremental",
     "lsh_autotune",
     "compression_screen",
+    "encoding_screen",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -1100,3 +1100,39 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def encoding_screen(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Byte-level encoding-health screen — the first gate of a web-crawl
+    pipeline: documents that survived charset sniffing but carry U+FFFD
+    replacement characters (decoder gave up), C0 control characters
+    (binary leaked into "text"), or classic UTF-8-read-as-Latin-1
+    mojibake sequences (a'&#x0303;' lead byte followed by a continuation
+    artifact: "A-tilde + punctuation", "a-circumflex + Euro-sign" pairs)
+    are broken upstream and poison tokenizers downstream.
+
+    Pure narrow JVM projection (regexp_count + length arithmetic), no
+    shuffle, and every column is SQL-replayable — the oracle runs the
+    same counts in DuckDB. NULL text: counts NULL, enc_ok NULL (no
+    evidence either way). Output: (doc_id, n_replacement, n_control,
+    n_mojibake, enc_ok).
+    """
+    t = F.col(text_col)
+    n_repl = F.length(t) - F.length(F.replace(t, F.lit("�"), F.lit("")))
+    n_ctrl = F.regexp_count(t, F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f]"))
+    n_moji = F.regexp_count(
+        t, F.lit("Ã[©¨¼«»]|â€|Â[ °£©]")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_repl.cast("long").alias("n_replacement"),
+        n_ctrl.cast("long").alias("n_control"),
+        n_moji.cast("long").alias("n_mojibake"),
+        (
+            (n_repl == 0) & (n_ctrl == 0) & (n_moji == 0)
+        ).alias("enc_ok"),
+    )

@@ -291,3 +291,32 @@ class TestCompressionScreen:
             r.bound_ok for r in out.values() if r.bound_ok is not None
         )
         assert out[1].n_bytes == 2000
+
+
+class TestEncodingScreen:
+    def test_counts_and_ok(self, spark):
+        from seriesly_spark.operators.textstats import encoding_screen
+
+        rows = [
+            (1, "perfectly clean prose here"),
+            (2, "bad �� decode"),           # 2 replacement chars
+            (3, "moji Ã© and â€™ artifacts"),          # 2 mojibake hits
+            (4, "ctrl\x01char\x1f"),                   # 2 control chars
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in encoding_screen(df).collect()}
+        assert out[1].enc_ok is True
+        assert (out[2].n_replacement, out[2].enc_ok) == (2, False)
+        assert out[3].n_mojibake >= 2 and out[3].enc_ok is False
+        assert (out[4].n_control, out[4].enc_ok) == (2, False)
+        assert out[5].enc_ok is None and out[5].n_replacement is None
+
+    def test_tab_and_newline_are_not_control_hits(self, spark):
+        from seriesly_spark.operators.textstats import encoding_screen
+
+        df = spark.createDataFrame(
+            [(1, "line one\nline two\ttabbed\r")], "doc_id long, text string"
+        )
+        r = encoding_screen(df).collect()[0]
+        assert (r.n_control, r.enc_ok) == (0, True)
