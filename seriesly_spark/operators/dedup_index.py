@@ -195,6 +195,27 @@ class DedupIndex:
         novel.write.mode("append").parquet(self._delta)
         return staged
 
+    def to_bucketed_table(
+        self, table: str, path: str | None = None
+    ) -> None:
+        """Export the index's distinct digests as a catalog-registered
+        table hash-bucketed by ``h`` (``n_buckets`` buckets, sorted
+        within each bucket) — the layout a cluster deployment probes
+        with :func:`probe_bucketed_history`: the directory-partitioned
+        parquet layout documents the bucketing intent, but only a
+        catalog bucket spec lets Catalyst DROP the history-side
+        Exchange from the probe join plan."""
+        from seriesly_spark.sources.bucketed import write_bucketed
+
+        write_bucketed(
+            self._index_df().distinct(),
+            table,
+            "h",
+            self.n_buckets,
+            sort_cols=["h"],
+            path=path,
+        )
+
     def compact(self, keep_staging: int = 2) -> dict:
         """Index maintenance: rewrite the whole data directory so each
         bucket holds ONE sorted, deduplicated file (daily appends leave
@@ -250,6 +271,37 @@ class DedupIndex:
             "files_after": _nfiles(self._data),
             "staging_removed": removed,
         }
+
+
+def probe_bucketed_history(
+    spark: SparkSession,
+    table: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Read-only shard probe against a bucketed-history export — the
+    100 TB shape made literal: the history side is a catalog table
+    bucketed by digest (see :meth:`DedupIndex.to_bucketed_table`), so
+    the probe join reads history's existing bucket distribution with
+    NO Exchange on the history side; only the shard's digests (16
+    bytes/doc) shuffle to match the bucket count. Pinned in-plan by
+    tests/test_round6_ops.py (exactly one Exchange, on the shard side,
+    with broadcast disabled).
+
+    Returns (id, h, dup_vs_index) — the vs-history classification only
+    (an exported table is a frozen snapshot; in-batch dedup and index
+    growth stay with :meth:`DedupIndex.update`)."""
+    h = F.md5(F.col(text_col).cast("binary"))
+    batch = docs.select(F.col(id_col).alias("id"), h.alias("h"))
+    hist = spark.table(table).withColumn("__in_idx", F.lit(True))
+    return (
+        batch.join(hist, "h", "left")
+        .withColumn(
+            "dup_vs_index", F.coalesce(F.col("__in_idx"), F.lit(False))
+        )
+        .drop("__in_idx")
+    )
 
 
 def index_update_report(updated: DataFrame) -> DataFrame:

@@ -320,3 +320,46 @@ class TestEncodingScreen:
         )
         r = encoding_screen(df).collect()[0]
         assert (r.n_control, r.enc_ok) == (0, True)
+
+
+class TestBucketedHistoryProbe:
+    def test_history_side_has_no_exchange(self, spark, tmp_path):
+        """The cluster-scale probe shape: history exported as a
+        digest-bucketed catalog table joins with NO Exchange on its
+        side — only the shard's digests shuffle (exactly one Exchange
+        in the whole plan, broadcast disabled so the bucketing, not a
+        broadcast, is what removes the history shuffle)."""
+        from seriesly_spark.operators.dedup_index import (
+            DedupIndex,
+            probe_bucketed_history,
+        )
+        from seriesly_spark.sources.bucketed import drop_bucketed
+
+        idx = DedupIndex(spark, str(tmp_path / "idx"), n_buckets=4)
+        hist = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+        )
+        idx.update(hist)
+        idx.compact()
+        table = "t_r6_bucketed_hist"
+        idx.to_bucketed_table(table, path=str(tmp_path / "tbl"))
+        shard = spark.createDataFrame(
+            [(100, "doc 7"), (101, "novel a"), (102, "doc 31"), (103, "novel b")],
+            "doc_id long, text string",
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probed = probe_bucketed_history(spark, table, shard)
+            got = {r.id: r.dup_vs_index for r in probed.collect()}
+            assert got == {100: True, 101: False, 102: True, 103: False}
+            plan = probed._jdf.queryExecution().executedPlan().toString()
+            # AQE prints Final + Initial plans; audit the final one
+            final = plan.split("== Initial Plan ==")[0]
+            assert final.count("Exchange") == 1, plan
+            # and the single Exchange hashes the SHARD side (the scan
+            # of the bucketed table reads its recorded distribution)
+            assert "SelectedBucketsCount" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            drop_bucketed(spark, table)
