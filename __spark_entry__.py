@@ -30,6 +30,7 @@ from seriesly_spark.functions.timeparse import canonical_key, parse_any_ts_ns
 from seriesly_spark.operators.dedup_index import (
     DedupIndex,
     MinhashIndex,
+    probe_bucketed_history,
     index_update_report,
 )
 from seriesly_spark.operators.dedup import (
@@ -3317,6 +3318,40 @@ def q_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_index_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-scale probe shape, driver-certified: even-id docs
+    seed a DedupIndex, compact() folds it, to_bucketed_table exports
+    the digests as a digest-bucketed catalog table, and the odd-id
+    shard probes it via probe_bucketed_history — the join plan has NO
+    Exchange on the history side (pinned by a plan test); this gate
+    value-checks the CLASSIFICATION cross-engine (history = distinct
+    even-doc hashes in SQL). Aggregated to one row so the result is
+    tiny and column-stable: shard size, history-dup count."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    root = _tf.mkdtemp(prefix="seriesly-bktprobe-")
+    idx = DedupIndex(spark, f"{root}/idx")
+    idx.update(a)
+    idx.compact()
+    table = f"bucketed_hist_{_uuid.uuid4().hex[:8]}"
+    idx.to_bucketed_table(table, path=f"{root}/tbl")
+    return (
+        probe_bucketed_history(spark, table, b)
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.col("dup_vs_index").cast("long")).alias("n_dup_vs_hist"),
+        )
+    )
+
+
 def q_minhash_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup sibling of the incremental index gate: shard A seeds a
     persistent band-signature index; shard B (odd docs + planted
@@ -3449,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_autotune": q_lsh_autotune,
         "compression_screen": q_compression_screen,
         "encoding_screen": q_encoding_screen,
+        "dedup_index_bucketed_probe": q_dedup_index_bucketed_probe,
         "p03_eq_filter": q_p03_eq_filter,
         "contamination": q_contamination,
         "sample_hash": q_sample_hash,
@@ -4610,6 +4646,18 @@ rb AS (SELECT 'b' AS batch, count(*) AS n_in,
            AS bigint) AS n_new
        FROM br)
 SELECT * FROM ra UNION ALL SELECT * FROM rb
+""",
+        "dedup_index_bucketed_probe": r"""
+WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents
+           WHERE doc_id % 2 = 0),
+b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, md5(text) AS h FROM documents
+      WHERE doc_id % 10 = 0)
+SELECT count(*)::BIGINT AS n_in,
+       cast(sum(CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+         AS n_dup_vs_hist
+FROM b LEFT JOIN a ON b.h = a.h
 """,
         "encoding_screen": r"""
 WITH t AS (

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "lsh_autotune",
     "compression_screen",
     "encoding_screen",
+    "dedup_index_bucketed_probe",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)
