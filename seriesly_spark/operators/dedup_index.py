@@ -457,6 +457,59 @@ class MinhashIndex:
         to_append.write.mode("append").parquet(self._delta)
         return staged
 
+    def to_bucketed_table(
+        self, table: str, path: str | None = None
+    ) -> None:
+        """Export the distinct (band, sig) signature set as a catalog
+        table hash-bucketed by (band, sig) — the probe join's EXACT
+        key set (Spark only drops the Exchange when the bucket columns
+        match the join keys: requireAllClusterKeysForCoPartition), so
+        the history side joins unshuffled, exactly like
+        :meth:`DedupIndex.to_bucketed_table`."""
+        from seriesly_spark.sources.bucketed import write_bucketed
+
+        write_bucketed(
+            self._index_df().distinct(),
+            table,
+            ["band", "sig"],
+            self.bands * 4,
+            sort_cols=["band", "sig"],
+            path=path,
+        )
+
+    def probe_bucketed(
+        self,
+        table: str,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Read-only near-dup probe of a shard against a bucketed
+        signature export: (id, n_band_hits, near_dup_candidate), with
+        the history side unshuffled. Snapshot semantics — the export
+        does not grow; use :meth:`update` for the read-write path."""
+        sig = self._signatures(docs, text_col, id_col)
+        hist = self.spark.table(table)
+        hits = (
+            sig.join(hist, ["band", "sig"], "left_semi")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_band_hits"))
+        )
+        return (
+            sig.select("id")
+            .distinct()
+            .join(hits, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("n_band_hits"), F.lit(0)).alias(
+                    "n_band_hits"
+                ),
+                (F.coalesce(F.col("n_band_hits"), F.lit(0)) > 0).alias(
+                    "near_dup_candidate"
+                ),
+            )
+        )
+
     def compact(self, keep_staging: int = 2) -> dict:
         """Fold each band's accumulated append files into one sorted,
         deduplicated file and prune old staging epochs — the

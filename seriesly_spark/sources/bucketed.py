@@ -29,17 +29,21 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_col: str,
+    bucket_col: "str | list[str]",
     n_buckets: int,
     sort_cols: list[str] | None = None,
     path: str | None = None,
 ) -> None:
-    """Persist ``df`` hash-bucketed by ``bucket_col`` into ``n_buckets``
-    buckets (optionally sorted within each bucket file), registered as
-    ``table`` in the session catalog. Choose ``n_buckets`` so one bucket
-    of the largest table fits an executor's working memory — buckets are
-    the post-scan parallelism for bucket-local stages."""
-    w = df.write.format("parquet").bucketBy(n_buckets, bucket_col)
+    """Persist ``df`` hash-bucketed by ``bucket_col`` (one column or a
+    list — joins drop their Exchange only when the bucket columns
+    EXACTLY match the join keys: requireAllClusterKeysForCoPartition)
+    into ``n_buckets`` buckets (optionally sorted within each bucket
+    file), registered as ``table`` in the session catalog. Choose
+    ``n_buckets`` so one bucket of the largest table fits an executor's
+    working memory — buckets are the post-scan parallelism for
+    bucket-local stages."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = df.write.format("parquet").bucketBy(n_buckets, *cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
     if path is not None:

@@ -363,3 +363,49 @@ class TestBucketedHistoryProbe:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             drop_bucketed(spark, table)
+
+
+class TestMinhashBucketedProbe:
+    def test_history_side_has_no_exchange(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import MinhashIndex
+        from seriesly_spark.sources.bucketed import drop_bucketed
+
+        idx = MinhashIndex(spark, str(tmp_path / "mh"), bands=4)
+        hist = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta tail{i}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        idx.update(hist)
+        idx.compact()
+        table = "t_r6_bucketed_mh"
+        idx.to_bucketed_table(table, path=str(tmp_path / "tbl"))
+        shard = spark.createDataFrame(
+            [(100, "alpha beta gamma delta tail7"),   # replay: full hits
+             (101, "completely different words here now")],
+            "doc_id long, text string",
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probed = idx.probe_bucketed(table, shard)
+            got = {r.id: (r.n_band_hits, r.near_dup_candidate)
+                   for r in probed.collect()}
+            assert got[100] == (4, True)
+            assert got[101] == (0, False)
+            plan = probed._jdf.queryExecution().executedPlan().toString()
+            final = plan.split("== Initial Plan ==")[0]
+            # semi-join shuffles only the shard's signatures; history
+            # scan reads its bucket distribution. (The id-side rollup
+            # adds its own exchanges; the history side must add NONE:
+            # every Exchange hashes id or (band, sig) of the SHARD.)
+            assert "SelectedBucketsCount" in final, plan
+            import re
+            ex_lines = [ln for ln in final.splitlines() if "Exchange hashpartitioning" in ln]
+            assert ex_lines, plan
+            # no exchange directly above the bucketed table scan:
+            # the scan's subtree between join and FileScan is Sort-only
+            seg = final.split("FileScan parquet")[0].splitlines()[-4:]
+            assert not any("Exchange" in ln for ln in seg), plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            drop_bucketed(spark, table)
