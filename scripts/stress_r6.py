@@ -104,6 +104,35 @@ def main():
         results,
     )
 
+    # The cluster probe shape: history as a digest-bucketed catalog
+    # table — no Exchange on the history side (read-only snapshot).
+    from seriesly_spark.operators.dedup_index import probe_bucketed_history
+
+    timed(
+        "export bucketed history table",
+        lambda: idx.to_bucketed_table(
+            "stress_hist", path=os.path.join(ROOT, "hist_tbl")
+        ),
+        results,
+    )
+    sh4 = shard_docs(spark, N_SHARD, N_HIST + 3 * N_SHARD, N_HIST)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for tag in ("cold", "warm"):
+        timed(
+            f"bucketed probe ({tag}, history unshuffled)",
+            lambda: str(
+                probe_bucketed_history(spark, "stress_hist", sh4)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("dup_vs_index").cast("long")).alias("dup"),
+                )
+                .collect()[0]
+                .asDict()
+            ),
+            results,
+        )
+    spark.sql("DROP TABLE IF EXISTS stress_hist")
+
     # --- MinhashIndex: 2M-doc history of 8-token docs ---
     def mh_docs(n, offset=0, tag="h"):
         return spark.range(n).select(
