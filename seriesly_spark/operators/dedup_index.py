@@ -310,16 +310,24 @@ def index_update_report(updated: DataFrame) -> DataFrame:
     indexed history, and the novel-hash count appended (NULL-text rows
     count in ``n_in`` but are neither dups nor appended — ``n_new``
     counts only rows with a real digest)."""
+    z = F.lit(0).cast("long")
     return updated.agg(
         F.count(F.lit(1)).alias("n_in"),
-        F.sum(F.col("dup_in_batch").cast("long")).alias("n_dup_in_batch"),
-        F.sum(F.col("dup_vs_index").cast("long")).alias("n_dup_vs_index"),
-        F.sum(
-            (
-                F.col("h").isNotNull()
-                & ~F.col("dup_in_batch")
-                & ~F.col("dup_vs_index")
-            ).cast("long")
+        F.coalesce(
+            F.sum(F.col("dup_in_batch").cast("long")), z
+        ).alias("n_dup_in_batch"),
+        F.coalesce(
+            F.sum(F.col("dup_vs_index").cast("long")), z
+        ).alias("n_dup_vs_index"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("h").isNotNull()
+                    & ~F.col("dup_in_batch")
+                    & ~F.col("dup_vs_index")
+                ).cast("long")
+            ),
+            z,
         ).alias("n_new"),
     )
 

@@ -140,3 +140,34 @@ class TestEmptyVectors:
         assert hard_negatives(empty_vecs, [0, 1], k=3).count() == 0
         r = pca_power_iteration(empty_vecs).collect()
         assert len(r) == 1 and r[0].n == 0  # explicit all-false row
+
+
+class TestRound6EmptyInputs:
+    def test_screens_empty(self, spark, empty_docs):
+        from seriesly_spark.operators.textstats import (
+            compression_screen,
+            encoding_screen,
+        )
+
+        assert compression_screen(empty_docs).count() == 0
+        assert encoding_screen(empty_docs).count() == 0
+
+    def test_index_update_on_empty_batch(self, spark, empty_docs, tmp_path):
+        """An empty shard (pruned subset, new tenant) must classify to
+        an empty frame and grow the index by nothing."""
+        from seriesly_spark.operators.dedup_index import (
+            DedupIndex,
+            MinhashIndex,
+            index_update_report,
+        )
+
+        idx = DedupIndex(spark, str(tmp_path / "i"))
+        out = idx.update(empty_docs)
+        assert out.count() == 0
+        assert idx.size() == 0
+        r = index_update_report(out).collect()[0]
+        assert (r.n_in, r.n_new) == (0, 0)
+        mh = MinhashIndex(spark, str(tmp_path / "m"))
+        assert mh.update(empty_docs).count() == 0
+        # compact on an empty index is a no-op, not an error
+        assert idx.compact()["files_after"] == 0

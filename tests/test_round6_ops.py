@@ -409,3 +409,29 @@ class TestMinhashBucketedProbe:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             drop_bucketed(spark, table)
+
+
+class TestStagingDurability:
+    def test_staged_parquet_is_the_classification(self, spark, tmp_path):
+        """Restart equivalence: the staging dir holds standard parquet
+        that any fresh session can read — its contents ARE the
+        classification the update returned (no lineage, no cache, no
+        checkpoint directory needed to reconstruct it)."""
+        from seriesly_spark.operators.dedup_index import DedupIndex
+
+        path = str(tmp_path / "idx")
+        idx = DedupIndex(spark, path)
+        batch = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "alpha")],
+            "doc_id long, text string",
+        )
+        returned = {tuple(r) for r in idx.update(batch).collect()}
+        # independent read of the on-disk artifact (what a restarted
+        # driver would do)
+        ondisk = {
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(path, "staging", "1")
+            ).select("id", "h", "dup_in_batch", "dup_vs_index").collect()
+        }
+        assert returned == ondisk and len(ondisk) == 3
