@@ -159,11 +159,13 @@ class DedupIndex:
             "dup_in_batch",
             F.col("h").isNotNull() & (F.row_number().over(w) > 1),
         )
-        idx = (
-            self._index_df()
-            .distinct()
-            .withColumn("__in_idx", F.lit(True))
-        )
+        # NO distinct over history: the exactly-once growth invariant
+        # (only novel digests are ever appended; compact() dedups
+        # defensively) means each digest appears at most once across
+        # base+delta, so the left join cannot fan out — and skipping
+        # the distinct removes a full history-sized shuffle PER PROBE,
+        # the one O(history) step this operator must not have.
+        idx = self._index_df().withColumn("__in_idx", F.lit(True))
         out = (
             ranked.join(idx, "h", "left")
             .withColumn(
@@ -432,7 +434,11 @@ class MinhashIndex:
         sig = self.spark.read.schema("id long, band int, sig string").parquet(
             sig_dir
         )
-        idx = self._index_df().distinct()
+        # No distinct over history: a LEFT SEMI join is insensitive to
+        # duplicate right-side rows (signatures DO repeat across
+        # shards), so deduplicating 16 x history rows per probe would
+        # be a pure O(history)-shuffle tax. compact() dedups storage.
+        idx = self._index_df()
         hits = (
             sig.join(idx, ["band", "sig"], "left_semi")
             .groupBy("id")
