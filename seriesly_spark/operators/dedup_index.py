@@ -40,6 +40,12 @@ bucket-partitioned append would create n_buckets files per update);
 ``compact`` folds delta into the bucketed base, which is what probe
 co-location reads at scale. MinhashIndex uses the same shape with
 ``band`` as the bucket column.
+
+Concurrency contract: SINGLE WRITER per index path (one pipeline owns
+its index — the same contract every LSM store and table format without
+a lock service has). Concurrent ``update`` calls could race the epoch
+counter and the exactly-once append invariant; readers of exported
+bucketed tables are unaffected (snapshots).
 """
 
 from __future__ import annotations
@@ -502,7 +508,15 @@ class MinhashIndex:
         signature export: (id, n_band_hits, near_dup_candidate), with
         the history side unshuffled. Snapshot semantics — the export
         does not grow; use :meth:`update` for the read-write path."""
-        sig = self._signatures(docs, text_col, id_col)
+        from seriesly_spark.operators.util import scoped_persist
+
+        # two consumers (semi-join side + the id rollup) in one action:
+        # persist or the signature computation runs twice
+        sig = scoped_persist(
+            self._signatures(docs, text_col, id_col),
+            "dedup_index.probe_bucketed_sig",
+            eager=True,
+        )
         hist = self.spark.table(table)
         hits = (
             sig.join(hist, ["band", "sig"], "left_semi")
