@@ -43,6 +43,7 @@ from seriesly_spark.operators.dedup import (
     dedup_exact,
     hamming_pairs,
     levenshtein_pairs,
+    dedup_best,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     paragraph_dedup,
@@ -3427,6 +3428,24 @@ def q_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding_screen(docs.select("doc_id", raw.alias("text")))
 
 
+def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-preferring exact dedup: keep the BEST duplicate per
+    content hash (max score, min-id ties) instead of the arbitrary
+    lowest id. The gate plants a re-keyed, score-boosted replay of
+    every id%7==0 document, so the boosted copy must win its hash
+    group — the score path is value-checked, not just the tiebreak.
+    One md5-keyed hash aggregate; bodies never shuffle."""
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    boost = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        "text",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    return dedup_best(docs.unionByName(boost), "n_chars")
+
+
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/precision of the minhash-LSH candidate generator against
     exact Jaccard truth at 0.5 — turns the bands knob into a measured
@@ -3485,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_screen": q_compression_screen,
         "encoding_screen": q_encoding_screen,
         "dedup_index_bucketed_probe": q_dedup_index_bucketed_probe,
+        "dedup_best": q_dedup_best,
         "p03_eq_filter": q_p03_eq_filter,
         "contamination": q_contamination,
         "sample_hash": q_sample_hash,
@@ -4646,6 +4666,15 @@ rb AS (SELECT 'b' AS batch, count(*) AS n_in,
            AS bigint) AS n_new
        FROM br)
 SELECT * FROM ra UNION ALL SELECT * FROM rb
+""",
+        "dedup_best": r"""
+WITH un AS (
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text, n_chars + 1000 AS n_chars
+  FROM documents WHERE doc_id % 7 = 0)
+SELECT (array_agg(doc_id ORDER BY n_chars DESC, doc_id ASC))[1] AS doc_id
+FROM un GROUP BY md5(text)
 """,
         "dedup_index_bucketed_probe": r"""
 WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents

@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "compression_screen",
     "encoding_screen",
     "dedup_index_bucketed_probe",
+    "dedup_best",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -47,6 +47,38 @@ def dedup_exact(
     )
 
 
+def dedup_best(
+    docs: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivor ids per exact content hash, keeping the BEST duplicate
+    instead of the arbitrary lowest id — the survivorship policy a real
+    curation run wants (among byte-identical scrapes keep the one with
+    the richest metadata / longest cleaned form / highest quality
+    score). Ties break on the smaller id, so the pick is deterministic
+    and engine-portable.
+
+    Same scale shape as :func:`dedup_exact`: md5 before the shuffle
+    (16-byte keys move, bodies don't), ONE hash aggregate — ``max_by``
+    over (score, -id) collapses map-side, no window, no second pass.
+    NULL scores lose to any non-NULL score (struct comparison); an
+    all-NULL group falls back to the id tiebreak.
+    """
+    pick = F.max_by(
+        F.col(id_col),
+        F.struct(
+            F.col(score_col).alias("s"), (-F.col(id_col)).alias("t")
+        ),
+    )
+    return (
+        docs.groupBy(content_hash(F.col(text_col)).alias("h"))
+        .agg(pick.alias(id_col))
+        .select(id_col)
+    )
+
+
 def word_shingles(text_col: str, n: int = 3) -> "F.Column":
     """Distinct word n-grams of the whitespace-tokenized text (JVM-side)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")

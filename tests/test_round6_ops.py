@@ -435,3 +435,23 @@ class TestStagingDurability:
             ).select("id", "h", "dup_in_batch", "dup_vs_index").collect()
         }
         assert returned == ondisk and len(ondisk) == 3
+
+
+class TestDedupBest:
+    def test_score_then_id_survivorship(self, spark):
+        from seriesly_spark.operators.dedup import dedup_best
+
+        rows = [(1, "same", None), (2, "same", 5.0), (3, "same", None),
+                (4, "other", None), (5, "other", None),
+                (6, "third", 9.0), (7, "third", 2.0)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+        out = sorted(r.doc_id for r in dedup_best(df, "score").collect())
+        # non-NULL score beats NULL; all-NULL group falls to min id;
+        # max score wins outright
+        assert out == [2, 4, 6]
+
+    def test_empty(self, spark):
+        from seriesly_spark.operators.dedup import dedup_best
+
+        df = spark.createDataFrame([], "doc_id long, text string, score double")
+        assert dedup_best(df, "score").count() == 0
