@@ -3428,6 +3428,39 @@ def q_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding_screen(docs.select("doc_id", raw.alias("text")))
 
 
+def q_minhash_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup sibling of dedup_index_bucketed_probe: even-id docs
+    seed a MinhashIndex, compact() folds it, to_bucketed_table exports
+    the (band, sig) set bucketed by BOTH join keys, and the odd-id
+    shard (plus planted near-dup variants) probes it read-only via
+    probe_bucketed — the history side joins unshuffled (plan-pinned in
+    tests). One row: shard size, candidate count (the oracle replays
+    the signature construction in SQL)."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" planted tail token")).alias(
+                "text"
+            ),
+        )
+    )
+    root = _tf.mkdtemp(prefix="seriesly-mhbkt-")
+    idx = MinhashIndex(spark, f"{root}/idx")
+    idx.update(a)
+    idx.compact()
+    table = f"bucketed_mh_{_uuid.uuid4().hex[:8]}"
+    idx.to_bucketed_table(table, path=f"{root}/tbl")
+    return idx.probe_bucketed(table, b).agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(F.col("near_dup_candidate").cast("long")).alias("n_candidates"),
+    )
+
+
 def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-preferring exact dedup: keep the BEST duplicate per
     content hash (max score, min-id ties) instead of the arbitrary
@@ -3505,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_screen": q_encoding_screen,
         "dedup_index_bucketed_probe": q_dedup_index_bucketed_probe,
         "dedup_best": q_dedup_best,
+        "minhash_bucketed_probe": q_minhash_bucketed_probe,
         "p03_eq_filter": q_p03_eq_filter,
         "contamination": q_contamination,
         "sample_hash": q_sample_hash,
@@ -4666,6 +4700,36 @@ rb AS (SELECT 'b' AS batch, count(*) AS n_in,
            AS bigint) AS n_new
        FROM br)
 SELECT * FROM ra UNION ALL SELECT * FROM rb
+""",
+        "minhash_bucketed_probe": r"""
+WITH da AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+db AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+       UNION ALL
+       SELECT doc_id + 200000 AS doc_id, text || ' planted tail token'
+       FROM documents WHERE doc_id % 10 = 0),
+ga AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> array_to_string(toks[i:i+2], ' '))) AS grams
+       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             FROM da) WHERE len(toks) >= 3),
+gb AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> array_to_string(toks[i:i+2], ' '))) AS grams
+       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             FROM db) WHERE len(toks) >= 3),
+sa AS (SELECT doc_id, band,
+         list_min(list_transform(grams,
+           x -> substr(md5((band // 4)::VARCHAR || '|' || x),
+                       ((band % 4) * 8 + 1)::INT, 8))) AS sig
+       FROM ga, unnest(range(0, 16)) AS u(band)),
+sb AS (SELECT doc_id, band,
+         list_min(list_transform(grams,
+           x -> substr(md5((band // 4)::VARCHAR || '|' || x),
+                       ((band % 4) * 8 + 1)::INT, 8))) AS sig
+       FROM gb, unnest(range(0, 16)) AS u(band)),
+ia AS (SELECT DISTINCT band, sig FROM sa),
+cand AS (SELECT DISTINCT sb.doc_id
+         FROM sb JOIN ia ON sb.band = ia.band AND sb.sig = ia.sig)
+SELECT (SELECT count(*) FROM gb)::BIGINT AS n_in,
+       (SELECT count(*) FROM cand)::BIGINT AS n_candidates
 """,
         "dedup_best": r"""
 WITH un AS (

@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "encoding_screen",
     "dedup_index_bucketed_probe",
     "dedup_best",
+    "minhash_bucketed_probe",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)
