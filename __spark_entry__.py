@@ -3522,10 +3522,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     asserts every entry is certified or inside the current head-50."""
     return {
         # --- head-50 layout for the r06 driver window ---
-        # slots 1-2: never driver-certified (new this round:
-        #   the LSH banding auto-tuner; the production
-        #   compression screen split from its certificate);
-        # slots 3-39: the OLDEST-certified cohort — every query
+        # slots 1-6: never driver-certified (new this round: the LSH
+        #   banding auto-tuner, the production compression screen split
+        #   from its certificate, the encoding-health screen, the two
+        #   bucketed-history probe gates, and quality-preferring exact
+        #   dedup);
+        # then: the OLDEST-certified cohort — every query
         #   whose newest green driver row is round 1/2; four
         #   rounds of shared-spine refactors (scoped_persist,
         #   spread, norm hoists) have landed since, so "green in
