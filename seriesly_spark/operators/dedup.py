@@ -312,6 +312,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     bands: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via minhash banding (r=1 per band).
 
@@ -321,6 +322,19 @@ def minhash_lsh_pairs(
     candidates when any band signature collides. Expected to catch pairs
     with Jaccard >= ~1 - (1 - s)^bands; follow with ngram_jaccard_pairs on
     the candidates for exactness at scale.
+
+    ``max_bucket``: the minhash analogue of ``max_df`` — a corpus-wide
+    boilerplate shingle ("tail edit token" page chrome) becomes the
+    band-minimum for ~1/|grams| of EVERY document carrying it, putting
+    O(corpus/|grams|) docs into ONE (band, sig) bucket and the self-join
+    into that bucket's quadratic pair count (measured: two 100k-df
+    trigrams at 200k docs -> 300M+ candidate pairs, job killed). Buckets
+    above the cap are dropped before the join: a signature shared by
+    thousands of documents carries no near-dup signal, exactly like an
+    ultra-frequent shingle. Recall loss is bounded to pairs whose ONLY
+    collisions are mega-buckets — strip boilerplate first
+    (boilerplate_ngrams) when that matters. None = exact
+    oracle-checked semantics.
     """
     sh = spread(docs).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
@@ -334,6 +348,14 @@ def minhash_lsh_pairs(
     # One signature row per (doc, band) — computing the md5 minhashes is the
     # expensive part, the self-join must not run it twice (see hamming_pairs).
     banded = scoped_persist(banded, "dedup.minhash_banded", eager=True)
+    if max_bucket is not None:
+        keep = (
+            banded.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("__bk"))
+            .where(F.col("__bk") <= max_bucket)
+            .select("band", "sig")
+        )
+        banded = banded.join(keep, ["band", "sig"])
     left = banded.select(F.col("id").alias("a"), "band", "sig")
     right = banded.select(F.col("id").alias("b"), "band", "sig")
     return (
@@ -970,6 +992,8 @@ def lsh_autotune(
     configs: tuple = ((32, 1), (16, 2), (8, 4), (4, 8)),
     threshold: float = 0.5,
     target_recall: float = 0.9,
+    max_df: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH parameter auto-tuner: score every (bands, rows-per-band)
     banding of ONE shared minhash signature against exact Jaccard truth
@@ -1056,6 +1080,15 @@ def lsh_autotune(
     # banded is NOT persisted: it derives from the persisted mh by
     # cheap fixed-width slicing+md5, so recomputing it per join side is
     # cheaper than materializing |docs| x 60 signature rows (measured).
+    if max_bucket is not None:
+        # same mega-bucket guard as minhash_lsh_pairs, keyed per config
+        keep = (
+            banded.groupBy("bands", "band", "sig")
+            .agg(F.count(F.lit(1)).alias("__bk"))
+            .where(F.col("__bk") <= max_bucket)
+            .select("bands", "band", "sig")
+        )
+        banded = banded.join(keep, ["bands", "band", "sig"])
     left = banded.select(F.col("id").alias("a"), "bands", "band", "sig")
     right = banded.select(F.col("id").alias("b"), "bands", "band", "sig")
     cand = (
@@ -1065,9 +1098,15 @@ def lsh_autotune(
         .distinct()
     )
     cand = scoped_persist(cand, "dedup.autotune_cand", eager=True)
-    truth = ngram_jaccard_pairs(docs, text_col, id_col, n, threshold).select(
-        "a", "b"
-    )
+    # max_df: at sample sizes beyond ~10^5 docs the truth miner's
+    # shared-shingle join hits Zipfian corpus-wide shingles ("alpha
+    # beta gamma" frame phrases) whose buckets go quadratic; cap their
+    # document frequency exactly as ngram_jaccard_pairs documents
+    # (slight jaccard underestimate on truth — the tuner's recall
+    # becomes marginally conservative, the safe direction).
+    truth = ngram_jaccard_pairs(
+        docs, text_col, id_col, n, threshold, max_df=max_df
+    ).select("a", "b")
     truth = scoped_persist(truth, "dedup.autotune_truth", eager=True)
     cfg = spark.createDataFrame(
         list(configs), "bands int, rows_per_band int"

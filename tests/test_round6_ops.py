@@ -455,3 +455,45 @@ class TestDedupBest:
 
         df = spark.createDataFrame([], "doc_id long, text string, score double")
         assert dedup_best(df, "score").count() == 0
+
+
+class TestMaxBucketCap:
+    def test_mega_bucket_dropped_real_pairs_kept(self, spark):
+        """A signature bucket shared by many docs (corpus-wide
+        boilerplate) is dropped from candidate generation; pairs that
+        also collide in small buckets survive."""
+        from seriesly_spark.operators.dedup import minhash_lsh_pairs
+
+        # 30 docs all ending in the same boilerplate phrase; docs 0/1
+        # are near-identical (collide on their OWN content signatures)
+        rows = [(0, "alpha beta gamma delta epsilon zeta boiler plate line"),
+                (1, "alpha beta gamma delta epsilon zeta boiler plate line x")]
+        rows += [(i, f"unique{i} body{i} words{i} here{i} boiler plate line")
+                 for i in range(2, 30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = {(r.a, r.b) for r in
+                  minhash_lsh_pairs(df, max_bucket=5).collect()}
+        assert (0, 1) in capped
+        # default (None) keeps exact semantics; the cap may only REMOVE
+        # candidates (the > 5-doc boilerplate buckets), never add
+        full = {(r.a, r.b) for r in minhash_lsh_pairs(df).collect()}
+        assert capped < full
+        # the cap bounds COST: boilerplate pairs surviving via small
+        # per-band buckets are fine, but the count must drop sharply
+        boiler_capped = sum(1 for a, b in capped if a >= 2 and b >= 2)
+        boiler_full = sum(1 for a, b in full if a >= 2 and b >= 2)
+        assert boiler_capped < boiler_full
+
+    def test_autotune_cap_passthrough(self, spark):
+        from seriesly_spark.operators.dedup import lsh_autotune
+
+        rows = [(i, f"u{i} v{i} w{i} x{i} shared frame suffix tokens")
+                for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = lsh_autotune(df, max_bucket=4).collect()
+        assert len(out) == 4 and sum(r.picked for r in out) == 1
+        # with the frame buckets capped, candidate counts collapse
+        out_full = lsh_autotune(df).collect()
+        by = {r.bands: r.n_cand for r in out}
+        by_full = {r.bands: r.n_cand for r in out_full}
+        assert all(by[b] <= by_full[b] for b in by)
