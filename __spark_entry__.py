@@ -877,6 +877,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_table(spark, sf_dir, "documents"), n=3, bands=16)
 
 
+def q_dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-guarded minhash miner (max_bucket=25): (band, sig)
+    buckets shared by more than 25 docs are dropped before the
+    self-join — the mega-bucket guard that keeps candidate generation
+    sub-quadratic under corpus-wide boilerplate (PLANS.md: 300M+ pair
+    blowup at 200k docs without it). The oracle replays the bucket-
+    count filter in SQL, so the CAP SEMANTICS are value-checked, like
+    the capped jaccard/containment gates."""
+    return minhash_lsh_pairs(
+        _table(spark, sf_dir, "documents"), max_bucket=25
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (32-bit md5-nibble fingerprint, Hamming<=3,
     4-band pigeonhole join; oracle brute-forces the same fingerprint)."""
@@ -3541,6 +3554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_bucketed_probe": q_dedup_index_bucketed_probe,
         "dedup_best": q_dedup_best,
         "minhash_bucketed_probe": q_minhash_bucketed_probe,
+        "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
         "p03_eq_filter": q_p03_eq_filter,
         "contamination": q_contamination,
         "sample_hash": q_sample_hash,
@@ -4702,6 +4716,28 @@ rb AS (SELECT 'b' AS batch, count(*) AS n_in,
            AS bigint) AS n_new
        FROM br)
 SELECT * FROM ra UNION ALL SELECT * FROM rb
+""",
+        "dedup_minhash_lsh_capped": r"""
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+sig AS (
+  SELECT doc_id, band,
+    list_min(list_transform(grams, x ->
+      substr(md5((band // 4)::VARCHAR || '|' || x),
+             ((band % 4) * 8 + 1)::INT, 8))) AS sig
+  FROM g, unnest(range(0, 16)) AS u(band)
+),
+keep AS (
+  SELECT band, sig FROM sig GROUP BY band, sig HAVING count(*) <= 25
+),
+s2 AS (SELECT sig.* FROM sig JOIN keep USING (band, sig))
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM s2 a JOIN s2 b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """,
         "minhash_bucketed_probe": r"""
 WITH da AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),

@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "dedup_index_bucketed_probe",
     "dedup_best",
     "minhash_bucketed_probe",
+    "dedup_minhash_lsh_capped",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)
