@@ -233,7 +233,13 @@ class SerieslyDB:
         if not os.path.isdir(d) or not os.listdir(d):
             return self.spark.createDataFrame([], CHANGELOG_SCHEMA)
         return (
-            self.spark.read.schema(CHANGELOG_SCHEMA).parquet(d).orderBy("seq")
+            self.spark.read.schema(CHANGELOG_SCHEMA)
+            .parquet(d)
+            # seq is the commit identity; a fold interrupted between
+            # its atomic replace and the segment removals leaves rows
+            # present in both the consolidated file and an old segment.
+            .dropDuplicates(["seq"])
+            .orderBy("seq")
         )
 
     # -- Reads (S1-S3, S10/S11) --------------------------------------------
@@ -478,11 +484,25 @@ class SerieslyDB:
         merged = pa.concat_tables(
             [pq.read_table(os.path.join(d, f)) for f in files]
         ).sort_by("seq")
+        # A crash between the replace and the removals leaves old
+        # segments whose rows the consolidated file ALSO holds — rows
+        # carry their seq, so readers dedupe; dedupe here too so a
+        # re-fold after such a crash stays idempotent.
+        seqs = merged.column("seq").to_pylist()
+        keep = [i for i, s in enumerate(seqs) if i == 0 or s != seqs[i - 1]]
+        if len(keep) != len(seqs):
+            merged = merged.take(keep)
         tmp = os.path.join(d, "_fold.tmp")
         pq.write_table(merged, tmp)
+        # Crash-safety order: install the consolidated file FIRST (the
+        # atomic os.replace), THEN remove the folded segments. A crash
+        # in between duplicates rows (recoverable — see above); the old
+        # remove-first order lost the whole history if the replace
+        # never ran (merged rows stranded in _fold.tmp, which no
+        # reader picks up).
+        os.replace(tmp, os.path.join(d, files[-1]))
         for f in files[:-1]:
             os.remove(os.path.join(d, f))
-        os.replace(tmp, os.path.join(d, files[-1]))
 
     def info(self, name: str) -> dict:
         """S9: doc_count (live keys), space_used, partition/file counts.

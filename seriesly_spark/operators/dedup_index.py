@@ -88,6 +88,55 @@ def _next_epoch(staging_root: str) -> int:
     return last + 1
 
 
+def _legacy_files(path: str) -> list[str]:
+    """Parquet files sitting DIRECTLY under the index root — the
+    pre-LSM layout (before the data/ + delta/ split). A current-layout
+    ``_index_df`` reads only data/ and delta/, so silently ignoring
+    these would classify every historical duplicate as novel."""
+    if not os.path.isdir(path):
+        return []
+    return [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+
+def _recover_compact(data: str, delta: str) -> str | None:
+    """Crash recovery for :meth:`compact`'s directory swap, run on
+    every index open. The swap protocol is: write ``data.compact-tmp``
+    (Spark stamps ``_SUCCESS`` on completion), rename ``data`` ->
+    ``data.compact-old``, rename tmp -> ``data``, remove ``delta``,
+    remove old. A crash can strand any prefix; each stranding is
+    unambiguous from which directories exist:
+
+      * old exists, data missing  -> crashed mid-swap: roll FORWARD if
+        tmp is complete (tmp already holds base+delta folded), else
+        roll BACK to old;
+      * old and data both exist   -> swap done, cleanup unfinished:
+        delta's rows are already folded into data, so finish the
+        removals (leaving delta would fan out update()'s probe join);
+      * tmp exists alone          -> crashed before any rename: the
+        live base+delta are untouched; drop the partial tmp.
+    """
+    tmp = data + ".compact-tmp"
+    old = data + ".compact-old"
+    tmp_ok = os.path.isfile(os.path.join(tmp, "_SUCCESS"))
+    if os.path.isdir(old) and not os.path.isdir(data):
+        if tmp_ok:
+            os.rename(tmp, data)
+            shutil.rmtree(delta, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            return "rolled_forward"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.rename(old, data)
+        return "rolled_back"
+    if os.path.isdir(old):
+        shutil.rmtree(delta, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        return "finished_cleanup"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return "rolled_back"
+    return None
+
+
 class DedupIndex:
     """Exact-content dedup index at ``path``: a bucketed parquet
     directory of ``h`` digests plus a durable per-update staging area.
@@ -102,6 +151,23 @@ class DedupIndex:
         self._data = os.path.join(path, "data")
         self._delta = os.path.join(path, "delta")
         self._staging = os.path.join(path, "staging")
+        _recover_compact(self._data, self._delta)
+        # Legacy layout (digest parquet directly under the root, from
+        # before the data/delta split): the digests are the SAME ``h``
+        # scheme, so migrate them into delta/ — they rejoin the probe
+        # path immediately and the next compact() buckets them.
+        legacy = _legacy_files(path)
+        if legacy:
+            os.makedirs(self._delta, exist_ok=True)
+            for f in legacy:
+                os.replace(
+                    os.path.join(path, f), os.path.join(self._delta, f)
+                )
+            # An index written by BOTH layouts may have re-appended
+            # legacy digests (the new reader saw an empty index);
+            # compacting once restores the each-digest-at-most-once
+            # invariant update()'s no-fanout probe join relies on.
+            self.compact()
 
     def _bucket(self, h):
         return F.pmod(F.crc32(h.cast("binary")), F.lit(self.n_buckets)).cast(
@@ -257,13 +323,18 @@ class DedupIndex:
                 .partitionBy("bucket")
                 .parquet(tmp)
             )
+            # Swap order matters for crash-safety: tmp (which holds
+            # base+delta folded, _SUCCESS-stamped) renames into place
+            # IMMEDIATELY after the base moves aside, and only then do
+            # the removals run. Every stranded prefix is repaired by
+            # _recover_compact on the next open.
             old = self._data + ".compact-old"
             shutil.rmtree(old, ignore_errors=True)
             if os.path.isdir(self._data):
                 os.rename(self._data, old)
             os.rename(tmp, self._data)
-            shutil.rmtree(old, ignore_errors=True)
             shutil.rmtree(self._delta, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
         removed = 0
         if os.path.isdir(self._staging):
             epochs = sorted(
@@ -372,6 +443,21 @@ class MinhashIndex:
         self._data = os.path.join(path, "data")
         self._delta = os.path.join(path, "delta")
         self._staging = os.path.join(path, "staging")
+        _recover_compact(self._data, self._delta)
+        # Legacy layout detection: unlike DedupIndex, old signatures
+        # CANNOT be migrated — the minhash scheme changed (per-band
+        # md5 -> chunked md5), so an old signature never matches a new
+        # probe. Silently reading an empty index would classify every
+        # historical near-dup as novel; fail loudly instead.
+        if _legacy_files(path):
+            raise ValueError(
+                f"incompatible MinhashIndex layout at {path}: parquet "
+                "files directly under the index root predate the "
+                "data/delta layout AND the chunked signature scheme; "
+                "old signatures can never match new probes. Rebuild "
+                "the index from the source corpus (or point at a "
+                "fresh path)."
+            )
 
     def _index_df(self) -> DataFrame:
         parts = []
@@ -564,13 +650,15 @@ class MinhashIndex:
                 .partitionBy("band")
                 .parquet(tmp)
             )
+            # Same crash-safe swap order as DedupIndex.compact; every
+            # stranded prefix is repaired by _recover_compact on open.
             old = self._data + ".compact-old"
             shutil.rmtree(old, ignore_errors=True)
             if os.path.isdir(self._data):
                 os.rename(self._data, old)
             os.rename(tmp, self._data)
-            shutil.rmtree(old, ignore_errors=True)
             shutil.rmtree(self._delta, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
         removed = 0
         if os.path.isdir(self._staging):
             epochs = sorted(
