@@ -71,6 +71,22 @@ def _footer_rows(d: str) -> int:
     return total
 
 
+def _changelog_has_stranded_dups(d: str, files: list[str]) -> bool:
+    """True iff an interrupted :meth:`SerieslyDB._fold_changelog` left
+    duplicate seqs in the log directory. Per-commit segments hold ONE
+    row; the fold's consolidated file (named with the max folded seq)
+    holds every seq <= its own name. So duplicates exist exactly when a
+    multi-row file has a sibling with a smaller name — that sibling was
+    folded in, but its removal never ran. Detection is driver-side
+    parquet-footer reads over a metadata-sized directory."""
+    import pyarrow.parquet as pq
+
+    for f in files[1:]:  # files sorted by name == seq order
+        if pq.read_metadata(os.path.join(d, f)).num_rows > 1:
+            return True
+    return False
+
+
 class SerieslyDB:
     """Filesystem-rooted database registry + per-database operations.
 
@@ -78,11 +94,20 @@ class SerieslyDB:
     segment per mutating commit to ``<db>/.changelog/`` — a write-ahead
     commit log in the style of lakehouse table formats (Delta's _delta_log
     analogue, metadata-sized). The dot-prefixed directory is invisible to
-    Spark's data readers, and the log itself is APPEND-ONLY by
-    construction (rewrites/compaction never touch old segments), so
-    streaming it surfaces deletes and compaction as first-class change
-    rows — the piece the plain append-only docs feed (:meth:`changes`)
-    cannot observe.
+    Spark's data readers. Mutations only ever ADD segments, so streaming
+    it surfaces deletes and compaction as first-class change rows — the
+    piece the plain append-only docs feed (:meth:`changes`) cannot
+    observe. One maintenance step does rewrite the log: :meth:`compact`
+    folds the accumulated segments into one consolidated file (opt out
+    with ``compact(name, fold_changelog=False)``); see
+    :meth:`changes_log_stream` for what that means to a live stream.
+
+    Concurrency contract: ONE WRITER HANDLE per database at a time (the
+    same single-writer contract as the incremental dedup indexes and any
+    table format without a lock service). The commit-log seq counter is
+    collision-checked against the directory on every write (two handles
+    cannot silently overwrite each other's segment), but interleaved
+    writers can still race a data append against a ``compact`` rewrite.
     """
 
     def __init__(self, spark: SparkSession, root: str, changelog: bool = True):
@@ -197,9 +222,8 @@ class SerieslyDB:
         # seq — but the directory is listed only on the handle's FIRST
         # touch of this db (O(log) per commit otherwise); after that the
         # cached last seq counts forward.
-        last = self._last_seq.get(name)
-        if last is None:
-            last = max(
+        def _list_floor() -> int:
+            return max(
                 (
                     int(f.split(".")[0])
                     for f in os.listdir(d)
@@ -207,7 +231,20 @@ class SerieslyDB:
                 ),
                 default=0,
             )
+
+        last = self._last_seq.get(name)
+        if last is None:
+            last = _list_floor()
         seq = max(time.time_ns(), last + 1)
+        # Collision guard for the multi-handle case: file name IS the
+        # seq, so a second live handle whose cached floor is stale could
+        # mint a seq some other handle already wrote — and the plain
+        # write would OVERWRITE that handle's segment. Re-listing on
+        # collision restores both uniqueness and (because every written
+        # seq is in the listing) cross-handle monotonicity, at the cost
+        # of one directory listing only in the already-raced case.
+        while os.path.exists(os.path.join(d, f"{seq:020d}.parquet")):
+            seq = max(time.time_ns(), _list_floor() + 1)
         self._last_seq[name] = seq
         table = pa.table(
             {
@@ -230,17 +267,27 @@ class SerieslyDB:
         if not os.path.isdir(path):
             raise KeyError(f"no such db: {name}")
         d = os.path.join(path, _CHANGELOG_DIR)
-        if not os.path.isdir(d) or not os.listdir(d):
-            return self.spark.createDataFrame([], CHANGELOG_SCHEMA)
-        return (
-            self.spark.read.schema(CHANGELOG_SCHEMA)
-            .parquet(d)
-            # seq is the commit identity; a fold interrupted between
-            # its atomic replace and the segment removals leaves rows
-            # present in both the consolidated file and an old segment.
-            .dropDuplicates(["seq"])
-            .orderBy("seq")
+        files = (
+            sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+            if os.path.isdir(d)
+            else []
         )
+        if not files:
+            return self.spark.createDataFrame([], CHANGELOG_SCHEMA)
+        out = self.spark.read.schema(CHANGELOG_SCHEMA).parquet(d)
+        # seq is the commit identity; a fold interrupted between its
+        # atomic replace and the segment removals leaves rows present in
+        # both the consolidated file and an old segment. That stranding
+        # is DETECTABLE from driver-side footer metadata (ms, no job):
+        # live segments hold one row each and a consolidated file holds
+        # every seq <= its name, so duplicates exist iff some multi-row
+        # file has an older-named sibling. Paying a dropDuplicates
+        # shuffle on every read to cover a crash window that almost
+        # never happens would be the wrong default (it was the one plan
+        # regression of round 7: s17_change_log +19%).
+        if _changelog_has_stranded_dups(d, files):
+            out = out.dropDuplicates(["seq"])
+        return out.orderBy("seq")
 
     # -- Reads (S1-S3, S10/S11) --------------------------------------------
 
@@ -423,14 +470,24 @@ class SerieslyDB:
                 shutil.move(os.path.join(tmp, f_), os.path.join(part_dir, f_))
         shutil.rmtree(tmp, ignore_errors=True)
 
-    def compact(self, name: str, target_file_bytes: int | None = None) -> None:
+    def compact(
+        self,
+        name: str,
+        target_file_bytes: int | None = None,
+        fold_changelog: bool = True,
+    ) -> None:
         """Merge each partition's files and fold superseded versions of a
         key into the survivor (S7: couch-file rewrite ≙ OPTIMIZE; also
         reclaims overwritten docs the way couchstore compaction drops old
         revisions). Default: one file per partition (reference parity).
         ``target_file_bytes`` splits huge partitions into ~target-sized,
         time-range-ordered files instead — at 100 TB a day can be far
-        bigger than one sane parquet file."""
+        bigger than one sane parquet file.
+
+        ``fold_changelog=False`` skips the commit-log fold — use it when
+        a lagging :meth:`changes_log_stream` consumer may not have
+        caught up to the current log tail yet (the fold rewrites the
+        newest segment in place, which a file stream never re-reads)."""
         for part in self._partitions(name):
             d = part[len("date="):]
             self._rewrite_partition(
@@ -446,7 +503,8 @@ class SerieslyDB:
             # grows one tiny file per mutation; without folding, both
             # change_log reads and the first-touch seq listing degrade
             # with mutation count.
-            self._fold_changelog(name)
+            if fold_changelog:
+                self._fold_changelog(name)
             # Post-compaction the physical rows ARE the live set (the
             # LWW fold just ran); the count comes straight from the
             # freshly-written parquet footers — no job.
@@ -566,15 +624,34 @@ class SerieslyDB:
         """Streaming view of the commit log: one row per mutating commit
         (write/delete/compact), delivered incrementally. Unlike
         :meth:`changes`, this feed DOES surface deletes and compaction —
-        the log directory is append-only by construction (mutations only
-        ever add segments), so the file-stream source's append-only
-        contract holds exactly. This is the Delta-CDF-shaped feed built
-        on the plain-parquet layout."""
+        mutations only ever ADD log segments. This is the
+        Delta-CDF-shaped feed built on the plain-parquet layout.
+
+        CONTRACT — append-only EXCEPT during :meth:`compact`'s changelog
+        fold, which consolidates the accumulated segments into one file
+        (reusing the newest segment's path) and removes the rest. To a
+        stream that is CAUGHT UP at fold time this is invisible (every
+        folded row was already delivered, and the reused path is never
+        re-read). A stream LAGGING behind the fold point skips the
+        removed segments without crashing (``ignoreMissingFiles`` below)
+        but can MISS their rows; a stream started after the fold reads
+        the consolidated history exactly once. After a mid-fold crash,
+        rows stranded in both the consolidated file and an old segment
+        are delivered twice — exactly-once consumers should key on
+        ``seq`` (the batch :meth:`change_log` view dedupes for you).
+        Fold during maintenance windows, or pass
+        ``compact(name, fold_changelog=False)`` while laggards drain —
+        the same discipline as any file-source compaction."""
         path = self._path(name)
         if not os.path.isdir(path):
             raise KeyError(f"no such db: {name}")
-        return self.spark.readStream.schema(CHANGELOG_SCHEMA).parquet(
-            os.path.join(path, _CHANGELOG_DIR)
+        return (
+            self.spark.readStream.schema(CHANGELOG_SCHEMA)
+            # Per-source, like .changes: a lagging stream races the
+            # fold's segment removals; skipping a vanished file yields
+            # the fold-time view, never a crash.
+            .option("ignoreMissingFiles", "true")
+            .parquet(os.path.join(path, _CHANGELOG_DIR))
         )
 
     # -- Query (the §3.1 analytical path) -----------------------------------

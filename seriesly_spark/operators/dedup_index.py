@@ -50,8 +50,11 @@ bucketed tables are unaffected (snapshots).
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
+
+logger = logging.getLogger(__name__)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -137,6 +140,30 @@ def _recover_compact(data: str, delta: str) -> str | None:
     return None
 
 
+def _swap_in_compacted(data: str, delta: str) -> None:
+    """Crash-safe installation of a ``_SUCCESS``-stamped
+    ``data.compact-tmp``: move the base aside, rename tmp into place,
+    then run the removals. Every stranded prefix of this sequence is
+    repaired by :func:`_recover_compact` on the next open.
+
+    The ``data.compact-old`` marker is created even when NO base existed
+    yet (first-ever compact): without it, a crash between the tmp rename
+    and the delta removal would leave every digest duplicated across
+    data+delta in a state indistinguishable from a normal un-compacted
+    index — and ``update``'s no-distinct probe join would fan out on the
+    duplicates. An empty marker makes that crash land in the
+    'old and data both exist -> finish cleanup' recovery branch."""
+    old = data + ".compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(data):
+        os.rename(data, old)
+    else:
+        os.makedirs(old)
+    os.rename(data + ".compact-tmp", data)
+    shutil.rmtree(delta, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 class DedupIndex:
     """Exact-content dedup index at ``path``: a bucketed parquet
     directory of ``h`` digests plus a durable per-update staging area.
@@ -151,13 +178,28 @@ class DedupIndex:
         self._data = os.path.join(path, "data")
         self._delta = os.path.join(path, "delta")
         self._staging = os.path.join(path, "staging")
-        _recover_compact(self._data, self._delta)
+        recovered = _recover_compact(self._data, self._delta)
+        if recovered:
+            logger.warning(
+                "DedupIndex at %s: repaired interrupted compact (%s)",
+                path, recovered,
+            )
         # Legacy layout (digest parquet directly under the root, from
         # before the data/delta split): the digests are the SAME ``h``
         # scheme, so migrate them into delta/ — they rejoin the probe
         # path immediately and the next compact() buckets them.
         legacy = _legacy_files(path)
         if legacy:
+            # Loud on purpose: the migration ends in a full compact() —
+            # a Spark job rewriting the whole index — so merely opening
+            # the handle is an expensive, mutating operation this once.
+            logger.warning(
+                "DedupIndex at %s: migrating %d legacy root-level "
+                "parquet file(s) into delta/ and compacting once to "
+                "restore the at-most-once digest invariant; this open "
+                "runs a full index rewrite",
+                path, len(legacy),
+            )
             os.makedirs(self._delta, exist_ok=True)
             for f in legacy:
                 os.replace(
@@ -323,18 +365,7 @@ class DedupIndex:
                 .partitionBy("bucket")
                 .parquet(tmp)
             )
-            # Swap order matters for crash-safety: tmp (which holds
-            # base+delta folded, _SUCCESS-stamped) renames into place
-            # IMMEDIATELY after the base moves aside, and only then do
-            # the removals run. Every stranded prefix is repaired by
-            # _recover_compact on the next open.
-            old = self._data + ".compact-old"
-            shutil.rmtree(old, ignore_errors=True)
-            if os.path.isdir(self._data):
-                os.rename(self._data, old)
-            os.rename(tmp, self._data)
-            shutil.rmtree(self._delta, ignore_errors=True)
-            shutil.rmtree(old, ignore_errors=True)
+            _swap_in_compacted(self._data, self._delta)
         removed = 0
         if os.path.isdir(self._staging):
             epochs = sorted(
@@ -443,7 +474,12 @@ class MinhashIndex:
         self._data = os.path.join(path, "data")
         self._delta = os.path.join(path, "delta")
         self._staging = os.path.join(path, "staging")
-        _recover_compact(self._data, self._delta)
+        recovered = _recover_compact(self._data, self._delta)
+        if recovered:
+            logger.warning(
+                "MinhashIndex at %s: repaired interrupted compact (%s)",
+                path, recovered,
+            )
         # Legacy layout detection: unlike DedupIndex, old signatures
         # CANNOT be migrated — the minhash scheme changed (per-band
         # md5 -> chunked md5), so an old signature never matches a new
@@ -650,15 +686,7 @@ class MinhashIndex:
                 .partitionBy("band")
                 .parquet(tmp)
             )
-            # Same crash-safe swap order as DedupIndex.compact; every
-            # stranded prefix is repaired by _recover_compact on open.
-            old = self._data + ".compact-old"
-            shutil.rmtree(old, ignore_errors=True)
-            if os.path.isdir(self._data):
-                os.rename(self._data, old)
-            os.rename(tmp, self._data)
-            shutil.rmtree(self._delta, ignore_errors=True)
-            shutil.rmtree(old, ignore_errors=True)
+            _swap_in_compacted(self._data, self._delta)
         removed = 0
         if os.path.isdir(self._staging):
             epochs = sorted(
