@@ -3529,80 +3529,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     certifies the FIRST 50 entries in registration order (observed in
     CORRECTNESS_r01/r02 — each equals exactly the head-50 at its commit).
     Rotation policy: queries never yet driver-certified (see
-    CERTIFIED.json) occupy the head; already-certified queries move to
-    the tail (they stay covered by tests/test_entry_oracle.py, which
-    replays the oracle gate over ALL entries). tests/test_certified.py
-    asserts every entry is certified or inside the current head-50."""
+    CERTIFIED.json) occupy the head; once every entry is certified (true
+    since r07), the head re-stamps the STALEST certifications — the
+    cohort whose newest green driver row is oldest — so "green in some
+    round" keeps converging to "green on current code". Certified
+    queries in the tail stay covered by tests/test_entry_oracle.py,
+    which replays the oracle gate over ALL entries.
+    tests/test_certified.py asserts every entry is certified or inside
+    the current head-50."""
     return {
-        # --- head-50 layout for the r06 driver window ---
-        # slots 1-6: never driver-certified (new this round: the LSH
-        #   banding auto-tuner, the production compression screen split
-        #   from its certificate, the encoding-health screen, the two
-        #   bucketed-history probe gates, and quality-preferring exact
-        #   dedup);
-        # then: the OLDEST-certified cohort — every query
-        #   whose newest green driver row is round 1/2; four
-        #   rounds of shared-spine refactors (scoped_persist,
-        #   spread, norm hoists) have landed since, so "green in
-        #   some round" is re-stamped to "green on current code";
-        # slots 40-50: the oldest round-3 certifications, same
-        #   rationale. The local oracle replica
-        #   (tests/test_entry_oracle.py) still replays ALL 175.
-        "lsh_autotune": q_lsh_autotune,
-        "compression_screen": q_compression_screen,
-        "encoding_screen": q_encoding_screen,
-        "dedup_index_bucketed_probe": q_dedup_index_bucketed_probe,
-        "dedup_best": q_dedup_best,
-        "minhash_bucketed_probe": q_minhash_bucketed_probe,
-        "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
-        "p03_eq_filter": q_p03_eq_filter,
-        "contamination": q_contamination,
-        "sample_hash": q_sample_hash,
-        "s01_range_read": q_s01_range_read,
-        "s03_point_lookup": q_s03_point_lookup,
-        "s09_db_info": q_s09_db_info,
-        "s10_dump_limit": q_s10_dump_limit,
-        "p02_canonical_numbers": q_p02_canonical_numbers,
-        "p02_canonical_filter": q_p02_canonical_filter,
-        "t01_parse_time": q_t01_parse_time,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "text_fingerprint": q_text_fingerprint,
-        "lang_id": q_lang_id,
-        "s06_bulk_delete_effect": q_s06_bulk_delete_effect,
-        "token_counts_bpe": q_token_counts_bpe,
-        "hopping_window": q_hopping_window,
-        "s04_upsert_lww": q_s04_upsert_lww,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "percentiles": q_percentiles,
-        "value_histogram": q_value_histogram,
-        "sessionize_users": q_sessionize_users,
-        "topk_events_per_type": q_topk_events_per_type,
-        "revenue_by_nation": q_revenue_by_nation,
-        "streaming_bucket_agg": q_streaming_bucket_agg,
-        "streaming_watermarked_agg": q_streaming_watermarked_agg,
-        "streaming_sessionize": q_streaming_sessionize,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_features": q_multimodal_features,
-        "vocab_topk": q_vocab_topk,
-        "rollup_daily": q_rollup_daily,
-        "mixture_sample": q_mixture_sample,
-        "setops_users": q_setops_users,
-        "rep_stats": q_rep_stats,
-        "clean_text": q_clean_text,
-        "embedding_centroids": q_embedding_centroids,
-        "gapfill_hourly": q_gapfill_hourly,
+        # --- head-50 layout for the r08 driver window ---
+        # After folding CORRECTNESS_r06/r07 into CERTIFIED.json, every
+        # registry entry is driver-certified in some round; rotation now
+        # re-stamps the STALEST certifications. Head-50 = the 39 queries
+        # whose newest green driver row is round 3 plus the 11 oldest
+        # round-4 certifications — five rounds of shared-spine refactors
+        # (scoped_persist, spread, norm hoists, the index crash-recovery
+        # work) have landed since those rows were stamped. The tail stays
+        # covered by tests/test_entry_oracle.py, which replays the oracle
+        # gate over ALL 180 entries.
         "moving_avg_6h": q_moving_avg_6h,
         "distinct_users_daily": q_distinct_users_daily,
         "quality_filter": q_quality_filter,
         "s07_compact_effect": q_s07_compact_effect,
         "s08_ddl_roundtrip": q_s08_ddl_roundtrip,
+        "s14_single_doc_delete": q_s14_single_doc_delete,
+        "p08_timeout": q_p08_timeout,
+        "c01_cache_hit": q_c01_cache_hit,
+        "s16_dump_load_roundtrip": q_s16_dump_load_roundtrip,
+        "s15_poll_copy": q_s15_poll_copy,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "streaming_dedup": q_streaming_dedup,
+        "bucketed_sessionize": q_bucketed_sessionize,
+        "embedding_normalize": q_embedding_normalize,
+        "embedding_quantize": q_embedding_quantize,
+        "salted_join": q_salted_join,
+        "continuous_rollup": q_continuous_rollup,
+        "pipeline_e2e": q_pipeline_e2e,
+        "ann_topk_quantized": q_ann_topk_quantized,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "cohort_retention": q_cohort_retention,
+        "funnel_counts": q_funnel_counts,
+        "funnel_users": q_funnel_users,
+        "zscore_outliers": q_zscore_outliers,
+        "gapfill_linear": q_gapfill_linear,
+        "ewma_hourly": q_ewma_hourly,
+        "streaming_join": q_streaming_join,
+        "kmeans_lloyd": q_kmeans_lloyd,
+        "histogram_clamped": q_histogram_clamped,
+        "daily_type_pivot": q_daily_type_pivot,
+        "mad_outliers": q_mad_outliers,
+        "char_entropy": q_char_entropy,
+        "collocation_pmi": q_collocation_pmi,
+        "time_weighted_avg": q_time_weighted_avg,
+        "series_gaps": q_series_gaps,
+        "minmax_downsample": q_minmax_downsample,
+        "quantile_transform": q_quantile_transform,
+        "bigram_lm": q_bigram_lm,
+        "pii_screen": q_pii_screen,
+        "substring_dup": q_substring_dup,
+        "cusum_changepoint": q_cusum_changepoint,
+        "seasonal_residuals": q_seasonal_residuals,
+        "pct_change_series": q_pct_change,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        # --- tail: newest-certified cohorts (r04 remainder, r05, r07) ---
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
+        "inter_event_stats": q_inter_event_stats,
+        "welch_ttest": q_welch_ttest,
+        "sliding_distinct_users": q_sliding_distinct,
+        "interval_coverage": q_interval_coverage,
+        "length_curriculum": q_length_curriculum,
+        "normalized_dedup": q_normalized_dedup,
+        "type_cooccurrence": q_type_cooccurrence,
+        "source_profile": q_source_profile,
+        "weighted_sample": q_weighted_sample,
+        "rfm_scores": q_rfm,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q21_fast": q_tpch_q21_fast,
+        "tpch_q18_fast": q_tpch_q18_fast,
+        "trend_slope": q_trend_slope,
+        "autocorr_lag1": q_autocorr_lag1,
+        "corr_pairs_hourly": q_corr_pairs_hourly,
+        "iqr_outliers": q_iqr_outliers,
+        "merge_intervals": q_merge_intervals,
+        "rollup_events": q_rollup_events,
+        "unpivot_daily": q_unpivot_daily,
+        "column_profile": q_column_profile,
+        "type_token_ratio": q_type_token_ratio,
+        "levenshtein_pairs": q_levenshtein_pairs,
         "compression_ratio": q_compression_ratio,
         "tpch_q12": q_tpch_q12,
         "sliding_distinct_approx": q_sliding_distinct_approx,
@@ -3653,81 +3679,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode_stats": q_png_decode_stats,
         "jpeg_decode_stats": q_jpeg_decode_stats,
         "ann_topk_cosine": q_ann_topk_cosine,
-        "bigram_lm": q_bigram_lm,
-        "pii_screen": q_pii_screen,
-        "substring_dup": q_substring_dup,
-        "cusum_changepoint": q_cusum_changepoint,
-        "seasonal_residuals": q_seasonal_residuals,
-        "pct_change_series": q_pct_change,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "inter_event_stats": q_inter_event_stats,
-        "welch_ttest": q_welch_ttest,
-        "sliding_distinct_users": q_sliding_distinct,
-        "interval_coverage": q_interval_coverage,
-        "length_curriculum": q_length_curriculum,
-        "normalized_dedup": q_normalized_dedup,
-        "type_cooccurrence": q_type_cooccurrence,
-        "source_profile": q_source_profile,
-        "weighted_sample": q_weighted_sample,
-        "rfm_scores": q_rfm,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q21_fast": q_tpch_q21_fast,
-        "tpch_q18_fast": q_tpch_q18_fast,
-        "trend_slope": q_trend_slope,
-        "autocorr_lag1": q_autocorr_lag1,
-        "corr_pairs_hourly": q_corr_pairs_hourly,
-        "iqr_outliers": q_iqr_outliers,
-        "merge_intervals": q_merge_intervals,
-        "rollup_events": q_rollup_events,
-        "unpivot_daily": q_unpivot_daily,
-        "column_profile": q_column_profile,
-        "type_token_ratio": q_type_token_ratio,
-        "levenshtein_pairs": q_levenshtein_pairs,
-        "s14_single_doc_delete": q_s14_single_doc_delete,
-        "p08_timeout": q_p08_timeout,
-        "c01_cache_hit": q_c01_cache_hit,
-        "s16_dump_load_roundtrip": q_s16_dump_load_roundtrip,
-        "s15_poll_copy": q_s15_poll_copy,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "streaming_dedup": q_streaming_dedup,
-        "bucketed_sessionize": q_bucketed_sessionize,
-        "embedding_normalize": q_embedding_normalize,
-        "embedding_quantize": q_embedding_quantize,
-        "salted_join": q_salted_join,
-        "continuous_rollup": q_continuous_rollup,
-        "pipeline_e2e": q_pipeline_e2e,
-        "ann_topk_quantized": q_ann_topk_quantized,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "cohort_retention": q_cohort_retention,
-        "funnel_counts": q_funnel_counts,
-        "funnel_users": q_funnel_users,
-        "zscore_outliers": q_zscore_outliers,
-        "gapfill_linear": q_gapfill_linear,
-        "ewma_hourly": q_ewma_hourly,
-        "streaming_join": q_streaming_join,
-        "kmeans_lloyd": q_kmeans_lloyd,
-        "histogram_clamped": q_histogram_clamped,
-        "daily_type_pivot": q_daily_type_pivot,
-        "mad_outliers": q_mad_outliers,
-        "char_entropy": q_char_entropy,
-        "collocation_pmi": q_collocation_pmi,
-        "time_weighted_avg": q_time_weighted_avg,
-        "series_gaps": q_series_gaps,
-        "minmax_downsample": q_minmax_downsample,
-        "quantile_transform": q_quantile_transform,
+        "lsh_autotune": q_lsh_autotune,
+        "compression_screen": q_compression_screen,
+        "encoding_screen": q_encoding_screen,
+        "dedup_index_bucketed_probe": q_dedup_index_bucketed_probe,
+        "dedup_best": q_dedup_best,
+        "minhash_bucketed_probe": q_minhash_bucketed_probe,
+        "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
+        "p03_eq_filter": q_p03_eq_filter,
+        "contamination": q_contamination,
+        "sample_hash": q_sample_hash,
+        "s01_range_read": q_s01_range_read,
+        "s03_point_lookup": q_s03_point_lookup,
+        "s09_db_info": q_s09_db_info,
+        "s10_dump_limit": q_s10_dump_limit,
+        "p02_canonical_numbers": q_p02_canonical_numbers,
+        "p02_canonical_filter": q_p02_canonical_filter,
+        "t01_parse_time": q_t01_parse_time,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "lang_id": q_lang_id,
+        "s06_bulk_delete_effect": q_s06_bulk_delete_effect,
+        "token_counts_bpe": q_token_counts_bpe,
+        "hopping_window": q_hopping_window,
+        "s04_upsert_lww": q_s04_upsert_lww,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "percentiles": q_percentiles,
+        "value_histogram": q_value_histogram,
+        "sessionize_users": q_sessionize_users,
+        "topk_events_per_type": q_topk_events_per_type,
+        "revenue_by_nation": q_revenue_by_nation,
+        "streaming_bucket_agg": q_streaming_bucket_agg,
+        "streaming_watermarked_agg": q_streaming_watermarked_agg,
+        "streaming_sessionize": q_streaming_sessionize,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
+        "vocab_topk": q_vocab_topk,
+        "rollup_daily": q_rollup_daily,
+        "mixture_sample": q_mixture_sample,
+        "setops_users": q_setops_users,
+        "rep_stats": q_rep_stats,
+        "clean_text": q_clean_text,
+        "embedding_centroids": q_embedding_centroids,
+        "gapfill_hourly": q_gapfill_hourly,
     }
 
 
