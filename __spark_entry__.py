@@ -2259,9 +2259,11 @@ def q_s17_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two writes, one single-key delete, one compact against a scratch
     db; the log must read back exactly (write 3, write 2, delete 1,
     compact 4) in commit order, where delete counts rows removed and
-    compact records the surviving live set. The log directory is
-    append-only by construction, so the same rows arrive incrementally
-    via changes_log_stream (pinned in tests/test_db.py)."""
+    compact records the surviving live set. Mutations only ever ADD log
+    segments (compact's fold is the one rewrite — see
+    SerieslyDB.changes_log_stream for the contract), so the same rows
+    arrive incrementally via changes_log_stream (pinned in
+    tests/test_db.py)."""
     pairs = _event_doc_pairs(spark, sf_dir, 5)
     keys = sorted(ns for ns, _ in pairs)
     dbs, root = _scratch_db(spark)
