@@ -101,6 +101,46 @@ def _legacy_files(path: str) -> list[str]:
     return [f for f in os.listdir(path) if f.endswith(".parquet")]
 
 
+def _auto_compact_reason(
+    data: str,
+    delta: str,
+    max_delta_files: int | None,
+    max_delta_ratio: float | None,
+) -> str | None:
+    """Reason string when the write-optimized side has outgrown its
+    thresholds (else None). Two triggers, both computed from driver-side
+    directory metadata (ms, no Spark job):
+
+      * ``max_delta_files`` — delta/ holds at least this many append
+        files. Covers the never-compacted index too, and is the direct
+        analogue of the reference flushing its op queue at a count
+        threshold (seriesly main.go:28-29, ``maxOpQueue``).
+      * ``max_delta_ratio`` — delta bytes have reached this fraction of
+        the compacted base's bytes. Only meaningful once a base exists
+        (a fresh index has ratio infinity forever); the file-count
+        trigger owns the bootstrap phase.
+    """
+    if max_delta_files is None and max_delta_ratio is None:
+        return None
+    n_files = 0
+    if os.path.isdir(delta):
+        n_files = sum(
+            1 for f in os.listdir(delta) if f.endswith(".parquet")
+        )
+    if max_delta_files is not None and n_files >= max_delta_files:
+        return f"delta holds {n_files} files >= max_delta_files={max_delta_files}"
+    if max_delta_ratio is not None:
+        base_bytes = _dir_bytes(data)
+        if base_bytes > 0:
+            delta_bytes = _dir_bytes(delta)
+            if delta_bytes >= max_delta_ratio * base_bytes:
+                return (
+                    f"delta/base bytes {delta_bytes}/{base_bytes} >= "
+                    f"max_delta_ratio={max_delta_ratio}"
+                )
+    return None
+
+
 def _recover_compact(data: str, delta: str) -> str | None:
     """Crash recovery for :meth:`compact`'s directory swap, run on
     every index open. The swap protocol is: write ``data.compact-tmp``
@@ -169,12 +209,31 @@ class DedupIndex:
     directory of ``h`` digests plus a durable per-update staging area.
     ``update`` classifies a batch and extends the index; ``size``
     reports distinct indexed hashes; ``compact`` folds each bucket's
-    append files into one."""
+    append files into one.
 
-    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 64):
+    Auto-compaction (opt-in): pass ``auto_compact_files`` and/or
+    ``auto_compact_ratio`` and every ``update`` ends by checking the
+    delta against those thresholds (driver-side directory metadata,
+    no job) and compacting when either is crossed — the
+    self-maintaining store a pipeline owner expects, the way the
+    reference flushes its write queue when ``maxOpQueue`` is reached
+    (seriesly main.go:28-29) instead of asking the caller to schedule
+    flushes. Left at None (the default) the index never compacts
+    itself; call :meth:`compact` from a maintenance window."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 64,
+        auto_compact_files: int | None = None,
+        auto_compact_ratio: float | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
+        self.auto_compact_files = auto_compact_files
+        self.auto_compact_ratio = auto_compact_ratio
         self._data = os.path.join(path, "data")
         self._delta = os.path.join(path, "delta")
         self._staging = os.path.join(path, "staging")
@@ -309,7 +368,21 @@ class DedupIndex:
         if _dir_bytes(stage_dir) < 32 << 20:
             novel = novel.coalesce(1)
         novel.write.mode("append").parquet(self._delta)
+        self._maybe_auto_compact("DedupIndex")
         return staged
+
+    def _maybe_auto_compact(self, kind: str) -> None:
+        reason = _auto_compact_reason(
+            self._data,
+            self._delta,
+            self.auto_compact_files,
+            self.auto_compact_ratio,
+        )
+        if reason:
+            logger.info(
+                "%s at %s: auto-compacting (%s)", kind, self.path, reason
+            )
+            self.compact()
 
     def to_bucketed_table(
         self, table: str, path: str | None = None
@@ -466,11 +539,15 @@ class MinhashIndex:
         path: str,
         n: int = 3,
         bands: int = 16,
+        auto_compact_files: int | None = None,
+        auto_compact_ratio: float | None = None,
     ):
         self.spark = spark
         self.path = path
         self.n = n
         self.bands = bands
+        self.auto_compact_files = auto_compact_files
+        self.auto_compact_ratio = auto_compact_ratio
         self._data = os.path.join(path, "data")
         self._delta = os.path.join(path, "delta")
         self._staging = os.path.join(path, "staging")
@@ -597,7 +674,12 @@ class MinhashIndex:
         if _dir_bytes(sig_dir) < 32 << 20:
             to_append = to_append.coalesce(1)
         to_append.write.mode("append").parquet(self._delta)
+        self._maybe_auto_compact("MinhashIndex")
         return staged
+
+    # Same opt-in policy (and the same thresholds semantics) as
+    # DedupIndex._maybe_auto_compact; see the class docstring there.
+    _maybe_auto_compact = DedupIndex._maybe_auto_compact
 
     def to_bucketed_table(
         self, table: str, path: str | None = None
