@@ -51,6 +51,11 @@ from seriesly_spark.operators.dedup import (
     simhash32_md5,
     word_shingles,
 )
+from seriesly_spark.operators.evaluation import (
+    calibration_bins,
+    roc_auc,
+    stopword_lang_scored,
+)
 from seriesly_spark.operators.joins import asof_join, range_join, salted_join
 from seriesly_spark.operators.jpeg import encode_jpeg
 from seriesly_spark.operators.util import spread
@@ -3526,6 +3531,28 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(_table(spark, sf_dir, "documents"), k=10)
 
 
+def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the stopword-ratio scorer against the corpus's own
+    lang labels — the scorer-evaluation gate: does the score rank
+    positives above negatives. Rank-sum identity with midrank ties,
+    computed over the grouped-by-score table (bounded at ~1e6 rows by
+    the 6-decimal score rounding) with exact integer mass sums — see
+    operators/evaluation.py. Both engines compute score AND label from
+    the same rule, so the oracle value-checks scorer and evaluator
+    together."""
+    return roc_auc(stopword_lang_scored(_table(spark, sf_dir, "documents")))
+
+
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the same scorer: 10 equal-width bins,
+    each with exact decimal-accumulated mean score, empirical positive
+    rate, and the |mean - rate| calibration gap. One hash aggregate on
+    the bin key."""
+    return calibration_bins(
+        stopword_lang_scored(_table(spark, sf_dir, "documents"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -3541,15 +3568,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the current head-50."""
     return {
         # --- head-50 layout for the r08 driver window ---
+        # Slots 1-2: never driver-certified (new this round: the
+        # scorer-evaluation pair — ROC-AUC and calibration bins).
         # After folding CORRECTNESS_r06/r07 into CERTIFIED.json, every
-        # registry entry is driver-certified in some round; rotation now
-        # re-stamps the STALEST certifications. Head-50 = the 39 queries
-        # whose newest green driver row is round 3 plus the 11 oldest
-        # round-4 certifications — five rounds of shared-spine refactors
-        # (scoped_persist, spread, norm hoists, the index crash-recovery
-        # work) have landed since those rows were stamped. The tail stays
-        # covered by tests/test_entry_oracle.py, which replays the oracle
-        # gate over ALL 180 entries.
+        # other registry entry is driver-certified in some round;
+        # rotation re-stamps the STALEST certifications next: the 39
+        # queries whose newest green driver row is round 3, then the
+        # oldest round-4 certifications to fill the window — five
+        # rounds of shared-spine refactors (scoped_persist, spread,
+        # norm hoists, the index crash-recovery work) have landed since
+        # those rows were stamped. The tail stays covered by
+        # tests/test_entry_oracle.py, which replays the oracle gate
+        # over ALL entries.
+        "score_auc": q_score_auc,
+        "score_calibration": q_score_calibration,
         "moving_avg_6h": q_moving_avg_6h,
         "distinct_users_daily": q_distinct_users_daily,
         "quality_filter": q_quality_filter,
@@ -3734,8 +3766,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_SCORED_SQL = """
+  SELECT round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+           x -> list_contains(
+             ['the','a','an','of','and','to','in','is','it','for','on',
+              'with','as','at','by'], x)))
+         / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS score,
+         lang = 'en' AS label
+  FROM documents WHERE lang IS NOT NULL
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
+    # Scorer-evaluation pair: both engines derive (score, label) from
+    # the same rule, then AUC runs the identical grouped rank-sum with
+    # exact BIGINT mass terms (one deterministic division at the end).
+    d["score_auc"] = f"""
+WITH scored AS ({_SCORED_SQL}),
+g AS (SELECT score,
+        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      FROM scored GROUP BY score),
+c AS (SELECT np, nn,
+        CAST(coalesce(sum(nn) OVER (ORDER BY score
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cum_neg
+      FROM g)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(nn) AS BIGINT) AS n_neg,
+       CAST(0 AS BIGINT) AS n_skipped,
+       CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+         round(CAST(sum(np * (2 * cum_neg + nn)) AS DOUBLE)
+               / (2.0 * sum(np) * sum(nn)), 6)
+       END AS auc
+FROM c
+"""
+    d["score_calibration"] = f"""
+WITH scored AS ({_SCORED_SQL})
+SELECT least(greatest(CAST(floor(score * 10) AS INT), 0), 9) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(score AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*), 6) AS mean_score,
+       round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*), 6) AS pos_rate,
+       round(abs(round(CAST(sum(CAST(score AS DECIMAL(28,6))) AS DOUBLE)
+                       / count(*), 6)
+                 - round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END)
+                              AS BIGINT) / count(*), 6)), 6) AS gap
+FROM scored GROUP BY 1 ORDER BY bin
+"""
     # quality_filter: recompose from the two proven stat SQLs so the
     # composite can never drift from its components.
     d["quality_filter"] = f"""

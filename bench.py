@@ -181,6 +181,9 @@ BENCH_QUERIES = [
     "dedup_best",
     "minhash_bucketed_probe",
     "dedup_minhash_lsh_capped",
+    # round 8
+    "score_auc",
+    "score_calibration",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -1,0 +1,166 @@
+"""Scorer evaluation for training-data pipelines: ROC-AUC and
+calibration-reliability bins.
+
+A pipeline that SCORES documents (quality gates, fluency LMs, language
+ID — `textstats.quality_filter`, `bigram_lm`) needs an operator that
+EVALUATES a scorer against labels at corpus scale before the scorer is
+trusted to route 100 TB: "does this score rank positives above
+negatives" (AUC) and "does a 0.8 mean 80%" (calibration). Both reduce
+to one corpus-sized aggregate; neither ships rows to the driver.
+
+Scale design:
+  * AUC uses the Mann-Whitney rank-sum identity computed over the
+    GROUPED-BY-SCORE table, not per-row ranks: one hash aggregate on
+    the score key (map-side partials; only (score, n_pos, n_neg)
+    triples shuffle), then a cumulative window over the distinct-score
+    table. Scores are rounded to 6 decimals by the caller's scorer, so
+    that table is bounded at ~1e6 rows no matter the corpus size — the
+    single-partition window is metadata-sized by construction (the
+    same bounded-key argument as the bucket-boundary union in rate.py).
+  * All mass terms stay in EXACT integer arithmetic until one final
+    division: U2 = sum(n_pos_g * (2*cum_neg_below + n_neg_g)) is a
+    BIGINT (order-independent across engines and partitionings);
+    AUC = U2 / (2 * n_pos * n_neg) is a single deterministic IEEE
+    division. No float accumulations that could flip a 6-decimal
+    round between engines.
+  * Calibration bins accumulate the score sum as decimal(28,6)
+    (exact — scores carry <= 6 decimals), count positives as BIGINT,
+    and divide once per bin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def roc_auc(
+    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """One-row ROC-AUC of a score against a boolean label via the
+    rank-sum identity with midrank tie handling:
+
+        AUC = [ sum over positives of (#neg scored below
+                + 0.5 * #neg tied) ] / (n_pos * n_neg)
+
+    evaluated group-wise per distinct score (see module docstring for
+    why that is the scalable shape). Rows with a NULL score or label
+    are excluded (and counted in ``n_skipped``). Output: one row
+    (n_pos, n_neg, n_skipped, auc) with auc rounded to 6; auc is NULL
+    when either class is empty.
+    """
+    s = scored.select(
+        F.col(score_col).alias("__s"), F.col(label_col).alias("__y")
+    )
+    valid = F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    g = (
+        s.withColumn("__ok", valid)
+        .groupBy(F.when(F.col("__ok"), F.col("__s")).alias("__s"))
+        .agg(
+            F.sum((F.col("__ok") & F.col("__y")).cast("long")).alias("np"),
+            F.sum((F.col("__ok") & ~F.col("__y")).cast("long")).alias("nn"),
+            F.sum((~F.col("__ok")).cast("long")).alias("nskip"),
+        )
+    )
+    # The NULL group key carries the skipped mass with np = nn = 0, so
+    # it flows through the window (nulls sort first; contributes zero
+    # to every cum_neg and a zero U2 term) and the report needs ONE
+    # chain: corpus aggregate -> bounded window -> final fold. A
+    # separate skipped-count branch would re-scan the corpus (measured:
+    # 8 HashAggregates vs 4 in this shape).
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.withColumn("cum_neg", F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    return c.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.sum("nskip").alias("n_skipped"),
+        F.sum(
+            F.col("np") * (F.lit(2) * F.col("cum_neg") + F.col("nn"))
+        ).alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "n_skipped",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("u2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ),
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a [0, 1] score: equal-width bins, each
+    reporting its mass, exact mean score, empirical positive rate, and
+    the |mean - rate| gap (the per-bin term of expected calibration
+    error). One hash aggregate on the bin key; decimal-exact score
+    sums so both engines round identically. Output: (bin, n,
+    mean_score, pos_rate, gap) ordered by bin; scores outside [0, 1]
+    are clamped into the edge bins (floor/least), NULL score or label
+    rows are dropped."""
+    s = scored.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    b = F.least(
+        F.greatest(
+            F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    out = (
+        s.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col(score_col).cast("decimal(28,6)")
+            ).alias("__ssum"),
+            F.sum(F.col(label_col).cast("long")).alias("__pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round(
+                F.col("__ssum").cast("double") / F.col("n"), 6
+            ).alias("mean_score"),
+            F.round(F.col("__pos") / F.col("n"), 6).alias("pos_rate"),
+        )
+        .withColumn(
+            "gap", F.round(F.abs(F.col("mean_score") - F.col("pos_rate")), 6)
+        )
+        .orderBy("bin")
+    )
+    return out
+
+
+def stopword_lang_scored(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    positive_lang: str = "en",
+) -> DataFrame:
+    """The evaluation-gate scorer: English-stopword ratio as a score
+    for "is this document English", labeled by the corpus's own lang
+    column — a real (score, label) pair both engines can compute
+    independently from the same rule, so the oracle checks the scorer
+    AND the evaluator. Skips empty-token docs (division by zero) and
+    NULL langs (no label). Narrow single-pass projection."""
+    from seriesly_spark.operators.textstats import STOPWORDS, tokens
+
+    t = tokens(text_col)
+    n = F.size(t)
+    score = F.round(
+        F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))) / n, 6
+    )
+    return docs.where(F.col(lang_col).isNotNull()).select(
+        F.col(id_col),
+        F.when(n > 0, score).alias("score"),
+        (F.col(lang_col) == positive_lang).alias("label"),
+    )

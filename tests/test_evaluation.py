@@ -1,0 +1,119 @@
+"""Scorer-evaluation operators: rank-sum ROC-AUC (midrank ties) and
+calibration-reliability bins, pinned against hand-computed values."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seriesly_spark.operators.evaluation import (
+    calibration_bins,
+    roc_auc,
+    stopword_lang_scored,
+)
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "score double, label boolean")
+
+
+class TestRocAuc:
+    def test_hand_computed_with_ties(self, spark):
+        # positives: 0.9, 0.8, 0.2; negatives: 0.8, 0.3
+        # U = (0.9: 2 below) + (0.8: 1 below + 0.5 tied) + (0.2: 0)
+        #   = 3.5 -> AUC = 3.5 / 6 = 0.583333
+        r = roc_auc(
+            _scored(
+                spark,
+                [(0.9, True), (0.8, True), (0.8, False), (0.3, False),
+                 (0.2, True)],
+            )
+        ).collect()[0]
+        assert (r.n_pos, r.n_neg, r.n_skipped) == (3, 2, 0)
+        assert r.auc == pytest.approx(0.583333)
+
+    def test_perfect_and_inverted(self, spark):
+        assert roc_auc(
+            _scored(spark, [(0.9, True), (0.8, True), (0.1, False)])
+        ).collect()[0].auc == 1.0
+        assert roc_auc(
+            _scored(spark, [(0.1, True), (0.9, False)])
+        ).collect()[0].auc == 0.0
+
+    def test_all_ties_is_half(self, spark):
+        r = roc_auc(
+            _scored(spark, [(0.5, True), (0.5, False), (0.5, True),
+                            (0.5, False)])
+        ).collect()[0]
+        assert r.auc == pytest.approx(0.5)
+
+    def test_single_class_yields_null(self, spark):
+        r = roc_auc(_scored(spark, [(0.9, True), (0.1, True)])).collect()[0]
+        assert r.auc is None and (r.n_pos, r.n_neg) == (2, 0)
+
+    def test_null_rows_skipped_and_counted(self, spark):
+        r = roc_auc(
+            _scored(
+                spark,
+                [(0.9, True), (None, True), (0.1, None), (0.2, False)],
+            )
+        ).collect()[0]
+        assert (r.n_pos, r.n_neg, r.n_skipped) == (1, 1, 2)
+        assert r.auc == 1.0
+
+    def test_partition_invariant(self, spark):
+        rows = [((i * 37 % 100) / 100.0, i % 3 == 0) for i in range(500)]
+        a = roc_auc(_scored(spark, rows).repartition(13)).collect()[0]
+        b = roc_auc(_scored(spark, rows).coalesce(1)).collect()[0]
+        assert a == b
+
+
+class TestCalibrationBins:
+    def test_bins_and_rates(self, spark):
+        rows = [(0.05, False), (0.05, True), (0.15, True), (0.95, True),
+                (0.95, True)]
+        got = {r.bin: r for r in calibration_bins(_scored(spark, rows)).collect()}
+        assert set(got) == {0, 1, 9}
+        assert got[0].n == 2 and got[0].pos_rate == 0.5
+        assert got[0].mean_score == pytest.approx(0.05)
+        assert got[1].n == 1 and got[1].pos_rate == 1.0
+        assert got[9].n == 2 and got[9].pos_rate == 1.0
+        assert got[9].gap == pytest.approx(abs(0.95 - 1.0))
+
+    def test_edge_scores_clamped(self, spark):
+        rows = [(1.0, True), (-0.2, False), (1.3, True)]
+        got = {r.bin: r.n for r in calibration_bins(_scored(spark, rows)).collect()}
+        assert got == {0: 1, 9: 2}
+
+    def test_null_rows_dropped(self, spark):
+        rows = [(0.5, True), (None, True), (0.5, None)]
+        out = calibration_bins(_scored(spark, rows)).collect()
+        assert len(out) == 1 and out[0].n == 1
+
+
+class TestStopwordLangScorer:
+    def test_score_and_label(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat", "en"),
+                (2, "chat noir dort", "fr"),
+                (3, "x", None),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        got = {r.doc_id: r for r in stopword_lang_scored(docs).collect()}
+        assert set(got) == {1, 2}  # NULL lang dropped
+        # "the", "on", "the" -> 3 of 6 tokens
+        assert got[1].score == pytest.approx(0.5) and got[1].label
+        assert got[2].score == 0.0 and not got[2].label
+
+    def test_plan_is_one_aggregate_no_cartesian(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the cat", "en")], "doc_id long, text string, lang string"
+        )
+        plan = (
+            roc_auc(stopword_lang_scored(docs))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
