@@ -53,6 +53,7 @@ from seriesly_spark.operators.dedup import (
 )
 from seriesly_spark.operators.evaluation import (
     calibration_bins,
+    pr_curve,
     roc_auc,
     stopword_lang_scored,
 )
@@ -3553,6 +3554,28 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scorer-drift report: the same rank-sum AUC evaluated PER SOURCE
+    (a score that ranks well globally can be broken inside one domain
+    — the per-group view a mixing policy reads). The cumulative window
+    partitions on source, so nothing in the plan is globally
+    ordered."""
+    return roc_auc(
+        stopword_lang_scored(
+            _table(spark, sf_dir, "documents"), extra_cols=("source",)
+        ),
+        by=["source"],
+    )
+
+
+def q_score_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall at every distinct score threshold, from one
+    corpus aggregate + two cumulative sums over the bounded
+    distinct-score table — the threshold-picking sweep for the same
+    scorer."""
+    return pr_curve(stopword_lang_scored(_table(spark, sf_dir, "documents")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -3582,6 +3605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over ALL entries.
         "score_auc": q_score_auc,
         "score_calibration": q_score_calibration,
+        "score_auc_by_source": q_score_auc_by_source,
+        "score_pr_curve": q_score_pr_curve,
         "moving_avg_6h": q_moving_avg_6h,
         "distinct_users_daily": q_distinct_users_daily,
         "quality_filter": q_quality_filter,
@@ -3767,7 +3792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _SCORED_SQL = """
-  SELECT round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+  SELECT source,
+         round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
            x -> list_contains(
              ['the','a','an','of','and','to','in','is','it','for','on',
               'with','as','at','by'], x)))
@@ -3815,6 +3841,47 @@ SELECT least(greatest(CAST(floor(score * 10) AS INT), 0), 9) AS bin,
                  - round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END)
                               AS BIGINT) / count(*), 6)), 6) AS gap
 FROM scored GROUP BY 1 ORDER BY bin
+"""
+    d["score_auc_by_source"] = f"""
+WITH scored AS ({_SCORED_SQL}),
+g AS (SELECT source, score,
+        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      FROM scored GROUP BY source, score),
+c AS (SELECT source, np, nn,
+        CAST(coalesce(sum(nn) OVER (PARTITION BY source ORDER BY score
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cum_neg
+      FROM g),
+f AS (SELECT source,
+        CAST(sum(np) AS BIGINT) AS n_pos,
+        CAST(sum(nn) AS BIGINT) AS n_neg,
+        CAST(0 AS BIGINT) AS n_skipped,
+        CAST(sum(np * (2 * cum_neg + nn)) AS BIGINT) AS u2
+      FROM c GROUP BY source)
+SELECT source, n_pos, n_neg, n_skipped,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+       END AS auc
+FROM f ORDER BY source
+"""
+    d["score_pr_curve"] = f"""
+WITH scored AS ({_SCORED_SQL}),
+g AS (SELECT score AS threshold,
+        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      FROM scored GROUP BY score),
+c AS (SELECT threshold,
+        CAST(sum(np) OVER w AS BIGINT) AS tp,
+        CAST(sum(nn) OVER w AS BIGINT) AS fp,
+        CAST(sum(np) OVER () AS BIGINT) AS npos
+      FROM g
+      WINDOW w AS (ORDER BY threshold DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT threshold, tp, fp,
+       round(tp / (tp + fp), 6) AS "precision",
+       CASE WHEN npos > 0 THEN round(tp / npos, 6) END AS recall
+FROM c ORDER BY threshold DESC
 """
     # quality_filter: recompose from the two proven stat SQLs so the
     # composite can never drift from its components.

@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     # round 8
     "score_auc",
     "score_calibration",
+    "score_auc_by_source",
+    "score_pr_curve",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

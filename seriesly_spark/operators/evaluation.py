@@ -35,10 +35,13 @@ from pyspark.sql import functions as F
 
 
 def roc_auc(
-    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    by: list[str] | None = None,
 ) -> DataFrame:
-    """One-row ROC-AUC of a score against a boolean label via the
-    rank-sum identity with midrank tie handling:
+    """ROC-AUC of a score against a boolean label via the rank-sum
+    identity with midrank tie handling:
 
         AUC = [ sum over positives of (#neg scored below
                 + 0.5 * #neg tied) ] / (n_pos * n_neg)
@@ -48,14 +51,21 @@ def roc_auc(
     are excluded (and counted in ``n_skipped``). Output: one row
     (n_pos, n_neg, n_skipped, auc) with auc rounded to 6; auc is NULL
     when either class is empty.
+
+    ``by`` evaluates the AUC per group (one output row per ``by``
+    tuple) — the scorer-drift report: a score that ranks well globally
+    can be broken inside one domain. The cumulative window then
+    partitions on the group keys, so even the bounded-table argument
+    is unnecessary — no global ordering anywhere.
     """
+    keys = list(by) if by else []
     s = scored.select(
-        F.col(score_col).alias("__s"), F.col(label_col).alias("__y")
+        *keys, F.col(score_col).alias("__s"), F.col(label_col).alias("__y")
     )
     valid = F.col("__s").isNotNull() & F.col("__y").isNotNull()
     g = (
         s.withColumn("__ok", valid)
-        .groupBy(F.when(F.col("__ok"), F.col("__s")).alias("__s"))
+        .groupBy(*keys, F.when(F.col("__ok"), F.col("__s")).alias("__s"))
         .agg(
             F.sum((F.col("__ok") & F.col("__y")).cast("long")).alias("np"),
             F.sum((F.col("__ok") & ~F.col("__y")).cast("long")).alias("nn"),
@@ -68,16 +78,22 @@ def roc_auc(
     # chain: corpus aggregate -> bounded window -> final fold. A
     # separate skipped-count branch would re-scan the corpus (measured:
     # 8 HashAggregates vs 4 in this shape).
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     c = g.withColumn("cum_neg", F.coalesce(F.sum("nn").over(w), F.lit(0)))
-    return c.agg(
+    folded = c.groupBy(*keys).agg(
         F.sum("np").alias("n_pos"),
         F.sum("nn").alias("n_neg"),
         F.sum("nskip").alias("n_skipped"),
         F.sum(
             F.col("np") * (F.lit(2) * F.col("cum_neg") + F.col("nn"))
         ).alias("u2"),
-    ).select(
+    )
+    out = folded.select(
+        *keys,
         "n_pos",
         "n_neg",
         "n_skipped",
@@ -88,6 +104,56 @@ def roc_auc(
                 6,
             ),
         ).alias("auc"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def pr_curve(
+    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """Precision/recall at every distinct score threshold (predict
+    positive when ``score >= t``), from the same grouped-by-score
+    table as :func:`roc_auc` — the corpus aggregates once, then two
+    descending cumulative sums over the bounded distinct-score table
+    give tp/fp per threshold. All counts exact BIGINT; the two ratios
+    are single divisions rounded to 6. Output per threshold:
+    (threshold, tp, fp, precision, recall) ordered by threshold
+    descending (the natural sweep direction). NULL score or label rows
+    are dropped."""
+    s = scored.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    g = s.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("np"),
+        F.sum((~F.col(label_col)).cast("long")).alias("nn"),
+    )
+    w = (
+        Window.orderBy(F.col("threshold").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        g.select(
+            "threshold",
+            F.sum("np").over(w).alias("tp"),
+            F.sum("nn").over(w).alias("fp"),
+            F.sum("np").over(tot).alias("__npos"),
+        )
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias(
+                "precision"
+            ),
+            F.when(
+                F.col("__npos") > 0,
+                F.round(F.col("tp") / F.col("__npos"), 6),
+            ).alias("recall"),
+        )
+        .orderBy(F.col("threshold").desc())
     )
 
 
@@ -145,6 +211,7 @@ def stopword_lang_scored(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     positive_lang: str = "en",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The evaluation-gate scorer: English-stopword ratio as a score
     for "is this document English", labeled by the corpus's own lang
@@ -161,6 +228,7 @@ def stopword_lang_scored(
     )
     return docs.where(F.col(lang_col).isNotNull()).select(
         F.col(id_col),
+        *extra_cols,
         F.when(n > 0, score).alias("score"),
         (F.col(lang_col) == positive_lang).alias("label"),
     )

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from seriesly_spark.operators.evaluation import (
     calibration_bins,
+    pr_curve,
     roc_auc,
     stopword_lang_scored,
 )
@@ -64,6 +65,64 @@ class TestRocAuc:
         a = roc_auc(_scored(spark, rows).repartition(13)).collect()[0]
         b = roc_auc(_scored(spark, rows).coalesce(1)).collect()[0]
         assert a == b
+
+
+class TestRocAucByGroup:
+    def test_per_group_matches_separate_runs(self, spark):
+        rows = [("a", 0.9, True), ("a", 0.8, False), ("a", 0.7, True),
+                ("b", 0.1, True), ("b", 0.9, False)]
+        df = spark.createDataFrame(
+            rows, "source string, score double, label boolean"
+        )
+        got = {
+            r.source: r
+            for r in roc_auc(df, by=["source"]).collect()
+        }
+        # group a: pos 0.9, 0.7; neg 0.8 -> U = 1 + 0 = 1 / 2 = 0.5
+        assert got["a"].auc == pytest.approx(0.5)
+        # group b: inverted -> 0.0
+        assert got["b"].auc == 0.0
+        # and each equals the global AUC of that group alone
+        for src in ("a", "b"):
+            solo = roc_auc(df.where(F.col("source") == src)).collect()[0]
+            assert solo.auc == got[src].auc
+
+    def test_no_global_window_in_plan(self, spark):
+        df = spark.createDataFrame(
+            [("a", 0.5, True)], "source string, score double, label boolean"
+        )
+        plan = (
+            roc_auc(df, by=["source"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the cumulative window partitions on the group key (the spec
+        # lists source before the order column)
+        assert "windowspecdefinition(source#" in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestPrCurve:
+    def test_hand_computed(self, spark):
+        rows = [(0.9, True), (0.8, False), (0.8, True), (0.3, False)]
+        out = pr_curve(_scored(spark, rows)).collect()
+        # thresholds descending: 0.9, 0.8, 0.3
+        assert [r.threshold for r in out] == [0.9, 0.8, 0.3]
+        t9, t8, t3 = out
+        assert (t9.tp, t9.fp) == (1, 0)
+        assert t9.precision == 1.0 and t9.recall == 0.5
+        assert (t8.tp, t8.fp) == (2, 1)
+        assert t8.precision == pytest.approx(0.666667) and t8.recall == 1.0
+        assert (t3.tp, t3.fp) == (2, 2)
+        assert t3.precision == 0.5 and t3.recall == 1.0
+
+    def test_no_positives_yields_null_recall(self, spark):
+        out = pr_curve(
+            _scored(spark, [(0.5, False), (0.2, False)])
+        ).collect()
+        assert all(r.recall is None for r in out)
+        assert all(r.precision == 0.0 for r in out)
 
 
 class TestCalibrationBins:
