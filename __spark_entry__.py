@@ -54,6 +54,7 @@ from seriesly_spark.operators.dedup import (
 from seriesly_spark.operators.evaluation import (
     calibration_bins,
     pr_curve,
+    psi_report,
     roc_auc,
     stopword_lang_scored,
 )
@@ -3576,6 +3577,20 @@ def q_score_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_curve(stopword_lang_scored(_table(spark, sf_dir, "documents")))
 
 
+def q_score_psi_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between two
+    deterministic corpus shards (even vs odd doc_id) over the
+    stopword-ratio score — the snapshot-vs-snapshot distribution
+    monitor. Full 10-bin grid rebuilt densely (an empty bin IS the
+    drift signal), eps-clamped proportions, per-bin PSI terms; total
+    PSI = sum of the term column."""
+    sc = stopword_lang_scored(_table(spark, sf_dir, "documents"))
+    return psi_report(
+        sc.where(F.col("doc_id") % 2 == 0),
+        sc.where(F.col("doc_id") % 2 == 1),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -3607,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_calibration": q_score_calibration,
         "score_auc_by_source": q_score_auc_by_source,
         "score_pr_curve": q_score_pr_curve,
+        "score_psi_shards": q_score_psi_shards,
         "moving_avg_6h": q_moving_avg_6h,
         "distinct_users_daily": q_distinct_users_daily,
         "quality_filter": q_quality_filter,
@@ -3792,7 +3808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _SCORED_SQL = """
-  SELECT source,
+  SELECT doc_id, source,
          round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
            x -> list_contains(
              ['the','a','an','of','and','to','in','is','it','for','on',
@@ -3882,6 +3898,32 @@ SELECT threshold, tp, fp,
        round(tp / (tp + fp), 6) AS "precision",
        CASE WHEN npos > 0 THEN round(tp / npos, 6) END AS recall
 FROM c ORDER BY threshold DESC
+"""
+    d["score_psi_shards"] = f"""
+WITH scored AS ({_SCORED_SQL}),
+r AS (SELECT least(greatest(CAST(floor(score * 10) AS INT), 0), 9) AS bin,
+        count(*) AS n
+      FROM scored WHERE doc_id % 2 = 0 GROUP BY 1),
+c AS (SELECT least(greatest(CAST(floor(score * 10) AS INT), 0), 9) AS bin,
+        count(*) AS n
+      FROM scored WHERE doc_id % 2 = 1 GROUP BY 1),
+grid AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
+j AS (SELECT g.bin,
+        CAST(coalesce(r.n, 0) AS BIGINT) AS n_ref,
+        CAST(coalesce(c.n, 0) AS BIGINT) AS n_cur
+      FROM grid g LEFT JOIN r ON g.bin = r.bin LEFT JOIN c ON g.bin = c.bin),
+p AS (SELECT bin, n_ref, n_cur,
+        CASE WHEN sum(n_ref) OVER () > 0
+             THEN round(n_ref / sum(n_ref) OVER (), 6) END AS p_ref,
+        CASE WHEN sum(n_cur) OVER () > 0
+             THEN round(n_cur / sum(n_cur) OVER (), 6) END AS p_cur
+      FROM j)
+SELECT bin, n_ref, n_cur, p_ref, p_cur,
+       CASE WHEN p_ref IS NOT NULL AND p_cur IS NOT NULL THEN
+         round((greatest(p_cur, 1e-6) - greatest(p_ref, 1e-6))
+               * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6)), 6)
+       END AS psi_term
+FROM p ORDER BY bin
 """
     # quality_filter: recompose from the two proven stat SQLs so the
     # composite can never drift from its components.

@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "score_calibration",
     "score_auc_by_source",
     "score_pr_curve",
+    "score_psi_shards",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -205,6 +205,93 @@ def calibration_bins(
     return out
 
 
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "score",
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population stability index between a reference and a current
+    sample of a bounded value — the distribution-drift monitor a
+    pipeline runs between corpus snapshots or daily shards before a
+    scorer's thresholds are trusted to still mean what they meant.
+
+    Equal-width bins over [lo, hi] (edges clamp; NULLs drop). Per bin:
+    PSI term = (p_cur - p_ref) * ln(p_cur / p_ref), proportions
+    rounded to 6 then clamped to ``eps`` so empty cells contribute a
+    large-but-finite term instead of infinity (standard practice).
+    Total PSI = sum of the term column (rule of thumb: < 0.1 stable,
+    > 0.25 shifted).
+
+    Scale shape: one count aggregate per side (only (bin, n) pairs
+    shuffle), the n_bins-row grid rebuilt densely — groupBy DROPS
+    empty bins, and an empty bin is exactly the drift signal PSI must
+    not lose (same full-grid rule as the chi-square contingency). All
+    arithmetic after the counts runs on the n_bins-row table. Output:
+    (bin, n_ref, n_cur, p_ref, p_cur, psi_term) ordered by bin; the
+    proportions are NULL (term NULL) when a side is entirely empty.
+    """
+    span = hi - lo
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor(
+                    (F.col(value_col) - F.lit(lo)) / F.lit(span) * n_bins
+                ).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    grid = ref.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    j = (
+        grid.join(binned(ref, "n_ref"), "bin", "left")
+        .join(binned(cur, "n_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    withp = j.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.when(
+            F.sum("n_ref").over(tot) > 0,
+            F.round(F.col("n_ref") / F.sum("n_ref").over(tot), 6),
+        ).alias("p_ref"),
+        F.when(
+            F.sum("n_cur").over(tot) > 0,
+            F.round(F.col("n_cur") / F.sum("n_cur").over(tot), 6),
+        ).alias("p_cur"),
+    )
+    p = F.greatest(F.col("p_cur"), F.lit(eps))
+    q = F.greatest(F.col("p_ref"), F.lit(eps))
+    # Explicit NULL guard: greatest() SKIPS nulls, so without it an
+    # entirely-empty side would silently eps-fill and produce a
+    # number; PSI against nothing is meaningless and must say so.
+    term = F.when(
+        F.col("p_ref").isNotNull() & F.col("p_cur").isNotNull(),
+        F.round((p - q) * F.log(p / q), 6),
+    )
+    return withp.withColumn("psi_term", term).orderBy("bin")
+
+
 def stopword_lang_scored(
     docs: DataFrame,
     text_col: str = "text",

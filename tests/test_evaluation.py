@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from seriesly_spark.operators.evaluation import (
     calibration_bins,
     pr_curve,
+    psi_report,
     roc_auc,
     stopword_lang_scored,
 )
@@ -146,6 +147,41 @@ class TestCalibrationBins:
         rows = [(0.5, True), (None, True), (0.5, None)]
         out = calibration_bins(_scored(spark, rows)).collect()
         assert len(out) == 1 and out[0].n == 1
+
+
+class TestPsiReport:
+    def _vals(self, spark, xs):
+        return spark.createDataFrame([(float(x),) for x in xs], "score double")
+
+    def test_identical_distributions_are_zero(self, spark):
+        a = self._vals(spark, [0.05, 0.15, 0.15, 0.95])
+        out = psi_report(a, a).collect()
+        assert len(out) == 10  # full grid, empty bins included
+        assert all(r.psi_term == 0.0 for r in out)
+
+    def test_shift_is_positive_and_empty_bin_kept(self, spark):
+        ref = self._vals(spark, [0.05] * 8 + [0.15] * 2)
+        cur = self._vals(spark, [0.05] * 2 + [0.95] * 8)
+        rows = {r.bin: r for r in psi_report(ref, cur).collect()}
+        assert len(rows) == 10
+        # bin 9: present only in cur -> ref side eps-clamped, large term
+        assert rows[9].n_ref == 0 and rows[9].n_cur == 8
+        assert rows[9].psi_term > 1.0
+        # bin 1: present only in ref -> also positive (symmetric form)
+        assert rows[1].psi_term > 0
+        total = sum(r.psi_term for r in rows.values())
+        assert total > 0.25  # "shifted" by the rule of thumb
+
+    def test_empty_side_yields_null_terms(self, spark):
+        ref = self._vals(spark, [0.5])
+        cur = self._vals(spark, [])
+        out = psi_report(ref, cur).collect()
+        assert all(r.p_cur is None and r.psi_term is None for r in out)
+
+    def test_out_of_range_clamps_to_edge_bins(self, spark):
+        ref = self._vals(spark, [-0.5, 1.5])
+        rows = {r.bin: r.n_ref for r in psi_report(ref, ref).collect()}
+        assert rows[0] == 1 and rows[9] == 1
 
 
 class TestStopwordLangScorer:
