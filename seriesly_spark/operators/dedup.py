@@ -1161,3 +1161,106 @@ def lsh_autotune(
         )
         .orderBy(F.col("bands").desc())
     )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Merged duplicated-SPAN coverage per document — what the
+    exact-substring dedup of "Deduplicating Training Data Makes
+    Language Models Better" (arXiv:2107.06499) would actually CUT.
+    ``substring_dup_stats`` counts duplicated n-token windows; two
+    overlapping duplicated windows are one contiguous repeated span,
+    and the removal/triage decision runs on spans: how many maximal
+    repeated regions a document has and what fraction of its TOKENS
+    they cover (a doc can have 40% duplicated windows that merge into
+    one 45%-of-tokens block — very different from 40 scattered
+    repeats).
+
+    Span semantics: window at token position p (0-based) covers tokens
+    [p, p+n-1]; a window is duplicated when its identity recurs
+    anywhere in the corpus (same corpus-count criterion as
+    ``substring_dup_stats``); duplicated windows whose token intervals
+    overlap or touch merge — break exactly when the position gap
+    exceeds n. Merged span [p1..p2] covers p2-p1+n tokens.
+
+    Scale shape: same hash-before-shuffle spine as
+    ``substring_dup_stats`` (windows collapse to 8-byte xxhash64
+    before anything moves; the corpus count aggregate map-side
+    combines its hot boilerplate keys), then the island merge is a
+    PER-DOCUMENT window function — partitioned by doc_id, thousands of
+    rows max per doc, no global ordering anywhere. Output:
+    (doc_id, n_tokens, n_spans, dup_tokens, dup_token_ratio) — one row
+    per document, zeros when nothing recurs, ratio NULL only for empty
+    documents.
+    """
+    from pyspark.sql import Window
+
+    t = tokens(text_col)
+    th = F.transform(t, lambda x: F.xxhash64(x))
+    pre = spread(docs).select(
+        F.col(id_col), th.alias("__th"), F.size(t).alias("__nt")
+    )
+    win = F.when(
+        F.col("__nt") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__nt") - n),
+            lambda i: F.xxhash64(
+                *[
+                    F.element_at(F.col("__th"), i + F.lit(j + 1))
+                    for j in range(n)
+                ]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # ONE select around the posexplode, for the same CollapseProject
+    # reason as substring_dup_stats (the token-hash transform must not
+    # be substituted into the generator). EAGER persist: the corpus
+    # count and the dup-position join both consume this inside one
+    # action.
+    occ = scoped_persist(
+        pre.select(
+            F.col(id_col), F.posexplode(win).alias("__p", "__h")
+        ),
+        "dedup.span_occ",
+        eager=True,
+    )
+    counts = occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    dup = (
+        occ.join(counts.where(F.col("__c") > 1), "__h")
+        .select(id_col, "__p")
+    )
+    ordw = Window.partitionBy(id_col).orderBy("__p")
+    islands = dup.select(
+        F.col(id_col),
+        F.col("__p"),
+        F.sum(
+            F.when(
+                F.col("__p") - F.lag("__p").over(ordw) > n, 1
+            ).otherwise(0)
+        )
+        .over(ordw.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__isl"),
+    )
+    spans = islands.groupBy(id_col, "__isl").agg(
+        F.min("__p").alias("__p1"), F.max("__p").alias("__p2")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("__p2") - F.col("__p1") + n).alias("dup_tokens"),
+    )
+    spine = docs.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
+    return spine.join(per_doc, id_col, "left").select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
+            6,
+        ).alias("dup_token_ratio"),
+    )

@@ -319,3 +319,79 @@ def stopword_lang_scored(
         F.when(n > 0, score).alias("score"),
         (F.col(lang_col) == positive_lang).alias("label"),
     )
+
+
+def snapshot_diff(
+    ref: DataFrame,
+    cur: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Corpus snapshot delta: classify every document id across two
+    snapshots as added / removed / changed / unchanged, counted per
+    group — the refresh audit a pipeline runs between crawl snapshots
+    before re-running the expensive downstream ladder (a 2% changed +
+    1% added delta means incremental reprocessing; a 60% churn means
+    the upstream source moved under you; `psi_report` monitors the
+    same transition's SCORE distribution, this monitors its identity).
+
+    Semantics: membership by ``id_col``; sameness by md5 of
+    ``content_col`` (16-byte digest — content bodies never shuffle,
+    the same digest discipline as ``DedupIndex``). A NULL content on
+    either side compares as the empty digest (documented, determinate).
+
+    Scale shape: two narrow projections to (id, digest[, group]), one
+    full outer hash join on the id key, then a counting aggregate —
+    the join is the only corpus-sized shuffle and it carries 24-byte
+    rows. Group attribution prefers the CURRENT side (what the corpus
+    is becoming), falling back to ref for removed ids.
+
+    Output: (status, group?, n_docs) with a dense status set — all
+    four statuses always present (zero-filled), because "added: 0" is
+    exactly the signal a refresh audit must not silently drop — ordered
+    by (status, group).
+    """
+    dig = lambda c: F.md5(F.coalesce(F.col(c).cast("string"), F.lit("")))
+    gcols_r = [F.col(group_col).alias("__gr")] if group_col else []
+    gcols_c = [F.col(group_col).alias("__gc")] if group_col else []
+    r = ref.select(
+        F.col(id_col).alias("__id"), dig(content_col).alias("__dr"), *gcols_r
+    )
+    c = cur.select(
+        F.col(id_col).alias("__id"), dig(content_col).alias("__dc"), *gcols_c
+    )
+    j = r.join(c, "__id", "full_outer")
+    status = (
+        F.when(F.col("__dr").isNull(), F.lit("added"))
+        .when(F.col("__dc").isNull(), F.lit("removed"))
+        .when(F.col("__dr") == F.col("__dc"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    spark = ref.sparkSession
+    statuses = spark.createDataFrame(
+        [("added",), ("removed",), ("changed",), ("unchanged",)],
+        "status string",
+    )
+    if group_col:
+        grp = F.coalesce(F.col("__gc"), F.col("__gr")).alias(group_col)
+        counts = j.select(status.alias("status"), grp).groupBy(
+            "status", group_col
+        ).agg(F.count(F.lit(1)).alias("n_docs"))
+        grid = counts.select(group_col).distinct().crossJoin(
+            F.broadcast(statuses)
+        )
+        out = grid.join(counts, ["status", group_col], "left").select(
+            "status",
+            group_col,
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        )
+        return out.orderBy("status", group_col)
+    counts = j.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        statuses.join(counts, "status", "left")
+        .select("status", F.coalesce("n_docs", F.lit(0)).alias("n_docs"))
+        .orderBy("status")
+    )

@@ -366,3 +366,91 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("__h")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    budget_tokens: int,
+    size_col: str | None = None,
+    text_col: str = "text",
+    temperature: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted mixture PLANNING: given per-source corpus
+    sizes and a total token budget, compute each source's sampling
+    weight w_s ∝ tokens_s^τ and the budget's allocation — the
+    data-mixing worksheet (UnifiedQA / multilingual-LM style
+    temperature sampling, τ<1 upweights small sources) a pipeline
+    owner reads BEFORE launching a 100 TB pretraining mix.
+    ``mixture_sample`` enforces a given mix; this DERIVES one.
+
+    epochs > 1 on a source means the plan re-reads it (upsampling);
+    the owner caps τ or the budget until epochs are acceptable.
+
+    Determinism across engines: the default τ=0.5 computes weights via
+    sqrt — CORRECTLY ROUNDED per IEEE-754, unlike pow whose last ulp
+    is libm's choice — and every cross-group sum runs over
+    decimal(38,18) casts of those doubles (exact, order-independent).
+    Other temperatures use pow and are documented as
+    last-ulp-best-effort. Token counts are whitespace tokens of
+    ``text_col`` unless ``size_col`` provides precomputed sizes.
+
+    Scale shape: ONE corpus aggregate (map-side combined count+sum per
+    source — only (source, n, tokens) triples shuffle), then all
+    arithmetic on the sources-sized table with the two totals joined
+    as a broadcast 1-row frame. Output per source, ordered:
+    (group, n_docs, n_tokens, raw_share, weight, planned_tokens,
+    epochs).
+    """
+    from seriesly_spark.operators.textstats import tokens
+
+    sz = (
+        F.col(size_col).cast("long")
+        if size_col
+        else F.size(tokens(text_col)).cast("long")
+    )
+    g = (
+        spread(df)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(sz).alias("n_tokens"),
+        )
+    )
+    if temperature == 0.5:
+        pw = F.sqrt(F.col("n_tokens").cast("double"))
+    else:
+        pw = F.pow(F.col("n_tokens").cast("double"), F.lit(temperature))
+    g = g.withColumn("__pw", pw)
+    tot = g.agg(
+        F.sum("n_tokens").alias("__tot_tokens"),
+        F.sum(F.col("__pw").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("__tot_pw"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("__tot_tokens"), 6).alias(
+                "raw_share"
+            ),
+            F.round(F.col("__pw") / F.col("__tot_pw"), 6).alias("weight"),
+            F.round(
+                F.lit(float(budget_tokens)) * F.col("__pw") / F.col("__tot_pw"),
+                0,
+            )
+            .cast("long")
+            .alias("planned_tokens"),
+            F.round(
+                F.lit(float(budget_tokens))
+                * F.col("__pw")
+                / F.col("__tot_pw")
+                / F.col("n_tokens"),
+                6,
+            ).alias("epochs"),
+        )
+        .orderBy(group_col)
+    )

@@ -652,3 +652,166 @@ def hard_negatives(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
     )
+
+
+def ann_topk_multi(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for a BATCH of query vectors — the
+    shape a retrieval pipeline actually runs (one query at a time never
+    amortizes the corpus scan). Self-matches are excluded per query.
+
+    Plan: the bounded query set broadcasts with norms precomputed (one
+    norm per query row, one per corpus row — inline cosine() would
+    redo the query norm once per corpus row); similarity rounds to 6
+    BEFORE ranking so last-ulp engine differences cannot flip ranks
+    (ties break on the neighbor id); the per-query top-k is a
+    rank-filter over a window, which Catalyst's InferWindowGroupLimit
+    rewrites into a PER-PARTITION partial top-k (WindowGroupLimit
+    before the exchange) — the shuffle carries at most
+    k * partitions rows per query, not the |Q|·N scored corpus, and
+    the few-distinct-keys skew of a plain per-query window never
+    materializes. Same certified shape as ``hard_negatives``.
+
+    Output: (query_id, vec_id, cos_sim, rnk) with rnk 1..k.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        vectors.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    corpus = spread(vectors).select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__vn"),
+    )
+    scored = corpus.join(
+        q, F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col),
+        F.round(
+            dot(F.col(vec_col), F.col("__qv"))
+            / (F.col("__vn") * F.col("__qn")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def ann_lsh_recall(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    planes: int = 32,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the sign-LSH bucket probe against exact brute force,
+    per query — the accuracy gate a pipeline runs BEFORE trusting the
+    approximate path at scale (``lsh_eval`` plays this role for the
+    MinHash text miners; this is its embedding-side twin).
+
+    Both sides rank on round(cos, 6) with a vec_id tie-break, so the
+    two engines (and the two paths) agree on rank boundaries exactly.
+    The LSH side probes only candidates sharing >= 1 band chunk with
+    the query (the equi-join that replaces the O(|Q|·N) scan at
+    scale); the exact side is ``ann_topk_multi``. Recall denominator
+    is the EXACT list's size (== k whenever the corpus has k
+    non-self rows), so a sparse corpus cannot inflate recall.
+
+    Scale shape: signatures computed ONCE over the corpus (Arrow
+    batched matrix multiply), band chunks explode to bands·N rows of
+    (band, chunk, id) longs, the |Q|·bands query chunks broadcast, and
+    the candidate set dedupes BEFORE any vector is touched — cosine
+    runs on candidates only. The final recall join moves |Q|·k rows.
+
+    Output: (query_id, n_exact, n_hit, recall) ordered by query_id.
+    """
+    from pyspark.sql import Window
+
+    exact = ann_topk_multi(
+        vectors, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    )
+    sig = lsh_signature(
+        vectors, planes=planes, id_col=id_col, vec_col=vec_col
+    )
+    chunks = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*_band_chunks(planes, bands))).alias("bc"),
+    ).select(id_col, "bc.band", "bc.chunk")
+    qchunks = F.broadcast(
+        chunks.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), "band", "chunk"
+        )
+    )
+    cand = (
+        chunks.join(qchunks, ["band", "chunk"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    q = F.broadcast(
+        vectors.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    scored = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(
+                dot(F.col(vec_col), F.col("__qv"))
+                / (norm(F.col(vec_col)) * F.col("__qn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    approx = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
+    )
+    hit = approx.select(
+        "query_id", F.col(id_col).alias("__hit_id")
+    )
+    joined = exact.join(
+        hit,
+        (exact["query_id"] == hit["query_id"])
+        & (exact[id_col] == hit["__hit_id"]),
+        "left",
+    ).select(exact["query_id"], exact[id_col], "__hit_id")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit_id").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
