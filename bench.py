@@ -187,6 +187,11 @@ BENCH_QUERIES = [
     "score_auc_by_source",
     "score_pr_curve",
     "score_psi_shards",
+    "dup_span",
+    "snapshot_diff",
+    "mixture_plan",
+    "ann_multi_exact",
+    "ann_lsh_recall",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)
