@@ -751,10 +751,19 @@ def ann_lsh_recall(
     sig = lsh_signature(
         vectors, planes=planes, id_col=id_col, vec_col=vec_col
     )
-    chunks = sig.select(
-        F.col(id_col),
-        F.explode(F.array(*_band_chunks(planes, bands))).alias("bc"),
-    ).select(id_col, "bc.band", "bc.chunk")
+    # Persist the banded signatures: the bucket join consumes this
+    # frame on BOTH sides (corpus chunks + the broadcast query chunks)
+    # inside one action — without it the Arrow signature pass runs
+    # twice (observed ArrowEval=2 in the executed plan). EAGER for the
+    # same single-action reason as the minhash miners.
+    chunks = scoped_persist(
+        sig.select(
+            F.col(id_col),
+            F.explode(F.array(*_band_chunks(planes, bands))).alias("bc"),
+        ).select(id_col, "bc.band", "bc.chunk"),
+        "similarity.lsh_recall_chunks",
+        eager=True,
+    )
     qchunks = F.broadcast(
         chunks.where(F.col(id_col).isin(query_ids)).select(
             F.col(id_col).alias("query_id"), "band", "chunk"
