@@ -719,6 +719,7 @@ def ann_lsh_recall(
     k: int = 10,
     planes: int = 32,
     bands: int = 4,
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -749,7 +750,7 @@ def ann_lsh_recall(
         vectors, query_ids, k=k, id_col=id_col, vec_col=vec_col
     )
     sig = lsh_signature(
-        vectors, planes=planes, id_col=id_col, vec_col=vec_col
+        vectors, planes=planes, dim=dim, id_col=id_col, vec_col=vec_col
     )
     # Persist the banded signatures: the bucket join consumes this
     # frame on BOTH sides (corpus chunks + the broadcast query chunks)
@@ -823,4 +824,115 @@ def ann_lsh_recall(
             F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
         )
         .orderBy("query_id")
+    )
+
+
+def ivf_cell_purity(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Label purity of each IVF cell — the clustering-quality eval a
+    pipeline runs before trusting a coarse quantizer to route similar
+    documents together (cells that mix labels will also mix semantic
+    neighborhoods, and the ANN probe's recall degrades exactly there).
+    The embedding-side analogue of `textstats.lang_confusion`'s
+    classifier-vs-labels matrix.
+
+    Per cell: size, distinct labels, the majority label (ties break on
+    the SMALLEST label so both engines agree), its count, and purity =
+    top_n / n. Cells no vector landed in still get a row (n=0, NULL
+    purity) — an empty cell is a routing signal the report must not
+    drop, the same dense-grid rule as the chi-square contingency.
+
+    Scale shape: assignment is a NARROW per-row argmax — the codebook
+    folds to ONE broadcast row (array of (cid, vector, norm) structs,
+    cid-sorted so the fold is deterministic) and `F.aggregate` picks the
+    best cell per vector inside the scan, so the corpus never shuffles
+    for assignment (vs `ivf_assign`'s groupBy argmax, which moves
+    |codebook|× the corpus; purity doesn't need the vector back, so the
+    cheap form applies). Same math as `ivf_assign`: round(cos,6),
+    ties to the SMALLEST cid (strict `>` over a cid-ascending fold);
+    Spark's NaN-is-greatest comparison keeps zero-norm vectors on the
+    smallest cid there too. The ONLY corpus-sized exchange is the
+    (cell,label) count aggregate (map-side combined to ≤cells×labels
+    rows); everything after runs on that table.
+    """
+    cents = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(centroid_id_col).cast("long").alias("cid"),
+                    F.col(vec_col).alias("cv"),
+                    F.sqrt(norm2(F.col(vec_col))).alias("cn"),
+                )
+            )
+        ).alias("__cents")
+    )
+
+    def _fold_best(vn):
+        def merge(acc, c):
+            sim = F.round(
+                dot(F.col(vec_col), c["cv"]) / (vn * c["cn"]), 6
+            )
+            return F.when(
+                sim > acc["sim"],
+                F.struct(c["cid"].alias("cid"), sim.alias("sim")),
+            ).otherwise(acc)
+
+        return F.aggregate(
+            F.col("__cents"),
+            F.struct(
+                F.lit(None).cast("long").alias("cid"),
+                F.lit(float("-inf")).alias("sim"),
+            ),
+            merge,
+        )["cid"]
+
+    best = (
+        vectors.select(id_col, label_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(label_col),
+            _fold_best(F.sqrt(norm2(F.col(vec_col)))).alias("__cid"),
+        )
+    )
+    cl = best.groupBy("__cid", label_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    per_cell = cl.groupBy("__cid").agg(
+        F.sum("__n").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.max_by(
+            F.col(label_col),
+            F.struct(
+                F.col("__n").alias("c"),
+                (-F.col(label_col).cast("long")).alias("nl"),
+            ),
+        ).alias("top_label"),
+        F.max("__n").alias("top_n"),
+    )
+    grid = centroids.select(F.col(centroid_id_col))
+    return (
+        grid.join(
+            per_cell,
+            grid[centroid_id_col] == per_cell["__cid"],
+            "left",
+        )
+        .select(
+            centroid_id_col,
+            F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+            F.coalesce("n_labels", F.lit(0)).alias("n_labels"),
+            "top_label",
+            F.coalesce("top_n", F.lit(0)).alias("top_n"),
+            F.round(
+                F.col("top_n")
+                / F.when(F.col("n_vectors") > 0, F.col("n_vectors")),
+                6,
+            ).alias("purity"),
+        )
+        .orderBy(centroid_id_col)
     )

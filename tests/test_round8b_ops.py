@@ -267,3 +267,58 @@ class TestAnnMulti:
             ).collect()
         }
         assert rec[0] == 1.0
+
+
+class TestIvfCellPurity:
+    def test_hand_computed_with_empty_cell(self, spark):
+        from seriesly_spark.operators.similarity import ivf_cell_purity
+
+        # centroids: c0=[1,0], c1=[0,1], c2=[-1,0] (never argmax: every
+        # vector has positive x or dominant y)
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])],
+            "centroid_id int, embedding array<float>",
+        )
+        # cell 0: labels 7,7,8 -> purity 2/3; cell 1: label 9 -> 1.0
+        vecs = spark.createDataFrame(
+            [
+                (10, [1.0, 0.1], 7),
+                (11, [0.9, 0.2], 7),
+                (12, [1.0, 0.0], 8),
+                (13, [0.1, 1.0], 9),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {
+            r["centroid_id"]: r.asDict()
+            for r in ivf_cell_purity(vecs, cents).collect()
+        }
+        assert out[0]["n_vectors"] == 3 and out[0]["n_labels"] == 2
+        assert out[0]["top_label"] == 7 and out[0]["top_n"] == 2
+        assert out[0]["purity"] == round(2 / 3, 6)
+        assert out[1] == {
+            "centroid_id": 1, "n_vectors": 1, "n_labels": 1,
+            "top_label": 9, "top_n": 1, "purity": 1.0,
+        }
+        # empty cell keeps its row: n=0, NULL purity/top_label
+        assert out[2]["n_vectors"] == 0 and out[2]["purity"] is None
+        assert out[2]["top_label"] is None and out[2]["top_n"] == 0
+
+    def test_majority_tie_breaks_on_smallest_label(self, spark):
+        from seriesly_spark.operators.similarity import ivf_cell_purity
+
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "centroid_id int, embedding array<float>"
+        )
+        vecs = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], 5),
+                (2, [1.0, 0.1], 3),
+                (3, [0.9, 0.0], 5),
+                (4, [0.9, 0.1], 3),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        row = ivf_cell_purity(vecs, cents).collect()[0]
+        assert row["top_label"] == 3 and row["top_n"] == 2
+        assert row["purity"] == 0.5
