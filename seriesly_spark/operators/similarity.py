@@ -848,57 +848,52 @@ def ivf_cell_purity(
     purity) — an empty cell is a routing signal the report must not
     drop, the same dense-grid rule as the chi-square contingency.
 
-    Scale shape: assignment is a NARROW per-row argmax — the codebook
-    folds to ONE broadcast row (array of (cid, vector, norm) structs,
-    cid-sorted so the fold is deterministic) and `F.aggregate` picks the
-    best cell per vector inside the scan, so the corpus never shuffles
-    for assignment (vs `ivf_assign`'s groupBy argmax, which moves
-    |codebook|× the corpus; purity doesn't need the vector back, so the
-    cheap form applies). Same math as `ivf_assign`: round(cos,6),
-    ties to the SMALLEST cid (strict `>` over a cid-ascending fold);
-    Spark's NaN-is-greatest comparison keeps zero-norm vectors on the
-    smallest cid there too. The ONLY corpus-sized exchange is the
-    (cell,label) count aggregate (map-side combined to ≤cells×labels
-    rows); everything after runs on that table.
+    Scale shape: `ivf_assign`'s broadcast-scored argmax with the label
+    carried through as a group key and the VECTOR DROPPED before the
+    shuffle — the argmax exchange moves (id, label, cid, sim) scalars
+    instead of the embedding (map-side partial max_by collapses the
+    |codebook| scored rows per vector to one before the exchange, so
+    the shuffle is corpus-ROW-count, tiny-byte), and grouping on
+    (id, label) makes the id-keyed label re-join unnecessary. Same
+    math as `ivf_assign`: round(cos,6), ties to the SMALLEST cid. A
+    shuffle-FREE per-row fold over a one-row broadcast codebook
+    (`F.aggregate` / `transform`+`array_max`) was built and measured
+    3.5-5x SLOWER at sf0.1: higher-order-function lambdas skip
+    whole-stage codegen, so the decimal-accumulated dot products run
+    interpreted — the codegen'd crossJoin argmax wins even paying its
+    scalar shuffle (PLANS.md). The later (cell,label) count aggregate
+    map-side combines to ≤cells×labels rows; everything after runs on
+    that table.
     """
-    cents = centroids.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col(centroid_id_col).cast("long").alias("cid"),
-                    F.col(vec_col).alias("cv"),
-                    F.sqrt(norm2(F.col(vec_col))).alias("cn"),
-                )
-            )
-        ).alias("__cents")
-    )
-
-    def _fold_best(vn):
-        def merge(acc, c):
-            sim = F.round(
-                dot(F.col(vec_col), c["cv"]) / (vn * c["cn"]), 6
-            )
-            return F.when(
-                sim > acc["sim"],
-                F.struct(c["cid"].alias("cid"), sim.alias("sim")),
-            ).otherwise(acc)
-
-        return F.aggregate(
-            F.col("__cents"),
-            F.struct(
-                F.lit(None).cast("long").alias("cid"),
-                F.lit(float("-inf")).alias("sim"),
-            ),
-            merge,
-        )["cid"]
-
-    best = (
-        vectors.select(id_col, label_col, vec_col)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col(label_col),
-            _fold_best(F.sqrt(norm2(F.col(vec_col)))).alias("__cid"),
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("__ccid"),
+            F.col(vec_col).alias("__cv"),
+            norm2(F.col(vec_col)).alias("__cn2"),
         )
+    )
+    scored = (
+        spread(vectors.select(id_col, label_col, vec_col))
+        .withColumn("__n2", norm2(F.col(vec_col)))
+        .crossJoin(c)
+        .select(
+            id_col,
+            label_col,
+            "__ccid",
+            F.round(
+                dot(F.col(vec_col), F.col("__cv"))
+                / (F.sqrt(F.col("__n2")) * F.sqrt(F.col("__cn2"))),
+                6,
+            ).alias("__sim"),
+        )
+    )
+    best = scored.groupBy(id_col, label_col).agg(
+        F.max_by(
+            F.col("__ccid"),
+            F.struct(
+                F.col("__sim").alias("s"), (-F.col("__ccid")).alias("nc")
+            ),
+        ).alias("__cid")
     )
     cl = best.groupBy("__cid", label_col).agg(
         F.count(F.lit(1)).alias("__n")
