@@ -95,6 +95,7 @@ from seriesly_spark.operators.similarity import (
     ann_topk_cosine,
     ann_topk_multi,
     ann_lsh_recall,
+    ann_ivf_recall,
     ivf_cell_purity,
     hard_negatives,
     ann_topk_lsh,
@@ -3666,6 +3667,21 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 + probe cost of the IVF cell probe (codebook = first 8
+    vectors, nprobe=2) vs exact truth for 8 queries — the accuracy/cost
+    gate for the partition-pruned ANN path, next to ann_lsh_recall's
+    gate for the bucket-probe path. n_cand is the per-query scan cost
+    the owner trades against recall when raising nprobe."""
+    return ann_ivf_recall(
+        _table(spark, sf_dir, "embeddings"),
+        [0, 1, 2, 3, 4, 5, 6, 7],
+        n_centroids=8,
+        k=10,
+        nprobe=2,
+    )
+
+
 def q_ivf_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label purity per IVF cell (codebook = first 8 vectors, the same
     coarse quantizer as ann_ivf): the clustering-quality audit run
@@ -3720,6 +3736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_pr_curve": q_score_pr_curve,
         "score_psi_shards": q_score_psi_shards,
         "ivf_cell_purity": q_ivf_cell_purity,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "moving_avg_6h": q_moving_avg_6h,
         "distinct_users_daily": q_distinct_users_daily,
         "quality_filter": q_quality_filter,
@@ -4053,6 +4070,58 @@ SELECT c.cid AS centroid_id,
     round(pc.top_n / CAST(pc.n_vectors AS DOUBLE), 6) END AS purity
 FROM c LEFT JOIN pc ON pc.cid = c.cid LEFT JOIN tl ON tl.cid = c.cid
 ORDER BY centroid_id
+"""
+    # ann_ivf_recall: argmax assignment + nprobe=2 probe cells + both
+    # top-k rankings replayed on round(cos,6) with id tie-breaks —
+    # identical rank boundaries to the Spark side by construction.
+    d["ann_ivf_recall"] = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+           WHERE vec_id < 8),
+s AS (SELECT e.vec_id, c.cid, {_cos('e.embedding', 'c.ce')} AS sim
+      FROM embeddings e CROSS JOIN c),
+a AS (SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        FROM s) WHERE rn = 1),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+es AS (SELECT q.query_id, e.vec_id,
+         {_cos('e.embedding', 'q.qe')} AS cos_sim
+       FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> q.query_id),
+er AS (SELECT *, row_number() OVER
+         (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+       FROM es),
+exact AS (SELECT query_id, vec_id FROM er WHERE rnk <= 10),
+pc AS (SELECT query_id, cid FROM (
+         SELECT q.query_id, c.cid, row_number() OVER
+           (PARTITION BY q.query_id
+            ORDER BY {_cos('c.ce', 'q.qe')} DESC, c.cid) AS rn
+         FROM qv q CROSS JOIN c) WHERE rn <= 2),
+cand AS (SELECT pc.query_id, a.vec_id
+         FROM a JOIN pc ON a.cid = pc.cid
+         WHERE a.vec_id <> pc.query_id),
+nc AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY 1),
+ac AS (SELECT cd.query_id, cd.vec_id,
+         {_cos('e.embedding', 'q.qe')} AS cos_sim
+       FROM cand cd
+       JOIN embeddings e ON e.vec_id = cd.vec_id
+       JOIN qv q ON q.query_id = cd.query_id),
+ar AS (SELECT query_id, vec_id, row_number() OVER
+         (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+       FROM ac),
+approx AS (SELECT query_id, vec_id FROM ar WHERE rnk <= 10),
+j AS (SELECT e.query_id, a2.vec_id AS hit
+      FROM exact e LEFT JOIN approx a2
+        ON e.query_id = a2.query_id AND e.vec_id = a2.vec_id),
+b AS (SELECT query_id,
+        cast(count(*) as bigint) AS n_exact,
+        cast(count(hit) as bigint) AS n_hit
+      FROM j GROUP BY 1)
+SELECT b.query_id,
+  CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+  b.n_exact, b.n_hit,
+  round(cast(b.n_hit as double) / b.n_exact, 6) AS recall
+FROM b LEFT JOIN nc USING (query_id) ORDER BY query_id
 """
     # quality_filter: recompose from the two proven stat SQLs so the
     # composite can never drift from its components.

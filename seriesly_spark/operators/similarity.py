@@ -827,6 +827,136 @@ def ann_lsh_recall(
     )
 
 
+def ann_ivf_recall(
+    vectors: DataFrame,
+    query_ids: list[int],
+    n_centroids: int = 8,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k AND probe cost of the IVF cell probe against exact
+    brute force, per query — ``ann_lsh_recall``'s twin for the coarse
+    quantizer, exposing the knob that actually tunes IVF: ``nprobe``,
+    how many nearest cells each query scans. The owner reads the
+    (recall, n_cand) pair and raises nprobe until recall clears the
+    bar, seeing exactly how much corpus each step re-buys — n_cand IS
+    the per-query scan cost once cells are partition-pruned files.
+
+    Codebook = the first ``n_centroids`` corpus vectors (the same
+    deterministic convention as ``ivf_topk``). Every ranking — corpus
+    assignment, the query's probe cells, both top-k lists — orders on
+    round(cos, 6) with an id tie-break, so engines agree on every
+    boundary. Recall denominator is the exact list's size.
+
+    Scale shape: one ``ivf_assign`` pass (broadcast argmax, map-side
+    collapsed exchange), probe-cell selection on the |Q|×cells
+    broadcast-sized grid, candidates via ONE equi-join of the
+    assignment against the broadcast (query, cell) probe set — at
+    production scale this join is a partition-pruned read of nprobe
+    cells per query — cosine touches candidates only, the top-k is
+    the WindowGroupLimit rank-filter, and the recall join moves
+    |Q|·k rows. The candidate set persists because both the ranker
+    and the cost counter consume it inside one action.
+
+    Output: (query_id, n_cand, n_exact, n_hit, recall) by query_id.
+    """
+    from pyspark.sql import Window
+
+    exact = ann_topk_multi(
+        vectors, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    )
+    centroids = vectors.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col)
+    )
+    assigned = ivf_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "centroid_id")
+    q = F.broadcast(
+        vectors.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    cb = F.broadcast(
+        centroids.select(
+            F.col("centroid_id").alias("__ccid"),
+            F.col(vec_col).alias("__cv"),
+            norm(F.col(vec_col)).alias("__cn"),
+        )
+    )
+    qc_scored = q.crossJoin(cb).select(
+        "query_id",
+        "__ccid",
+        F.round(
+            dot(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
+        ).alias("__sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("__sim"), F.col("__ccid")
+    )
+    probe = F.broadcast(
+        qc_scored.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", F.col("__ccid").alias("centroid_id"))
+    )
+    cand = scoped_persist(
+        assigned.join(probe, "centroid_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col),
+        "similarity.ivf_recall_cand",
+        eager=True,
+    )
+    scored = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(
+                dot(F.col(vec_col), F.col("__qv"))
+                / (norm(F.col(vec_col)) * F.col("__qn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    approx = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
+    )
+    hit = approx.select("query_id", F.col(id_col).alias("__hit_id"))
+    joined = exact.join(
+        hit,
+        (exact["query_id"] == hit["query_id"])
+        & (exact[id_col] == hit["__hit_id"]),
+        "left",
+    ).select(exact["query_id"], exact[id_col], "__hit_id")
+    base = joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("__hit_id").alias("n_hit"),
+    )
+    ncand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    return (
+        base.join(ncand, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def ivf_cell_purity(
     vectors: DataFrame,
     centroids: DataFrame,

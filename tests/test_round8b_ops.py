@@ -269,6 +269,47 @@ class TestAnnMulti:
         assert rec[0] == 1.0
 
 
+class TestAnnIvfRecall:
+    """2-D corpus where the query's TRUE nearest neighbor lives in the
+    OTHER cell: nprobe=1 must miss it (recall 0.5), nprobe=2 must find
+    it (recall 1.0), and n_cand must count exactly the scanned cells'
+    members."""
+
+    CORPUS = [
+        (0, [1.0, 0.0]),    # centroid 0
+        (1, [0.0, 1.0]),    # centroid 1
+        (2, [0.9, 0.45]),   # query; cell 0
+        (3, [0.7, 0.72]),   # cell 1 — and the query's top-1 neighbor
+        (4, [1.0, 0.05]),   # cell 0
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.CORPUS, "vec_id long, embedding array<float>"
+        )
+
+    def test_nprobe_1_misses_cross_cell_neighbor(self, spark):
+        from seriesly_spark.operators.similarity import ann_ivf_recall
+
+        row = ann_ivf_recall(
+            self._df(spark), [2], n_centroids=2, k=2, nprobe=1
+        ).collect()[0]
+        # cell 0 = {0, 2, 4}; candidates exclude the query itself
+        assert row["n_cand"] == 2
+        assert row["n_exact"] == 2 and row["n_hit"] == 1
+        assert row["recall"] == 0.5
+
+    def test_nprobe_2_recovers_full_recall(self, spark):
+        from seriesly_spark.operators.similarity import ann_ivf_recall
+
+        row = ann_ivf_recall(
+            self._df(spark), [2], n_centroids=2, k=2, nprobe=2
+        ).collect()[0]
+        assert row["n_cand"] == 4
+        assert row["n_exact"] == 2 and row["n_hit"] == 2
+        assert row["recall"] == 1.0
+
+
 class TestIvfCellPurity:
     def test_hand_computed_with_empty_cell(self, spark):
         from seriesly_spark.operators.similarity import ivf_cell_purity
