@@ -3943,15 +3943,17 @@ WITH scored AS ({_SCORED_SQL}),
 g AS (SELECT score,
         CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
         CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn
-      FROM scored GROUP BY score),
+      FROM scored WHERE score IS NOT NULL AND label IS NOT NULL
+      GROUP BY score),
 c AS (SELECT np, nn,
         CAST(coalesce(sum(nn) OVER (ORDER BY score
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
           AS cum_neg
       FROM g)
-SELECT CAST(sum(np) AS BIGINT) AS n_pos,
-       CAST(sum(nn) AS BIGINT) AS n_neg,
-       CAST(0 AS BIGINT) AS n_skipped,
+SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,
+       CAST(coalesce(sum(nn), 0) AS BIGINT) AS n_neg,
+       (SELECT CAST(count(*) AS BIGINT) FROM scored
+        WHERE score IS NULL OR label IS NULL) AS n_skipped,
        CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
          round(CAST(sum(np * (2 * cum_neg + nn)) AS DOUBLE)
                / (2.0 * sum(np) * sum(nn)), 6)
@@ -3970,14 +3972,16 @@ SELECT least(greatest(CAST(floor(score * 10) AS INT), 0), 9) AS bin,
                        / count(*), 6)
                  - round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END)
                               AS BIGINT) / count(*), 6)), 6) AS gap
-FROM scored GROUP BY 1 ORDER BY bin
+FROM scored WHERE score IS NOT NULL AND label IS NOT NULL
+GROUP BY 1 ORDER BY bin
 """
     d["score_auc_by_source"] = f"""
 WITH scored AS ({_SCORED_SQL}),
 g AS (SELECT source, score,
         CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
         CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn
-      FROM scored GROUP BY source, score),
+      FROM scored WHERE score IS NOT NULL AND label IS NOT NULL
+      GROUP BY source, score),
 c AS (SELECT source, np, nn,
         CAST(coalesce(sum(nn) OVER (PARTITION BY source ORDER BY score
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -3986,21 +3990,26 @@ c AS (SELECT source, np, nn,
 f AS (SELECT source,
         CAST(sum(np) AS BIGINT) AS n_pos,
         CAST(sum(nn) AS BIGINT) AS n_neg,
-        CAST(0 AS BIGINT) AS n_skipped,
         CAST(sum(np * (2 * cum_neg + nn)) AS BIGINT) AS u2
-      FROM c GROUP BY source)
-SELECT source, n_pos, n_neg, n_skipped,
-       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-         round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+      FROM c GROUP BY source),
+sk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_skipped
+       FROM scored WHERE score IS NULL OR label IS NULL GROUP BY source)
+SELECT coalesce(f.source, sk.source) AS source,
+       CAST(coalesce(f.n_pos, 0) AS BIGINT) AS n_pos,
+       CAST(coalesce(f.n_neg, 0) AS BIGINT) AS n_neg,
+       CAST(coalesce(sk.n_skipped, 0) AS BIGINT) AS n_skipped,
+       CASE WHEN f.n_pos > 0 AND f.n_neg > 0 THEN
+         round(CAST(f.u2 AS DOUBLE) / (2.0 * f.n_pos * f.n_neg), 6)
        END AS auc
-FROM f ORDER BY source
+FROM f FULL OUTER JOIN sk ON f.source = sk.source ORDER BY 1
 """
     d["score_pr_curve"] = f"""
 WITH scored AS ({_SCORED_SQL}),
 g AS (SELECT score AS threshold,
         CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
         CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn
-      FROM scored GROUP BY score),
+      FROM scored WHERE score IS NOT NULL AND label IS NOT NULL
+      GROUP BY score),
 c AS (SELECT threshold,
         CAST(sum(np) OVER w AS BIGINT) AS tp,
         CAST(sum(nn) OVER w AS BIGINT) AS fp,
@@ -4017,10 +4026,10 @@ FROM c ORDER BY threshold DESC
 WITH scored AS ({_SCORED_SQL}),
 r AS (SELECT least(greatest(CAST(floor(score * 10) AS INT), 0), 9) AS bin,
         count(*) AS n
-      FROM scored WHERE doc_id % 2 = 0 GROUP BY 1),
+      FROM scored WHERE doc_id % 2 = 0 AND score IS NOT NULL GROUP BY 1),
 c AS (SELECT least(greatest(CAST(floor(score * 10) AS INT), 0), 9) AS bin,
         count(*) AS n
-      FROM scored WHERE doc_id % 2 = 1 GROUP BY 1),
+      FROM scored WHERE doc_id % 2 = 1 AND score IS NOT NULL GROUP BY 1),
 grid AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
 j AS (SELECT g.bin,
         CAST(coalesce(r.n, 0) AS BIGINT) AS n_ref,

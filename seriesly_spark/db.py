@@ -82,8 +82,17 @@ def _changelog_has_stranded_dups(d: str, files: list[str]) -> bool:
     import pyarrow.parquet as pq
 
     for f in files[1:]:  # files sorted by name == seq order
-        if pq.read_metadata(os.path.join(d, f)).num_rows > 1:
-            return True
+        try:
+            if pq.read_metadata(os.path.join(d, f)).num_rows > 1:
+                return True
+        except FileNotFoundError:
+            # A concurrent compact() fold removed this segment between
+            # the directory listing and the footer read. A vanished file
+            # is by definition a folded single-row per-commit segment
+            # (the fold only ever deletes those), so it cannot be the
+            # multi-row consolidated file we are probing for — skip it
+            # rather than surface a crash on a pure read path.
+            continue
     return False
 
 

@@ -1215,20 +1215,39 @@ def dup_span_stats(
                 ]
             ),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    ).otherwise(
+        # Sentinel one-NULL-window array for short docs (__nt < n):
+        # posexplode would DROP an empty array and lose the document,
+        # but the doc-spine below is derived from this same persisted
+        # frame (carrying __nt avoids re-tokenizing the corpus for the
+        # spine join — a whole second scan). NULL window hashes never
+        # match an inner join key and are filtered out of the corpus
+        # count, so they exist only to keep the doc's (id, __nt) row.
+        F.array(F.lit(None).cast("bigint"))
+    )
     # ONE select around the posexplode, for the same CollapseProject
     # reason as substring_dup_stats (the token-hash transform must not
     # be substituted into the generator). EAGER persist: the corpus
-    # count and the dup-position join both consume this inside one
-    # action.
+    # count, the dup-position join, and the doc spine all consume this
+    # inside one action — the ONLY corpus scan in the plan.
     occ = scoped_persist(
         pre.select(
-            F.col(id_col), F.posexplode(win).alias("__p", "__h")
+            F.col(id_col),
+            F.col("__nt"),
+            F.posexplode(win).alias("__p", "__h"),
         ),
         "dedup.span_occ",
         eager=True,
     )
-    counts = occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    # Explicit NULL filter: correctness would hold without it (NULL
+    # keys never satisfy an equi-join), but at scale the short-doc
+    # sentinels would otherwise pile into one mega-group in the count
+    # aggregate — a manufactured skew key.
+    counts = (
+        occ.where(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     dup = (
         occ.join(counts.where(F.col("__c") > 1), "__h")
         .select(id_col, "__p")
@@ -1252,7 +1271,13 @@ def dup_span_stats(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("__p2") - F.col("__p1") + n).alias("dup_tokens"),
     )
-    spine = docs.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
+    # Doc spine from the persisted occ frame — every document has at
+    # least one row there (real windows or the short-doc sentinel), so
+    # first(__nt) per id reproduces exactly what re-tokenizing would
+    # (same expression, same scan) without the second corpus pass. The
+    # partial aggregate collapses a doc's co-located window rows
+    # map-side, so the exchange is ~|docs| rows of 12 bytes.
+    spine = occ.groupBy(id_col).agg(F.first("__nt").alias("n_tokens"))
     return spine.join(per_doc, id_col, "left").select(
         id_col,
         F.col("n_tokens").cast("long").alias("n_tokens"),

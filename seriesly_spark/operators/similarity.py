@@ -1031,11 +1031,15 @@ def ivf_cell_purity(
     per_cell = cl.groupBy("__cid").agg(
         F.sum("__n").alias("n_vectors"),
         F.count(F.lit(1)).alias("n_labels"),
-        F.max_by(
+        # min over (-count, label): majority label, ties to the SMALLEST
+        # label by the column's NATURAL ordering — no numeric cast, so
+        # string labels keep the documented determinism (a long cast
+        # would NULL out and degrade to an arbitrary pick).
+        F.min_by(
             F.col(label_col),
             F.struct(
-                F.col("__n").alias("c"),
-                (-F.col(label_col).cast("long")).alias("nl"),
+                (-F.col("__n")).alias("negc"),
+                F.col(label_col).alias("l"),
             ),
         ).alias("top_label"),
         F.max("__n").alias("top_n"),

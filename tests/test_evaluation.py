@@ -212,3 +212,87 @@ class TestStopwordLangScorer:
         )
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestNullTextOracleParity:
+    """NULL-text documents yield NULL scores; Spark's evaluators skip
+    them (roc_auc counts n_skipped). The DuckDB oracles must do the
+    same — the driver fixtures have no NULL text, so this fixture
+    plants some and replays the full oracle gate over the score
+    family (the r08 ADVICE gap)."""
+
+    NAMES = [
+        "score_auc",
+        "score_auc_by_source",
+        "score_calibration",
+        "score_pr_curve",
+        "score_psi_shards",
+    ]
+
+    @pytest.fixture(scope="class")
+    def null_sf_dir(self, tmp_path_factory):
+        import duckdb
+
+        d = tmp_path_factory.mktemp("nulltext_sf")
+        con = duckdb.connect()
+        con.execute(
+            """
+            COPY (
+              SELECT * FROM read_parquet(
+                '/root/testdata/sf0.001/documents.parquet')
+              UNION ALL
+              SELECT * FROM (VALUES
+                (900001, NULL, 'en', 'null-src', 0),
+                (900002, NULL, 'fr', 'web', 0),
+                (900003, NULL, 'en', 'web', 0),
+                (900004, '', 'en', 'null-src', 0)
+              ) v(doc_id, text, lang, source, n_chars)
+            ) TO '%s' (FORMAT PARQUET)
+            """
+            % (d / "documents.parquet")
+        )
+        con.close()
+        return str(d)
+
+    @pytest.mark.parametrize("name", NAMES)
+    def test_matches_oracle_with_null_text(self, spark, null_sf_dir, name):
+        import duckdb
+        import math
+
+        import __spark_entry__ as entry_mod
+
+        sdf = entry_mod.queries()[name](spark, null_sf_dir)
+        s_cols = sdf.columns
+
+        def norm(v):
+            if isinstance(v, float):
+                return "NaN" if math.isnan(v) else (0.0 if v == 0.0 else v)
+            return v
+
+        order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+        s_rows = sorted(
+            (tuple(norm(r[i]) for i in order) for r in sdf.collect()),
+            key=repr,
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s')"
+            % (null_sf_dir + "/documents.parquet")
+        )
+        rel = con.sql(entry_mod.oracle_sql()[name])
+        d_cols = rel.columns
+        assert sorted(s_cols) == sorted(d_cols), name
+        dorder = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+        d_rows = sorted(
+            (tuple(norm(v) for v in (r[i] for i in dorder))
+             for r in rel.fetchall()),
+            key=repr,
+        )
+        con.close()
+        assert s_rows == d_rows, f"{name}: value mismatch under NULL text"
+
+    def test_skipped_mass_is_nonzero(self, spark, null_sf_dir):
+        import __spark_entry__ as entry_mod
+
+        row = entry_mod.queries()["score_auc"](spark, null_sf_dir).collect()[0]
+        assert row["n_skipped"] >= 3  # the planted NULL-text docs

@@ -363,3 +363,26 @@ class TestIvfCellPurity:
         row = ivf_cell_purity(vecs, cents).collect()[0]
         assert row["top_label"] == 3 and row["top_n"] == 2
         assert row["purity"] == 0.5
+
+    def test_string_labels_tie_break_naturally(self, spark):
+        # The tie-break must use the label column's NATURAL ordering —
+        # a numeric cast would NULL string labels out and degrade the
+        # documented smallest-label rule to an arbitrary pick.
+        from seriesly_spark.operators.similarity import ivf_cell_purity
+
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "centroid_id int, embedding array<float>"
+        )
+        vecs = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], "fr"),
+                (2, [1.0, 0.1], "de"),
+                (3, [0.9, 0.0], "fr"),
+                (4, [0.9, 0.1], "de"),
+                (5, [0.8, 0.1], "en"),
+            ],
+            "vec_id long, embedding array<float>, label string",
+        )
+        row = ivf_cell_purity(vecs, cents).collect()[0]
+        assert row["top_label"] == "de" and row["top_n"] == 2
+        assert row["n_labels"] == 3 and row["purity"] == 0.4
