@@ -97,6 +97,7 @@ from seriesly_spark.operators.similarity import (
     ann_lsh_recall,
     ann_ivf_recall,
     ivf_cell_purity,
+    train_ivf_codebook,
     hard_negatives,
     ann_topk_lsh,
     cosine_near_dup_pairs,
@@ -3682,6 +3683,21 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_recall with a TRAINED codebook — 2-round kmeans cells
+    (k=4) instead of the first-N convention, the production IVF path:
+    on clustered corpora trained cells buy more recall per scanned
+    candidate (n_cand) at the same nprobe. Training, assignment, probe
+    ranking, and both top-k lists all order on round-6 values with id
+    tie-breaks, so the DuckDB oracle replays the ENTIRE pipeline —
+    Lloyd rounds included — to bit-identical cell boundaries."""
+    emb = _table(spark, sf_dir, "embeddings")
+    cb = train_ivf_codebook(emb, n_centroids=4, iterations=2)
+    return ann_ivf_recall(
+        emb, [0, 1, 2, 3, 4, 5, 6, 7], k=10, nprobe=2, codebook=cb
+    )
+
+
 def q_ivf_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label purity per IVF cell (codebook = first 8 vectors, the same
     coarse quantizer as ann_ivf): the clustering-quality audit run
@@ -3709,27 +3725,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_certified.py asserts every entry is certified or inside
     the current head-50."""
     return {
-        # --- head-50 layout for the r08 driver window ---
-        # Slots 1-5: never driver-certified (new this session: the
-        # span-merge dedup view, the snapshot refresh audit, the
-        # mixture-planning worksheet, and the multi-query ANN pair).
+        # --- head-50 layout for the r09 driver window ---
+        # Slot 1: never driver-certified (new this round: the
+        # kmeans-trained IVF codebook recall gate).
+        "ann_ivf_trained": q_ann_ivf_trained,
+        # After folding CORRECTNESS_r08 into CERTIFIED.json every
+        # other entry is certified in some round; rotation re-stamps
+        # the STALEST certifications: the 42 queries whose newest
+        # green driver row is r03/r04 (four-plus rounds of
+        # shared-spine changes since), then the alphabetically-first
+        # r05 certifications to fill the window. The tail stays
+        # covered by tests/test_entry_oracle.py, which replays the
+        # oracle gate over ALL entries.
+        "autocorr_lag1": q_autocorr_lag1,
+        "bigram_lm": q_bigram_lm,
+        "column_profile": q_column_profile,
+        "corr_pairs_hourly": q_corr_pairs_hourly,
+        "cusum_changepoint": q_cusum_changepoint,
+        "inter_event_stats": q_inter_event_stats,
+        "interval_coverage": q_interval_coverage,
+        "iqr_outliers": q_iqr_outliers,
+        "length_curriculum": q_length_curriculum,
+        "levenshtein_pairs": q_levenshtein_pairs,
+        "merge_intervals": q_merge_intervals,
+        "normalized_dedup": q_normalized_dedup,
+        "pct_change_series": q_pct_change,
+        "pii_screen": q_pii_screen,
+        "quantile_transform": q_quantile_transform,
+        "rfm_scores": q_rfm,
+        "rollup_events": q_rollup_events,
+        "seasonal_residuals": q_seasonal_residuals,
+        "sliding_distinct_users": q_sliding_distinct,
+        "source_profile": q_source_profile,
+        "substring_dup": q_substring_dup,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q18_fast": q_tpch_q18_fast,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q21_fast": q_tpch_q21_fast,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "trend_slope": q_trend_slope,
+        "type_cooccurrence": q_type_cooccurrence,
+        "type_token_ratio": q_type_token_ratio,
+        "unpivot_daily": q_unpivot_daily,
+        "weighted_sample": q_weighted_sample,
+        "welch_ttest": q_welch_ttest,
+        # r05 fill to 50:
+        "activity_concentration": q_concentration,
+        "ann_ivf": q_ann_ivf,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "approx_pct_certify": q_approx_pct_certify,
+        "audio_decode_stats": q_audio_decode_stats,
+        "bm25_topk": q_bm25_topk,
+        # --- tail: newest-certified cohorts (r05 rest, r07, r08) ---
         "dup_span": q_dup_span,
         "snapshot_diff": q_snapshot_diff,
         "mixture_plan": q_mixture_plan,
         "ann_multi_exact": q_ann_multi_exact,
         "ann_lsh_recall": q_ann_lsh_recall,
-        # Next: never driver-certified from earlier in the round (the
-        # scorer-evaluation pair — ROC-AUC and calibration bins).
-        # After folding CORRECTNESS_r06/r07 into CERTIFIED.json, every
-        # other registry entry is driver-certified in some round;
-        # rotation re-stamps the STALEST certifications next: the 39
-        # queries whose newest green driver row is round 3, then the
-        # oldest round-4 certifications to fill the window — five
-        # rounds of shared-spine refactors (scoped_persist, spread,
-        # norm hoists, the index crash-recovery work) have landed since
-        # those rows were stamped. The tail stays covered by
-        # tests/test_entry_oracle.py, which replays the oracle gate
-        # over ALL entries.
         "score_auc": q_score_auc,
         "score_calibration": q_score_calibration,
         "score_auc_by_source": q_score_auc_by_source,
@@ -3775,49 +3838,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "series_gaps": q_series_gaps,
         "minmax_downsample": q_minmax_downsample,
-        "quantile_transform": q_quantile_transform,
-        "bigram_lm": q_bigram_lm,
-        "pii_screen": q_pii_screen,
-        "substring_dup": q_substring_dup,
-        "cusum_changepoint": q_cusum_changepoint,
-        "seasonal_residuals": q_seasonal_residuals,
-        "pct_change_series": q_pct_change,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q10": q_tpch_q10,
-        # --- tail: newest-certified cohorts (r04 remainder, r05, r07) ---
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "inter_event_stats": q_inter_event_stats,
-        "welch_ttest": q_welch_ttest,
-        "sliding_distinct_users": q_sliding_distinct,
-        "interval_coverage": q_interval_coverage,
-        "length_curriculum": q_length_curriculum,
-        "normalized_dedup": q_normalized_dedup,
-        "type_cooccurrence": q_type_cooccurrence,
-        "source_profile": q_source_profile,
-        "weighted_sample": q_weighted_sample,
-        "rfm_scores": q_rfm,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q21_fast": q_tpch_q21_fast,
-        "tpch_q18_fast": q_tpch_q18_fast,
-        "trend_slope": q_trend_slope,
-        "autocorr_lag1": q_autocorr_lag1,
-        "corr_pairs_hourly": q_corr_pairs_hourly,
-        "iqr_outliers": q_iqr_outliers,
-        "merge_intervals": q_merge_intervals,
-        "rollup_events": q_rollup_events,
-        "unpivot_daily": q_unpivot_daily,
-        "column_profile": q_column_profile,
-        "type_token_ratio": q_type_token_ratio,
-        "levenshtein_pairs": q_levenshtein_pairs,
         "compression_ratio": q_compression_ratio,
         "tpch_q12": q_tpch_q12,
         "sliding_distinct_approx": q_sliding_distinct_approx,
@@ -3830,7 +3850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "pca_certify": q_pca_certify,
         "url_dedup": q_url_dedup,
-        "bm25_topk": q_bm25_topk,
         "vocab_coverage": q_vocab_coverage,
         "dedup_ladder_report": q_dedup_ladder_report,
         "markov_transitions": q_markov_transitions,
@@ -3842,7 +3861,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_incremental": q_minhash_index_incremental,
         "winsorize_means": q_winsorize,
         "chisq_type_hour": q_chisq_type_hour,
-        "activity_concentration": q_concentration,
         "s17_change_log": q_s17_change_log,
         "s13_changes_feed": q_s13_changes_feed,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3857,17 +3875,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "r03_rate_family": q_r03_rate_family,
         "image_decode_stats": q_image_decode_stats,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_ivf": q_ann_ivf,
         "sample_stratified": q_sample_stratified,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "semantic_dedup": q_semantic_dedup,
         "hll_rollup_users": q_hll_rollup_users,
-        "approx_pct_certify": q_approx_pct_certify,
-        "audio_decode_stats": q_audio_decode_stats,
         "png_decode_stats": q_png_decode_stats,
         "jpeg_decode_stats": q_jpeg_decode_stats,
-        "ann_topk_cosine": q_ann_topk_cosine,
         "lsh_autotune": q_lsh_autotune,
         "compression_screen": q_compression_screen,
         "encoding_screen": q_encoding_screen,
@@ -4122,6 +4135,65 @@ approx AS (SELECT query_id, vec_id FROM ar WHERE rnk <= 10),
 j AS (SELECT e.query_id, a2.vec_id AS hit
       FROM exact e LEFT JOIN approx a2
         ON e.query_id = a2.query_id AND e.vec_id = a2.vec_id),
+b AS (SELECT query_id,
+        cast(count(*) as bigint) AS n_exact,
+        cast(count(hit) as bigint) AS n_hit
+      FROM j GROUP BY 1)
+SELECT b.query_id,
+  CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+  b.n_exact, b.n_hit,
+  round(cast(b.n_hit as double) / b.n_exact, 6) AS recall
+FROM b LEFT JOIN nc USING (query_id) ORDER BY query_id
+"""
+    # ann_ivf_trained: the SAME recall pipeline, codebook replaced by
+    # the unrolled 2-round Lloyd training (kmeans_lloyd mirror, round-6
+    # centroids — the semantic_dedup codebook CTEs) so the oracle
+    # replays training AND probe to identical cell boundaries.
+    d["ann_ivf_trained"] = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (SELECT vec_id AS cid,
+         list_transform(embedding, x -> cast(x as double)) AS cv
+       FROM v ORDER BY vec_id LIMIT 4),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        unnest(embedding) AS val FROM v),{_km_round(1, 'c0')},{_km_round(2, 'c1')},
+c AS (SELECT cid, list(round(mean, 6) ORDER BY dim) AS ce
+      FROM m2 GROUP BY cid),
+s AS (SELECT e2.vec_id, c.cid, {_cos('e2.embedding', 'c.ce')} AS sim
+      FROM embeddings e2 CROSS JOIN c),
+a AS (SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        FROM s) WHERE rn = 1),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+es AS (SELECT q.query_id, e2.vec_id,
+         {_cos('e2.embedding', 'q.qe')} AS cos_sim
+       FROM embeddings e2 CROSS JOIN qv q WHERE e2.vec_id <> q.query_id),
+er AS (SELECT *, row_number() OVER
+         (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+       FROM es),
+exact AS (SELECT query_id, vec_id FROM er WHERE rnk <= 10),
+pc AS (SELECT query_id, cid FROM (
+         SELECT q.query_id, c.cid, row_number() OVER
+           (PARTITION BY q.query_id
+            ORDER BY {_cos('c.ce', 'q.qe')} DESC, c.cid) AS rn
+         FROM qv q CROSS JOIN c) WHERE rn <= 2),
+cand AS (SELECT pc.query_id, a.vec_id
+         FROM a JOIN pc ON a.cid = pc.cid
+         WHERE a.vec_id <> pc.query_id),
+nc AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY 1),
+ac AS (SELECT cd.query_id, cd.vec_id,
+         {_cos('e2.embedding', 'q.qe')} AS cos_sim
+       FROM cand cd
+       JOIN embeddings e2 ON e2.vec_id = cd.vec_id
+       JOIN qv q ON q.query_id = cd.query_id),
+ar AS (SELECT query_id, vec_id, row_number() OVER
+         (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+       FROM ac),
+approx AS (SELECT query_id, vec_id FROM ar WHERE rnk <= 10),
+j AS (SELECT e3.query_id, a2.vec_id AS hit
+      FROM exact e3 LEFT JOIN approx a2
+        ON e3.query_id = a2.query_id AND e3.vec_id = a2.vec_id),
 b AS (SELECT query_id,
         cast(count(*) as bigint) AS n_exact,
         cast(count(hit) as bigint) AS n_hit

@@ -192,6 +192,9 @@ BENCH_QUERIES = [
     "mixture_plan",
     "ann_multi_exact",
     "ann_lsh_recall",
+    "ann_ivf_recall",
+    "ivf_cell_purity",
+    "ann_ivf_trained",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -644,26 +644,18 @@ def semantic_dedup(
     similarity.ivf_assign (broadcast argmax) + one equi-join on the
     cluster id. Output: (id, cluster, is_dup) for every input vector.
     """
-    from seriesly_spark.operators.clustering import kmeans_lloyd
-    from seriesly_spark.operators.similarity import ivf_assign
+    from seriesly_spark.operators.similarity import ivf_assign, train_ivf_codebook
 
-    cb = kmeans_lloyd(
-        vectors, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
-    )
-    codebook = (
-        cb.groupBy("cluster")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("dim", "centroid"))),
-                lambda s: s.getField("centroid"),
-            ).alias(vec_col)
-        )
-        .select(F.col("cluster").alias("centroid_id"), vec_col)
-        # Eager checkpoint of the k-row codebook: it feeds a broadcast
-        # AND sits under both sides of the pairwise self-join — without
-        # materialization the whole kmeans training plan re-executes per
-        # consumer (measured 25 s -> ~4 s at the sf0.1 gate).
-        .localCheckpoint(eager=True)
+    # Eagerly-checkpointed k-row codebook (train_ivf_codebook): it feeds
+    # a broadcast AND sits under both sides of the pairwise self-join —
+    # without materialization the whole kmeans training plan re-executes
+    # per consumer (measured 25 s -> ~4 s at the sf0.1 gate).
+    codebook = train_ivf_codebook(
+        vectors,
+        n_centroids=k,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
     )
     # Materialize the assignment table before fan-out: it feeds BOTH
     # sides of the pairwise self-join plus the final output — a lazy

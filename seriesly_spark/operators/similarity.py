@@ -435,6 +435,53 @@ def ivf_assign(
     )
 
 
+def train_ivf_codebook(
+    vectors: DataFrame,
+    n_centroids: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the IVF coarse codebook with ``clustering.kmeans_lloyd``
+    and reshape the (cluster, dim, centroid) rows to one
+    (centroid_id, vector) row per cell — the production codebook the
+    first-``n_centroids``-vectors convention stands in for in the
+    deterministic gates. Centroid values are the round-6 trained means
+    (kmeans_lloyd's output contract), so a DuckDB oracle can replay
+    the training and land on bit-identical cell boundaries.
+
+    The k-row result is eagerly ``localCheckpoint``-ed: every consumer
+    broadcasts it (assignment, probe-cell ranking), and without
+    materialization the whole multi-round training plan re-executes
+    per consumer — the semantic_dedup lesson (25 s -> ~4 s at sf0.1).
+
+    At 100 TB the training input is a sample (cache-the-sample: Lloyd
+    rounds scan only the cached projection) and this codebook is the
+    table you write once and broadcast everywhere — assignment stays
+    ONE corpus scan regardless of k or iterations.
+    """
+    from seriesly_spark.operators.clustering import kmeans_lloyd
+
+    km = kmeans_lloyd(
+        vectors,
+        k=n_centroids,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return (
+        km.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s.getField("centroid"),
+            ).alias(vec_col)
+        )
+        .select(F.col("cluster").alias("centroid_id"), vec_col)
+        .localCheckpoint(eager=True)
+    )
+
+
 def ivf_probe(
     assigned: DataFrame,
     query_vec_row: DataFrame,
@@ -835,6 +882,7 @@ def ann_ivf_recall(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k AND probe cost of the IVF cell probe against exact
     brute force, per query — ``ann_lsh_recall``'s twin for the coarse
@@ -844,7 +892,11 @@ def ann_ivf_recall(
     bar, seeing exactly how much corpus each step re-buys — n_cand IS
     the per-query scan cost once cells are partition-pruned files.
 
-    Codebook = the first ``n_centroids`` corpus vectors (the same
+    Codebook = ``codebook`` when given — one (centroid_id, vector) row
+    per cell, e.g. ``train_ivf_codebook``'s kmeans-trained cells (the
+    production path: a trained codebook on clustered data buys more
+    recall per scanned candidate than any first-N convention) —
+    otherwise the first ``n_centroids`` corpus vectors (the same
     deterministic convention as ``ivf_topk``). Every ranking — corpus
     assignment, the query's probe cells, both top-k lists — orders on
     round(cos, 6) with an id tie-break, so engines agree on every
@@ -867,8 +919,12 @@ def ann_ivf_recall(
     exact = ann_topk_multi(
         vectors, query_ids, k=k, id_col=id_col, vec_col=vec_col
     )
-    centroids = vectors.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col)
+    centroids = (
+        codebook.select("centroid_id", F.col(vec_col))
+        if codebook is not None
+        else vectors.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col)
+        )
     )
     assigned = ivf_assign(
         vectors, centroids, id_col=id_col, vec_col=vec_col
