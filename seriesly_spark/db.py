@@ -115,8 +115,12 @@ class SerieslyDB:
     same single-writer contract as the incremental dedup indexes and any
     table format without a lock service). The commit-log seq counter is
     collision-checked against the directory on every write (two handles
-    cannot silently overwrite each other's segment), but interleaved
-    writers can still race a data append against a ``compact`` rewrite.
+    cannot silently overwrite each other's segment), and a data append
+    racing a ``compact``/``delete_range`` partition rewrite is DETECTED
+    (the rewrite re-lists the partition before removing it and raises,
+    leaving both the original files and the raced append on disk) — the
+    rewrite fails loudly and retryably instead of silently dropping the
+    append.
     """
 
     def __init__(self, spark: SparkSession, root: str, changelog: bool = True):
@@ -445,14 +449,39 @@ class SerieslyDB:
     ) -> None:
         path = self._path(name)
         part_dir = os.path.join(path, f"date={date}")
+        # Snapshot of the input file set, taken BEFORE the read lists the
+        # directory. The single-writer contract (class docstring) says no
+        # appends race this rewrite — but a violated contract must fail
+        # LOUDLY, not silently drop the raced append when rmtree removes
+        # a file the rewrite never folded in. The pre-rmtree re-list
+        # below is the cheap (listdir-only) detector; raising leaves the
+        # partition untouched, so the raced state is still consistent
+        # and the rewrite can simply be retried.
+        seen = {
+            f_ for f_ in os.listdir(part_dir) if f_.endswith(".parquet")
+        }
         src_bytes = sum(
-            os.path.getsize(os.path.join(part_dir, f_))
-            for f_ in os.listdir(part_dir)
-            if f_.endswith(".parquet")
+            os.path.getsize(os.path.join(part_dir, f_)) for f_ in seen
         )
+
+        def _check_no_raced_append() -> None:
+            raced = {
+                f_
+                for f_ in os.listdir(part_dir)
+                if f_.endswith(".parquet")
+            } - seen
+            if raced:
+                raise RuntimeError(
+                    f"concurrent append(s) {sorted(raced)} landed in "
+                    f"{part_dir} during a rewrite — single-writer "
+                    "contract violated; partition left untouched, retry "
+                    "the maintenance op"
+                )
+
         cur = self.spark.read.schema(DOC_SCHEMA).parquet(part_dir)
         new = transform(cur)
         if new.isEmpty():
+            _check_no_raced_append()
             shutil.rmtree(part_dir)
             return
         # Without a target, match the reference's single-file couch rewrite
@@ -472,6 +501,7 @@ class SerieslyDB:
         )
         tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}")
         out.write.mode("overwrite").parquet(tmp)
+        _check_no_raced_append()
         shutil.rmtree(part_dir)
         os.makedirs(part_dir, exist_ok=True)
         for f_ in os.listdir(tmp):
@@ -629,7 +659,9 @@ class SerieslyDB:
             .parquet(self._path(name))
         )
 
-    def changes_log_stream(self, name: str) -> DataFrame:
+    def changes_log_stream(
+        self, name: str, exactly_once: bool = False
+    ) -> DataFrame:
         """Streaming view of the commit log: one row per mutating commit
         (write/delete/compact), delivered incrementally. Unlike
         :meth:`changes`, this feed DOES surface deletes and compaction —
@@ -647,14 +679,33 @@ class SerieslyDB:
         the consolidated history exactly once. After a mid-fold crash,
         rows stranded in both the consolidated file and an old segment
         are delivered twice — exactly-once consumers should key on
-        ``seq`` (the batch :meth:`change_log` view dedupes for you).
-        Fold during maintenance windows, or pass
+        ``seq`` (the batch :meth:`change_log` view dedupes for you, and
+        ``exactly_once=True`` dedupes the stream in-flight). Fold during
+        maintenance windows, or pass
         ``compact(name, fold_changelog=False)`` while laggards drain —
-        the same discipline as any file-source compaction."""
+        the same discipline as any file-source compaction.
+
+        How the duplicates arise (pinned by
+        tests/test_crash_recovery.py): a RESTARTED lagging stream has
+        not seen the consolidated file's (reused) path, reads it whole,
+        and re-delivers rows it already saw as per-commit segments;
+        after a mid-fold crash the same rows sit in BOTH the
+        consolidated file and the not-yet-removed old segments. Either
+        way the failure mode is duplicate delivery, never silent loss —
+        loss needs the narrower race where a planned-but-unexecuted
+        micro-batch spans segments the fold removes mid-flight
+        (``ignoreMissingFiles`` then skips them), which is exactly what
+        ``fold_changelog=False`` exists to rule out.
+
+        ``exactly_once=True`` wraps the feed in a streaming
+        ``dropDuplicates(["seq"])``. The dedup state is unbounded by
+        watermark but bounded by reality: one tiny row per COMMIT (the
+        log is metadata-sized by construction — far below any data
+        plane, the same budget as the log itself)."""
         path = self._path(name)
         if not os.path.isdir(path):
             raise KeyError(f"no such db: {name}")
-        return (
+        s = (
             self.spark.readStream.schema(CHANGELOG_SCHEMA)
             # Per-source, like .changes: a lagging stream races the
             # fold's segment removals; skipping a vanished file yields
@@ -662,6 +713,7 @@ class SerieslyDB:
             .option("ignoreMissingFiles", "true")
             .parquet(os.path.join(path, _CHANGELOG_DIR))
         )
+        return s.dropDuplicates(["seq"]) if exactly_once else s
 
     # -- Query (the §3.1 analytical path) -----------------------------------
 

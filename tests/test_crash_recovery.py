@@ -455,6 +455,137 @@ class TestChangelogFoldCrash:
         # 3 writes + the compact commit, all still individual segments
         assert len(files) == 4
 
+    def test_lagging_stream_across_fold_duplicates_never_loses(
+        self, spark, tmp_path
+    ):
+        """The documented lagging-stream failure mode, pinned: a stream
+        that stops behind the fold point and restarts afterwards has
+        never seen the consolidated file's (reused) path, reads it
+        whole, and re-delivers already-seen rows. DUPLICATES, not
+        silent loss — every seq is delivered at least once, and keying
+        on seq (change_log / exactly_once=True) restores exactly-once."""
+        dbs = SerieslyDB(spark, str(tmp_path / "root"))
+        dbs.create("t")
+        dbs.write("t", '{"k": 1}', ts="2024-01-01T00:00:00Z")
+        dbs.write("t", '{"k": 2}', ts="2024-01-02T00:00:00Z")
+        cp = str(tmp_path / "cp")
+        delivered: list[tuple[int, str]] = []
+
+        def sink(df, _epoch):
+            delivered.extend((r.seq, r.op) for r in df.collect())
+
+        q = (
+            dbs.changes_log_stream("t")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        phase1 = sorted(s for s, _ in delivered)
+        assert len(phase1) == 2 and len(set(phase1)) == 2  # caught up
+        # Stream is now LAGGING: two more commits land, then the fold
+        # consolidates everything into the newest segment's path.
+        dbs.write("t", '{"k": 3}', ts="2024-01-03T00:00:00Z")
+        dbs.compact("t")  # fold + the compact commit (4th seq)
+        q2 = (
+            dbs.changes_log_stream("t")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        seqs = sorted(s for s, _ in delivered)
+        batch_seqs = [r.seq for r in dbs.change_log("t").collect()]
+        assert len(batch_seqs) == 4 and batch_seqs == sorted(batch_seqs)
+        # Duplicates of the two pre-fold rows (the consolidated file was
+        # an unseen path), and NOTHING lost.
+        from collections import Counter
+
+        counts = Counter(seqs)
+        assert set(counts) == set(batch_seqs)
+        assert sorted(counts.values()) == [1, 1, 2, 2]
+        assert [counts[s] for s in phase1] == [2, 2]
+        # ...and the in-flight dedup helper.
+        deduped: list[int] = []
+        q3 = (
+            dbs.changes_log_stream("t", exactly_once=True)
+            .writeStream.foreachBatch(
+                lambda df, _e: deduped.extend(r.seq for r in df.collect())
+            )
+            .outputMode("update")
+            .start()
+        )
+        q3.processAllAvailable()
+        q3.stop()
+        assert sorted(deduped) == batch_seqs
+
+    def test_post_crash_duplicates_delivered_and_deduped(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Mid-fold crash (consolidated file installed, old segments not
+        yet removed): a fresh stream delivers the stranded rows twice;
+        change_log and exactly_once=True both collapse them to one row
+        per seq with the original ops intact."""
+        import seriesly_spark.db as dbmod
+
+        dbs = SerieslyDB(spark, str(tmp_path / "root"))
+        dbs.create("t")
+        for i in range(3):
+            dbs.write("t", '{"k": %d}' % i, ts=f"2024-01-0{i + 1}T00:00:00Z")
+        d = os.path.join(dbs._path("t"), ".changelog")
+
+        real_remove = os.remove
+
+        def crash_remove(p, *a, **kw):
+            if os.path.dirname(p) == d:
+                raise _InjectedCrash(p)
+            return real_remove(p, *a, **kw)
+
+        monkeypatch.setattr(dbmod.os, "remove", crash_remove)
+        with pytest.raises(_InjectedCrash):
+            dbs.compact("t")
+        monkeypatch.undo()
+        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        # consolidated file + BOTH old segments still present
+        assert len(files) == 3
+        assert _changelog_has_stranded_dups(d, files)
+        delivered: list[int] = []
+        q = (
+            dbs.changes_log_stream("t")
+            .writeStream.foreachBatch(
+                lambda df, _e: delivered.extend(r.seq for r in df.collect())
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        log = dbs.change_log("t").collect()
+        log_seqs = [r.seq for r in log]
+        assert len(log_seqs) == 3 and log_seqs == sorted(log_seqs)
+        assert [r.op for r in log] == ["write"] * 3
+        # raw stream: the two stranded seqs arrive twice (old segment +
+        # fold file), the folded-in-place newest one once
+        from collections import Counter
+
+        counts = Counter(delivered)
+        assert set(counts) == set(log_seqs)
+        assert sorted(counts.values()) == [1, 2, 2]
+        assert counts[log_seqs[-1]] == 1
+        deduped: list[int] = []
+        q2 = (
+            dbs.changes_log_stream("t", exactly_once=True)
+            .writeStream.foreachBatch(
+                lambda df, _e: deduped.extend(r.seq for r in df.collect())
+            )
+            .outputMode("update")
+            .start()
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        assert sorted(deduped) == log_seqs
+
 
 class TestMultiHandleSeq:
     def test_two_handles_never_clobber_and_stay_monotone(
@@ -482,3 +613,41 @@ class TestMultiHandleSeq:
         seqs = [r.seq for r in log]
         assert len(seqs) == len(writers), "a handle overwrote a segment"
         assert seqs == sorted(set(seqs)), "seqs not strictly increasing"
+
+
+class TestDataPlaneRace:
+    def test_raced_append_during_rewrite_fails_loudly(self, spark, tmp_path):
+        """A second handle appending into a partition while compact()'s
+        rewrite is in flight violates the single-writer contract; the
+        rewrite must detect it (pre-rmtree re-list), raise, and leave
+        BOTH the original files and the raced append readable — loud
+        and retryable, never silent row loss."""
+        dbs = SerieslyDB(spark, str(tmp_path / "root"))
+        dbs.create("t")
+        dbs.write("t", '{"k": 1}', ts="2024-01-01T00:00:00Z")
+        dbs.write("t", '{"k": 2}', ts="2024-01-01T01:00:00Z")
+        other = SerieslyDB(spark, str(tmp_path / "root"))
+
+        def racing_transform(df):
+            # Fires between the rewrite's read and its tmp write — the
+            # window where the old code would rmtree the raced file.
+            other.write("t", '{"k": 99}', ts="2024-01-01T02:00:00Z")
+            return df
+
+        with pytest.raises(RuntimeError, match="single-writer"):
+            dbs._rewrite_partition("t", "2024-01-01", racing_transform)
+        got = sorted(
+            r.asDict()["doc"] for r in dbs.df("t").select("doc").collect()
+        )
+        assert len(got) == 3  # 2 originals + the raced append, all alive
+
+    def test_clean_rewrite_still_succeeds(self, spark, tmp_path):
+        dbs = SerieslyDB(spark, str(tmp_path / "root"))
+        dbs.create("t")
+        for h in (0, 1, 2):
+            dbs.write("t", '{"k": %d}' % h, ts=f"2024-01-01T0{h}:00:00Z")
+        dbs.compact("t")
+        part = os.path.join(dbs._path("t"), "date=2024-01-01")
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        assert len(files) == 1  # single-file couch rewrite, no false trip
+        assert dbs.df("t").count() == 3
