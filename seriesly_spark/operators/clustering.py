@@ -44,6 +44,7 @@ def kmeans_lloyd(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "ids",
 ) -> DataFrame:
     """Run ``iterations`` Lloyd rounds with deterministic init (the
     vectors with the ``k`` smallest ids seed the codebook, cluster id =
@@ -55,6 +56,16 @@ def kmeans_lloyd(
     mean is undefined); the codebook may therefore end with fewer than
     ``k`` clusters. That matches textbook Lloyd — re-seeding empties is
     a policy choice left to the caller.
+
+    ``init="hash"`` seeds with the k smallest ``xxhash64(id)`` values
+    instead (ids tie-break) — still fully deterministic, but robust to
+    id ORDER: on a source-ordered corpus the k smallest ids all come
+    from the first source's cluster and Lloyd can take many rounds to
+    escape (or drop clusters entirely); hashing spreads the seeds
+    uniformly over the corpus regardless of layout, the deterministic
+    stand-in for random init (measured in scripts/stress_r9.py: on a
+    16-cluster block-ordered corpus, 3 rounds with id-seeds leave the
+    codebook degenerate while hash-seeds recover every cluster).
 
     Plan per round: the k-row centroid table broadcasts onto ONE corpus
     scan (|corpus| x k candidate rows never shuffle — the argmin
@@ -71,11 +82,18 @@ def kmeans_lloyd(
     """
     if k < 1 or iterations < 1:
         raise ValueError("k and iterations must be >= 1")
+    if init not in ("ids", "hash"):
+        raise ValueError(f"init must be 'ids' or 'hash', got {init!r}")
     v = scoped_persist(
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "clustering.kmeans_v",
     )
-    centroids = v.orderBy("id").limit(k).select(
+    seed_order = (
+        v.orderBy(F.xxhash64(F.col("id")), "id")
+        if init == "hash"
+        else v.orderBy("id")
+    )
+    centroids = seed_order.limit(k).select(
         F.col("id").alias("cid"),
         F.transform("v", lambda x: x.cast("double")).alias("cv"),
     )

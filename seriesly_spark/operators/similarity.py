@@ -441,6 +441,7 @@ def train_ivf_codebook(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "ids",
 ) -> DataFrame:
     """Train the IVF coarse codebook with ``clustering.kmeans_lloyd``
     and reshape the (cluster, dim, centroid) rows to one
@@ -449,6 +450,11 @@ def train_ivf_codebook(
     deterministic gates. Centroid values are the round-6 trained means
     (kmeans_lloyd's output contract), so a DuckDB oracle can replay
     the training and land on bit-identical cell boundaries.
+
+    ``init`` passes through to ``kmeans_lloyd``: ``"ids"`` (default,
+    the SQL-replayable convention) or ``"hash"`` (order-robust seeds —
+    the right choice on source-ordered corpora; see the kmeans_lloyd
+    docstring and scripts/stress_r9.py's measured contrast).
 
     The k-row result is eagerly ``localCheckpoint``-ed: every consumer
     broadcasts it (assignment, probe-cell ranking), and without
@@ -468,6 +474,7 @@ def train_ivf_codebook(
         iterations=iterations,
         id_col=id_col,
         vec_col=vec_col,
+        init=init,
     )
     return (
         km.groupBy("cluster")

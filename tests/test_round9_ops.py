@@ -110,3 +110,51 @@ class TestTrainIvfCodebook:
         # smallest id survives, all others flagged.
         flagged = [i for i in range(11, 22) if out[i]["is_dup"]]
         assert 11 not in flagged and len(flagged) >= 1
+
+
+class TestHashInit:
+    def _blocked(self, spark):
+        """3 clusters, BLOCK-ordered ids (0-10 cluster A, 11-21 B,
+        22-32 C) — the source-ordered layout where smallest-ids seeding
+        starts all seeds inside cluster A."""
+        rows = []
+        for i in range(11):
+            rows.append((i, [1.0 + 0.01 * i, 0.001 * i]))
+        for i in range(11):
+            rows.append((11 + i, [10.0 + 0.01 * i, 10.0 - 0.01 * i]))
+        for i in range(11):
+            rows.append((22 + i, [-10.0 - 0.01 * i, 10.0 + 0.01 * i]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_hash_init_is_deterministic(self, spark):
+        df = self._blocked(spark)
+        a = train_ivf_codebook(df, n_centroids=3, iterations=2,
+                               init="hash").collect()
+        b = train_ivf_codebook(df, n_centroids=3, iterations=2,
+                               init="hash").collect()
+        key = lambda r: r["centroid_id"]  # noqa: E731
+        assert sorted(a, key=key) == sorted(b, key=key)
+
+    def test_hash_init_recovers_blocked_clusters(self, spark):
+        df = self._blocked(spark)
+        cb = train_ivf_codebook(df, n_centroids=3, iterations=3,
+                                init="hash")
+        a = ivf_assign(df, cb).select("vec_id", "centroid_id").collect()
+        cells = {}
+        for r in a:
+            cells.setdefault(r["centroid_id"], set()).add(r["vec_id"])
+        assert sorted(
+            tuple(sorted(v)) for v in cells.values()
+        ) == [
+            tuple(range(11)),
+            tuple(range(11, 22)),
+            tuple(range(22, 33)),
+        ]
+
+    def test_bad_init_rejected(self, spark):
+        from seriesly_spark.operators.clustering import kmeans_lloyd
+
+        with pytest.raises(ValueError, match="init"):
+            kmeans_lloyd(self._blocked(spark), k=3, init="random")
