@@ -54,6 +54,7 @@ from seriesly_spark.operators.dedup import (
 )
 from seriesly_spark.operators.evaluation import (
     calibration_bins,
+    ks_statistic,
     snapshot_diff,
     pr_curve,
     psi_report,
@@ -3585,6 +3586,16 @@ def q_score_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_curve(stopword_lang_scored(_table(spark, sf_dir, "documents")))
 
 
+def q_score_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov separation of the stopword-ratio scorer's
+    positive/negative score distributions, plus the cut-point that
+    achieves it - the single-threshold counterpart to score_auc's
+    ranking view, over the same grouped-by-score bounded table (exact
+    BIGINT class masses, one rounded division per term, smallest-score
+    tie-break on the argmax so both engines agree)."""
+    return ks_statistic(stopword_lang_scored(_table(spark, sf_dir, "documents")))
+
+
 def q_score_psi_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift report between two
     deterministic corpus shards (even vs odd doc_id) over the
@@ -3726,9 +3737,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the current head-50."""
     return {
         # --- head-50 layout for the r09 driver window ---
-        # Slot 1: never driver-certified (new this round: the
-        # kmeans-trained IVF codebook recall gate).
+        # Slots 1-2: never driver-certified (new this round: the
+        # kmeans-trained IVF codebook recall gate and the KS-statistic
+        # scorer cut-point eval).
         "ann_ivf_trained": q_ann_ivf_trained,
+        "score_ks": q_score_ks,
         # After folding CORRECTNESS_r08 into CERTIFIED.json every
         # other entry is certified in some round; rotation re-stamps
         # the STALEST certifications: the 42 queries whose newest
@@ -3987,6 +4000,36 @@ SELECT least(greatest(CAST(floor(score * 10) AS INT), 0), 9) AS bin,
                               AS BIGINT) / count(*), 6)), 6) AS gap
 FROM scored WHERE score IS NOT NULL AND label IS NOT NULL
 GROUP BY 1 ORDER BY bin
+"""
+    # score_ks: same grouped-by-score spine as score_auc; per-threshold
+    # |CDF_pos - CDF_neg| terms rounded to 6, max + SMALLEST achieving
+    # score (Spark's max_by(struct(term, -score)) mirror).
+    d["score_ks"] = f"""
+WITH scored AS ({_SCORED_SQL}),
+g AS (SELECT score,
+        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      FROM scored WHERE score IS NOT NULL AND label IS NOT NULL
+      GROUP BY score),
+c AS (SELECT score,
+        CAST(sum(np) OVER w AS BIGINT) AS cp,
+        CAST(sum(nn) OVER w AS BIGINT) AS cn,
+        CAST(sum(np) OVER () AS BIGINT) AS tp,
+        CAST(sum(nn) OVER () AS BIGINT) AS tn
+      FROM g WINDOW w AS (ORDER BY score
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+t AS (SELECT score, tp, tn,
+        CASE WHEN tp > 0 AND tn > 0 THEN
+          round(abs(CAST(cp AS DOUBLE) / tp - CAST(cn AS DOUBLE) / tn), 6)
+        END AS term
+      FROM c)
+SELECT CAST(coalesce((SELECT max(tp) FROM t), 0) AS BIGINT) AS n_pos,
+       CAST(coalesce((SELECT max(tn) FROM t), 0) AS BIGINT) AS n_neg,
+       (SELECT CAST(count(*) AS BIGINT) FROM scored
+        WHERE score IS NULL OR label IS NULL) AS n_skipped,
+       (SELECT max(term) FROM t) AS ks,
+       (SELECT min(score) FROM t
+        WHERE term = (SELECT max(term) FROM t)) AS ks_score
 """
     d["score_auc_by_source"] = f"""
 WITH scored AS ({_SCORED_SQL}),

@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "ann_ivf_recall",
     "ivf_cell_purity",
     "ann_ivf_trained",
+    "score_ks",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -108,6 +108,96 @@ def roc_auc(
     return out.orderBy(*keys) if keys else out
 
 
+def ks_statistic(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Kolmogorov–Smirnov separation of a score's positive vs negative
+    class distributions — the third leg of the scorer-evaluation
+    family: AUC asks "does it rank", calibration asks "does the value
+    mean what it says", KS asks "is there ONE threshold that cleanly
+    splits the classes" (max over thresholds of |CDF_pos − CDF_neg|,
+    the classic credit-scoring cut-point statistic).
+
+    Same scale shape as :func:`roc_auc`: one corpus hash aggregate to
+    the grouped-by-score table (bounded at ~1e6 rows by the caller's
+    6-decimal scorer), cumulative windows over that bounded table,
+    exact BIGINT class masses with one rounded division per term. NULL
+    score/label rows ride the NULL group key (zero mass, counted in
+    ``n_skipped``) so no second corpus scan is paid — the roc_auc
+    shape. Output one row: (n_pos, n_neg, n_skipped, ks, ks_score)
+    where ``ks_score`` is the SMALLEST score achieving the max (both
+    engines agree on the boundary by round-6 + the min tie-break);
+    ks/ks_score are NULL when either class is empty.
+    """
+    s = scored.select(
+        F.col(score_col).alias("__s"), F.col(label_col).alias("__y")
+    )
+    valid = F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    g = (
+        s.withColumn("__ok", valid)
+        .groupBy(F.when(F.col("__ok"), F.col("__s")).alias("__s"))
+        .agg(
+            F.sum((F.col("__ok") & F.col("__y")).cast("long")).alias("np"),
+            F.sum((F.col("__ok") & ~F.col("__y")).cast("long")).alias("nn"),
+            F.sum((~F.col("__ok")).cast("long")).alias("nskip"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "__s",
+        "nskip",
+        F.sum("np").over(w).alias("cp"),
+        F.sum("nn").over(w).alias("cn"),
+        F.sum("np").over(tot).alias("tp"),
+        F.sum("nn").over(tot).alias("tn"),
+    )
+    # Per-threshold term only on real score rows with both classes
+    # populated; the NULL (skipped-mass) row carries term NULL and the
+    # coalesce(-1) below keeps it out of the argmax.
+    terms = c.withColumn(
+        "term",
+        F.when(
+            F.col("__s").isNotNull()
+            & (F.col("tp") > 0)
+            & (F.col("tn") > 0),
+            F.round(
+                F.abs(
+                    F.col("cp") / F.col("tp") - F.col("cn") / F.col("tn")
+                ),
+                6,
+            ),
+        ),
+    )
+    folded = terms.agg(
+        F.max("tp").alias("n_pos"),
+        F.max("tn").alias("n_neg"),
+        F.sum("nskip").alias("n_skipped"),
+        F.max("term").alias("ks"),
+        # max over (term, -score) == max term, then SMALLEST score
+        F.max_by(
+            F.col("__s"),
+            F.struct(
+                F.coalesce("term", F.lit(-1.0)).alias("t"),
+                (-F.col("__s")).alias("ns"),
+            ),
+        ).alias("__at"),
+    )
+    return folded.select(
+        "n_pos",
+        "n_neg",
+        "n_skipped",
+        "ks",
+        F.when(F.col("ks").isNotNull(), F.col("__at")).alias("ks_score"),
+    )
+
+
 def pr_curve(
     scored: DataFrame, score_col: str = "score", label_col: str = "label"
 ) -> DataFrame:

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from seriesly_spark.operators.evaluation import (
     calibration_bins,
+    ks_statistic,
     pr_curve,
     psi_report,
     roc_auc,
@@ -102,6 +103,55 @@ class TestRocAucByGroup:
         # lists source before the order column)
         assert "windowspecdefinition(source#" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestKsStatistic:
+    def test_hand_computed_with_tie_break(self, spark):
+        # pos {0.9, 0.8, 0.2}, neg {0.8, 0.3}; terms ascending by score:
+        # 0.2 -> |1/3 - 0|   = 0.333333
+        # 0.3 -> |1/3 - 1/2| = 0.166667
+        # 0.8 -> |2/3 - 1|   = 0.333333   (tie with 0.2)
+        # 0.9 -> 0
+        # ks = 0.333333 at the SMALLEST achieving score, 0.2.
+        r = ks_statistic(
+            _scored(
+                spark,
+                [(0.9, True), (0.8, True), (0.8, False), (0.3, False),
+                 (0.2, True)],
+            )
+        ).collect()[0]
+        assert (r.n_pos, r.n_neg, r.n_skipped) == (3, 2, 0)
+        assert r.ks == pytest.approx(0.333333)
+        assert r.ks_score == 0.2
+
+    def test_perfect_separation(self, spark):
+        r = ks_statistic(
+            _scored(spark, [(0.9, True), (0.8, True), (0.1, False)])
+        ).collect()[0]
+        assert r.ks == 1.0 and r.ks_score == 0.1
+
+    def test_null_rows_skipped_and_counted(self, spark):
+        r = ks_statistic(
+            _scored(
+                spark,
+                [(0.9, True), (None, True), (0.1, None), (0.2, False)],
+            )
+        ).collect()[0]
+        assert (r.n_pos, r.n_neg, r.n_skipped) == (1, 1, 2)
+        assert r.ks == 1.0 and r.ks_score == 0.2
+
+    def test_single_class_yields_null(self, spark):
+        r = ks_statistic(
+            _scored(spark, [(0.9, True), (0.1, True)])
+        ).collect()[0]
+        assert r.ks is None and r.ks_score is None
+        assert (r.n_pos, r.n_neg) == (2, 0)
+
+    def test_partition_invariant(self, spark):
+        rows = [((i * 37 % 100) / 100.0, i % 3 == 0) for i in range(500)]
+        a = ks_statistic(_scored(spark, rows).repartition(13)).collect()[0]
+        b = ks_statistic(_scored(spark, rows).coalesce(1)).collect()[0]
+        assert a == b
 
 
 class TestPrCurve:
@@ -223,6 +273,7 @@ class TestNullTextOracleParity:
 
     NAMES = [
         "score_auc",
+        "score_ks",
         "score_auc_by_source",
         "score_calibration",
         "score_pr_curve",
