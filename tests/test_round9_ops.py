@@ -158,3 +158,52 @@ class TestHashInit:
 
         with pytest.raises(ValueError, match="init"):
             kmeans_lloyd(self._blocked(spark), k=3, init="random")
+
+
+class TestIvfPartitionPruning:
+    def test_probe_reads_only_its_cell(self, spark, tmp_path):
+        """The production IVF layout: assignment written partitioned by
+        centroid_id, probe = partition-pruned scan of ONE cell. Pinned
+        at the plan level (PartitionFilters on centroid_id) and at the
+        file level (only the probed cell's files are read)."""
+        from seriesly_spark.operators.similarity import ivf_probe
+
+        df = _clustered(spark)
+        cb = train_ivf_codebook(df, n_centroids=3, iterations=3)
+        assigned = ivf_assign(df, cb)
+        path = str(tmp_path / "ivf_cells")
+        assigned.write.partitionBy("centroid_id").parquet(path)
+        stored = spark.read.parquet(path)
+
+        cell = {
+            r["vec_id"]: r["centroid_id"]
+            for r in assigned.select("vec_id", "centroid_id").collect()
+        }[5]
+        qrow = df.where(F.col("vec_id") == 5).select("embedding")
+        out = ivf_probe(stored, qrow, query_centroid=cell, k=3)
+
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        assert re.search(
+            r"PartitionFilters: \[[^\]]*centroid_id[^\]]*=", plan
+        ), plan
+        # file-level proof: input_file_name() over the EXECUTED filtered
+        # read touches only the probed cell's directory (inputFiles()
+        # would list all cells — it predates pruning)
+        touched = {
+            r[0]
+            for r in stored.where(F.col("centroid_id") == cell)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        }
+        assert touched and all(
+            f"centroid_id={cell}" in f for f in touched
+        )
+        # and the probe's answer is the right one: top-3 of vec 5's own
+        # cluster (ivf_probe ranks the raw cell, so the query itself
+        # leads at cosine 1)
+        got = [r["vec_id"] for r in out.collect()]
+        assert len(got) == 3 and got[0] == 5
+        assert all(0 <= v <= 10 for v in got)
