@@ -201,9 +201,10 @@ class TestIvfPartitionPruning:
         assert touched and all(
             f"centroid_id={cell}" in f for f in touched
         )
-        # and the probe's answer is the right one: top-3 of vec 5's own
-        # cluster (ivf_probe ranks the raw cell, so the query itself
-        # leads at cosine 1)
+        # and the probe's answer is the right one: top-3 all from vec
+        # 5's own cluster, the query among them (ivf_probe ranks the
+        # raw cell; near-parallel neighbours tie with it at round-6
+        # cosine 1.0 and the id tie-break orders the tie)
         got = [r["vec_id"] for r in out.collect()]
-        assert len(got) == 3 and got[0] == 5
+        assert len(got) == 3 and 5 in got
         assert all(0 <= v <= 10 for v in got)
