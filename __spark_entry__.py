@@ -55,6 +55,7 @@ from seriesly_spark.operators.dedup import (
 from seriesly_spark.operators.evaluation import (
     calibration_bins,
     ks_statistic,
+    lift_table,
     snapshot_diff,
     pr_curve,
     psi_report,
@@ -3596,6 +3597,15 @@ def q_score_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_statistic(stopword_lang_scored(_table(spark, sf_dir, "documents")))
 
 
+def q_score_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains/lift table of the stopword-ratio scorer at each
+    population decile - the budget-allocation view (keep the top-d/10
+    by score: what fraction of positives is captured, at what lift over
+    random). Threshold-based decile cuts in pure BIGINT arithmetic, so
+    tied score groups are handled identically in both engines."""
+    return lift_table(stopword_lang_scored(_table(spark, sf_dir, "documents")))
+
+
 def q_score_psi_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift report between two
     deterministic corpus shards (even vs odd doc_id) over the
@@ -3737,11 +3747,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the current head-50."""
     return {
         # --- head-50 layout for the r09 driver window ---
-        # Slots 1-2: never driver-certified (new this round: the
-        # kmeans-trained IVF codebook recall gate and the KS-statistic
-        # scorer cut-point eval).
+        # Slots 1-3: never driver-certified (new this round: the
+        # kmeans-trained IVF codebook recall gate, the KS-statistic
+        # scorer cut-point eval, and the decile gains/lift table).
         "ann_ivf_trained": q_ann_ivf_trained,
         "score_ks": q_score_ks,
+        "score_lift": q_score_lift,
         # After folding CORRECTNESS_r08 into CERTIFIED.json every
         # other entry is certified in some round; rotation re-stamps
         # the STALEST certifications: the 42 queries whose newest
@@ -4030,6 +4041,39 @@ SELECT CAST(coalesce((SELECT max(tp) FROM t), 0) AS BIGINT) AS n_pos,
        (SELECT max(term) FROM t) AS ks,
        (SELECT min(score) FROM t
         WHERE term = (SELECT max(term) FROM t)) AS ks_score
+"""
+    # score_lift: same grouped-by-score spine; decile membership via
+    # INTEGER division boundaries (prev*b < d*N <= cum*b), a group
+    # unnests every decile it crosses - Spark's sequence() mirror.
+    d["score_lift"] = f"""
+WITH scored AS ({_SCORED_SQL}),
+g AS (SELECT score AS threshold,
+        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        CAST(count(*) AS BIGINT) AS nr
+      FROM scored WHERE score IS NOT NULL AND label IS NOT NULL
+      GROUP BY score),
+c AS (SELECT threshold,
+        CAST(sum(nr) OVER w AS BIGINT) AS cum_n,
+        CAST(sum(np) OVER w AS BIGINT) AS cum_pos,
+        CAST(sum(nr) OVER () AS BIGINT) AS n,
+        CAST(sum(np) OVER () AS BIGINT) AS pos,
+        CAST(coalesce(sum(nr) OVER (ORDER BY threshold DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS prev
+      FROM g WINDOW w AS (ORDER BY threshold DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+e AS (SELECT c.*, CAST(unnest(range((prev * 10) // n + 1,
+                                    (cum_n * 10) // n + 1)) AS INT)
+        AS decile
+      FROM c)
+SELECT decile, threshold, cum_n, cum_pos,
+       round(CAST(cum_n AS DOUBLE) / n, 6) AS cum_share,
+       CASE WHEN pos > 0
+            THEN round(CAST(cum_pos AS DOUBLE) / pos, 6) END AS gain,
+       CASE WHEN pos > 0 THEN
+         round((CAST(cum_pos AS DOUBLE) / cum_n)
+               / (CAST(pos AS DOUBLE) / n), 6) END AS lift
+FROM e ORDER BY decile
 """
     d["score_auc_by_source"] = f"""
 WITH scored AS ({_SCORED_SQL}),

@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "ivf_cell_purity",
     "ann_ivf_trained",
     "score_ks",
+    "score_lift",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -198,6 +198,100 @@ def ks_statistic(
     )
 
 
+def lift_table(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift at each population decile of the score
+    (descending) — "if I only keep the top-d/10 of the corpus by this
+    score, what fraction of the positives do I capture, and how much
+    better than random is that slice": the budget-allocation view of a
+    scorer (mixture planning reads exactly this to decide how deep to
+    cut each source).
+
+    Tie handling is THRESHOLD-based and therefore exact and
+    deterministic: decile d's row is the first score group (descending)
+    whose cumulative population covers d/n_buckets of the corpus —
+    `cum_n * n_buckets >= d * N` in pure BIGINT arithmetic, no
+    row-splitting of tied groups, no ntile nondeterminism. The reported
+    `cum_n` is the ACTUAL population at that threshold (>= the exact
+    decile size when ties straddle the boundary — honest, and identical
+    in both engines). A group emits every decile whose boundary it
+    crosses, so deciles buried inside one mega-tie all report that
+    group's threshold.
+
+    Scale shape: the roc_auc spine — one corpus hash aggregate to the
+    bounded grouped-by-score table, one descending cumulative window
+    there, then a per-group `sequence()` explode that yields exactly
+    ``n_buckets`` rows in total. NULL score/label rows are excluded
+    (same rule as pr_curve). Output per decile: (decile, threshold,
+    cum_n, cum_pos, cum_share, gain, lift); gain/lift NULL when the
+    corpus has no positives.
+    """
+    s = scored.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    g = s.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("np"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "threshold",
+        F.sum("nr").over(w).alias("cum_n"),
+        F.sum("np").over(w).alias("cum_pos"),
+        F.sum("nr").over(tot).alias("n"),
+        F.sum("np").over(tot).alias("pos"),
+    )
+    c = c.withColumn(
+        "__prev",
+        F.lag("cum_n", 1, 0).over(Window.orderBy(F.col("threshold").desc())),
+    )
+    # decile d belongs to this group iff prev*b < d*N <= cum_n*b:
+    # d_min = (prev*b) div N + 1, d_max = (cum_n*b) div N — INTEGER
+    # division (a double `/` + floor can flip on exact boundaries).
+    nb = int(n_buckets)
+    d_min = F.expr(f"(__prev * {nb}) div n + 1")
+    d_max = F.expr(f"(cum_n * {nb}) div n")
+    rows = c.select(
+        F.explode(
+            F.when(
+                d_max >= d_min, F.sequence(d_min, d_max)
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("decile"),
+        "threshold",
+        "cum_n",
+        "cum_pos",
+        "n",
+        "pos",
+    )
+    return rows.select(
+        F.col("decile").cast("int").alias("decile"),
+        "threshold",
+        "cum_n",
+        "cum_pos",
+        F.round(F.col("cum_n") / F.col("n"), 6).alias("cum_share"),
+        F.when(
+            F.col("pos") > 0, F.round(F.col("cum_pos") / F.col("pos"), 6)
+        ).alias("gain"),
+        F.when(
+            F.col("pos") > 0,
+            F.round(
+                (F.col("cum_pos") / F.col("cum_n"))
+                / (F.col("pos") / F.col("n")),
+                6,
+            ),
+        ).alias("lift"),
+    ).orderBy("decile")
+
+
 def pr_curve(
     scored: DataFrame, score_col: str = "score", label_col: str = "label"
 ) -> DataFrame:

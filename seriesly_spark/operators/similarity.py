@@ -509,6 +509,43 @@ def ivf_probe(
     return sims.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def write_ivf_index(
+    assigned: DataFrame,
+    path: str,
+    centroid_id_col: str = "centroid_id",
+    one_file_per_cell: bool = True,
+) -> None:
+    """Materialize an IVF assignment as the PRODUCTION layout: parquet
+    partitioned by cell, so every subsequent probe is a partition-pruned
+    scan of its nprobe cells instead of a corpus pass (the layout
+    `ivf_probe`'s docstring promises; tests/test_round9_ops.py pins the
+    PartitionFilters + touched-files behavior).
+
+    ``one_file_per_cell`` repartitions on the cell id first, so each
+    cell's rows arrive at ONE writer task and the layout gets one file
+    per cell, written in parallel across cells — without it an
+    m-partition assignment frame sprays up to m × |cells| small files
+    (the partitioned-append trap measured on the incremental indexes).
+    At 100 TB switch it off and pre-repartition on (cell, salt) so a
+    mega-cell splits across writers; the layout contract (directory
+    per centroid_id) is what the probes prune on either way.
+    """
+    out = (
+        assigned.repartition(F.col(centroid_id_col))
+        if one_file_per_cell
+        else assigned
+    )
+    out.write.mode("overwrite").partitionBy(centroid_id_col).parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> DataFrame:
+    """Read a :func:`write_ivf_index` layout back. Filters on
+    ``centroid_id`` prune at the directory level (PartitionFilters in
+    the scan) — pair with `ivf_probe` / the `ann_ivf_recall` probe-set
+    join for the scan-only-nprobe-cells read path."""
+    return spark.read.parquet(path)
+
+
 def embedding_centroids(
     emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from seriesly_spark.operators.evaluation import (
     calibration_bins,
     ks_statistic,
+    lift_table,
     pr_curve,
     psi_report,
     roc_auc,
@@ -154,6 +155,58 @@ class TestKsStatistic:
         assert a == b
 
 
+class TestLiftTable:
+    def test_distinct_scores_hand_computed(self, spark):
+        # 10 rows, scores 1.0 .. 0.1, positives at the top 3
+        rows = [((10 - i) / 10.0, i < 3) for i in range(10)]
+        out = lift_table(_scored(spark, rows)).collect()
+        assert [r.decile for r in out] == list(range(1, 11))
+        assert [r.cum_n for r in out] == list(range(1, 11))
+        d1, d3, d10 = out[0], out[2], out[9]
+        assert d1.threshold == 1.0 and d1.cum_pos == 1
+        assert d1.gain == pytest.approx(1 / 3)
+        assert d1.lift == pytest.approx((1 / 1) / (3 / 10))
+        assert d3.cum_pos == 3 and d3.gain == 1.0
+        assert d3.lift == pytest.approx((3 / 3) / (3 / 10))
+        assert d10.cum_n == 10 and d10.gain == 1.0 and d10.lift == 1.0
+
+    def test_mega_tie_spans_deciles(self, spark):
+        # one score group covering the whole corpus: every decile
+        # reports that group's threshold and its full population
+        rows = [(0.5, True), (0.5, False), (0.5, True), (0.5, False)]
+        out = lift_table(_scored(spark, rows), n_buckets=2).collect()
+        assert [r.decile for r in out] == [1, 2]
+        for r in out:
+            assert r.threshold == 0.5 and r.cum_n == 4
+            assert r.cum_share == 1.0 and r.gain == 1.0 and r.lift == 1.0
+
+    def test_boundary_tie_is_honest(self, spark):
+        # 5 rows: scores 0.9 (2 rows, tied), then 0.3, 0.2, 0.1;
+        # n_buckets=5 -> decile 1 needs 1 row but the 0.9 group holds 2:
+        # deciles 1 AND 2 both report threshold 0.9 with cum_n=2.
+        rows = [(0.9, True), (0.9, False), (0.3, False), (0.2, True),
+                (0.1, False)]
+        out = {r.decile: r for r in
+               lift_table(_scored(spark, rows), n_buckets=5).collect()}
+        assert out[1].threshold == 0.9 and out[1].cum_n == 2
+        assert out[2].threshold == 0.9 and out[2].cum_n == 2
+        assert out[3].threshold == 0.3 and out[3].cum_n == 3
+        assert out[5].cum_n == 5
+
+    def test_no_positives_yields_null_gain_lift(self, spark):
+        out = lift_table(
+            _scored(spark, [(0.5, False), (0.2, False)]), n_buckets=2
+        ).collect()
+        assert all(r.gain is None and r.lift is None for r in out)
+        assert [r.cum_n for r in out] == [1, 2]
+
+    def test_partition_invariant(self, spark):
+        rows = [((i * 37 % 100) / 100.0, i % 3 == 0) for i in range(500)]
+        a = lift_table(_scored(spark, rows).repartition(13)).collect()
+        b = lift_table(_scored(spark, rows).coalesce(1)).collect()
+        assert a == b
+
+
 class TestPrCurve:
     def test_hand_computed(self, spark):
         rows = [(0.9, True), (0.8, False), (0.8, True), (0.3, False)]
@@ -274,6 +327,7 @@ class TestNullTextOracleParity:
     NAMES = [
         "score_auc",
         "score_ks",
+        "score_lift",
         "score_auc_by_source",
         "score_calibration",
         "score_pr_curve",

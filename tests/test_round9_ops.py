@@ -208,3 +208,43 @@ class TestIvfPartitionPruning:
         got = [r["vec_id"] for r in out.collect()]
         assert len(got) == 3 and 5 in got
         assert all(0 <= v <= 10 for v in got)
+
+
+class TestWriteIvfIndex:
+    def test_layout_one_file_per_cell_and_roundtrip(self, spark, tmp_path):
+        import os
+
+        from seriesly_spark.operators.similarity import (
+            ivf_probe,
+            load_ivf_index,
+            write_ivf_index,
+        )
+
+        df = _clustered(spark).repartition(8)  # many upstream partitions
+        cb = train_ivf_codebook(df, n_centroids=3, iterations=3)
+        assigned = ivf_assign(df, cb)
+        path = str(tmp_path / "index")
+        write_ivf_index(assigned, path)
+        # one file per cell despite the 8-partition input (no spray)
+        cells = [d for d in os.listdir(path) if d.startswith("centroid_id=")]
+        assert len(cells) == 3
+        for c in cells:
+            files = [
+                f for f in os.listdir(os.path.join(path, c))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (c, files)
+        stored = load_ivf_index(spark, path)
+        assert stored.count() == 33
+        # probe over the loaded layout still prunes and answers
+        cell5 = {
+            r["vec_id"]: r["centroid_id"] for r in assigned.collect()
+        }[5]
+        out = ivf_probe(
+            stored,
+            df.where(F.col("vec_id") == 5).select("embedding"),
+            query_centroid=cell5,
+            k=3,
+        )
+        got = [r["vec_id"] for r in out.collect()]
+        assert len(got) == 3 and all(0 <= v <= 10 for v in got)
