@@ -3746,21 +3746,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_certified.py asserts every entry is certified or inside
     the current head-50."""
     return {
-        # --- head-50 layout for the r09 driver window ---
-        # Slots 1-3: never driver-certified (new this round: the
-        # kmeans-trained IVF codebook recall gate, the KS-statistic
-        # scorer cut-point eval, and the decile gains/lift table).
+        # --- head-50 layout for the r10 driver window ---
+        # Every entry is certified (CERTIFIED.json now folds r01-r09).
+        # Rotation re-stamps the STALEST cohort: the 45 queries whose
+        # newest green driver row is r05 (four rounds of shared-spine
+        # changes since), then the alphabetically-first r07
+        # certifications to fill the window. New round-10 queries are
+        # inserted at the head as they land (never-certified first).
+        "audio_decode_stats": q_audio_decode_stats,
+        "bm25_topk": q_bm25_topk,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "chisq_type_hour": q_chisq_type_hour,
+        "compression_ratio": q_compression_ratio,
+        "containment_dup": q_containment_dup,
+        "containment_dup_capped": q_containment_dup_capped,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_cosine_pairs": q_dedup_cosine_pairs,
+        "dedup_index_incremental": q_dedup_index_incremental,
+        "dedup_ladder_report": q_dedup_ladder_report,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+        "dedup_simhash": q_dedup_simhash,
+        "epoch_shuffle": q_epoch_shuffle,
+        "hard_negatives": q_hard_negatives,
+        "hash_split": q_hash_split,
+        "heavy_hitters_tokens": q_heavy_hitters,
+        "hll_rollup_users": q_hll_rollup_users,
+        "image_decode_stats": q_image_decode_stats,
+        "jpeg_decode_stats": q_jpeg_decode_stats,
+        "lang_confusion": q_lang_confusion,
+        "lsh_eval": q_lsh_eval,
+        "markov_transitions": q_markov_transitions,
+        "minhash_index_incremental": q_minhash_index_incremental,
+        "p01_multi_pointer": q_p01_multi_pointer,
+        "p05_bucket_agg": q_p05_bucket_agg,
+        "pca_certify": q_pca_certify,
+        "png_decode_stats": q_png_decode_stats,
+        "r01_list_reducers": q_r01_list_reducers,
+        "r02_obj_keys": q_r02_obj_keys,
+        "r03_rate_family": q_r03_rate_family,
+        "rare_label_collapse": q_rare_label_collapse,
+        "reservoir_per_group": q_reservoir_per_group,
+        "s13_changes_feed": q_s13_changes_feed,
+        "s17_change_log": q_s17_change_log,
+        "sample_stratified": q_sample_stratified,
+        "semantic_dedup": q_semantic_dedup,
+        "sliding_distinct_approx": q_sliding_distinct_approx,
+        "streaming_distinct": q_streaming_distinct,
+        "tpch_q12": q_tpch_q12,
+        "url_dedup": q_url_dedup,
+        "vocab_coverage": q_vocab_coverage,
+        "winsorize_means": q_winsorize,
+        "asof_join": q_asof_join,
+        "clean_text": q_clean_text,
+        "compression_screen": q_compression_screen,
+        "contamination": q_contamination,
+        "dedup_best": q_dedup_best,
+        # --- tail: newer-certified cohorts (r07 rest, r08, r09) ---
         "ann_ivf_trained": q_ann_ivf_trained,
         "score_ks": q_score_ks,
         "score_lift": q_score_lift,
-        # After folding CORRECTNESS_r08 into CERTIFIED.json every
-        # other entry is certified in some round; rotation re-stamps
-        # the STALEST certifications: the 42 queries whose newest
-        # green driver row is r03/r04 (four-plus rounds of
-        # shared-spine changes since), then the alphabetically-first
-        # r05 certifications to fill the window. The tail stays
-        # covered by tests/test_entry_oracle.py, which replays the
-        # oracle gate over ALL entries.
         "autocorr_lag1": q_autocorr_lag1,
         "bigram_lm": q_bigram_lm,
         "column_profile": q_column_profile,
@@ -3803,15 +3849,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_daily": q_unpivot_daily,
         "weighted_sample": q_weighted_sample,
         "welch_ttest": q_welch_ttest,
-        # r05 fill to 50:
         "activity_concentration": q_concentration,
         "ann_ivf": q_ann_ivf,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_topk_lsh": q_ann_topk_lsh,
         "approx_pct_certify": q_approx_pct_certify,
-        "audio_decode_stats": q_audio_decode_stats,
-        "bm25_topk": q_bm25_topk,
-        # --- tail: newest-certified cohorts (r05 rest, r07, r08) ---
         "dup_span": q_dup_span,
         "snapshot_diff": q_snapshot_diff,
         "mixture_plan": q_mixture_plan,
@@ -3862,58 +3904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "series_gaps": q_series_gaps,
         "minmax_downsample": q_minmax_downsample,
-        "compression_ratio": q_compression_ratio,
-        "tpch_q12": q_tpch_q12,
-        "sliding_distinct_approx": q_sliding_distinct_approx,
-        "containment_dup": q_containment_dup,
-        "containment_dup_capped": q_containment_dup_capped,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "heavy_hitters_tokens": q_heavy_hitters,
-        "reservoir_per_group": q_reservoir_per_group,
-        "rare_label_collapse": q_rare_label_collapse,
-        "hard_negatives": q_hard_negatives,
-        "pca_certify": q_pca_certify,
-        "url_dedup": q_url_dedup,
-        "vocab_coverage": q_vocab_coverage,
-        "dedup_ladder_report": q_dedup_ladder_report,
-        "markov_transitions": q_markov_transitions,
-        "epoch_shuffle": q_epoch_shuffle,
-        "streaming_distinct": q_streaming_distinct,
-        "lang_confusion": q_lang_confusion,
-        "lsh_eval": q_lsh_eval,
-        "dedup_index_incremental": q_dedup_index_incremental,
-        "minhash_index_incremental": q_minhash_index_incremental,
-        "winsorize_means": q_winsorize,
-        "chisq_type_hour": q_chisq_type_hour,
-        "s17_change_log": q_s17_change_log,
-        "s13_changes_feed": q_s13_changes_feed,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "r02_obj_keys": q_r02_obj_keys,
-        "r01_list_reducers": q_r01_list_reducers,
-        "p05_bucket_agg": q_p05_bucket_agg,
-        "p01_multi_pointer": q_p01_multi_pointer,
-        "hash_split": q_hash_split,
-        "r03_rate_family": q_r03_rate_family,
-        "image_decode_stats": q_image_decode_stats,
-        "sample_stratified": q_sample_stratified,
-        "dedup_cosine_pairs": q_dedup_cosine_pairs,
-        "semantic_dedup": q_semantic_dedup,
-        "hll_rollup_users": q_hll_rollup_users,
-        "png_decode_stats": q_png_decode_stats,
-        "jpeg_decode_stats": q_jpeg_decode_stats,
         "lsh_autotune": q_lsh_autotune,
-        "compression_screen": q_compression_screen,
         "encoding_screen": q_encoding_screen,
         "dedup_index_bucketed_probe": q_dedup_index_bucketed_probe,
-        "dedup_best": q_dedup_best,
         "minhash_bucketed_probe": q_minhash_bucketed_probe,
         "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
         "p03_eq_filter": q_p03_eq_filter,
-        "contamination": q_contamination,
         "sample_hash": q_sample_hash,
         "s01_range_read": q_s01_range_read,
         "s03_point_lookup": q_s03_point_lookup,
@@ -3934,7 +3930,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": q_token_counts_bpe,
         "hopping_window": q_hopping_window,
         "s04_upsert_lww": q_s04_upsert_lww,
-        "asof_join": q_asof_join,
         "range_join": q_range_join,
         "percentiles": q_percentiles,
         "value_histogram": q_value_histogram,
@@ -3952,7 +3947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "setops_users": q_setops_users,
         "rep_stats": q_rep_stats,
-        "clean_text": q_clean_text,
         "embedding_centroids": q_embedding_centroids,
         "gapfill_hourly": q_gapfill_hourly,
     }

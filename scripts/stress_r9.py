@@ -75,8 +75,12 @@ def clustered_vectors(spark):
             .when(((g + 1) % DIM) == d, F.lit(6.0))
             .otherwise(F.lit(0.0))
         )
+        # Spark's % is signed; (h % m + m) % m maps to [0, m) so the
+        # jitter is the documented symmetric ±1 range.
         noise = (
-            (F.xxhash64(F.col("vec_id"), F.lit(d)) % 2001) / 1000.0 - 1.0
+            ((F.xxhash64(F.col("vec_id"), F.lit(d)) % 2001 + 2001) % 2001)
+            / 1000.0
+            - 1.0
         )
         dims.append((center + noise).cast("float"))
     return ids.select("vec_id", F.array(*dims).alias("embedding"))

@@ -116,11 +116,16 @@ class SerieslyDB:
     table format without a lock service). The commit-log seq counter is
     collision-checked against the directory on every write (two handles
     cannot silently overwrite each other's segment), and a data append
-    racing a ``compact``/``delete_range`` partition rewrite is DETECTED
-    (the rewrite re-lists the partition before removing it and raises,
-    leaving both the original files and the raced append on disk) — the
-    rewrite fails loudly and retryably instead of silently dropping the
-    append.
+    racing a ``compact``/``delete_range`` partition rewrite is never
+    silently dropped: the rewrite removes the old files via an ATOMIC
+    directory rename, so a raced append either lands in the renamed dir
+    (detected, restored to the partition, and raised — fail loudly,
+    retry the maintenance op) or re-creates the partition dir after the
+    rename (merged with the rewrite output — it survives). Detection is
+    best-effort only in the FALSE-POSITIVE direction: an append the
+    rewrite actually folded in can still raise as raced (the retry
+    folds it for real); the no-silent-loss guarantee itself has no
+    window.
     """
 
     def __init__(self, spark: SparkSession, root: str, changelog: bool = True):
@@ -452,11 +457,17 @@ class SerieslyDB:
         # Snapshot of the input file set, taken BEFORE the read lists the
         # directory. The single-writer contract (class docstring) says no
         # appends race this rewrite — but a violated contract must fail
-        # LOUDLY, not silently drop the raced append when rmtree removes
-        # a file the rewrite never folded in. The pre-rmtree re-list
-        # below is the cheap (listdir-only) detector; raising leaves the
-        # partition untouched, so the raced state is still consistent
-        # and the rewrite can simply be retried.
+        # LOUDLY, not silently drop the raced append when the old files
+        # are removed without the rewrite having folded it in. The
+        # pre-removal re-list is the cheap (listdir-only) detector, and
+        # the removal itself is an ATOMIC os.rename of the partition dir
+        # to a trash name: an append that races the removal lands either
+        # in the renamed dir (detected post-rename, restored, raised) or
+        # in a fresh part_dir (merged with the rewrite output — it
+        # survives). Residual imprecision is only ever a FALSE POSITIVE:
+        # a file landing between this snapshot and Spark's lazy listing
+        # may be folded into the output yet still raise as raced; the
+        # retried rewrite then folds it for real.
         seen = {
             f_ for f_ in os.listdir(part_dir) if f_.endswith(".parquet")
         }
@@ -478,11 +489,37 @@ class SerieslyDB:
                     "the maintenance op"
                 )
 
+        def _remove_part_dir_atomically() -> None:
+            # os.rename is atomic, so a raced append is never deleted:
+            # it is either inside the renamed dir (found below, restored
+            # to a fresh part_dir, and raised) or it re-created part_dir
+            # after the rename (left in place; the caller's makedirs +
+            # moves merge with it).
+            trash = os.path.join(self.root, f".trash-{uuid.uuid4().hex}")
+            os.rename(part_dir, trash)
+            raced = {
+                f_ for f_ in os.listdir(trash) if f_.endswith(".parquet")
+            } - seen
+            if raced:
+                os.makedirs(part_dir, exist_ok=True)
+                for f_ in os.listdir(trash):
+                    shutil.move(
+                        os.path.join(trash, f_), os.path.join(part_dir, f_)
+                    )
+                shutil.rmtree(trash, ignore_errors=True)
+                raise RuntimeError(
+                    f"concurrent append(s) {sorted(raced)} landed in "
+                    f"{part_dir} during a rewrite — single-writer "
+                    "contract violated; partition restored, retry the "
+                    "maintenance op"
+                )
+            shutil.rmtree(trash)
+
         cur = self.spark.read.schema(DOC_SCHEMA).parquet(part_dir)
         new = transform(cur)
         if new.isEmpty():
             _check_no_raced_append()
-            shutil.rmtree(part_dir)
+            _remove_part_dir_atomically()
             return
         # Without a target, match the reference's single-file couch rewrite
         # (database.go:136-171). With one, split huge partitions into
@@ -501,8 +538,14 @@ class SerieslyDB:
         )
         tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}")
         out.write.mode("overwrite").parquet(tmp)
-        _check_no_raced_append()
-        shutil.rmtree(part_dir)
+        try:
+            _check_no_raced_append()
+            _remove_part_dir_atomically()
+        except Exception:
+            # Don't leak the staged output when the race detector fires
+            # (or the removal fails) — the retry writes a fresh tmp.
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         os.makedirs(part_dir, exist_ok=True)
         for f_ in os.listdir(tmp):
             if f_.endswith(".parquet"):
@@ -660,7 +703,10 @@ class SerieslyDB:
         )
 
     def changes_log_stream(
-        self, name: str, exactly_once: bool = False
+        self,
+        name: str,
+        exactly_once: bool = False,
+        dedup_within: str | None = None,
     ) -> DataFrame:
         """Streaming view of the commit log: one row per mutating commit
         (write/delete/compact), delivered incrementally. Unlike
@@ -701,7 +747,18 @@ class SerieslyDB:
         ``dropDuplicates(["seq"])``. The dedup state is unbounded by
         watermark but bounded by reality: one tiny row per COMMIT (the
         log is metadata-sized by construction — far below any data
-        plane, the same budget as the log itself)."""
+        plane, the same budget as the log itself). For a LONG-LIVED
+        stream even metadata-sized state grows without bound, so
+        ``dedup_within`` (e.g. ``"7 days"``) switches to
+        ``dropDuplicatesWithinWatermark`` keyed on the commit's
+        event time (``seq`` IS a nanosecond epoch timestamp — see
+        ``_log_change``), capping state to commits younger than the
+        horizon. The trade: a duplicate re-delivered MORE than
+        ``dedup_within`` after the original commit (a consumer
+        restarting onto the consolidated file long after a fold) passes
+        through — size the horizon to your restart cadence, or restart
+        the query (fresh checkpoint) to re-bound plain
+        ``exactly_once`` state instead."""
         path = self._path(name)
         if not os.path.isdir(path):
             raise KeyError(f"no such db: {name}")
@@ -713,6 +770,16 @@ class SerieslyDB:
             .option("ignoreMissingFiles", "true")
             .parquet(os.path.join(path, _CHANGELOG_DIR))
         )
+        if dedup_within is not None:
+            return (
+                s.withColumn(
+                    "__commit_ts",
+                    F.timestamp_micros((F.col("seq") / 1000).cast("long")),
+                )
+                .withWatermark("__commit_ts", dedup_within)
+                .dropDuplicatesWithinWatermark(["seq"])
+                .drop("__commit_ts")
+            )
         return s.dropDuplicates(["seq"]) if exactly_once else s
 
     # -- Query (the §3.1 analytical path) -----------------------------------

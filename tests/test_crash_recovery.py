@@ -444,6 +444,44 @@ class TestChangelogFoldCrash:
         batch_seqs = [r.seq for r in dbs.change_log("t").collect()]
         assert batch_seqs == seqs
 
+    def test_dedup_within_watermarked_stream(self, spark, tmp_path):
+        """dedup_within switches the exactly-once dedup to
+        dropDuplicatesWithinWatermark keyed on the commit event time
+        (seq IS a ns epoch), so a long-lived consumer's dedup state is
+        capped to the horizon instead of growing one row per commit
+        forever. Same-run duplicates (the mid-fold crash shape) are
+        still collapsed; the helper event-time column must not leak
+        into the delivered schema."""
+        dbs = SerieslyDB(spark, str(tmp_path / "root"))
+        dbs.create("t")
+        dbs.write("t", '{"k": 1}', ts="2024-01-01T00:00:00Z")
+        dbs.write("t", '{"k": 2}', ts="2024-01-02T00:00:00Z")
+        # Strand a duplicate the way a mid-fold crash does: an old
+        # segment copy comes back next to the consolidated file.
+        d = os.path.join(dbs._path("t"), ".changelog")
+        seg = sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )[0]
+        shutil.copyfile(
+            os.path.join(d, seg), os.path.join(d, "stranded-" + seg)
+        )
+        s = dbs.changes_log_stream("t", dedup_within="1 hour")
+        assert "__commit_ts" not in s.columns
+        q = (
+            s.writeStream.format("memory")
+            .queryName("t_log_wm")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.table("t_log_wm").collect()
+        finally:
+            q.stop()
+        seqs = sorted(r.seq for r in rows)
+        assert len(seqs) == 2, "stranded duplicate leaked through"
+        assert seqs == sorted({r.seq for r in rows})
+
     def test_compact_fold_opt_out(self, spark, tmp_path):
         dbs = SerieslyDB(spark, str(tmp_path / "root"))
         dbs.create("t")
@@ -640,6 +678,111 @@ class TestDataPlaneRace:
             r.asDict()["doc"] for r in dbs.df("t").select("doc").collect()
         )
         assert len(got) == 3  # 2 originals + the raced append, all alive
+
+    def test_raced_append_leaves_no_tmp_dir(self, spark, tmp_path):
+        """When the race detector fires AFTER the staged tmp write, the
+        tmp output directory is removed before the raise — repeated
+        detected races must not accumulate orphaned .tmp-* dirs."""
+        dbs = SerieslyDB(spark, str(tmp_path / "root"))
+        dbs.create("t")
+        dbs.write("t", '{"k": 1}', ts="2024-01-01T00:00:00Z")
+        other = SerieslyDB(spark, str(tmp_path / "root"))
+
+        def racing_transform(df):
+            other.write("t", '{"k": 99}', ts="2024-01-01T02:00:00Z")
+            return df
+
+        with pytest.raises(RuntimeError, match="single-writer"):
+            dbs._rewrite_partition("t", "2024-01-01", racing_transform)
+        leftovers = [
+            d for d in os.listdir(dbs.root)
+            if d.startswith(".tmp-") or d.startswith(".trash-")
+        ]
+        assert leftovers == []
+
+    def test_append_landing_in_removal_window_is_restored(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The narrowest race: an append lands AFTER the pre-removal
+        re-list but BEFORE the atomic rename. The old rmtree-based code
+        silently deleted it; now the rename carries it into the trash
+        dir, the post-rename re-list detects it, and the partition is
+        restored with every row — including the raced one — intact."""
+        import seriesly_spark.db as dbmod
+
+        dbs = SerieslyDB(spark, str(tmp_path / "root"))
+        dbs.create("t")
+        dbs.write("t", '{"k": 1}', ts="2024-01-01T00:00:00Z")
+        dbs.write("t", '{"k": 2}', ts="2024-01-01T01:00:00Z")
+        other = SerieslyDB(spark, str(tmp_path / "root"))
+        part_dir = os.path.join(dbs._path("t"), "date=2024-01-01")
+        real = os.rename
+        fired = {"n": 0}
+
+        def rename_with_race(s, d):
+            if os.path.abspath(str(s)) == os.path.abspath(part_dir):
+                if fired["n"] == 0:
+                    fired["n"] += 1
+                    other.write(
+                        "t", '{"k": 99}', ts="2024-01-01T02:00:00Z"
+                    )
+            return real(s, d)
+
+        monkeypatch.setattr(dbmod.os, "rename", rename_with_race)
+        with pytest.raises(RuntimeError, match="single-writer"):
+            dbs._rewrite_partition(
+                "t", "2024-01-01", lambda df: df
+            )
+        monkeypatch.undo()
+        assert fired["n"] == 1
+        got = sorted(
+            r.asDict()["doc"] for r in dbs.df("t").select("doc").collect()
+        )
+        assert len(got) == 3, "raced append was silently dropped"
+        assert any('"k": 99' in g or '"k":99' in g for g in got)
+        leftovers = [
+            d for d in os.listdir(dbs.root)
+            if d.startswith(".tmp-") or d.startswith(".trash-")
+        ]
+        assert leftovers == []
+
+    def test_append_after_atomic_rename_merges_and_survives(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An append landing AFTER the atomic rename re-creates the
+        partition dir; the rewrite's makedirs+move merges its output
+        with the raced file — the append survives WITHOUT a raise (it
+        was never at risk: the rename already isolated the old files)."""
+        import seriesly_spark.db as dbmod
+
+        dbs = SerieslyDB(spark, str(tmp_path / "root"))
+        dbs.create("t")
+        dbs.write("t", '{"k": 1}', ts="2024-01-01T00:00:00Z")
+        dbs.write("t", '{"k": 2}', ts="2024-01-01T01:00:00Z")
+        other = SerieslyDB(spark, str(tmp_path / "root"))
+        part_dir = os.path.join(dbs._path("t"), "date=2024-01-01")
+        real = os.rename
+        fired = {"n": 0}
+
+        def rename_then_race(s, d):
+            out = real(s, d)
+            if (
+                os.path.abspath(str(s)) == os.path.abspath(part_dir)
+                and fired["n"] == 0
+            ):
+                fired["n"] += 1
+                other.write("t", '{"k": 99}', ts="2024-01-01T02:00:00Z")
+            return out
+
+        monkeypatch.setattr(dbmod.os, "rename", rename_then_race)
+        dbs._rewrite_partition("t", "2024-01-01", lambda df: df)
+        monkeypatch.undo()
+        assert fired["n"] == 1
+        got = sorted(
+            r.asDict()["doc"] for r in dbs.df("t").select("doc").collect()
+        )
+        assert len(got) == 3, "post-rename append must merge and survive"
+        assert any('"k": 99' in g or '"k":99' in g for g in got)
 
     def test_clean_rewrite_still_succeeds(self, spark, tmp_path):
         dbs = SerieslyDB(spark, str(tmp_path / "root"))
