@@ -50,12 +50,16 @@ from seriesly_spark.operators.dedup import (
     paragraph_dedup,
     semantic_dedup,
     simhash32_md5,
+    winnow_overlap_pairs,
+    winnow_stats,
     word_shingles,
 )
 from seriesly_spark.operators.evaluation import (
+    agreement_kappa,
     calibration_bins,
     ks_statistic,
     lift_table,
+    rank_metrics,
     snapshot_diff,
     pr_curve,
     psi_report,
@@ -389,6 +393,20 @@ _MD5_U16_SQL = (
 
 # Distinct word-3-gram shingles per document (docs with >= 3 tokens), the
 # DuckDB mirror of operators.dedup.word_shingles.
+# Winnowing gram-hash table: token count + the per-position 8-hex-char
+# md5 hashes of word 3-grams (NULL when no full k+w-1 = 6-token window
+# exists) — the DuckDB mirror of operators.dedup.winnow_fingerprint_col's
+# gram stage; window-min selection happens in the per-query SQL.
+_WINNOW_GH_SQL = """
+  SELECT doc_id, len(toks) AS n,
+         CASE WHEN len(toks) >= 6 THEN
+           list_transform(range(0, len(toks) - 2),
+             i -> substr(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 8))
+         END AS gh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents)
+"""
+
 _GRAMS_SQL = """
   SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
     i -> array_to_string(toks[i:i+2], ' '))) AS grams
@@ -3732,6 +3750,64 @@ def q_ivf_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cell_purity(emb, cents)
 
 
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-ranking eval (MRR, NDCG@10, P@10, R@10 per query) over
+    a deterministic run table: queries = doc_id % 8, ranking score =
+    first 8 md5 hex chars of the doc id (an engine-portable orderable
+    pseudo-score — only the ORDER matters to rank metrics), graded
+    relevance = n_chars % 4. Both engines build the run AND grade it,
+    so the oracle value-checks the whole eval chain. Windows partition
+    on the query key; DCG terms are rounded-then-decimal-summed for
+    cross-engine float determinism (operators/evaluation.rank_metrics).
+    """
+    docs = _table(spark, sf_dir, "documents")
+    runs = docs.select(
+        (F.col("doc_id") % 8).alias("query_id"),
+        F.col("doc_id"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias(
+            "score"
+        ),
+        (F.col("n_chars") % 4).cast("int").alias("rel"),
+    )
+    return rank_metrics(runs, k=10)
+
+
+def q_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the corpus lang labels and a synthetic
+    second rater that mislabels every 7th document (by n_chars) as
+    'zz' — the chance-corrected annotation-agreement gate. BIGINT-exact
+    masses, |categories|-sized marginals, one corpus aggregate."""
+    docs = _table(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.col("lang").alias("rater_a"),
+        F.when(F.col("n_chars") % 7 == 0, F.lit("zz"))
+        .otherwise(F.col("lang"))
+        .alias("rater_b"),
+    )
+    return agreement_kappa(rated, "rater_a", "rater_b")
+
+
+def q_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint summary (SIGMOD'03 MOSS
+    sketch, k=3-gram hashes, w=4 windows): gram/window/fingerprint
+    counts and kept-fingerprint density (~2/(w+1) on random text;
+    higher flags repetitive content). Entirely array-side — zero
+    shuffle; md5-hex gram hashes so the oracle replays selection."""
+    return winnow_stats(_table(spark, sf_dir, "documents"), k=3, w=4)
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring-overlap pairs from shared winnowing
+    fingerprints (>= 2 shared, with containment vs the smaller
+    sketch) — the fingerprint-sketch clone miner: any shared run of
+    >= k + w - 1 = 6 tokens is guaranteed a shared fingerprint while
+    only ~2/(w+1) of gram hashes ever reach the join. Explode-join on
+    the 8-hex fingerprint key; bodies never shuffle."""
+    return winnow_overlap_pairs(
+        _table(spark, sf_dir, "documents"), k=3, w=4, min_shared=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -3753,6 +3829,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changes since), then the alphabetically-first r07
         # certifications to fill the window. New round-10 queries are
         # inserted at the head as they land (never-certified first).
+        # Slots 1-4: never driver-certified (new this round — the
+        # retrieval-ranking eval, Cohen's-kappa agreement gate, and
+        # the winnowing fingerprint pair).
+        "rank_eval": q_rank_eval,
+        "agreement_kappa": q_agreement_kappa,
+        "winnow_stats": q_winnow_stats,
+        "winnow_overlap": q_winnow_overlap,
         "audio_decode_stats": q_audio_decode_stats,
         "bm25_topk": q_bm25_topk,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4317,6 +4400,127 @@ sp AS (
 SELECT split, source, count(*) AS n_docs,
        sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS n_tokens
 FROM sp GROUP BY 1, 2
+"""
+    # rank_eval: both engines build the deterministic run table
+    # (md5-hex pseudo-score, n_chars%4 graded relevance), rank with the
+    # SAME (score DESC, doc) tie-break, and grade it. DCG terms are
+    # rounded to 6 then summed as DECIMAL so the sums are exact in
+    # both engines; every division is one IEEE op on identical inputs.
+    d["rank_eval"] = """
+WITH runs AS (
+  SELECT doc_id % 8 AS query, doc_id AS doc,
+         substr(md5(cast(doc_id AS varchar)), 1, 8) AS score,
+         cast(n_chars % 4 AS int) AS rel
+  FROM documents),
+ranked AS (
+  SELECT query, doc, rel,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score DESC, doc) AS rnk,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY rel DESC, doc) AS irnk
+  FROM runs),
+agg AS (
+  SELECT query,
+         count(*) AS n_docs,
+         cast(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel,
+         min(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+         coalesce(sum(CASE WHEN rnk <= 10 THEN
+             cast(round((pow(2.0, rel) - 1.0) / log2(rnk + 1.0), 6)
+                  AS DECIMAL(18,6)) END),
+           cast(0 AS DECIMAL(18,6))) AS dcg,
+         coalesce(sum(CASE WHEN irnk <= 10 THEN
+             cast(round((pow(2.0, rel) - 1.0) / log2(irnk + 1.0), 6)
+                  AS DECIMAL(18,6)) END),
+           cast(0 AS DECIMAL(18,6))) AS idcg,
+         cast(sum(CASE WHEN rel > 0 AND rnk <= 10 THEN 1 ELSE 0 END)
+              AS BIGINT) AS rel_at_k
+  FROM ranked GROUP BY query)
+SELECT query, n_docs, n_rel,
+       round(coalesce(cast(1.0 AS DOUBLE) / first_rel, 0.0), 6) AS rr,
+       CASE WHEN idcg > 0 THEN
+         round(cast(dcg AS DOUBLE) / cast(idcg AS DOUBLE), 6)
+       END AS ndcg_at_k,
+       round(cast(rel_at_k AS DOUBLE) / 10.0, 6) AS p_at_k,
+       CASE WHEN n_rel > 0 THEN
+         round(cast(rel_at_k AS DOUBLE) / cast(n_rel AS DOUBLE), 6)
+       END AS r_at_k
+FROM agg ORDER BY query
+"""
+    # agreement_kappa: BIGINT-exact masses; kappa divides the UNROUNDED
+    # po/pe (identical doubles in both engines) exactly like the
+    # operator.
+    d["agreement_kappa"] = """
+WITH r AS (
+  SELECT lang AS a,
+         CASE WHEN n_chars % 7 = 0 THEN 'zz' ELSE lang END AS b
+  FROM documents),
+tot AS (
+  SELECT count(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN 1 END)
+           AS n,
+         count(CASE WHEN a IS NULL OR b IS NULL THEN 1 END)
+           AS n_skipped,
+         cast(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+           AS agree
+  FROM r),
+ok AS (SELECT * FROM r WHERE a IS NOT NULL AND b IS NOT NULL),
+ca AS (SELECT a AS cat, count(*) AS na FROM ok GROUP BY a),
+cb AS (SELECT b AS cat, count(*) AS nb FROM ok GROUP BY b),
+cm AS (SELECT cast(coalesce(sum(na * nb), 0) AS BIGINT) AS cross_mass
+       FROM ca JOIN cb USING (cat))
+SELECT n, n_skipped,
+       round(cast(agree AS DOUBLE) / n, 6) AS po,
+       round(cast(cross_mass AS DOUBLE)
+             / (cast(n AS DOUBLE) * cast(n AS DOUBLE)), 6) AS pe,
+       CASE WHEN cast(cross_mass AS DOUBLE)
+                 / (cast(n AS DOUBLE) * cast(n AS DOUBLE)) < 1.0 THEN
+         round((cast(agree AS DOUBLE) / n
+                - cast(cross_mass AS DOUBLE)
+                  / (cast(n AS DOUBLE) * cast(n AS DOUBLE)))
+               / (1.0 - cast(cross_mass AS DOUBLE)
+                        / (cast(n AS DOUBLE) * cast(n AS DOUBLE))), 6)
+       END AS kappa
+FROM tot CROSS JOIN cm
+"""
+    # Winnowing (SIGMOD'03): the md5-hex gram hash makes window-min
+    # selection replayable — both engines hash the SAME gram text and
+    # order the SAME lowercase-hex strings.
+    d["winnow_stats"] = f"""
+WITH g AS ({_WINNOW_GH_SQL}),
+f AS (
+  SELECT doc_id, n,
+         CASE WHEN gh IS NULL THEN 0
+              ELSE len(list_distinct(list_transform(
+                     range(0, len(gh) - 3),
+                     s -> list_min(gh[s+1:s+4])))) END AS n_fps
+  FROM g)
+SELECT doc_id,
+       cast(greatest(n - 2, 0) AS BIGINT) AS n_grams,
+       cast(greatest(n - 5, 0) AS BIGINT) AS n_windows,
+       cast(n_fps AS BIGINT) AS n_fps,
+       CASE WHEN greatest(n - 5, 0) > 0 THEN
+         round(cast(n_fps AS DOUBLE) / greatest(n - 5, 0), 6)
+       END AS fp_density
+FROM f
+"""
+    d["winnow_overlap"] = f"""
+WITH g AS ({_WINNOW_GH_SQL}),
+f AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(0, len(gh) - 3), s -> list_min(gh[s+1:s+4]))) AS fps
+  FROM g WHERE gh IS NOT NULL),
+e AS (SELECT doc_id, len(fps) AS sz, unnest(fps) AS fp FROM f),
+p AS (
+  SELECT ea.doc_id AS a, eb.doc_id AS b,
+         cast(count(*) AS BIGINT) AS n_shared,
+         min(ea.sz) AS sza, min(eb.sz) AS szb
+  FROM e ea JOIN e eb USING (fp)
+  WHERE ea.doc_id < eb.doc_id
+  GROUP BY ea.doc_id, eb.doc_id)
+SELECT a, b, n_shared,
+       round(cast(n_shared AS DOUBLE) / least(sza, szb), 6)
+         AS containment
+FROM p WHERE n_shared >= 2
 """
     return d
 

@@ -197,6 +197,10 @@ BENCH_QUERIES = [
     "ann_ivf_trained",
     "score_ks",
     "score_lift",
+    "rank_eval",
+    "agreement_kappa",
+    "winnow_stats",
+    "winnow_overlap",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -1281,3 +1281,196 @@ def dup_span_stats(
             6,
         ).alias("dup_token_ratio"),
     )
+
+
+def _winnow_frame(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    w: int,
+) -> DataFrame:
+    """Shared winnowing front half: ``(id, __n, fps)`` with ``__n`` the
+    token count and ``fps`` the distinct window-min fingerprint set.
+
+    TWO projections on purpose: the gram-hash array ``__gh`` is
+    materialized as a column in the first, and the window-min lambda in
+    the second reads it as an ATTRIBUTE. Folding both into one
+    expression re-evaluates the whole gram-hash array INSIDE the
+    window lambda — higher-order functions are interpreted, nothing
+    hoists the invariant subtree — turning n-token docs into O(n^2)
+    md5 calls (measured: sf0.1 winnow_stats went from >9 min to
+    seconds with the split). CollapseProject keeps the boundary
+    because ``__gh`` is non-cheap and referenced twice (size + lambda).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    gh = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 8
+        ),
+    )
+    step1 = docs.select(
+        F.col(id_col).alias("id"),
+        n.alias("__n"),
+        F.when(n >= k + w - 1, gh).alias("__gh"),
+    )
+    wmins = F.transform(
+        F.sequence(F.lit(0), F.size("__gh") - w),
+        lambda s: F.array_min(F.slice(F.col("__gh"), s + 1, w)),
+    )
+    return step1.select(
+        "id",
+        "__n",
+        F.coalesce(
+            F.when(F.col("__gh").isNotNull(), F.array_distinct(wmins)),
+            F.array().cast("array<string>"),
+        ).alias("fps"),
+    )
+
+
+def winnow_fingerprint_col(
+    text_col: str, k: int = 3, w: int = 4
+) -> "F.Column":
+    """Winnowing fingerprint set of a document (Schleimer, Wilkerson &
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): hash every word ``k``-gram, slide a window of ``w``
+    consecutive gram hashes, keep each window's MINIMUM hash, distinct
+    the kept hashes. Guarantee: any shared token run of length
+    >= k + w - 1 contributes at least one shared fingerprint, while
+    only ~2/(w+1) of the gram hashes are kept — the standard
+    sublinear-fingerprint substring-matching sketch (MOSS).
+
+    Built entirely ARRAY-SIDE (transform over sequence) — per-document
+    compute with ZERO shuffle; selection never needs cross-row state.
+    The gram hash is the first 8 hex chars of md5 over the gram text,
+    compared AS A STRING (lowercase hex orders like the integer it
+    encodes) — the same engine-portable convention as the chunked
+    minhash signatures, so a SQL oracle replays selection exactly.
+    Documents shorter than k + w - 1 tokens have no full window and
+    yield an empty set.
+
+    SEMANTIC REFERENCE ONLY — this single-expression form re-evaluates
+    the gram-hash subtree inside the window lambda (O(n^2) md5 calls
+    per doc; HOFs are interpreted with no invariant hoisting). The
+    corpus operators go through :func:`_winnow_frame`, which
+    materializes the gram hashes behind a projection boundary; a test
+    pins the two equal.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    gh = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 8
+        ),
+    )
+    wmins = F.transform(
+        F.sequence(F.lit(0), F.size(gh) - w),
+        lambda s: F.array_min(F.slice(gh, s + 1, w)),
+    )
+    return F.when(
+        n >= k + w - 1, F.array_distinct(wmins)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document winnowing summary: gram/window/fingerprint counts
+    and the achieved density (kept fingerprints per window — expected
+    ~2/(w+1) on random text; a sharply higher density flags repetitive
+    low-entropy documents the way `compression_ratio` does, a lower
+    one near-constant content). One narrow projection, no shuffle.
+    """
+    wf = _winnow_frame(docs, text_col, id_col, k, w)
+    n_grams = F.greatest(F.col("__n") - F.lit(k - 1), F.lit(0))
+    n_windows = F.greatest(n_grams - F.lit(w - 1), F.lit(0))
+    return wf.select(
+        F.col("id").alias(id_col),
+        n_grams.cast("long").alias("n_grams"),
+        n_windows.cast("long").alias("n_windows"),
+        F.size("fps").cast("long").alias("n_fps"),
+        F.round(
+            F.size("fps") / F.when(n_windows > 0, n_windows), 6
+        ).alias("fp_density"),
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs (a < b) sharing >= ``min_shared`` winnowing
+    fingerprints, with the containment score
+    n_shared / min(|fps(a)|, |fps(b)|) — the fingerprint-sketch
+    substring-overlap miner: unlike `ngram_jaccard_pairs` it compares
+    ~2/(w+1)-sized sketches instead of full shingle sets, and unlike
+    `dup_span_stats` it yields cross-document PAIRS, which is what a
+    clone-cluster or license-contamination pass consumes.
+
+    Plan shape mirrors the other set miners: fingerprint array-side
+    (no shuffle), explode the distinct sketch, equi-join on the
+    fingerprint key (co-partitioned shuffle of (id, 8-hex) rows —
+    bodies never move), one hash aggregate per pair. ``max_df`` drops
+    fingerprints appearing in more than that many documents before the
+    join — the boilerplate guard that keeps join buckets from going
+    quadratic at corpus scale (underestimates overlap slightly, like
+    the capped jaccard miner).
+    """
+    wf = _winnow_frame(spread(docs), text_col, id_col, k, w)
+    exploded = scoped_persist(
+        wf.select(
+            "id",
+            F.size("fps").alias("sz"),
+            F.explode("fps").alias("fp"),
+        ),
+        "winnow_overlap",
+        eager=max_df is not None,
+    )
+    side = exploded
+    if max_df is not None:
+        keep = (
+            exploded.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        side = exploded.join(keep, "fp")
+    a = side.select(
+        F.col("id").alias("a"), F.col("sz").alias("sza"), "fp"
+    )
+    b = side.select(
+        F.col("id").alias("b"), F.col("sz").alias("szb"), "fp"
+    )
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.first("sza").alias("__sza"),
+            F.first("szb").alias("__szb"),
+        )
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return pairs.select(
+        "a",
+        "b",
+        "n_shared",
+        F.round(
+            F.col("n_shared")
+            / F.least(F.col("__sza"), F.col("__szb")),
+            6,
+        ).alias("containment"),
+    )

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from seriesly_spark.operators.util import scoped_persist
+
 
 def roc_auc(
     scored: DataFrame,
@@ -578,4 +580,187 @@ def snapshot_diff(
         statuses.join(counts, "status", "left")
         .select("status", F.coalesce("n_docs", F.lit(0)).alias("n_docs"))
         .orderBy("status")
+    )
+
+
+def rank_metrics(
+    runs: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval-ranking metrics over a run table
+    (query, candidate doc, ranking score, graded relevance): reciprocal
+    rank of the first relevant hit, NDCG@k, precision@k and recall@k.
+    The ranking-eval counterpart of :func:`roc_auc` — a retrieval or
+    ANN layer (``similarity.ann_*``) is trusted to route queries only
+    after its rankings are graded against relevance labels.
+
+    Ranking order is (score DESC, doc ASC) — the doc tie-break makes
+    the metric deterministic under score ties, so two engines agree.
+
+    Scale design: every window partitions on the QUERY key (one hash
+    shuffle of (query, doc, score, rel) rows; run tables are bounded
+    per query by construction — a retrieval layer returns candidates,
+    not the corpus), and the per-query reduction is a single hash
+    aggregate. Nothing is globally ordered. Float determinism: each
+    DCG term round(gain/log2(rank+1), 6) is cast to decimal(18,6) and
+    summed EXACTLY, so cross-engine sums cannot drift with addition
+    order; the final ndcg division is one IEEE op on identical inputs.
+
+    Output: one row per query —
+    (query, n_docs, n_rel, rr, ndcg_at_k, p_at_k, r_at_k), floats
+    rounded to 6. ``rr`` is 0.0 when no relevant doc is retrieved;
+    ``ndcg_at_k``/``r_at_k`` are NULL when the run has no relevant
+    docs (no ideal ranking / empty recall base).
+    """
+    q, d, s, r = query_col, doc_col, score_col, rel_col
+    by_score = Window.partitionBy(q).orderBy(F.col(s).desc(), F.col(d))
+    by_ideal = Window.partitionBy(q).orderBy(F.col(r).desc(), F.col(d))
+    gain = F.pow(F.lit(2.0), F.col(r).cast("double")) - F.lit(1.0)
+
+    def dcg_term(rank_col):
+        return (
+            F.round(
+                gain / F.log2(rank_col.cast("double") + F.lit(1.0)), 6
+            )
+            .cast("decimal(18,6)")
+        )
+
+    ranked = runs.select(
+        F.col(q).alias("query"),
+        F.col(d).alias("doc"),
+        F.col(r).cast("int").alias("rel"),
+        F.row_number().over(by_score).alias("rnk"),
+        F.row_number().over(by_ideal).alias("irnk"),
+    )
+    zero6 = F.lit(0).cast("decimal(18,6)")
+    agg = ranked.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel"),
+        F.min(F.when(F.col("rel") > 0, F.col("rnk"))).alias("first_rel"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("rnk") <= k, dcg_term(F.col("rnk")))
+            ),
+            zero6,
+        ).alias("dcg"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("irnk") <= k, dcg_term(F.col("irnk")))
+            ),
+            zero6,
+        ).alias("idcg"),
+        F.sum(
+            F.when((F.col("rel") > 0) & (F.col("rnk") <= k), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rel_at_k"),
+    )
+    return agg.select(
+        "query",
+        "n_docs",
+        "n_rel",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rel").cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("rr"),
+        F.when(
+            F.col("idcg") > 0,
+            F.round(
+                F.col("dcg").cast("double") / F.col("idcg").cast("double"),
+                6,
+            ),
+        ).alias("ndcg_at_k"),
+        F.round(F.col("rel_at_k").cast("double") / F.lit(float(k)), 6)
+        .alias("p_at_k"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                F.col("rel_at_k").cast("double")
+                / F.col("n_rel").cast("double"),
+                6,
+            ),
+        ).alias("r_at_k"),
+    ).orderBy("query")
+
+
+def agreement_kappa(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Cohen's kappa between two categorical raters (chance-corrected
+    agreement): kappa = (p_o - p_e) / (1 - p_e), with observed
+    agreement p_o = #(a = b) / n and chance agreement
+    p_e = sum_c (n_a(c)/n) * (n_b(c)/n). The labeled-data QC gate: two
+    annotation pipelines (a model scorer vs a heuristic, two LM
+    judges) agreeing 90% of the time means little if one label
+    dominates — kappa discounts exactly that.
+
+    Rows where either rater is NULL are excluded and counted in
+    ``n_skipped``. Output: one row
+    (n, n_skipped, po, pe, kappa) rounded to 6; kappa is NULL when
+    p_e = 1 (degenerate single-category raters).
+
+    Scale: ONE corpus aggregate — the (a, b) contingency table (map-side
+    partial combine; |A| x |B| rows shuffle, never documents) — from
+    which totals, agreement, and both marginals all derive as
+    metadata-sized reductions. All mass terms are BIGINT-exact until
+    the final divisions.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    # Three consumers (totals + both marginals) race one action over
+    # the tiny contingency table — eager persist so the corpus scan
+    # behind it runs exactly once.
+    cells = scoped_persist(
+        df.groupBy(a.alias("__a"), b.alias("__b")).agg(
+            F.count(F.lit(1)).alias("__c")
+        ),
+        "evaluation.kappa_cells",
+        eager=True,
+    )
+    both = F.col("__a").isNotNull() & F.col("__b").isNotNull()
+    totals = cells.agg(
+        F.coalesce(F.sum(F.when(both, F.col("__c"))), F.lit(0))
+        .cast("bigint")
+        .alias("n"),
+        F.coalesce(F.sum(F.when(~both, F.col("__c"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_skipped"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("agree"),
+    )
+    ok = cells.where(both)
+    ca = ok.groupBy(F.col("__a").alias("cat")).agg(
+        F.sum("__c").alias("na")
+    )
+    cb = ok.groupBy(F.col("__b").alias("cat")).agg(
+        F.sum("__c").alias("nb")
+    )
+    # Inner join: a category one rater never uses contributes 0 mass.
+    cross = ca.join(cb, "cat").agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+        .cast("bigint")
+        .alias("cross_mass")
+    )
+    po = F.col("agree").cast("double") / F.col("n").cast("double")
+    pe = F.col("cross_mass").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    return totals.crossJoin(cross).select(
+        "n",
+        "n_skipped",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6))
+        .alias("kappa"),
     )

@@ -1,0 +1,259 @@
+"""Round-10 operators: retrieval-ranking eval (MRR/NDCG@k/P@k/R@k),
+Cohen's-kappa rater agreement, and winnowing fingerprints (Schleimer,
+Wilkerson & Aiken, SIGMOD 2003).
+
+rank_metrics is pinned against hand-computed DCG sums built with the
+SAME round-then-decimal-sum contract the operator uses; winnowing is
+pinned against a pure-Python replay (hashlib md5) plus the paper's
+guarantee: any shared token run of length >= k + w - 1 shares a
+fingerprint.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from seriesly_spark.operators.dedup import (
+    _winnow_frame,
+    winnow_fingerprint_col,
+    winnow_overlap_pairs,
+    winnow_stats,
+)
+from seriesly_spark.operators.evaluation import agreement_kappa, rank_metrics
+
+
+def _dcg_terms(rels_in_rank_order, k):
+    """The operator's exact contract: per-rank term rounded to 6, summed
+    exactly (decimal-free here: python floats rounded to 6 sum without
+    drift at this magnitude)."""
+    total = 0.0
+    for rank, rel in enumerate(rels_in_rank_order[:k], start=1):
+        total += round((2.0 ** rel - 1.0) / math.log2(rank + 1.0), 6)
+    return total
+
+
+class TestRankMetrics:
+    def _runs(self, spark):
+        # query 0: ranked by score desc -> rels [0, 2, 0, 1]
+        # query 1: no relevant docs at all
+        rows = [
+            (0, 10, 0.9, 0),
+            (0, 11, 0.8, 2),
+            (0, 12, 0.7, 0),
+            (0, 13, 0.6, 1),
+            (1, 20, 0.9, 0),
+            (1, 21, 0.8, 0),
+        ]
+        return spark.createDataFrame(
+            rows, "query_id long, doc_id long, score double, rel int"
+        )
+
+    def test_hand_computed_metrics(self, spark):
+        out = {
+            r.query: r
+            for r in rank_metrics(self._runs(spark), k=3).collect()
+        }
+        q0 = out[0]
+        assert q0.n_docs == 4 and q0.n_rel == 2
+        assert q0.rr == pytest.approx(0.5)
+        dcg = _dcg_terms([0, 2, 0, 1], 3)
+        idcg = _dcg_terms([2, 1, 0, 0], 3)
+        assert q0.ndcg_at_k == pytest.approx(round(dcg / idcg, 6))
+        assert q0.p_at_k == pytest.approx(round(1 / 3, 6))
+        assert q0.r_at_k == pytest.approx(0.5)
+        q1 = out[1]
+        assert q1.rr == 0.0
+        assert q1.ndcg_at_k is None and q1.r_at_k is None
+        assert q1.p_at_k == 0.0
+
+    def test_score_tie_breaks_on_doc_id(self, spark):
+        # Identical scores: doc ASC decides the ranking, so the
+        # relevant doc with the smaller id lands at rank 1.
+        rows = [(0, 5, 1.0, 1), (0, 3, 1.0, 0), (0, 4, 1.0, 0)]
+        df = spark.createDataFrame(
+            rows, "query_id long, doc_id long, score double, rel int"
+        )
+        r = rank_metrics(df, k=2).collect()[0]
+        # ranking: 3 (rel 0), 4 (rel 0), 5 (rel 1) -> first rel at 3
+        assert r.rr == pytest.approx(round(1 / 3, 6))
+
+    def test_perfect_ranking_is_1(self, spark):
+        rows = [(0, 1, 0.9, 2), (0, 2, 0.8, 1), (0, 3, 0.7, 0)]
+        df = spark.createDataFrame(
+            rows, "query_id long, doc_id long, score double, rel int"
+        )
+        r = rank_metrics(df, k=3).collect()[0]
+        assert r.ndcg_at_k == pytest.approx(1.0)
+        assert r.rr == pytest.approx(1.0)
+
+
+class TestAgreementKappa:
+    def _rated(self, spark, cells):
+        """cells: list of (a, b, count)."""
+        rows = []
+        for a, b, n in cells:
+            rows.extend([(a, b)] * n)
+        return spark.createDataFrame(rows, "a string, b string")
+
+    def test_textbook_two_by_two(self, spark):
+        # po = 0.8, marginals 0.3/0.3 and 0.7/0.7 -> pe = 0.58,
+        # kappa = 0.22 / 0.42 = 0.52381
+        df = self._rated(
+            spark,
+            [("y", "y", 20), ("n", "n", 60), ("y", "n", 10), ("n", "y", 10)],
+        )
+        r = agreement_kappa(df, "a", "b").collect()[0]
+        assert r.n == 100 and r.n_skipped == 0
+        assert r.po == pytest.approx(0.8)
+        assert r.pe == pytest.approx(0.58)
+        assert r.kappa == pytest.approx(round(0.22 / 0.42, 6))
+
+    def test_null_raters_skipped(self, spark):
+        df = spark.createDataFrame(
+            [("y", "y"), ("y", None), (None, "n")], "a string, b string"
+        )
+        r = agreement_kappa(df, "a", "b").collect()[0]
+        assert r.n == 1 and r.n_skipped == 2
+        assert r.po == pytest.approx(1.0)
+
+    def test_degenerate_single_category_is_null(self, spark):
+        df = self._rated(spark, [("y", "y", 5)])
+        r = agreement_kappa(df, "a", "b").collect()[0]
+        assert r.pe == pytest.approx(1.0)
+        assert r.kappa is None
+
+    def test_chance_only_agreement_is_zero(self, spark):
+        # Independent raters with identical marginals: po == pe.
+        df = self._rated(
+            spark,
+            [("y", "y", 25), ("y", "n", 25), ("n", "y", 25), ("n", "n", 25)],
+        )
+        r = agreement_kappa(df, "a", "b").collect()[0]
+        assert r.kappa == pytest.approx(0.0)
+
+
+def _py_winnow(text, k=3, w=4):
+    """Pure-Python replay of winnow_fingerprint_col."""
+    toks = text.strip().split()
+    if len(toks) < k + w - 1:
+        return set()
+    gh = [
+        hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:8]
+        for i in range(len(toks) - k + 1)
+    ]
+    return {min(gh[s:s + w]) for s in range(len(gh) - w + 1)}
+
+
+class TestWinnowing:
+    TEXTS = [
+        "the quick brown fox jumps over the lazy dog today",
+        "a b c d e f g h i j k l m",
+        "short doc",
+        "rep rep rep rep rep rep rep rep",
+        "",
+    ]
+
+    def _docs(self, spark, texts=None):
+        texts = self.TEXTS if texts is None else texts
+        return spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+
+    def test_matches_python_replay(self, spark):
+        got = {
+            r.doc_id: set(r.fps)
+            for r in self._docs(spark)
+            .select(
+                "doc_id", winnow_fingerprint_col("text", k=3, w=4).alias("fps")
+            )
+            .collect()
+        }
+        for i, t in enumerate(self.TEXTS):
+            assert got[i] == _py_winnow(t, 3, 4), f"doc {i}"
+
+    def test_frame_path_equals_column_path(self, spark):
+        """The fast two-projection corpus path computes EXACTLY the
+        reference single-expression fingerprint set, and its executed
+        plan keeps the gram-hash materialization boundary (two
+        Projects) instead of collapsing back into the O(n^2) shape."""
+        docs = self._docs(spark)
+        frame = _winnow_frame(docs, "text", "doc_id", 3, 4)
+        got = {r.id: set(r.fps) for r in frame.collect()}
+        ref = {
+            r.doc_id: set(r.fps)
+            for r in docs.select(
+                "doc_id", winnow_fingerprint_col("text").alias("fps")
+            ).collect()
+        }
+        assert got == ref
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Project") >= 2, (
+            "gram-hash projection boundary collapsed — the window "
+            "lambda would re-evaluate the md5 subtree per window"
+        )
+
+    def test_stats_counts(self, spark):
+        got = {r.doc_id: r for r in winnow_stats(self._docs(spark)).collect()}
+        for i, t in enumerate(self.TEXTS):
+            n = len(t.strip().split()) if t.strip() else 1  # split('')=['']
+            assert got[i].n_grams == max(n - 2, 0)
+            assert got[i].n_windows == max(n - 5, 0)
+            assert got[i].n_fps == len(_py_winnow(t, 3, 4))
+            if got[i].n_windows == 0:
+                assert got[i].fp_density is None
+
+    def test_shared_run_guarantee(self, spark):
+        # Two docs sharing a >= k+w-1 = 6-token run MUST share a
+        # fingerprint (the winnowing guarantee), and the miner
+        # surfaces the pair when >= min_shared fingerprints match.
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = self._docs(
+            spark,
+            [
+                "intro words here " + shared,
+                shared + " completely different tail tokens",
+                "unrelated content with nothing in common at all",
+            ],
+        )
+        fps = {
+            r.doc_id: set(r.fps)
+            for r in docs.select(
+                "doc_id", winnow_fingerprint_col("text").alias("fps")
+            ).collect()
+        }
+        assert fps[0] & fps[1], "shared 8-token run must share a fingerprint"
+        pairs = winnow_overlap_pairs(docs, min_shared=1).collect()
+        assert {(p.a, p.b) for p in pairs} >= {(0, 1)}
+
+    def test_identical_docs_full_containment(self, spark):
+        t = "one two three four five six seven eight nine ten"
+        docs = self._docs(spark, [t, t])
+        p = winnow_overlap_pairs(docs, min_shared=1).collect()
+        assert len(p) == 1
+        assert p[0].containment == pytest.approx(1.0)
+        assert p[0].n_shared == len(_py_winnow(t))
+
+    def test_max_df_drops_boilerplate_key(self, spark):
+        # A fingerprint present in ALL 4 docs is dropped at max_df=3;
+        # the pair sharing ONLY boilerplate disappears.
+        boiler = "standard footer text appears in every document here"
+        docs = self._docs(
+            spark,
+            [
+                boiler,
+                boiler,
+                boiler + " plus alpha beta gamma delta epsilon zeta",
+                boiler + " plus alpha beta gamma delta epsilon zeta",
+            ],
+        )
+        uncapped = winnow_overlap_pairs(docs, min_shared=1)
+        assert len(uncapped.collect()) == 6  # all pairs share boilerplate
+        capped = {
+            (p.a, p.b)
+            for p in winnow_overlap_pairs(
+                docs, min_shared=1, max_df=3
+            ).collect()
+        }
+        assert (2, 3) in capped and (0, 1) not in capped
