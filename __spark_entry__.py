@@ -57,6 +57,7 @@ from seriesly_spark.operators.dedup import (
 from seriesly_spark.operators.evaluation import (
     agreement_kappa,
     calibration_bins,
+    classifier_report,
     ks_statistic,
     lift_table,
     rank_metrics,
@@ -3787,6 +3788,17 @@ def q_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agreement_kappa(rated, "rater_a", "rater_b")
 
 
+def q_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 (+ __macro__/__micro__ rows) of
+    the n-gram language-ID heuristic against the corpus lang labels —
+    the class-scored companion of lang_confusion. One contingency
+    aggregate; both engines run the classifier AND the scorer, so the
+    oracle value-checks the whole chain."""
+    docs = _table(spark, sf_dir, "documents")
+    pred = lang_id(docs, keep_cols=("lang",))
+    return classifier_report(pred, "lang", "lang_pred")
+
+
 def q_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document winnowing fingerprint summary (SIGMOD'03 MOSS
     sketch, k=3-gram hashes, w=4 windows): gram/window/fingerprint
@@ -3836,6 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agreement_kappa": q_agreement_kappa,
         "winnow_stats": q_winnow_stats,
         "winnow_overlap": q_winnow_overlap,
+        "classifier_report": q_classifier_report,
         "audio_decode_stats": q_audio_decode_stats,
         "bm25_topk": q_bm25_topk,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4521,6 +4534,63 @@ SELECT a, b, n_shared,
        round(cast(n_shared AS DOUBLE) / least(sza, szb), 6)
          AS containment
 FROM p WHERE n_shared >= 2
+"""
+    # classifier_report: replay the lang_id classifier (reusing its
+    # oracle SQL as a subquery), then the per-class P/R/F1 report.
+    # Macro = decimal-exact mean of the ROUNDED per-class metrics.
+    d["classifier_report"] = f"""
+WITH pred AS (
+  SELECT p.lang_pred, doc.lang
+  FROM ({d["lang_id"]}) p JOIN documents doc USING (doc_id)),
+cells AS (
+  SELECT lang AS l, lang_pred AS p, count(*) AS c
+  FROM pred WHERE lang IS NOT NULL AND lang_pred IS NOT NULL
+  GROUP BY 1, 2),
+lm AS (SELECT l AS class, cast(sum(c) AS BIGINT) AS n_true
+       FROM cells GROUP BY l),
+pm AS (SELECT p AS class, cast(sum(c) AS BIGINT) AS n_pred
+       FROM cells GROUP BY p),
+diag AS (SELECT l AS class, cast(c AS BIGINT) AS tp
+         FROM cells WHERE l = p),
+per AS (
+  SELECT class,
+         coalesce(n_true, 0) AS n_true,
+         coalesce(n_pred, 0) AS n_pred,
+         coalesce(tp, 0) AS tp
+  FROM lm FULL OUTER JOIN pm USING (class) LEFT JOIN diag USING (class)),
+rep AS (
+  SELECT class, n_true, n_pred, tp,
+         CASE WHEN n_pred > 0 THEN round(cast(tp AS DOUBLE) / n_pred, 6)
+         END AS "precision",
+         CASE WHEN n_true > 0 THEN round(cast(tp AS DOUBLE) / n_true, 6)
+         END AS recall,
+         round(2.0 * tp / (n_true + n_pred), 6) AS f1
+  FROM per),
+macro AS (
+  -- avg over the UNROUNDED quotients: averaging rounded 6-decimal
+  -- terms manufactures exact .5 halves where the engines' round()
+  -- implementations disagree
+  SELECT '__macro__' AS class,
+         cast(sum(n_true) AS BIGINT) AS n_true,
+         cast(sum(n_pred) AS BIGINT) AS n_pred,
+         cast(sum(tp) AS BIGINT) AS tp,
+         round(avg(CASE WHEN n_pred > 0
+                        THEN cast(tp AS DOUBLE) / n_pred
+                        ELSE 0.0 END), 6) AS "precision",
+         round(avg(cast(tp AS DOUBLE) / n_true), 6) AS recall,
+         round(avg(2.0 * tp / (n_true + n_pred)), 6) AS f1
+  FROM per WHERE n_true > 0),
+micro AS (
+  SELECT '__micro__' AS class,
+         cast(sum(n_true) AS BIGINT) AS n_true,
+         cast(sum(n_pred) AS BIGINT) AS n_pred,
+         cast(sum(tp) AS BIGINT) AS tp,
+         round(cast(sum(tp) AS DOUBLE) / sum(n_true), 6) AS "precision",
+         round(cast(sum(tp) AS DOUBLE) / sum(n_true), 6) AS recall,
+         round(cast(sum(tp) AS DOUBLE) / sum(n_true), 6) AS f1
+  FROM rep)
+SELECT * FROM rep UNION ALL SELECT * FROM macro UNION ALL
+SELECT * FROM micro ORDER BY class
 """
     return d
 

@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "agreement_kappa",
     "winnow_stats",
     "winnow_overlap",
+    "classifier_report",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

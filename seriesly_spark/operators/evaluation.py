@@ -764,3 +764,117 @@ def agreement_kappa(
         F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6))
         .alias("kappa"),
     )
+
+
+def classifier_report(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 for a multiclass classifier,
+    plus ``__macro__`` (unweighted class average) and ``__micro__``
+    (pooled = accuracy) summary rows — the companion of the confusion
+    matrix (`textstats.lang_confusion` shows WHERE mass leaks; this
+    scores each class). Rows with a NULL label or prediction are
+    excluded.
+
+    Conventions (deterministic, engine-portable):
+      * per-class F1 = 2*tp / (n_true + n_pred) — algebraically
+        2PR/(P+R) but defined whenever the class appears at all;
+      * precision is NULL when the class is never predicted, recall
+        NULL when it never occurs in labels;
+      * ``__macro__`` averages the UNROUNDED per-class metrics over
+        classes WITH n_true > 0, treating a NULL precision as 0 (the
+        zero-division=0 convention), then rounds once. Averaging the
+        rounded terms instead MANUFACTURES exact decimal halves
+        (sum-of-6-decimal values / 2) where Spark's shortest-repr
+        HALF_UP and DuckDB's float rounding disagree; organic IEEE
+        quotients have 17-digit shortest representations and never sit
+        on a rounding boundary;
+      * ``__micro__`` has precision = recall = f1 = accuracy (every
+        row has exactly one label and one prediction).
+
+    Scale: ONE corpus aggregate (the (label, pred) contingency table,
+    map-side combined; |L| x |P| rows shuffle) — marginals, diagonal,
+    and both summary rows all derive from the eager-persisted cells.
+    """
+    lab, prd = F.col(label_col), F.col(pred_col)
+    cells = scoped_persist(
+        df.where(lab.isNotNull() & prd.isNotNull())
+        .groupBy(lab.alias("__l"), prd.alias("__p"))
+        .agg(F.count(F.lit(1)).alias("__c")),
+        "evaluation.classifier_cells",
+        eager=True,
+    )
+    lm = cells.groupBy(F.col("__l").alias("class")).agg(
+        F.sum("__c").alias("n_true")
+    )
+    pm = cells.groupBy(F.col("__p").alias("class")).agg(
+        F.sum("__c").alias("n_pred")
+    )
+    diag = cells.where(F.col("__l") == F.col("__p")).select(
+        F.col("__l").alias("class"), F.col("__c").alias("tp")
+    )
+    per = (
+        lm.join(pm, "class", "full_outer")
+        .join(diag, "class", "left")
+        .select(
+            "class",
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    per = per.select(
+        "class",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(
+            F.col("tp") / F.when(F.col("n_pred") > 0, F.col("n_pred")), 6
+        ).alias("precision"),
+        F.round(
+            F.col("tp") / F.when(F.col("n_true") > 0, F.col("n_true")), 6
+        ).alias("recall"),
+        F.round(
+            F.lit(2) * F.col("tp") / (F.col("n_true") + F.col("n_pred")),
+            6,
+        ).alias("f1"),
+    )
+    # Macro over the UNROUNDED quotients (see docstring for why not
+    # the rounded terms).
+    occupied = per.where(F.col("n_true") > 0)
+    macro = occupied.agg(
+        F.lit("__macro__").alias("class"),
+        F.sum("n_true").cast("bigint").alias("n_true"),
+        F.sum("n_pred").cast("bigint").alias("n_pred"),
+        F.sum("tp").cast("bigint").alias("tp"),
+        F.round(
+            F.avg(
+                F.coalesce(
+                    F.col("tp")
+                    / F.when(F.col("n_pred") > 0, F.col("n_pred")),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("precision"),
+        F.round(F.avg(F.col("tp") / F.col("n_true")), 6).alias("recall"),
+        F.round(
+            F.avg(
+                F.lit(2) * F.col("tp") / (F.col("n_true") + F.col("n_pred"))
+            ),
+            6,
+        ).alias("f1"),
+    )
+    acc = F.round(
+        F.sum("tp") / F.when(F.sum("n_true") > 0, F.sum("n_true")), 6
+    )
+    micro = per.agg(
+        F.lit("__micro__").alias("class"),
+        F.sum("n_true").cast("bigint").alias("n_true"),
+        F.sum("n_pred").cast("bigint").alias("n_pred"),
+        F.sum("tp").cast("bigint").alias("tp"),
+        acc.alias("precision"),
+        acc.alias("recall"),
+        acc.alias("f1"),
+    )
+    return per.unionByName(macro).unionByName(micro).orderBy("class")

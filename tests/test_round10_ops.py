@@ -21,7 +21,11 @@ from seriesly_spark.operators.dedup import (
     winnow_overlap_pairs,
     winnow_stats,
 )
-from seriesly_spark.operators.evaluation import agreement_kappa, rank_metrics
+from seriesly_spark.operators.evaluation import (
+    agreement_kappa,
+    classifier_report,
+    rank_metrics,
+)
 
 
 def _dcg_terms(rels_in_rank_order, k):
@@ -257,3 +261,58 @@ class TestWinnowing:
             ).collect()
         }
         assert (2, 3) in capped and (0, 1) not in capped
+
+
+class TestClassifierReport:
+    def _pred(self, spark, cells):
+        rows = []
+        for lab, prd, n in cells:
+            rows.extend([(lab, prd)] * n)
+        return spark.createDataFrame(rows, "label string, pred string")
+
+    def test_hand_computed_report(self, spark):
+        # label a: 8 true (6 correct, 2 -> b); label b: 4 true
+        # (3 correct, 1 -> a). Predictions: a 7, b 5.
+        df = self._pred(
+            spark, [("a", "a", 6), ("a", "b", 2), ("b", "b", 3), ("b", "a", 1)]
+        )
+        out = {r["class"]: r for r in classifier_report(df, "label", "pred").collect()}
+        a, b = out["a"], out["b"]
+        assert (a.n_true, a.n_pred, a.tp) == (8, 7, 6)
+        assert a.precision == pytest.approx(round(6 / 7, 6))
+        assert a.recall == pytest.approx(0.75)
+        assert a.f1 == pytest.approx(round(12 / 15, 6))
+        assert (b.n_true, b.n_pred, b.tp) == (4, 5, 3)
+        micro = out["__micro__"]
+        acc = round(9 / 12, 6)
+        assert micro.precision == micro.recall == micro.f1 == pytest.approx(acc)
+        macro = out["__macro__"]
+        # mean of UNROUNDED quotients, rounded once
+        assert macro.precision == pytest.approx(round((6 / 7 + 3 / 5) / 2, 6))
+        assert macro.recall == pytest.approx(0.75)
+
+    def test_never_predicted_and_predicted_only_classes(self, spark):
+        # 'c' occurs in labels but is never predicted; 'd' is predicted
+        # but never a label.
+        df = self._pred(
+            spark, [("a", "a", 3), ("c", "a", 2), ("a", "d", 1)]
+        )
+        out = {r["class"]: r for r in classifier_report(df, "label", "pred").collect()}
+        c = out["c"]
+        assert c.n_pred == 0 and c.precision is None
+        assert c.recall == 0.0 and c.f1 == 0.0
+        d = out["d"]
+        assert d.n_true == 0 and d.recall is None
+        assert d.precision == 0.0
+        # macro covers only label-occupied classes (a, c) with NULL
+        # precision counted as 0
+        macro = out["__macro__"]
+        assert macro.precision == pytest.approx(round((3 / 5 + 0.0) / 2, 6))
+
+    def test_null_rows_excluded(self, spark):
+        df = spark.createDataFrame(
+            [("a", "a"), (None, "a"), ("a", None)], "label string, pred string"
+        )
+        out = {r["class"]: r for r in classifier_report(df, "label", "pred").collect()}
+        assert out["a"].n_true == 1 and out["a"].n_pred == 1
+        assert out["__micro__"].n_true == 1
