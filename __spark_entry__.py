@@ -99,6 +99,7 @@ from seriesly_spark.operators.sampling import (
     weighted_sample,
 )
 from seriesly_spark.operators.similarity import (
+    ann_rank_eval,
     ann_topk_cosine,
     ann_topk_multi,
     ann_lsh_recall,
@@ -118,7 +119,9 @@ from seriesly_spark.operators.similarity import (
 from seriesly_spark.operators.similarity import norm as simnorm
 from seriesly_spark.operators.textstats import (
     BPE_ISH_RE,
+    PII_PATTERNS,
     bigram_lm_score,
+    pii_redact,
     pii_screen,
     STOPWORDS,
     char_entropy,
@@ -2458,12 +2461,12 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(_table(spark, sf_dir, "documents"))
 
 
-def q_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detector counts over documents salted with synthetic PII
-    (the corpus itself is digit-free word soup): doc_id deterministically
-    plants an email (every 3rd), an IPv4 (4th), an SSN shape (5th) and a
-    12-digit identifier (7th), and the oracle re-derives every count
-    symbolically. One vectorized regexp_count per pattern, no shuffle."""
+def _pii_salted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents salted with synthetic, doc_id-deterministic PII (the
+    corpus itself is digit-free word soup): an email every 3rd doc, an
+    IPv4 every 4th, an SSN shape every 5th, a 12-digit identifier
+    every 7th — the shared fixture of the pii_screen / pii_redact
+    pair; the oracle re-derives the same salt symbolically."""
     d = F.col("doc_id")
     aug = F.concat(
         F.col("text"),
@@ -2487,10 +2490,24 @@ def q_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit(" "), F.lpad(d.cast("string"), 12, "0")),
         ).otherwise(F.lit("")),
     )
-    docs = _table(spark, sf_dir, "documents").select(
+    return _table(spark, sf_dir, "documents").select(
         "doc_id", aug.alias("text")
     )
-    return pii_screen(docs)
+
+
+def q_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detector counts over the salted fixture (_pii_salted_docs).
+    One vectorized regexp_count per pattern, no shuffle."""
+    return pii_screen(_pii_salted_docs(spark, sf_dir))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-placeholder redaction over the same salted fixture — the
+    scrubbing half of the pii pair: patterns replaced in declaration
+    order, per-stage counts on the progressively redacted text, so
+    n_redacted == placeholder insertions exactly. Pure scan, no
+    shuffle; the oracle replays the same replace chain."""
+    return pii_redact(_pii_salted_docs(spark, sf_dir))
 
 
 def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3751,6 +3768,21 @@ def q_ivf_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cell_purity(emb, cents)
 
 
+def q_ann_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-metric grading of the exact ANN layer: top-10 cosine
+    candidates for 8 queries, relevance = neighbor label matches the
+    query label, scored with MRR / NDCG@5 / P@5 / R@5 per query. The
+    |Q| x k run broadcasts against the label projection; vectors never
+    join. Companion of ann_lsh_recall/ann_ivf_recall (coverage) — this
+    grades the RANKING handed downstream."""
+    return ann_rank_eval(
+        _table(spark, sf_dir, "embeddings"),
+        [0, 1, 2, 3, 4, 5, 6, 7],
+        k=10,
+        k_eval=5,
+    )
+
+
 def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-ranking eval (MRR, NDCG@10, P@10, R@10 per query) over
     a deterministic run table: queries = doc_id % 8, ranking score =
@@ -3849,6 +3881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_stats": q_winnow_stats,
         "winnow_overlap": q_winnow_overlap,
         "classifier_report": q_classifier_report,
+        "ann_rank_eval": q_ann_rank_eval,
+        "pii_redact": q_pii_redact,
         "audio_decode_stats": q_audio_decode_stats,
         "bm25_topk": q_bm25_topk,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4591,6 +4625,75 @@ micro AS (
   FROM rep)
 SELECT * FROM rep UNION ALL SELECT * FROM macro UNION ALL
 SELECT * FROM micro ORDER BY class
+"""
+    # pii_redact: the same salted fixture as pii_screen, then the
+    # operator's exact replace chain — stage i counts on the text
+    # stage i-1 produced, so both engines replay insertion-for-
+    # insertion. Generated from PII_PATTERNS so the SQL cannot drift
+    # from the operator's pattern list.
+    salt = d["pii_screen"].split("c AS")[0].rstrip().rstrip(",")
+    stages, carry = [], []
+    for i, (name, pat) in enumerate(PII_PATTERNS):
+        cols = "".join(c + ", " for c in carry)
+        stages.append(
+            "s" + str(i + 1) + " AS (SELECT doc_id, " + cols
+            + "cast(len(regexp_extract_all(t, '" + pat + "')) as bigint)"
+            + " AS n_" + name + ", regexp_replace(t, '" + pat + "', '<"
+            + name + ">', 'g') AS t FROM " + ("a" if i == 0 else f"s{i}")
+            + ")"
+        )
+        carry.append("n_" + name)
+    d["pii_redact"] = (
+        salt + ",\n" + ",\n".join(stages)
+        + "\nSELECT doc_id, t AS text_redacted, "
+        + ", ".join(carry)
+        + ", " + " + ".join(carry) + " AS n_redacted"
+        + f"\nFROM s{len(PII_PATTERNS)}\n"
+    )
+    # ann_rank_eval: reuse the exact-ANN oracle as the run table, grade
+    # label-match relevance, then the rank_metrics replay at k_eval=5.
+    d["ann_rank_eval"] = f"""
+WITH graded AS (
+  SELECT r.query_id AS query, r.vec_id AS doc, r.cos_sim AS score,
+         cast(CASE WHEN l.label = ql.label THEN 1 ELSE 0 END AS int)
+           AS rel
+  FROM ({d["ann_multi_exact"]}) r
+  JOIN embeddings l ON r.vec_id = l.vec_id
+  JOIN embeddings ql ON ql.vec_id = r.query_id),
+ranked AS (
+  SELECT query, doc, rel,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score DESC, doc) AS rnk,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY rel DESC, doc) AS irnk
+  FROM graded),
+agg AS (
+  SELECT query,
+         count(*) AS n_docs,
+         cast(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel,
+         min(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+         coalesce(sum(CASE WHEN rnk <= 5 THEN
+             cast(round((pow(2.0, rel) - 1.0) / log2(rnk + 1.0), 6)
+                  AS DECIMAL(18,6)) END),
+           cast(0 AS DECIMAL(18,6))) AS dcg,
+         coalesce(sum(CASE WHEN irnk <= 5 THEN
+             cast(round((pow(2.0, rel) - 1.0) / log2(irnk + 1.0), 6)
+                  AS DECIMAL(18,6)) END),
+           cast(0 AS DECIMAL(18,6))) AS idcg,
+         cast(sum(CASE WHEN rel > 0 AND rnk <= 5 THEN 1 ELSE 0 END)
+              AS BIGINT) AS rel_at_k
+  FROM ranked GROUP BY query)
+SELECT query, n_docs, n_rel,
+       round(coalesce(cast(1.0 AS DOUBLE) / first_rel, 0.0), 6) AS rr,
+       CASE WHEN idcg > 0 THEN
+         round(cast(dcg AS DOUBLE) / cast(idcg AS DOUBLE), 6)
+       END AS ndcg_at_k,
+       round(cast(rel_at_k AS DOUBLE) / 5.0, 6) AS p_at_k,
+       CASE WHEN n_rel > 0 THEN
+         round(cast(rel_at_k AS DOUBLE) / cast(n_rel AS DOUBLE), 6)
+       END AS r_at_k
+FROM agg ORDER BY query
 """
     return d
 

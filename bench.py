@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "winnow_stats",
     "winnow_overlap",
     "classifier_report",
+    "ann_rank_eval",
+    "pii_redact",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -1165,3 +1165,59 @@ def ivf_cell_purity(
         )
         .orderBy(centroid_id_col)
     )
+
+
+def ann_rank_eval(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    k_eval: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Grade the exact ANN layer's rankings with retrieval metrics:
+    run :func:`ann_topk_multi` (top-``k`` candidates per query), mark a
+    retrieved neighbor RELEVANT when its label matches the query's
+    label, and score the per-query ranking with
+    :func:`~seriesly_spark.operators.evaluation.rank_metrics`
+    (MRR / NDCG@k_eval / P@k_eval / R@k_eval over the retrieved set).
+    The recall/ndcg base is the RETRIEVED candidate set — this grades
+    the RANKING the retrieval layer hands downstream, the companion of
+    `ann_lsh_recall`/`ann_ivf_recall` which grade candidate COVERAGE
+    against exact truth.
+
+    Scale: the run table is |Q| x k rows — it BROADCASTS against the
+    corpus-sized label projection (bodies/vectors never join), and
+    rank_metrics' windows partition on the query key. Ranks agree
+    across engines because ann_topk_multi rounds cosine to 6 before
+    ranking with an id tie-break, and rank_metrics re-ranks with the
+    same (score DESC, id) order.
+    """
+    from seriesly_spark.operators.evaluation import rank_metrics
+
+    run = ann_topk_multi(
+        vectors, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    )
+    labels = vectors.select(F.col(id_col), F.col(label_col))
+    qlab = labels.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__ql")
+    )
+    graded = (
+        labels.join(F.broadcast(run), id_col)
+        .join(F.broadcast(qlab), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.col("cos_sim"),
+            (F.col(label_col) == F.col("__ql")).cast("int").alias("rel"),
+        )
+    )
+    return rank_metrics(
+        graded,
+        query_col="query_id",
+        doc_col=id_col,
+        score_col="cos_sim",
+        rel_col="rel",
+        k=k_eval,
+    )

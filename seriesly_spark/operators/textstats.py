@@ -808,6 +808,37 @@ def pii_screen(
     )
 
 
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Typed-placeholder PII redaction — the scrubbing half of the
+    detector (`pii_screen` counts, this rewrites): each pattern in
+    ``PII_PATTERNS`` is replaced with its ``<name>`` placeholder, in
+    declaration order so an already-redacted email cannot re-match as
+    a long id number. Per-pattern counts are measured on the
+    PROGRESSIVELY redacted text (stage i counts what stage i actually
+    replaced), so ``n_redacted`` equals the number of placeholder
+    insertions exactly. One narrow vectorized projection (chained JVM
+    regexp_replace/regexp_count) — no shuffle, no Python; scales as a
+    pure scan. Output: (id, text_redacted, per-pattern counts,
+    n_redacted).
+    """
+    s = F.col(text_col)
+    cols = []
+    total = None
+    for name, pat in PII_PATTERNS:
+        c = F.regexp_count(s, F.lit(pat)).cast("long")
+        cols.append(c.alias(f"n_{name}"))
+        total = c if total is None else total + c
+        s = F.regexp_replace(s, pat, f"<{name}>")
+    return docs.select(
+        F.col(id_col),
+        s.alias("text_redacted"),
+        *cols,
+        total.cast("long").alias("n_redacted"),
+    )
+
+
 def curriculum_bins(
     docs: DataFrame,
     n_bins: int = 10,

@@ -316,3 +316,63 @@ class TestClassifierReport:
         out = {r["class"]: r for r in classifier_report(df, "label", "pred").collect()}
         assert out["a"].n_true == 1 and out["a"].n_pred == 1
         assert out["__micro__"].n_true == 1
+
+
+class TestPiiRedact:
+    def test_redacts_and_counts(self, spark):
+        from seriesly_spark.operators.textstats import pii_redact
+
+        docs = spark.createDataFrame(
+            [
+                (0, "mail me at bob@example.com or 10.1.2.3 ok"),
+                (1, "ssn 123-45-6789 and id 123456789012 here"),
+                (2, "nothing sensitive"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in pii_redact(docs).collect()}
+        assert out[0].text_redacted == "mail me at <email> or <ipv4> ok"
+        assert out[0].n_email == 1 and out[0].n_ipv4 == 1
+        assert out[0].n_redacted == 2
+        assert out[1].text_redacted == "ssn <ssn> and id <id_number> here"
+        assert out[1].n_ssn == 1 and out[1].n_id_number == 1
+        assert out[2].n_redacted == 0
+        assert out[2].text_redacted == "nothing sensitive"
+
+    def test_staged_counts_do_not_double_count(self, spark):
+        from seriesly_spark.operators.textstats import pii_redact
+
+        # The email's digits must not ALSO count as an id_number once
+        # the email placeholder replaced them.
+        docs = spark.createDataFrame(
+            [(0, "x 123456789000@example.com y")], "doc_id long, text string"
+        )
+        r = pii_redact(docs).collect()[0]
+        assert r.n_email == 1 and r.n_id_number == 0
+        assert r.n_redacted == 1
+
+
+class TestAnnRankEval:
+    def test_label_clusters_rank_first(self, spark):
+        from seriesly_spark.operators.similarity import ann_rank_eval
+
+        # Two tight label clusters: every query's same-label neighbors
+        # are its nearest, so MRR = 1 and P@2 = 1 for both queries.
+        rows = []
+        for i in range(6):
+            rows.append((i, [10.0 + 0.01 * i, 0.1 * i], 0))
+        for i in range(6):
+            rows.append((6 + i, [-10.0 - 0.01 * i, 0.1 * i], 1))
+        vecs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {
+            r.query: r
+            for r in ann_rank_eval(
+                vecs, [0, 6], k=4, k_eval=2
+            ).collect()
+        }
+        for q in (0, 6):
+            assert out[q].rr == 1.0
+            assert out[q].p_at_k == 1.0
+            assert out[q].n_docs == 4
