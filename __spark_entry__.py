@@ -50,12 +50,14 @@ from seriesly_spark.operators.dedup import (
     paragraph_dedup,
     semantic_dedup,
     simhash32_md5,
+    winnow_eval,
     winnow_overlap_pairs,
     winnow_stats,
     word_shingles,
 )
 from seriesly_spark.operators.evaluation import (
     agreement_kappa,
+    brier_score,
     calibration_bins,
     classifier_report,
     ks_statistic,
@@ -3852,6 +3854,23 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the stopword-ratio scorer against the lang
+    labels — the single-number calibration companion of the
+    reliability table: decimal-exact squared-error sum (scores carry
+    <= 6 decimals), one corpus aggregate, one final division."""
+    return brier_score(stopword_lang_scored(_table(spark, sf_dir, "documents")))
+
+
+def q_winnow_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the winnowing candidate miner against the
+    EXACT shared-trigram truth (>= 8 shared distinct grams) — the gate
+    that sizes (w, min_shared): contiguous runs >= k+w-1 are
+    guaranteed, scattered shared grams only probabilistically, and
+    this measures the gap on the real corpus (lsh_eval pattern)."""
+    return winnow_eval(_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -3883,6 +3902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_report": q_classifier_report,
         "ann_rank_eval": q_ann_rank_eval,
         "pii_redact": q_pii_redact,
+        "score_brier": q_score_brier,
+        "winnow_eval": q_winnow_eval,
         "audio_decode_stats": q_audio_decode_stats,
         "bm25_topk": q_bm25_topk,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4694,6 +4715,57 @@ SELECT query, n_docs, n_rel,
          round(cast(rel_at_k AS DOUBLE) / cast(n_rel AS DOUBLE), 6)
        END AS r_at_k
 FROM agg ORDER BY query
+"""
+    # score_brier: decimal-exact squared-error sum over the shared
+    # scorer fixture; one final IEEE division.
+    d["score_brier"] = f"""
+WITH scored AS ({_SCORED_SQL})
+SELECT count(CASE WHEN score IS NOT NULL AND label IS NOT NULL
+             THEN 1 END) AS n,
+       count(CASE WHEN score IS NULL OR label IS NULL THEN 1 END)
+         AS n_skipped,
+       round(cast(sum(CASE WHEN score IS NOT NULL AND label IS NOT NULL
+               THEN (cast(score AS DECIMAL(18,6))
+                     - CASE WHEN label THEN 1 ELSE 0 END)
+                  * (cast(score AS DECIMAL(18,6))
+                     - CASE WHEN label THEN 1 ELSE 0 END) END) AS DOUBLE)
+             / count(CASE WHEN score IS NOT NULL AND label IS NOT NULL
+                     THEN 1 END), 6) AS brier
+FROM scored
+"""
+    # winnow_eval: candidates = the winnow_overlap replay; truth =
+    # pairs sharing >= 8 distinct trigrams (the certified gram CTE).
+    d["winnow_eval"] = f"""
+WITH g AS ({_WINNOW_GH_SQL}),
+f AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(0, len(gh) - 3), s -> list_min(gh[s+1:s+4]))) AS fps
+  FROM g WHERE gh IS NOT NULL),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+cand AS (
+  SELECT ea.doc_id AS a, eb.doc_id AS b
+  FROM e ea JOIN e eb USING (fp)
+  WHERE ea.doc_id < eb.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+gr AS ({_GRAMS_SQL}),
+eg AS (SELECT doc_id, unnest(grams) AS w FROM gr),
+truth AS (
+  SELECT ea.doc_id AS a, eb.doc_id AS b
+  FROM eg ea JOIN eg eb USING (w)
+  WHERE ea.doc_id < eb.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 8),
+hit AS (SELECT t.a, t.b FROM truth t JOIN cand c USING (a, b)),
+k AS (SELECT (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM cand) AS n_cand,
+             (SELECT count(*) FROM hit) AS n_hit)
+SELECT cast(n_true AS BIGINT) AS n_true,
+       cast(n_cand AS BIGINT) AS n_cand,
+       cast(n_hit AS BIGINT) AS n_hit,
+       CASE WHEN n_true > 0 THEN
+         round(cast(n_hit AS DOUBLE) / n_true, 6) END AS recall,
+       CASE WHEN n_cand > 0 THEN
+         round(cast(n_hit AS DOUBLE) / n_cand, 6) END AS "precision"
+FROM k
 """
     return d
 

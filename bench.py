@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     "classifier_report",
     "ann_rank_eval",
     "pii_redact",
+    "score_brier",
+    "winnow_eval",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

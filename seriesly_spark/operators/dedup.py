@@ -1488,3 +1488,71 @@ def winnow_overlap_pairs(
             6,
         ).alias("containment"),
     )
+
+
+def winnow_eval(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    min_shared_grams: int = 8,
+) -> DataFrame:
+    """Quality report for the winnowing candidate miner: recall and
+    precision of :func:`winnow_overlap_pairs` (>= ``min_shared``
+    shared fingerprints) against the EXACT shared-k-gram truth (pairs
+    sharing >= ``min_shared_grams`` distinct word k-grams) — the dial
+    that sizes (w, min_shared): the paper guarantees a shared
+    fingerprint for CONTIGUOUS runs >= k + w - 1 tokens, but scattered
+    shared grams are only caught probabilistically (~2/(w+1) of grams
+    are kept), and this measures that gap on the actual corpus — the
+    same composes-two-certified-miners shape as :func:`lsh_eval`.
+
+    The truth side reuses the hash-keyed shingle front half
+    (:func:`_shingle_sets`: distinct grams collapse to longs before
+    the shuffle, bodies never move); the candidate side is the
+    fingerprint join. Output: one row (n_true, n_cand, n_hit, recall,
+    precision), ratios rounded to 6 (NULL when the denominator is 0).
+    """
+    cand = winnow_overlap_pairs(
+        docs, text_col, id_col, k=k, w=w, min_shared=min_shared
+    ).select("a", "b")
+    ex = _shingle_sets(docs, text_col, id_col, k, "winnow_eval_truth")
+    ga = ex.select(F.col("id").alias("a"), "g")
+    gb = ex.select(F.col("id").alias("b"), "g")
+    truth = (
+        ga.join(gb, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .where(F.col("__shared") >= min_shared_grams)
+        .select("a", "b")
+    )
+    hit = truth.join(cand, ["a", "b"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(
+                F.when(
+                    F.col("n_true") > 0,
+                    F.col("n_hit") / F.col("n_true").cast("double"),
+                ),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("n_cand") > 0,
+                    F.col("n_hit") / F.col("n_cand").cast("double"),
+                ),
+                6,
+            ).alias("precision"),
+        )
+    )

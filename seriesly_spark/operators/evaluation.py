@@ -878,3 +878,39 @@ def classifier_report(
         acc.alias("f1"),
     )
     return per.unionByName(macro).unionByName(micro).orderBy("class")
+
+
+def brier_score(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Brier score of a probabilistic [0, 1] scorer — mean squared
+    error against the binary label — the single-number companion of
+    the :func:`calibration_bins` reliability table (a scorer can bin
+    well yet be uniformly overconfident; Brier charges both
+    calibration and refinement). Rows with a NULL score or label are
+    excluded and counted.
+
+    Exactness: the caller's scorer emits <= 6 decimals, so
+    (score - label) is an exact decimal(18,6), its square an exact
+    decimal at scale 12, and the corpus sum decimal-exact in any
+    engine and partitioning — one IEEE division at the end. One hash
+    aggregate, no shuffle beyond the 1-row combine.
+
+    Output: one row (n, n_skipped, brier) with brier rounded to 6
+    (NULL on an empty corpus).
+    """
+    s, y = F.col(score_col), F.col(label_col)
+    ok = s.isNotNull() & y.isNotNull()
+    d = s.cast("decimal(18,6)") - y.cast("int").cast("decimal(18,6)")
+    sq = F.when(ok, d * d)
+    return scored.agg(
+        F.count(F.when(ok, 1)).alias("n"),
+        F.count(F.when(~ok, 1)).alias("n_skipped"),
+        F.round(
+            F.sum(sq).cast("double")
+            / F.when(F.count(F.when(ok, 1)) > 0, F.count(F.when(ok, 1))),
+            6,
+        ).alias("brier"),
+    )

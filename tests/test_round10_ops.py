@@ -376,3 +376,56 @@ class TestAnnRankEval:
             assert out[q].rr == 1.0
             assert out[q].p_at_k == 1.0
             assert out[q].n_docs == 4
+
+
+class TestBrierScore:
+    def test_hand_cases(self, spark):
+        from seriesly_spark.operators.evaluation import brier_score
+
+        df = spark.createDataFrame(
+            [(1.0, True), (0.0, False)], "score double, label boolean"
+        )
+        r = brier_score(df).collect()[0]
+        assert r.n == 2 and r.brier == 0.0
+        df = spark.createDataFrame(
+            [(0.5, True), (0.5, False), (None, True), (0.3, None)],
+            "score double, label boolean",
+        )
+        r = brier_score(df).collect()[0]
+        assert r.n == 2 and r.n_skipped == 2
+        assert r.brier == pytest.approx(0.25)
+
+    def test_worst_case_is_one(self, spark):
+        from seriesly_spark.operators.evaluation import brier_score
+
+        df = spark.createDataFrame(
+            [(1.0, False), (0.0, True)], "score double, label boolean"
+        )
+        assert brier_score(df).collect()[0].brier == pytest.approx(1.0)
+
+
+class TestWinnowEval:
+    def test_clone_pair_perfect(self, spark):
+        from seriesly_spark.operators.dedup import winnow_eval
+
+        t = "one two three four five six seven eight nine ten"
+        docs = spark.createDataFrame(
+            [(0, t), (1, t), (2, "totally different words with no overlap x")],
+            "doc_id long, text string",
+        )
+        # clones share 8 distinct trigrams (10 tokens) -> 1 truth pair;
+        # winnowing guarantees the contiguous run is caught.
+        r = winnow_eval(docs).collect()[0]
+        assert (r.n_true, r.n_cand, r.n_hit) == (1, 1, 1)
+        assert r.recall == 1.0 and r.precision == 1.0
+
+    def test_empty_truth_gives_null_recall(self, spark):
+        from seriesly_spark.operators.dedup import winnow_eval
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta eta"),
+             (1, "uno dos tres cuatro cinco seis siete")],
+            "doc_id long, text string",
+        )
+        r = winnow_eval(docs).collect()[0]
+        assert r.n_true == 0 and r.recall is None
