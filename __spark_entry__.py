@@ -30,6 +30,7 @@ from seriesly_spark.functions.timeparse import canonical_key, parse_any_ts_ns
 from seriesly_spark.operators.dedup_index import (
     DedupIndex,
     MinhashIndex,
+    SimhashIndex,
     probe_bucketed_history,
     index_update_report,
 )
@@ -433,6 +434,28 @@ _SIMHASH32_SQL = """
                          t -> md5(t)) AS hs
         FROM documents)
 """
+
+def _simhash64_sql(from_clause: str) -> str:
+    """DuckDB mirror of operators.dedup.simhash64_md5 over an
+    arbitrary (doc_id, text) source: bit j of lo = strict majority of
+    md5-nibble j's bit 3 (the simhash32 fingerprint), bit j of hi =
+    majority of nibble j's bit 2 (hex chars 4-7 and c-f)."""
+    return (
+        "SELECT doc_id, "
+        "cast(list_sum(list_transform(range(0, 32), j -> "
+        "CASE WHEN 2 * len(list_filter(hs, h -> "
+        "substr(h, cast(j + 1 as int), 1) >= '8')) > len(hs) "
+        "THEN (1::BIGINT << j) ELSE 0 END)) as BIGINT) AS lo, "
+        "cast(list_sum(list_transform(range(0, 32), j -> "
+        "CASE WHEN 2 * len(list_filter(hs, h -> "
+        "list_contains(['4','5','6','7','c','d','e','f'], "
+        "substr(h, cast(j + 1 as int), 1)))) > len(hs) "
+        "THEN (1::BIGINT << j) ELSE 0 END)) as BIGINT) AS hi "
+        "FROM (SELECT doc_id, "
+        "list_transform(list_distinct(regexp_split_to_array(trim(text), "
+        "'\\s+')), t -> md5(t)) AS hs FROM " + from_clause + ")"
+    )
+
 
 # Decimal-accumulated vector sums (DuckDB side of operators.similarity).
 _VSUM_AB = (
@@ -3871,6 +3894,41 @@ def q_winnow_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_eval(_table(spark, sf_dir, "documents"))
 
 
+def q_simhash_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-similarity leg of the incremental index family: shard A
+    seeds a persistent 64-bit SimHash index (4 x 16-bit pigeonhole
+    bands, WWW'07); shard B (odd docs + re-keyed tail variants of
+    every id%10==0 doc) probes it — unlike the minhash probe, the
+    in-index bit_count(xor) verification returns Hamming-VERIFIED
+    matches, not just band candidates. Per batch: docs in, docs with a
+    verified near-dup, total verified hits. The oracle replays both
+    shards' fingerprints, the band join, and the verification."""
+    import tempfile as _tf
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    nd = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted tail token")).alias("text"),
+    )
+    b = docs.where(F.col("doc_id") % 2 == 1).unionByName(nd)
+    root = _tf.mkdtemp(prefix="seriesly-shidx-")
+    idx = SimhashIndex(spark, f"{root}/idx")
+
+    def rep(updated, tag):
+        return updated.agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.col("near_dup").cast("long")).alias("n_near_dup"),
+            F.sum("n_dup_hits").alias("n_dup_hits"),
+        ).withColumn("batch", F.lit(tag))
+
+    ra = rep(idx.update(a), "a")
+    rb = rep(idx.update(b), "b")
+    return ra.unionByName(rb).select(
+        "batch", "n_in", "n_near_dup", "n_dup_hits"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -3904,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "score_brier": q_score_brier,
         "winnow_eval": q_winnow_eval,
+        "simhash_index_incremental": q_simhash_index_incremental,
         "audio_decode_stats": q_audio_decode_stats,
         "bm25_topk": q_bm25_topk,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4766,6 +4825,48 @@ SELECT cast(n_true AS BIGINT) AS n_true,
        CASE WHEN n_cand > 0 THEN
          round(cast(n_hit AS DOUBLE) / n_cand, 6) END AS "precision"
 FROM k
+"""
+    # simhash_index_incremental: replay both shards' 64-bit
+    # fingerprints, the 4x16 pigeonhole band join, and the
+    # bit_count(xor) verification. Batch a probes an empty index.
+    d["simhash_index_incremental"] = f"""
+WITH aa AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+nd AS (SELECT doc_id + 200000 AS doc_id,
+              text || ' planted tail token' AS text
+       FROM documents WHERE doc_id % 10 = 0),
+bb AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+       UNION ALL SELECT * FROM nd),
+siga AS ({_simhash64_sql('aa')}),
+sigb AS ({_simhash64_sql('bb')}),
+ea AS (SELECT doc_id, hi, lo,
+              unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536])
+                AS bval,
+              unnest([0, 1, 2, 3]) AS band
+       FROM siga),
+eb AS (SELECT doc_id, hi, lo,
+              unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536])
+                AS bval,
+              unnest([0, 1, 2, 3]) AS band
+       FROM sigb),
+cand AS (SELECT DISTINCT eb.doc_id, eb.hi AS bh, eb.lo AS bl,
+                ea.hi AS ah, ea.lo AS al
+         FROM eb JOIN ea USING (band, bval)),
+ver AS (SELECT doc_id,
+               sum(CASE WHEN bit_count(xor(bh, ah))
+                             + bit_count(xor(bl, al)) <= 3
+                   THEN 1 ELSE 0 END) AS n_h
+        FROM cand GROUP BY doc_id),
+rb AS (SELECT 'b' AS batch,
+              (SELECT count(*) FROM sigb) AS n_in,
+              cast(coalesce(sum(CASE WHEN n_h > 0 THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS n_near_dup,
+              cast(coalesce(sum(n_h), 0) AS BIGINT) AS n_dup_hits
+       FROM ver),
+ra AS (SELECT 'a' AS batch,
+              (SELECT count(*) FROM siga) AS n_in,
+              0::BIGINT AS n_near_dup, 0::BIGINT AS n_dup_hits)
+SELECT batch, cast(n_in AS BIGINT) AS n_in, n_near_dup, n_dup_hits
+FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
 """
     return d
 

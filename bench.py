@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "score_brier",
     "winnow_eval",
+    "simhash_index_incremental",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

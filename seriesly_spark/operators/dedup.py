@@ -1556,3 +1556,60 @@ def winnow_eval(
             ).alias("precision"),
         )
     )
+
+
+def simhash64_md5(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Portable 64-bit SimHash as TWO non-negative 32-bit halves
+    ``(sig_hi, sig_lo)``: bit j of ``sig_lo`` is the strict-majority
+    vote of md5-nibble j's top bit (bit 3 — exactly
+    :func:`simhash32_md5`'s fingerprint), bit j of ``sig_hi`` the vote
+    of nibble j's bit 2. Two halves, not one 64-bit long, so neither
+    engine ever shifts/multiplies into sign-bit overflow (DuckDB
+    raises on BIGINT overflow; Spark silently wraps — both are wrong
+    answers). md5 hex is identical everywhere, so the fingerprint is
+    oracle-comparable. Output: (id, sig_hi, sig_lo).
+
+    Same one-aggregate-pass shape as simhash32_md5 (each 32-char hash
+    parsed once into four 32-bit words; 64 bit-votes from integer
+    shifts), with the vote fold producing BOTH halves in a single
+    struct accumulator so the 64-count array is evaluated once per row
+    (the HOF per-element re-evaluation trap — see _winnow_frame).
+    """
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    hx = F.transform(toks, lambda t: F.md5(t.cast("binary")))
+    df = spread(docs).select(F.col(id_col), hx.alias("hs"))
+    words = (
+        "transform(hs, h -> array("
+        + ", ".join(
+            f"cast(conv(substr(h, {1 + 8 * c}, 8), 16, 10) as bigint)"
+            for c in range(4)
+        )
+        + "))"
+    )
+    # counts[j], j in 0..63: votes for nibble (j % 32)'s bit 3 (j < 32)
+    # or bit 2 (j >= 32): bit (31|30) - 4*(j%8) of word (j%32) div 8.
+    counts = (
+        f"aggregate({words}, "
+        "transform(sequence(0, 63), j -> cast(0 as int)), "
+        "(acc, v) -> zip_with(acc, "
+        "transform(sequence(0, 63), j -> cast("
+        "shiftright(v[cast((j % 32) div 8 as int)], "
+        "IF(j < 32, 31, 30) - 4 * cast(j % 8 as int)) & 1 as int)), "
+        "(a, b) -> a + b))"
+    )
+    pair = (
+        f"aggregate(zip_with({counts}, sequence(0, 63), "
+        "(c, j) -> struct(c as c, j as j)), "
+        "struct(cast(0 as bigint) as lo, cast(0 as bigint) as hi), "
+        "(acc, x) -> struct("
+        "acc.lo + IF(x.j < 32 AND 2 * x.c > size(hs), "
+        "shiftleft(cast(1 as bigint), x.j), cast(0 as bigint)), "
+        "acc.hi + IF(x.j >= 32 AND 2 * x.c > size(hs), "
+        "shiftleft(cast(1 as bigint), x.j - 32), cast(0 as bigint))))"
+    )
+    fp = F.expr(pair)
+    return df.select(
+        id_col, fp["hi"].alias("sig_hi"), fp["lo"].alias("sig_lo")
+    )

@@ -784,3 +784,229 @@ class MinhashIndex:
             "files_after": _nfiles(self._data),
             "staging_removed": removed,
         }
+
+
+class SimhashIndex:
+    """Hamming-distance sibling of :class:`MinhashIndex`, completing
+    the incremental-index family: exact (:class:`DedupIndex`) →
+    set-similarity candidates (:class:`MinhashIndex`) → bit-similarity
+    MATCHES (this). The index persists 64-bit SimHash fingerprints
+    (``dedup.simhash64_md5``, two 32-bit halves) bucketed by the
+    classic pigeonhole split (Manku, Jain & Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW 2007): 4 bands of 16 bits —
+    any pair within Hamming distance 3 agrees on at least one intact
+    band, so the band-equality join is a LOSSLESS candidate generator
+    and the in-index verification (``bit_count(xor)`` on both halves)
+    makes the probe return verified MATCHES, not candidates — the one
+    thing the minhash probe cannot do.
+
+    Scale: fingerprints are 4 rows x ~28 bytes per document (no text);
+    the probe joins on (band, bval) — 4 x 65536 key space, so a
+    band bucket holds ~|history| / 262144 rows; verification is two
+    integer XOR+popcounts per candidate. At 10^9+ docs per index the
+    Manku extension (more tables keyed on longer bit-block unions —
+    C(6,3) tables for 64-bit/k=3) bounds bucket sizes further; this
+    layout is the 4-table base case. Same LSM split, durable staging,
+    crash-atomic compact(), and opt-in auto-compaction as the
+    siblings (shared ``_recover_compact`` / ``_swap_in_compacted``).
+
+    Layout: ``path/data/band=N/*.parquet`` (bval, hi, lo rows),
+    ``path/delta/*.parquet``, ``path/staging/<epoch>/{sig,out}/``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        max_hamming: int = 3,
+        auto_compact_files: int | None = None,
+        auto_compact_ratio: float | None = None,
+    ):
+        if not 0 <= max_hamming <= 3:
+            raise ValueError(
+                "max_hamming must be in [0, 3]: the 4x16 band split "
+                "only guarantees an intact band for Hamming <= 3"
+            )
+        self.spark = spark
+        self.path = path
+        self.max_hamming = max_hamming
+        self.auto_compact_files = auto_compact_files
+        self.auto_compact_ratio = auto_compact_ratio
+        self._data = os.path.join(path, "data")
+        self._delta = os.path.join(path, "delta")
+        self._staging = os.path.join(path, "staging")
+        recovered = _recover_compact(self._data, self._delta)
+        if recovered:
+            logger.warning(
+                "SimhashIndex at %s: repaired interrupted compact (%s)",
+                path, recovered,
+            )
+        if _legacy_files(path):
+            raise ValueError(
+                f"unrecognized SimhashIndex layout at {path}: parquet "
+                "files directly under the index root; rebuild from the "
+                "source corpus or point at a fresh path."
+            )
+
+    _SCHEMA = "bval long, hi long, lo long, band int"
+
+    def _index_df(self) -> DataFrame:
+        parts = []
+        if _has_parquet(self._data):
+            parts.append(
+                self.spark.read.option("basePath", self._data)
+                .schema(self._SCHEMA)
+                .parquet(self._data)
+                .select("band", "bval", "hi", "lo")
+            )
+        if _has_parquet(self._delta):
+            parts.append(
+                self.spark.read.schema(
+                    "band int, bval long, hi long, lo long"
+                )
+                .parquet(self._delta)
+                .select("band", "bval", "hi", "lo")
+            )
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "band int, bval long, hi long, lo long"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _signatures(
+        self, docs: DataFrame, text_col: str, id_col: str
+    ) -> DataFrame:
+        """(id, band, bval, hi, lo) — 4 pigeonhole rows per doc."""
+        from seriesly_spark.operators.dedup import simhash64_md5
+
+        sig = simhash64_md5(docs, text_col, id_col).select(
+            F.col(id_col).alias("id"),
+            F.col("sig_hi").alias("hi"),
+            F.col("sig_lo").alias("lo"),
+        )
+        bands = F.array(
+            F.col("lo").bitwiseAND(F.lit(65535)),
+            F.shiftright(F.col("lo"), 16),
+            F.col("hi").bitwiseAND(F.lit(65535)),
+            F.shiftright(F.col("hi"), 16),
+        )
+        return sig.select(
+            "id",
+            "hi",
+            "lo",
+            F.posexplode(bands).alias("band", "bval"),
+        )
+
+    def update(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Probe the shard against history, then append its
+        fingerprints. Returns one row per input doc:
+        (id, n_candidates — distinct history fingerprints sharing >= 1
+        band, n_dup_hits — those within ``max_hamming``, near_dup).
+        Shard fingerprints AND the classification are staged durably
+        before the append (a doc must not match itself; the result
+        must survive a restart)."""
+        epoch = _next_epoch(self._staging)
+        sig_dir = os.path.join(self._staging, str(epoch), "sig")
+        out_dir = os.path.join(self._staging, str(epoch), "out")
+        self._signatures(docs, text_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(sig_dir)
+        sig = self.spark.read.schema(
+            "id long, hi long, lo long, band int, bval long"
+        ).parquet(sig_dir)
+        idx = self._index_df().select(
+            "band",
+            "bval",
+            F.col("hi").alias("__ih"),
+            F.col("lo").alias("__il"),
+        )
+        # The same history fingerprint can match via several bands AND
+        # exist as duplicate rows across shards — distinct over the
+        # MATCHED candidate set only (bounded per doc by the bucket
+        # sizes), never over history.
+        cand = (
+            sig.join(idx, ["band", "bval"])
+            .select("id", "hi", "lo", "__ih", "__il")
+            .distinct()
+        )
+        ham = F.bit_count(
+            F.col("hi").bitwiseXOR(F.col("__ih"))
+        ) + F.bit_count(F.col("lo").bitwiseXOR(F.col("__il")))
+        hits = cand.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((ham <= self.max_hamming).cast("long")).alias(
+                "n_dup_hits"
+            ),
+        )
+        out = (
+            sig.select("id")
+            .distinct()
+            .join(hits, "id", "left")
+            .select(
+                "id",
+                F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+                F.coalesce("n_dup_hits", F.lit(0)).alias("n_dup_hits"),
+                (F.coalesce("n_dup_hits", F.lit(0)) > 0).alias("near_dup"),
+            )
+        )
+        out.write.mode("overwrite").parquet(out_dir)
+        staged = self.spark.read.schema(
+            "id long, n_candidates long, n_dup_hits long, near_dup boolean"
+        ).parquet(out_dir)
+        to_append = sig.select("band", "bval", "hi", "lo")
+        if _dir_bytes(sig_dir) < 32 << 20:
+            to_append = to_append.coalesce(1)
+        to_append.write.mode("append").parquet(self._delta)
+        self._maybe_auto_compact("SimhashIndex")
+        return staged
+
+    _maybe_auto_compact = DedupIndex._maybe_auto_compact
+
+    def compact(self, keep_staging: int = 2) -> dict:
+        """Fold each band's append files into one sorted, deduplicated
+        file and prune old staging epochs — the sibling compact story
+        with ``band`` as the partition column."""
+
+        def _nfiles(d: str) -> int:
+            return sum(
+                sum(1 for f in files if f.endswith(".parquet"))
+                for _r, _d, files in os.walk(d)
+            )
+
+        before = _nfiles(self._data) + _nfiles(self._delta)
+        if before:
+            tmp = self._data + ".compact-tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                self._index_df()
+                .distinct()
+                .repartition(4, "band")
+                .sortWithinPartitions("bval", "hi", "lo")
+                .write.mode("overwrite")
+                .partitionBy("band")
+                .parquet(tmp)
+            )
+            _swap_in_compacted(self._data, self._delta)
+        removed = 0
+        if os.path.isdir(self._staging):
+            epochs = sorted(
+                (int(d) for d in os.listdir(self._staging) if d.isdigit())
+            )
+            for e in epochs[: max(0, len(epochs) - keep_staging)]:
+                shutil.rmtree(
+                    os.path.join(self._staging, str(e)), ignore_errors=True
+                )
+                removed += 1
+        return {
+            "files_before": before,
+            "files_after": _nfiles(self._data),
+            "staging_removed": removed,
+        }

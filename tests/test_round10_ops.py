@@ -429,3 +429,106 @@ class TestWinnowEval:
         )
         r = winnow_eval(docs).collect()[0]
         assert r.n_true == 0 and r.recall is None
+
+
+class TestSimhash64:
+    def test_lo_half_equals_simhash32(self, spark):
+        from seriesly_spark.operators.dedup import simhash32_md5, simhash64_md5
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma delta"), (1, "one two three four five"),
+             (2, "alpha beta gamma delta")],
+            "doc_id long, text string",
+        )
+        s32 = {r.doc_id: r.simhash for r in simhash32_md5(docs).collect()}
+        s64 = {r.doc_id: r for r in simhash64_md5(docs).collect()}
+        for i in s32:
+            assert s64[i].sig_lo == s32[i]
+            assert 0 <= s64[i].sig_hi < 2 ** 32
+        # identical docs -> identical fingerprints
+        assert (s64[0].sig_hi, s64[0].sig_lo) == (s64[2].sig_hi, s64[2].sig_lo)
+
+
+class TestSimhashIndex:
+    def test_hamming_verified_probe_across_shards(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import SimhashIndex
+
+        idx = SimhashIndex(spark, str(tmp_path / "sh"))
+        base = "one two three four five six seven eight nine ten"
+        a = spark.createDataFrame(
+            [(1, base), (2, "totally different content in this one here")],
+            "doc_id long, text string",
+        )
+        ra = idx.update(a).collect()
+        assert all(not r.near_dup for r in ra)  # empty history
+        b = spark.createDataFrame(
+            [
+                (10, base),  # verbatim replay of doc 1: Hamming 0
+                (11, "nothing like anything prior at all ok then"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.id: r for r in idx.update(b).collect()}
+        assert out[10].near_dup and out[10].n_dup_hits >= 1
+        assert out[11].n_dup_hits == 0 and not out[11].near_dup
+
+    def test_self_match_excluded_then_full_hit(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import SimhashIndex
+
+        idx = SimhashIndex(spark, str(tmp_path / "sh2"))
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        )
+        r = idx.update(df).collect()[0]
+        assert (r.n_candidates, r.n_dup_hits, r.near_dup) == (0, 0, False)
+        r2 = idx.update(df).collect()[0]  # replay: exact fingerprint hit
+        assert r2.n_dup_hits == 1 and r2.near_dup
+
+    def test_candidate_without_match_not_flagged(self, spark, tmp_path):
+        """Sharing one 16-bit band (candidate) does NOT imply a
+        near-dup: verification must reject far fingerprints. Built by
+        seeding a crafted history row directly through the index's own
+        update path is impossible (text-level), so craft two texts and
+        assert the invariant n_dup_hits <= n_candidates instead, plus
+        hamming monotonicity via max_hamming=0."""
+        from seriesly_spark.operators.dedup_index import SimhashIndex
+
+        strict = SimhashIndex(spark, str(tmp_path / "sh3"), max_hamming=0)
+        base = "one two three four five six seven eight nine ten"
+        strict.update(
+            spark.createDataFrame([(1, base)], "doc_id long, text string")
+        ).collect()
+        probe = spark.createDataFrame(
+            [(2, base), (3, base + " tail")], "doc_id long, text string"
+        )
+        out = {r.id: r for r in strict.update(probe).collect()}
+        assert out[2].near_dup  # identical text -> Hamming 0
+        for r in out.values():
+            assert r.n_dup_hits <= r.n_candidates
+
+    def test_compact_preserves_probe(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import SimhashIndex
+
+        path = str(tmp_path / "sh4")
+        idx = SimhashIndex(spark, path)
+        base = "one two three four five six seven eight nine ten"
+        idx.update(
+            spark.createDataFrame([(1, base)], "doc_id long, text string")
+        ).collect()
+        idx.update(
+            spark.createDataFrame([(2, base)], "doc_id long, text string")
+        ).collect()
+        rep = idx.compact()
+        # folded into the band-partitioned base: one file per band
+        assert rep["files_after"] == 4
+        idx2 = SimhashIndex(spark, path)
+        r = idx2.update(
+            spark.createDataFrame([(3, base)], "doc_id long, text string")
+        ).collect()[0]
+        assert r.near_dup and r.n_dup_hits == 1  # dedup'd storage: ONE distinct fp
+
+    def test_max_hamming_validation(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import SimhashIndex
+
+        with pytest.raises(ValueError, match="max_hamming"):
+            SimhashIndex(spark, str(tmp_path / "sh5"), max_hamming=4)
