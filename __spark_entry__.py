@@ -58,9 +58,12 @@ from seriesly_spark.operators.dedup import (
 )
 from seriesly_spark.operators.evaluation import (
     agreement_kappa,
+    best_threshold,
     brier_score,
     calibration_bins,
     classifier_report,
+    expected_calibration_error,
+    fleiss_kappa,
     ks_statistic,
     lift_table,
     rank_metrics,
@@ -176,7 +179,11 @@ from seriesly_spark.operators.analytics import (
     unpivot_metrics,
     zscore_outliers,
 )
-from seriesly_spark.operators.clustering import kmeans_lloyd, pca_power_iteration
+from seriesly_spark.operators.clustering import (
+    kmeans_lloyd,
+    pca_power_iteration,
+    silhouette_report,
+)
 from seriesly_spark.operators.urls import normalize_url, url_dedup_stats
 from seriesly_spark.operators.packing import chunk_documents, pack_sequences
 from seriesly_spark.operators.windows import (
@@ -3894,6 +3901,69 @@ def q_winnow_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_eval(_table(spark, sf_dir, "documents"))
 
 
+def q_score_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of the stopword-ratio scorer — the
+    single-number fold of the reliability table (ECE + MCE + the worst
+    bin): per-bin gaps are the round-6 doubles both engines already
+    agree on; the weighted fold decimal-multiplies them by BIGINT bin
+    masses so the <= 10-term sum is order-independent, with one IEEE
+    division at the end."""
+    return expected_calibration_error(
+        stopword_lang_scored(_table(spark, sf_dir, "documents"))
+    )
+
+
+def q_score_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection for the stopword-ratio scorer: the
+    threshold maximizing F1 and the one maximizing Youden's J, from one
+    descending cumulative sweep over the bounded grouped-by-score table
+    — exact BIGINT masses, round-6 metrics from identical IEEE
+    divisions, smallest-threshold tie-break, two output rows."""
+    return best_threshold(
+        stopword_lang_scored(_table(spark, sf_dir, "documents"))
+    )
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across THREE synthetic raters of every document
+    (lang; lang with every n_chars%7 doc as 'zz'; lang with every
+    n_chars%5 doc as 'qq' but NULL on doc_id%11 docs) — the multi-rater
+    annotation-agreement gate. Items that don't carry exactly 3
+    non-NULL ratings (the doc_id%11 cohort) are excluded whole and
+    counted, keeping every mass term BIGINT-exact (constant-r Fleiss:
+    P_bar = (S - Nr)/(Nr(r-1)), no float mean over items)."""
+    docs = _table(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.col("doc_id").alias("item"),
+        F.explode(
+            F.array(
+                F.col("lang"),
+                F.when(F.col("n_chars") % 7 == 0, F.lit("zz"))
+                .otherwise(F.col("lang")),
+                F.when(
+                    F.col("doc_id") % 11 == 0, F.lit(None).cast("string")
+                ).otherwise(
+                    F.when(F.col("n_chars") % 5 == 0, F.lit("qq"))
+                    .otherwise(F.col("lang"))
+                ),
+            )
+        ).alias("cat"),
+    )
+    return fleiss_kappa(rated, "item", "cat", raters=3)
+
+
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per trained k-means cell (k=4, 2 Lloyd
+    rounds — the semantic_dedup/ann_ivf_trained codebook setup): a =
+    cosine distance to the own centroid, b = to the nearest other,
+    s = (b-a)/b, decimal-folded round-6 terms per cluster plus the
+    global row (cluster = -1). The oracle replays the Lloyd rounds AND
+    the silhouette, value-checking trainer and gate together."""
+    emb = _table(spark, sf_dir, "embeddings")
+    cb = train_ivf_codebook(emb, n_centroids=4, iterations=2)
+    return silhouette_report(emb, cb)
+
+
 def q_simhash_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit-similarity leg of the incremental index family: shard A
     seeds a persistent 64-bit SimHash index (4 x 16-bit pigeonhole
@@ -3963,6 +4033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_brier": q_score_brier,
         "winnow_eval": q_winnow_eval,
         "simhash_index_incremental": q_simhash_index_incremental,
+        "score_ece": q_score_ece,
+        "score_best_threshold": q_score_best_threshold,
+        "fleiss_kappa": q_fleiss_kappa,
+        "kmeans_silhouette": q_kmeans_silhouette,
         "audio_decode_stats": q_audio_decode_stats,
         "bm25_topk": q_bm25_topk,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4306,6 +4380,162 @@ SELECT coalesce(f.source, sk.source) AS source,
          round(CAST(f.u2 AS DOUBLE) / (2.0 * f.n_pos * f.n_neg), 6)
        END AS auc
 FROM f FULL OUTER JOIN sk ON f.source = sk.source ORDER BY 1
+"""
+    # score_ece: fold of the calibration table — per-bin gaps are the
+    # round-6 doubles both engines agree on; the weighted sum runs in
+    # exact decimal (n * gap at scale 6) so the <= 10-term fold is
+    # order-independent; worst_bin = smallest bin achieving max(gap)
+    # (Spark's max_by(struct(gap, -bin)) mirror).
+    d["score_ece"] = f"""
+WITH scored AS ({_SCORED_SQL}),
+b AS (SELECT least(greatest(CAST(floor(score * 10) AS INT), 0), 9) AS bin,
+        CAST(count(*) AS BIGINT) AS n,
+        round(CAST(sum(CAST(score AS DECIMAL(28,6))) AS DOUBLE)
+              / count(*), 6) AS mean_score,
+        round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+              / count(*), 6) AS pos_rate
+      FROM scored WHERE score IS NOT NULL AND label IS NOT NULL
+      GROUP BY 1),
+g AS (SELECT bin, n, round(abs(mean_score - pos_rate), 6) AS gap FROM b)
+SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_bins_used,
+       round(CAST(sum(n * CAST(gap AS DECIMAL(18,6))) AS DOUBLE)
+             / sum(n), 6) AS ece,
+       max(gap) AS mce,
+       (SELECT min(bin) FROM g
+        WHERE gap = (SELECT max(gap) FROM g)) AS worst_bin
+FROM g
+"""
+    # score_best_threshold: descending cumulative sweep over the
+    # grouped-by-score table; per-threshold metrics from identical IEEE
+    # divisions of BIGINT masses, rounded to 6 BEFORE the argmax;
+    # smallest-threshold tie-break = ORDER BY metric DESC, threshold.
+    d["score_best_threshold"] = f"""
+WITH scored AS ({_SCORED_SQL}),
+g AS (SELECT score,
+        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        CAST(count(*) AS BIGINT) AS nr
+      FROM scored WHERE score IS NOT NULL AND label IS NOT NULL
+      GROUP BY score),
+c AS (SELECT score AS threshold,
+        CAST(sum(np) OVER w AS BIGINT) AS tp,
+        CAST(sum(nr) OVER w AS BIGINT) AS pp,
+        CAST(sum(np) OVER () AS BIGINT) AS pos,
+        CAST(sum(nr) OVER () AS BIGINT) AS n
+      FROM g WINDOW w AS (ORDER BY score DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+t AS (SELECT threshold, tp, pp,
+        round(CAST(tp AS DOUBLE) / pp, 6) AS precision,
+        CASE WHEN pos > 0
+             THEN round(CAST(tp AS DOUBLE) / pos, 6) END AS recall,
+        CASE WHEN pos > 0 THEN
+          round(CAST(2 * tp AS DOUBLE) / (pos + pp), 6) END AS f1,
+        CASE WHEN pos > 0 AND n - pos > 0 THEN
+          round(CAST(tp AS DOUBLE) / pos
+                - CAST(pp - tp AS DOUBLE) / (n - pos), 6) END AS youden
+      FROM c)
+SELECT * FROM (
+  SELECT 'f1' AS criterion, threshold, tp, pp,
+         precision, recall, f1, youden
+  FROM t WHERE f1 IS NOT NULL
+  ORDER BY f1 DESC, threshold LIMIT 1)
+UNION ALL
+SELECT * FROM (
+  SELECT 'youden' AS criterion, threshold, tp, pp,
+         precision, recall, f1, youden
+  FROM t WHERE youden IS NOT NULL
+  ORDER BY youden DESC, threshold LIMIT 1)
+ORDER BY criterion
+"""
+    # fleiss_kappa: constant-r Fleiss over 3 synthetic raters; items
+    # without exactly 3 non-NULL ratings excluded whole; all mass terms
+    # BIGINT (P_bar = (S - 3N)/(6N)); unrounded p_bar/p_e feed kappa.
+    d["fleiss_kappa"] = """
+WITH r AS (
+  SELECT doc_id AS item, lang AS cat FROM documents
+  UNION ALL
+  SELECT doc_id, CASE WHEN n_chars % 7 = 0 THEN 'zz' ELSE lang END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN NULL
+                      WHEN n_chars % 5 = 0 THEN 'qq'
+                      ELSE lang END
+  FROM documents),
+cells AS (SELECT item, cat, CAST(count(*) AS BIGINT) AS n
+          FROM r WHERE cat IS NOT NULL GROUP BY 1, 2),
+pi AS (SELECT item, sum(n) AS ri, sum(n * n) AS s2
+       FROM cells GROUP BY 1),
+tot AS (SELECT
+          CAST(count(CASE WHEN ri = 3 THEN 1 END) AS BIGINT) AS n_items,
+          CAST(count(CASE WHEN ri <> 3 THEN 1 END) AS BIGINT)
+            AS n_excluded,
+          CAST(coalesce(sum(CASE WHEN ri = 3 THEN s2 END), 0) AS BIGINT)
+            AS s2
+        FROM pi),
+m AS (SELECT cells.cat, sum(cells.n) AS mm
+      FROM cells JOIN pi USING (item) WHERE pi.ri = 3 GROUP BY 1),
+cm AS (SELECT CAST(coalesce(sum(mm * mm), 0) AS BIGINT) AS cross_mass
+       FROM m)
+SELECT n_items, n_excluded,
+       CASE WHEN n_items > 0 THEN
+         round(CAST(s2 - n_items * 3 AS DOUBLE)
+               / (n_items * 3 * 2), 6) END AS p_bar,
+       CASE WHEN n_items > 0 THEN
+         round(CAST(cross_mass AS DOUBLE)
+               / (CAST(n_items * 3 AS DOUBLE)
+                  * CAST(n_items * 3 AS DOUBLE)), 6) END AS p_e,
+       CASE WHEN n_items > 0
+              AND CAST(cross_mass AS DOUBLE)
+                  / (CAST(n_items * 3 AS DOUBLE)
+                     * CAST(n_items * 3 AS DOUBLE)) < 1.0 THEN
+         round((CAST(s2 - n_items * 3 AS DOUBLE) / (n_items * 3 * 2)
+                - CAST(cross_mass AS DOUBLE)
+                  / (CAST(n_items * 3 AS DOUBLE)
+                     * CAST(n_items * 3 AS DOUBLE)))
+               / (1.0 - CAST(cross_mass AS DOUBLE)
+                        / (CAST(n_items * 3 AS DOUBLE)
+                           * CAST(n_items * 3 AS DOUBLE))), 6)
+       END AS kappa
+FROM tot CROSS JOIN cm
+"""
+    # kmeans_silhouette: replay the 2-round Lloyd codebook (round-6
+    # centroids — the semantic_dedup CTE prefix), round-6 cosines to
+    # every cell, own cluster = (sim DESC, cid) argmax, a/b as the
+    # literal 1.0-minus terms of the top-2 sims (NOT s1 - s2: the
+    # algebraic form can differ in the last ulp), per-vector s rounded
+    # to 6 then decimal-folded per cluster + the global -1 row.
+    d["kmeans_silhouette"] = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (SELECT vec_id AS cid,
+         list_transform(embedding, x -> cast(x as double)) AS cv
+       FROM v ORDER BY vec_id LIMIT 4),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        unnest(embedding) AS val FROM v),{_km_round(1, 'c0')},{_km_round(2, 'c1')},
+cr AS (SELECT cid, list(round(mean, 6) ORDER BY dim) AS cv
+       FROM m2 GROUP BY cid),
+sc AS (SELECT v.vec_id, cr.cid,
+         {_cossql('v.embedding', 'cr.cv')} AS sim
+       FROM v, cr),
+p AS (SELECT vec_id,
+        (list(cid ORDER BY sim DESC, cid))[1] AS cluster,
+        (list(sim ORDER BY sim DESC, cid))[1] AS s1,
+        (list(sim ORDER BY sim DESC, cid))[2] AS s2
+      FROM sc GROUP BY vec_id),
+t AS (SELECT CAST(cluster AS BIGINT) AS cluster,
+        CASE WHEN (1.0 - s2) > 0 THEN
+          round(((1.0 - s2) - (1.0 - s1)) / (1.0 - s2), 6)
+        ELSE CAST(0 AS DOUBLE) END AS s
+      FROM p)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_sil
+FROM t GROUP BY cluster
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+       round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6)
+FROM t
+ORDER BY cluster
 """
     d["score_pr_curve"] = f"""
 WITH scored AS ({_SCORED_SQL}),

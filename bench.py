@@ -207,6 +207,10 @@ BENCH_QUERIES = [
     "score_brier",
     "winnow_eval",
     "simhash_index_incremental",
+    "score_ece",
+    "score_best_threshold",
+    "fleiss_kappa",
+    "kmeans_silhouette",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

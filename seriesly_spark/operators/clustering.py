@@ -294,3 +294,106 @@ def pca_power_iteration(
         "n long, dim long, total_var double, lambda_ratio_ok boolean, "
         "resid_ok boolean, lambda_le_total boolean",
     )
+
+
+def silhouette_report(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Simplified silhouette score per cluster — the clustering-quality
+    gate for a trained codebook (semantic dedup blast radius, IVF cell
+    geometry): for each vector, a = cosine distance to its OWN (best)
+    centroid, b = distance to the nearest OTHER centroid, and
+    s = (b - a) / max(a, b) in [0, 1] here since a <= b by
+    construction. The full silhouette's per-point pairwise means are
+    corpus-quadratic; the simplified form (centroid distances only) is
+    the textbook O(n*k) surrogate and the only one that survives 100 TB.
+
+    Shape: the ivf_assign pattern — broadcast k-row codebook, per-row
+    round-6 cosines (decimal-accumulated dot/norms), ONE hash aggregate
+    per vector id collecting the k sims (k is codebook-sized, bounded),
+    own cluster via max_by(struct(sim, -cid)) (ivf_assign's exact
+    tie-break). Both distances derive from the sorted sim list's top
+    two entries, so ties in the argmax cannot change the VALUE of s.
+    Per-vector s is rounded to 6 then decimal-summed per cluster (the
+    rank_metrics DCG pattern: a float mean over corpus-many terms is
+    order-dependent; the decimal fold is not).
+
+    Output: one row per cluster (cluster, n, mean_sil) plus a global
+    row with cluster = -1, ordered by cluster. Requires k >= 2
+    centroids. Empty clusters (centroids no vector chose) emit no row
+    — ivf_cell_purity is the dense-grid view.
+    """
+    from seriesly_spark.operators.similarity import dot, norm2
+    from seriesly_spark.operators.util import spread
+
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("__cid"),
+            F.col(vec_col).alias("__cv"),
+            norm2(F.col(vec_col)).alias("__cn2"),
+        )
+    )
+    scored = (
+        spread(vectors)
+        .withColumn("__n2", norm2(F.col(vec_col)))
+        .crossJoin(c)
+        .select(
+            F.col(id_col).alias("__id"),
+            "__cid",
+            F.round(
+                dot(F.col(vec_col), F.col("__cv"))
+                / (F.sqrt(F.col("__n2")) * F.sqrt(F.col("__cn2"))),
+                6,
+            ).alias("__sim"),
+        )
+    )
+    per = scored.groupBy("__id").agg(
+        F.max_by(
+            "__cid",
+            F.struct(F.col("__sim").alias("s"), (-F.col("__cid")).alias("nc")),
+        ).alias("cluster"),
+        F.sort_array(F.collect_list("__sim"), asc=False).alias("__ss"),
+    )
+    # a/b as literal 1.0-minus terms; the oracle mirrors this exact
+    # float expression (NOT the algebraic s1 - s2, which can differ in
+    # the last ulp and flip a round-6 boundary).
+    per = per.select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        (F.lit(1.0) - F.element_at("__ss", 1)).alias("__a"),
+        (F.lit(1.0) - F.element_at("__ss", 2)).alias("__b"),
+    )
+    per = scoped_persist(
+        per.select(
+            "cluster",
+            F.when(
+                F.col("__b") > 0,
+                F.round(
+                    (F.col("__b") - F.col("__a")) / F.col("__b"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("__s"),
+        ),
+        "clustering.silhouette_per_vec",
+        eager=True,
+    )
+    sdec = F.col("__s").cast("decimal(18,6)")
+    n = F.count(F.lit(1)).cast("bigint")
+    byc = per.groupBy("cluster").agg(
+        n.alias("n"),
+        F.round(F.sum(sdec).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_sil"
+        ),
+    )
+    allr = per.agg(
+        F.lit(-1).cast("bigint").alias("cluster"),
+        n.alias("n"),
+        F.round(F.sum(sdec).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_sil"
+        ),
+    )
+    return byc.unionByName(allr).orderBy("cluster")

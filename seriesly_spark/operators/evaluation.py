@@ -914,3 +914,269 @@ def brier_score(
             6,
         ).alias("brier"),
     )
+
+
+def expected_calibration_error(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error — the single-number fold of the
+    :func:`calibration_bins` reliability table: ECE = sum over bins of
+    (n_b / N) * |mean_score_b - pos_rate_b|, plus MCE (the worst bin's
+    gap) and which bin that is — the go/no-go gate a pipeline reads
+    before trusting a scorer's VALUES (AUC only certifies its ORDER).
+
+    Determinism: each bin's gap is the round-6 double both engines
+    already agree on (calibration_bins' contract); the weighted fold
+    multiplies it as an EXACT decimal(18,6) by the BIGINT bin mass and
+    decimal-sums across the <= ``n_bins`` rows — order-independent in
+    any engine/partitioning — with ONE IEEE division at the end (the
+    brier_score pattern). A float sum of n_bins weighted terms could
+    differ in the last ulp between engines and flip a round-6 boundary;
+    the decimal fold cannot. ``worst_bin`` tie-breaks to the SMALLEST
+    bin via max_by(struct(gap, -bin)).
+
+    Scale: one corpus hash aggregate (inside calibration_bins) + an
+    ``n_bins``-row fold. Output one row:
+    (n, n_bins_used, ece, mce, worst_bin); ece/mce NULL on an empty
+    corpus.
+    """
+    bins = calibration_bins(
+        scored, score_col=score_col, label_col=label_col, n_bins=n_bins
+    )
+    gdec = F.col("gap").cast("decimal(18,6)")
+    return bins.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+        F.round(
+            F.sum(F.col("n") * gdec).cast("double") / F.sum("n"), 6
+        ).alias("ece"),
+        F.max("gap").alias("mce"),
+        F.when(
+            F.max("gap").isNotNull(),
+            F.max_by(
+                F.col("bin"),
+                F.struct(
+                    F.col("gap").alias("g"), (-F.col("bin")).alias("nb")
+                ),
+            ),
+        ).alias("worst_bin"),
+    )
+
+
+def best_threshold(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Operating-point selection for a scorer: sweep every distinct
+    observed score as the "predict positive when score >= t" threshold
+    and report the one maximizing F1 and the one maximizing Youden's J
+    (tpr - fpr, the balanced-accuracy cut) — the decision
+    :func:`pr_curve` and :func:`ks_statistic` leave to the reader,
+    folded to two rows a pipeline config can consume directly.
+
+    Same scale shape as roc_auc/pr_curve: ONE corpus hash aggregate to
+    the grouped-by-score table (bounded ~1e6 rows by the caller's
+    6-decimal scorer), one descending cumulative window there, then a
+    two-row argmax fold. All masses BIGINT-exact; each metric is one
+    deterministic IEEE division (then round-6), so both engines land
+    on identical doubles and the argmax tie-breaks to the SMALLEST
+    threshold via max_by(struct(metric, -threshold)).
+
+    Output (one row per criterion, ordered): (criterion in
+    {'f1','youden'}, threshold, tp, pp, precision, recall, f1,
+    youden). The f1 row needs n_pos > 0; the youden row needs both
+    classes; with neither, zero rows. NULL score/label rows are
+    excluded.
+    """
+    s = scored.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    g = s.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("np"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "threshold",
+        F.sum("np").over(w).alias("tp"),
+        F.sum("nr").over(w).alias("pp"),
+        F.sum("np").over(tot).alias("pos"),
+        F.sum("nr").over(tot).alias("n"),
+    )
+    terms = c.select(
+        "threshold",
+        "tp",
+        "pp",
+        F.round(F.col("tp") / F.col("pp"), 6).alias("precision"),
+        F.when(
+            F.col("pos") > 0, F.round(F.col("tp") / F.col("pos"), 6)
+        ).alias("recall"),
+        F.when(
+            F.col("pos") > 0,
+            F.round(
+                (F.lit(2) * F.col("tp")).cast("double")
+                / (F.col("pos") + F.col("pp")),
+                6,
+            ),
+        ).alias("f1"),
+        F.when(
+            (F.col("pos") > 0) & (F.col("n") - F.col("pos") > 0),
+            F.round(
+                F.col("tp") / F.col("pos")
+                - (F.col("pp") - F.col("tp")) / (F.col("n") - F.col("pos")),
+                6,
+            ),
+        ).alias("youden"),
+    )
+    at = F.struct(
+        "threshold", "tp", "pp", "precision", "recall", "f1", "youden"
+    )
+    folded = terms.agg(
+        F.max("f1").alias("__bf1"),
+        F.max_by(
+            at,
+            F.struct(
+                F.coalesce("f1", F.lit(-1.0)).alias("m"),
+                (-F.col("threshold")).alias("nt"),
+            ),
+        ).alias("__atf1"),
+        F.max("youden").alias("__bj"),
+        F.max_by(
+            at,
+            F.struct(
+                F.coalesce("youden", F.lit(-2.0)).alias("m"),
+                (-F.col("threshold")).alias("nt"),
+            ),
+        ).alias("__atj"),
+    )
+    rows = folded.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("f1").alias("criterion"),
+                    F.col("__bf1").alias("best"),
+                    F.col("__atf1").alias("at"),
+                ),
+                F.struct(
+                    F.lit("youden").alias("criterion"),
+                    F.col("__bj").alias("best"),
+                    F.col("__atj").alias("at"),
+                ),
+            )
+        ).alias("r")
+    )
+    return (
+        rows.where(F.col("r.best").isNotNull())
+        .select(
+            F.col("r.criterion").alias("criterion"),
+            F.col("r.at.threshold").alias("threshold"),
+            F.col("r.at.tp").alias("tp"),
+            F.col("r.at.pp").alias("pp"),
+            F.col("r.at.precision").alias("precision"),
+            F.col("r.at.recall").alias("recall"),
+            F.col("r.at.f1").alias("f1"),
+            F.col("r.at.youden").alias("youden"),
+        )
+        .orderBy("criterion")
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame, item_col: str, cat_col: str, raters: int
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among a FIXED number
+    of raters per item (Fleiss 1971), the multi-rater generalization of
+    :func:`agreement_kappa`: three LM judges, N annotators per example,
+    k redundant labeling pipelines. Input is LONG format — one row per
+    (item, assigned category); ``raters`` declares the required count.
+
+        P_i   = (sum_j n_ij^2 - r) / (r (r - 1))     per-item agreement
+        P_bar = mean over items;  P_e = sum_j p_j^2;  p_j = mass_j / (N r)
+        kappa = (P_bar - P_e) / (1 - P_e)
+
+    Items whose non-NULL rating count differs from ``raters`` are
+    EXCLUDED whole (counted in ``n_excluded``) — classic Fleiss is
+    undefined for ragged panels, and exclusion keeps every mass term
+    BIGINT-exact: with constant r, P_bar = (S - N r) / (N r (r - 1))
+    where S = sum over kept items of sum_j n_ij^2 is a pure integer
+    sum — no order-dependent float mean over items (the trap a direct
+    mean-of-P_i implementation walks into at corpus scale). NULL
+    categories are dropped before counting.
+
+    Scale: one corpus aggregate to the (item, category) cells (map-side
+    combine), one item-keyed fold, category marginals from an item-keyed
+    join back to the cells — cells and per-item tables both eager-persisted
+    (two consumers each), everything after is metadata-sized. Output one
+    row: (n_items, n_excluded, p_bar, p_e, kappa) rounded to 6; kappa
+    NULL when P_e = 1 or no item qualifies.
+    """
+    r = int(raters)
+    if r < 2:
+        raise ValueError("fleiss_kappa requires raters >= 2")
+    cells = scoped_persist(
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(
+            F.col(item_col).alias("__i"), F.col(cat_col).alias("__c")
+        )
+        .agg(F.count(F.lit(1)).alias("__n")),
+        "evaluation.fleiss_cells",
+        eager=True,
+    )
+    per_item = scoped_persist(
+        cells.groupBy("__i").agg(
+            F.sum("__n").alias("__r"),
+            F.sum(F.col("__n") * F.col("__n")).alias("__s2"),
+        ),
+        "evaluation.fleiss_per_item",
+        eager=True,
+    )
+    tot = per_item.agg(
+        F.count(F.when(F.col("__r") == r, 1)).cast("bigint").alias(
+            "n_items"
+        ),
+        F.count(F.when(F.col("__r") != r, 1)).cast("bigint").alias(
+            "n_excluded"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("__r") == r, F.col("__s2"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("s2"),
+    )
+    kept = per_item.where(F.col("__r") == r).select("__i")
+    cm = (
+        cells.join(kept, "__i")
+        .groupBy("__c")
+        .agg(F.sum("__n").alias("__m"))
+        .agg(
+            F.coalesce(F.sum(F.col("__m") * F.col("__m")), F.lit(0))
+            .cast("bigint")
+            .alias("cross_mass")
+        )
+    )
+    p_bar = (F.col("s2") - F.col("n_items") * r).cast("double") / (
+        F.col("n_items") * r * (r - 1)
+    )
+    p_e = F.col("cross_mass").cast("double") / (
+        (F.col("n_items") * r).cast("double")
+        * (F.col("n_items") * r).cast("double")
+    )
+    return tot.crossJoin(cm).select(
+        "n_items",
+        "n_excluded",
+        F.when(F.col("n_items") > 0, F.round(p_bar, 6)).alias("p_bar"),
+        F.when(F.col("n_items") > 0, F.round(p_e, 6)).alias("p_e"),
+        F.when(
+            (F.col("n_items") > 0) & (p_e < 1.0),
+            F.round((p_bar - p_e) / (F.lit(1.0) - p_e), 6),
+        ).alias("kappa"),
+    )

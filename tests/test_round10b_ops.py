@@ -1,0 +1,209 @@
+"""Round-10b operators: Fleiss' kappa (multi-rater agreement),
+operating-point selection (best F1 / Youden-J threshold), expected
+calibration error, and the simplified-silhouette clustering gate.
+
+Each is pinned against a hand-computed worked example (Fleiss gets the
+classic constant-r algebra checked by hand; silhouette gets orthogonal
+2-D clusters where the scores are exact), plus the degenerate edges the
+operators promise: ragged-panel exclusion, single-class inputs, tied
+argmaxes resolving to the smallest key.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seriesly_spark.operators.clustering import silhouette_report
+from seriesly_spark.operators.evaluation import (
+    best_threshold,
+    expected_calibration_error,
+    fleiss_kappa,
+)
+
+
+class TestFleissKappa:
+    def _long(self, spark, items):
+        """items: dict item -> list of categories (None = missing)."""
+        rows = [
+            (i, c) for i, cats in items.items() for c in cats
+        ]
+        return spark.createDataFrame(rows, "item long, cat string")
+
+    def test_hand_computed(self, spark):
+        # item 1: A,A,A  -> s2 = 9, P_1 = 1
+        # item 2: A,A,B  -> s2 = 5, P_2 = 1/3
+        # item 3: A,B,NULL -> 2 ratings -> excluded whole
+        # N = 2, S = 14, P_bar = (14 - 6) / 12 = 2/3
+        # marginals over kept: A = 5, B = 1, T = 6
+        # P_e = (25 + 1) / 36 = 13/18;  kappa = (2/3 - 13/18)/(5/18) = -0.2
+        df = self._long(
+            spark,
+            {1: ["A", "A", "A"], 2: ["A", "A", "B"], 3: ["A", "B", None]},
+        )
+        r = fleiss_kappa(df, "item", "cat", raters=3).collect()[0]
+        assert r.n_items == 2 and r.n_excluded == 1
+        assert r.p_bar == pytest.approx(round(2 / 3, 6))
+        assert r.p_e == pytest.approx(round(13 / 18, 6))
+        assert r.kappa == pytest.approx(-0.2)
+
+    def test_perfect_agreement_two_categories(self, spark):
+        df = self._long(spark, {1: ["A", "A", "A"], 2: ["B", "B", "B"]})
+        r = fleiss_kappa(df, "item", "cat", raters=3).collect()[0]
+        assert r.p_bar == pytest.approx(1.0)
+        assert r.p_e == pytest.approx(0.5)
+        assert r.kappa == pytest.approx(1.0)
+
+    def test_degenerate_single_category_is_null(self, spark):
+        df = self._long(spark, {1: ["A", "A"], 2: ["A", "A"]})
+        r = fleiss_kappa(df, "item", "cat", raters=2).collect()[0]
+        assert r.p_e == pytest.approx(1.0)
+        assert r.kappa is None
+
+    def test_all_items_ragged_yields_nulls(self, spark):
+        df = self._long(spark, {1: ["A", "B"], 2: ["A"]})
+        r = fleiss_kappa(df, "item", "cat", raters=3).collect()[0]
+        assert r.n_items == 0 and r.n_excluded == 2
+        assert r.p_bar is None and r.kappa is None
+
+    def test_raters_below_two_rejected(self, spark):
+        df = self._long(spark, {1: ["A"]})
+        with pytest.raises(ValueError):
+            fleiss_kappa(df, "item", "cat", raters=1)
+
+
+class TestBestThreshold:
+    def _scored(self, spark, rows):
+        return spark.createDataFrame(rows, "score double, label boolean")
+
+    def test_hand_computed_sweep(self, spark):
+        # desc sweep: t=.9 F1=2/3 J=.5 | t=.8 F1=.5 J=1/6
+        #             t=.7 F1=.8 J=2/3 | t=.6 F1=2/3 J=1/3
+        #             t=.5 F1=4/7 J=0
+        df = self._scored(
+            spark,
+            [(0.9, True), (0.8, False), (0.7, True), (0.6, False),
+             (0.5, False)],
+        )
+        out = {r.criterion: r for r in best_threshold(df).collect()}
+        assert set(out) == {"f1", "youden"}
+        assert out["f1"].threshold == pytest.approx(0.7)
+        assert out["f1"].f1 == pytest.approx(0.8)
+        assert out["f1"].tp == 2 and out["f1"].pp == 3
+        assert out["f1"].precision == pytest.approx(round(2 / 3, 6))
+        assert out["youden"].threshold == pytest.approx(0.7)
+        assert out["youden"].youden == pytest.approx(round(2 / 3, 6))
+
+    def test_tie_breaks_to_smallest_threshold(self, spark):
+        # F1(t=.9) = 2*1/(2+1) = 2/3 and F1(t=.3) = 2*2/(2+4) = 2/3:
+        # an exact round-6 tie -> the SMALLEST threshold must win.
+        df = self._scored(
+            spark,
+            [(0.9, True), (0.7, False), (0.5, False), (0.3, True)],
+        )
+        out = {r.criterion: r for r in best_threshold(df).collect()}
+        assert out["f1"].f1 == pytest.approx(round(2 / 3, 6))
+        assert out["f1"].threshold == pytest.approx(0.3)
+
+    def test_single_class_emits_f1_only(self, spark):
+        df = self._scored(spark, [(0.9, True), (0.5, True)])
+        rows = best_threshold(df).collect()
+        assert [r.criterion for r in rows] == ["f1"]
+        assert rows[0].f1 == pytest.approx(1.0)
+        assert rows[0].youden is None
+
+    def test_no_positives_emits_nothing(self, spark):
+        df = self._scored(spark, [(0.9, False), (0.5, False)])
+        assert best_threshold(df).collect() == []
+
+
+class TestExpectedCalibrationError:
+    def _scored(self, spark, rows):
+        return spark.createDataFrame(rows, "score double, label boolean")
+
+    def test_hand_computed_two_bins(self, spark):
+        # n_bins=2: bin0 = {.2F, .4T}: mean .3, rate .5, gap .2
+        #           bin1 = {.9T}:      mean .9, rate 1,  gap .1
+        # ECE = (2*.2 + 1*.1)/3 = 1/6;  MCE = .2 at bin 0
+        df = self._scored(spark, [(0.2, False), (0.4, True), (0.9, True)])
+        r = expected_calibration_error(df, n_bins=2).collect()[0]
+        assert r.n == 3 and r.n_bins_used == 2
+        assert r.ece == pytest.approx(round(0.5 / 3, 6))
+        assert r.mce == pytest.approx(0.2)
+        assert r.worst_bin == 0
+
+    def test_perfectly_calibrated(self, spark):
+        # one bin at score .5 with half positives: gap = 0
+        df = self._scored(spark, [(0.5, True), (0.5, False)])
+        r = expected_calibration_error(df, n_bins=2).collect()[0]
+        assert r.ece == pytest.approx(0.0)
+        assert r.mce == pytest.approx(0.0)
+
+    def test_worst_bin_tie_breaks_smallest(self, spark):
+        # bin0: mean .25, rate 0 -> gap .25; bin1: mean .75, rate 1 ->
+        # gap .25 — an exact tie, so the SMALLEST bin must win.
+        df = self._scored(spark, [(0.25, False), (0.75, True)])
+        r = expected_calibration_error(df, n_bins=2).collect()[0]
+        assert r.mce == pytest.approx(0.25)
+        assert r.worst_bin == 0
+
+    def test_empty_input(self, spark):
+        # NULL score/label rows are dropped by calibration_bins, so the
+        # fold sees an empty bin table -> one all-NULL summary row.
+        df = self._scored(spark, [(None, None)])
+        r = expected_calibration_error(df, n_bins=2).collect()[0]
+        assert r.n == 0 and r.n_bins_used == 0
+        assert r.ece is None and r.mce is None and r.worst_bin is None
+
+
+class TestSilhouetteReport:
+    def _df(self, spark, rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    def test_orthogonal_clusters(self, spark):
+        cents = self._df(
+            spark,
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "centroid_id long, embedding array<double>",
+        )
+        vecs = self._df(
+            spark,
+            [
+                (10, [1.0, 0.0]),   # c0 exactly: s = 1
+                (11, [2.0, 0.0]),   # same direction: s = 1
+                (12, [0.0, 3.0]),   # c1 exactly: s = 1
+                (13, [1.0, 1.0]),   # equidistant: a = b -> s = 0, own = c0
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {
+            r.cluster: r
+            for r in silhouette_report(vecs, cents).collect()
+        }
+        assert rows[0].n == 3
+        assert rows[0].mean_sil == pytest.approx(round(2 / 3, 6))
+        assert rows[1].n == 1
+        assert rows[1].mean_sil == pytest.approx(1.0)
+        assert rows[-1].n == 4
+        assert rows[-1].mean_sil == pytest.approx(0.75)
+
+    def test_tight_vs_smeared_cluster_ranks_lower(self, spark):
+        cents = self._df(
+            spark,
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "centroid_id long, embedding array<double>",
+        )
+        vecs = self._df(
+            spark,
+            [
+                (1, [1.0, 0.05]),
+                (2, [1.0, -0.05]),  # tight around c0
+                (3, [0.6, 1.0]),
+                (4, [1.0, 0.9]),    # smeared toward the boundary; own = c1/c0
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {
+            r.cluster: r
+            for r in silhouette_report(vecs, cents).collect()
+        }
+        # tight cluster scores strictly higher than the global mean
+        assert rows[0].mean_sil > rows[-1].mean_sil
