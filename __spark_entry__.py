@@ -51,6 +51,7 @@ from seriesly_spark.operators.dedup import (
     paragraph_dedup,
     semantic_dedup,
     simhash32_md5,
+    simhash_eval,
     winnow_eval,
     winnow_overlap_pairs,
     winnow_stats,
@@ -3901,6 +3902,17 @@ def q_winnow_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_eval(_table(spark, sf_dir, "documents"))
 
 
+def q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of SimHash Hamming-<=3 pairs (32-bit md5
+    fingerprints, 4-band pigeonhole candidates) against exact 3-gram
+    Jaccard truth at 0.5 — the semantic-gap gate for the SimHash
+    radius knob, completing the miner->eval symmetry (lsh_eval grades
+    MinHash, winnow_eval grades winnowing, this grades SimHash).
+    Composes two certified miners; the report joins two pair-id
+    sets."""
+    return simhash_eval(_table(spark, sf_dir, "documents"))
+
+
 def q_score_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expected calibration error of the stopword-ratio scorer — the
     single-number fold of the reliability table (ECE + MCE + the worst
@@ -4037,6 +4049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_best_threshold": q_score_best_threshold,
         "fleiss_kappa": q_fleiss_kappa,
         "kmeans_silhouette": q_kmeans_silhouette,
+        "simhash_eval": q_simhash_eval,
         "audio_decode_stats": q_audio_decode_stats,
         "bm25_topk": q_bm25_topk,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4536,6 +4549,38 @@ SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
              / count(*), 6)
 FROM t
 ORDER BY cluster
+"""
+    # simhash_eval: brute-force Hamming <= 3 candidates (the banded
+    # Spark miner is lossless by pigeonhole, so brute force IS its
+    # mirror) vs the lsh_eval 3-gram Jaccard truth; same report tail.
+    d["simhash_eval"] = f"""
+WITH f AS ({_SIMHASH32_SQL}),
+cand AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM f a JOIN f b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.f, b.f)) <= 3),
+g AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3),
+truth AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.grams, b.grams)) /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+        6) >= 0.5),
+hit AS (SELECT t.a, t.b FROM truth t JOIN cand c ON t.a = c.a AND t.b = c.b),
+m AS (SELECT (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM cand) AS n_cand,
+             (SELECT count(*) FROM hit) AS n_hit)
+SELECT n_true, n_cand, n_hit,
+  round(CASE WHEN n_true > 0 THEN n_hit / cast(n_true AS double) END, 6)
+    AS recall,
+  round(CASE WHEN n_cand > 0 THEN n_hit / cast(n_cand AS double) END, 6)
+    AS precision
+FROM m
 """
     d["score_pr_curve"] = f"""
 WITH scored AS ({_SCORED_SQL}),

@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "score_best_threshold",
     "fleiss_kappa",
     "kmeans_silhouette",
+    "simhash_eval",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -1613,3 +1613,65 @@ def simhash64_md5(
     return df.select(
         id_col, fp["hi"].alias("sig_hi"), fp["lo"].alias("sig_lo")
     )
+
+
+def simhash_eval(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_hamming: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality report for SimHash as a SIMILARITY PROXY: recall and
+    precision of the Hamming-<= ``max_hamming`` pairs (32-bit md5
+    SimHash, pigeonhole-banded) against the EXACT n-gram Jaccard truth
+    at ``threshold`` — the gate that sizes the Hamming radius the same
+    way :func:`lsh_eval` sizes the MinHash bands. The banded candidate
+    stage itself is lossless by pigeonhole (bands > max_hamming
+    guarantees recall 1.0 OF THE RADIUS); what this measures is the
+    semantic gap — how well bit-vote distance tracks shingle overlap
+    on the actual corpus, the number SimhashIndex consumers need
+    before trusting the radius knob.
+
+    Composes two certified miners (:func:`simhash32_md5` +
+    :func:`hamming_pairs` for candidates, :func:`ngram_jaccard_pairs`
+    for truth); the report joins two pair-id sets. Output: one row
+    (n_true, n_cand, n_hit, recall, precision), ratios rounded to 6
+    (NULL when the denominator is 0).
+    """
+    fps = simhash32_md5(docs, text_col, id_col)
+    cand = hamming_pairs(
+        fps, 32, max_hamming, bands, id_col=id_col, fp_col="simhash"
+    ).select("a", "b")
+    truth = ngram_jaccard_pairs(docs, text_col, id_col, n, threshold).select(
+        "a", "b"
+    )
+    hit = truth.join(cand, ["a", "b"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(
+                F.when(
+                    F.col("n_true") > 0,
+                    F.col("n_hit") / F.col("n_true").cast("double"),
+                ),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("n_cand") > 0,
+                    F.col("n_hit") / F.col("n_cand").cast("double"),
+                ),
+                6,
+            ).alias("precision"),
+        )
+    )

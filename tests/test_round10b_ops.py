@@ -207,3 +207,32 @@ class TestSilhouetteReport:
         }
         # tight cluster scores strictly higher than the global mean
         assert rows[0].mean_sil > rows[-1].mean_sil
+
+
+class TestSimhashEval:
+    def test_planted_clones_are_recalled(self, spark):
+        # Two verbatim clones (hamming 0, jaccard 1) + unrelated docs:
+        # the clone pair must be in truth AND candidates.
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+            (4, "red orange yellow green blue indigo"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from seriesly_spark.operators.dedup import simhash_eval
+
+        r = simhash_eval(df).collect()[0]
+        assert r.n_true >= 1 and r.n_hit >= 1
+        assert r.recall == 1.0
+
+    def test_empty_truth_gives_null_recall(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta"),
+            (2, "one two three four"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from seriesly_spark.operators.dedup import simhash_eval
+
+        r = simhash_eval(df).collect()[0]
+        assert r.n_true == 0 and r.recall is None
