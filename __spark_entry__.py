@@ -65,6 +65,7 @@ from seriesly_spark.operators.evaluation import (
     classifier_report,
     expected_calibration_error,
     fleiss_kappa,
+    krippendorff_alpha,
     ks_statistic,
     lift_table,
     rank_metrics,
@@ -117,6 +118,7 @@ from seriesly_spark.operators.similarity import (
     ann_topk_lsh,
     cosine_near_dup_pairs,
     embedding_centroids,
+    embedding_dispersion,
     ann_topk_quantized,
     ivf_topk,
     l2_normalize,
@@ -3936,16 +3938,12 @@ def q_score_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fleiss' kappa across THREE synthetic raters of every document
-    (lang; lang with every n_chars%7 doc as 'zz'; lang with every
-    n_chars%5 doc as 'qq' but NULL on doc_id%11 docs) — the multi-rater
-    annotation-agreement gate. Items that don't carry exactly 3
-    non-NULL ratings (the doc_id%11 cohort) are excluded whole and
-    counted, keeping every mass term BIGINT-exact (constant-r Fleiss:
-    P_bar = (S - Nr)/(Nr(r-1)), no float mean over items)."""
-    docs = _table(spark, sf_dir, "documents")
-    rated = docs.select(
+def _three_rater_frame(docs: DataFrame) -> DataFrame:
+    """Shared synthetic annotation panel (fleiss_kappa /
+    krippendorff_alpha gates): rater 1 = lang; rater 2 = lang with
+    every n_chars%7 doc as 'zz'; rater 3 = lang with every n_chars%5
+    doc as 'qq', but NULL on doc_id%11 docs (the ragged cohort)."""
+    return docs.select(
         F.col("doc_id").alias("item"),
         F.explode(
             F.array(
@@ -3961,7 +3959,44 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cat"),
     )
-    return fleiss_kappa(rated, "item", "cat", raters=3)
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across THREE synthetic raters of every document
+    (see _three_rater_frame) — the multi-rater annotation-agreement
+    gate. Items that don't carry exactly 3 non-NULL ratings (the
+    doc_id%11 cohort) are excluded whole and counted, keeping every
+    mass term BIGINT-exact (constant-r Fleiss: P_bar = (S - Nr)/
+    (Nr(r-1)), no float mean over items)."""
+    return fleiss_kappa(
+        _three_rater_frame(_table(spark, sf_dir, "documents")),
+        "item",
+        "cat",
+        raters=3,
+    )
+
+
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) over the SAME 3-rater panel as
+    fleiss_kappa — but here the ragged doc_id%11 cohort (2 ratings)
+    PARTICIPATES, which is alpha's whole point: chance-corrected
+    agreement with missing ratings by design. Per-item disagreements
+    are BIGINT, grouped by panel size (the bounded U fold), marginals
+    over pairable items; two IEEE ops at the end."""
+    return krippendorff_alpha(
+        _three_rater_frame(_table(spark, sf_dir, "documents")),
+        "item",
+        "cat",
+    )
+
+
+def q_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity one-pass report over the embeddings table:
+    mean pairwise squared distance via the n*sum||x||^2 - ||sum x||^2
+    identity (never pairwise), covariance trace, mean squared norm.
+    Per-dim decimal sums; d bounded fold — the before/after-dedup
+    space-collapse gate."""
+    return embedding_dispersion(_table(spark, sf_dir, "embeddings"))
 
 
 def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4050,6 +4085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss_kappa": q_fleiss_kappa,
         "kmeans_silhouette": q_kmeans_silhouette,
         "simhash_eval": q_simhash_eval,
+        "krippendorff_alpha": q_krippendorff_alpha,
+        "embedding_dispersion": q_embedding_dispersion,
         "audio_decode_stats": q_audio_decode_stats,
         "bm25_topk": q_bm25_topk,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4510,6 +4547,82 @@ SELECT n_items, n_excluded,
                            * CAST(n_items * 3 AS DOUBLE))), 6)
        END AS kappa
 FROM tot CROSS JOIN cm
+"""
+    # krippendorff_alpha: same panel CTE as fleiss_kappa but pairable
+    # items (ri >= 2) participate; U = decimal fold of per-panel-size
+    # round-6 terms; E = n^2 - sum(m^2) in BIGINT; alpha = two IEEE
+    # ops mirroring the operator's expression tree.
+    d["krippendorff_alpha"] = """
+WITH r AS (
+  SELECT doc_id AS item, lang AS cat FROM documents
+  UNION ALL
+  SELECT doc_id, CASE WHEN n_chars % 7 = 0 THEN 'zz' ELSE lang END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN NULL
+                      WHEN n_chars % 5 = 0 THEN 'qq'
+                      ELSE lang END
+  FROM documents),
+cells AS (SELECT item, cat, CAST(count(*) AS BIGINT) AS n
+          FROM r WHERE cat IS NOT NULL GROUP BY 1, 2),
+pi AS (SELECT item, sum(n) AS ri, sum(n * n) AS s2
+       FROM cells GROUP BY 1),
+u AS (SELECT CAST(coalesce(sum(CAST(round(CAST(sr AS DOUBLE) / (ri - 1), 6)
+                                    AS DECIMAL(38,6))), 0) AS DOUBLE) AS u
+      FROM (SELECT ri, sum(ri * ri - s2) AS sr
+            FROM pi WHERE ri >= 2 GROUP BY ri)),
+tot AS (SELECT
+          CAST(count(CASE WHEN ri >= 2 THEN 1 END) AS BIGINT) AS n_items,
+          CAST(count(CASE WHEN ri < 2 THEN 1 END) AS BIGINT)
+            AS n_unpairable,
+          CAST(coalesce(sum(CASE WHEN ri >= 2 THEN ri END), 0) AS BIGINT)
+            AS n_ratings
+        FROM pi),
+m2 AS (SELECT CAST(coalesce(sum(mm * mm), 0) AS BIGINT) AS m2
+       FROM (SELECT cells.cat, sum(cells.n) AS mm
+             FROM cells JOIN pi USING (item)
+             WHERE pi.ri >= 2 GROUP BY 1))
+SELECT n_items, n_unpairable, n_ratings,
+  CASE WHEN n_ratings >= 2 THEN round(u / n_ratings, 6) END AS d_o,
+  CASE WHEN n_ratings >= 2 THEN
+    round(CAST(n_ratings * n_ratings - m2 AS DOUBLE)
+          / (CAST(n_ratings AS DOUBLE)
+             * CAST(n_ratings - 1 AS DOUBLE)), 6) END AS d_e,
+  CASE WHEN n_ratings >= 2 AND n_ratings * n_ratings - m2 > 0 THEN
+    round(1.0 - u * CAST(n_ratings - 1 AS DOUBLE)
+                / CAST(n_ratings * n_ratings - m2 AS DOUBLE), 6)
+  END AS alpha
+FROM tot CROSS JOIN u CROSS JOIN m2
+"""
+    # embedding_dispersion: per-dim decimal sums kept AS DECIMAL into
+    # the fold (Spark sums the decimal column then casts once); the d
+    # squared-sum terms round-6 + decimal-fold; three divisions mirror
+    # the operator's expression tree.
+    d["embedding_dispersion"] = """
+WITH e AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                  unnest(embedding) AS val
+           FROM embeddings),
+per AS (SELECT dim, CAST(count(*) AS BIGINT) AS cnt,
+          sum(cast(cast(val as double) as decimal(38,18))) AS s,
+          sum(cast(cast(val as double) * cast(val as double)
+                   as decimal(38,18))) AS s2
+        FROM e GROUP BY 1),
+f AS (SELECT CAST(max(cnt) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS dim,
+        CAST(sum(s2) AS DOUBLE) AS m2,
+        CAST(coalesce(sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE),
+                                     6) AS DECIMAL(38,6))), 0) AS DOUBLE)
+          AS q
+      FROM per)
+SELECT n, dim,
+  round(m2 / CAST(n AS DOUBLE), 6) AS mean_norm2,
+  round(m2 / CAST(n AS DOUBLE)
+        - q / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS trace_cov,
+  CASE WHEN n >= 2 THEN
+    round(CAST(2 AS DOUBLE) * (CAST(n AS DOUBLE) * m2 - q)
+          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)
+  END AS mean_sq_dist
+FROM f
 """
     # kmeans_silhouette: replay the 2-round Lloyd codebook (round-6
     # centroids — the semantic_dedup CTE prefix), round-6 cosines to

@@ -212,6 +212,8 @@ BENCH_QUERIES = [
     "fleiss_kappa",
     "kmeans_silhouette",
     "simhash_eval",
+    "krippendorff_alpha",
+    "embedding_dispersion",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

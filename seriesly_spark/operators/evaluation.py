@@ -1180,3 +1180,111 @@ def fleiss_kappa(
             F.round((p_bar - p_e) / (F.lit(1.0) - p_e), 6),
         ).alias("kappa"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame, item_col: str, cat_col: str
+) -> DataFrame:
+    """Krippendorff's alpha for nominal data — the chance-corrected
+    agreement estimator for RAGGED panels (Krippendorff 2004):
+    :func:`fleiss_kappa` excludes items whose rating count differs from
+    the declared panel size; alpha is what you run when missing
+    ratings are by design (crowdsourced labels, partial re-annotation).
+    Input is the same LONG format (one row per (item, category)).
+
+        D_o = (1/n) * sum_i sum_c n_ic (r_i - n_ic) / (r_i - 1)
+        D_e = sum_c m_c (n - m_c) / (n (n - 1))
+        alpha = 1 - D_o / D_e = 1 - U (n - 1) / E
+
+    over items with r_i >= 2 non-NULL ratings (pairable); items with
+    exactly one rating are counted in ``n_unpairable`` (items with
+    zero ratings never appear). n = total pairable ratings, m_c the
+    category marginals over pairable items.
+
+    Exactness: per-item disagreement d_i = r_i^2 - sum_c n_ic^2 is
+    BIGINT; grouping by the PANEL SIZE r_i collapses the corpus to
+    <= |distinct panel sizes| rows, each term S_r / (r - 1) rounded to
+    6 then decimal-summed (the DCG pattern — identical terms in both
+    engines, order-independent fold; a float mean over corpus-many
+    per-item quotients would be the cross-engine hash-breaker). E =
+    sum m_c (n - m_c) is BIGINT (exact for n up to ~3e9 ratings);
+    alpha = 1 - U (n-1) / E is two IEEE ops.
+
+    Scale: the fleiss_kappa shape — one corpus aggregate to (item,
+    category) cells, an item-keyed fold, marginals via an item-keyed
+    join back to the cells; everything after is metadata-sized.
+    Output one row: (n_items, n_unpairable, n_ratings, d_o, d_e,
+    alpha) rounded to 6; alpha NULL when D_e = 0 (a single observed
+    category).
+    """
+    cells = scoped_persist(
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(
+            F.col(item_col).alias("__i"), F.col(cat_col).alias("__c")
+        )
+        .agg(F.count(F.lit(1)).alias("__n")),
+        "evaluation.kripp_cells",
+        eager=True,
+    )
+    per_item = scoped_persist(
+        cells.groupBy("__i").agg(
+            F.sum("__n").alias("__r"),
+            F.sum(F.col("__n") * F.col("__n")).alias("__s2"),
+        ),
+        "evaluation.kripp_per_item",
+        eager=True,
+    )
+    pairable = F.col("__r") >= 2
+    # U = sum over distinct panel sizes of round6(S_r / (r - 1)),
+    # decimal-folded: <= |panel sizes| exact terms.
+    by_r = (
+        per_item.where(pairable)
+        .groupBy("__r")
+        .agg(
+            F.sum(F.col("__r") * F.col("__r") - F.col("__s2")).alias("__sr")
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("__sr").cast("double") / (F.col("__r") - 1), 6
+                ).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("u")
+        )
+    )
+    tot = per_item.agg(
+        F.count(F.when(pairable, 1)).cast("bigint").alias("n_items"),
+        F.count(F.when(~pairable, 1)).cast("bigint").alias("n_unpairable"),
+        F.coalesce(F.sum(F.when(pairable, F.col("__r"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_ratings"),
+    )
+    kept = per_item.where(pairable).select("__i")
+    marg = (
+        cells.join(kept, "__i")
+        .groupBy("__c")
+        .agg(F.sum("__n").alias("__m"))
+    )
+    # E needs n; fold marginals to sum(m) (= n) and sum(m^2):
+    # E = sum m (n - m) = n * sum(m) - sum(m^2) = n^2 - sum(m^2).
+    e_parts = marg.agg(
+        F.coalesce(F.sum(F.col("__m") * F.col("__m")), F.lit(0))
+        .cast("bigint")
+        .alias("m2")
+    )
+    n = F.col("n_ratings")
+    e = n * n - F.col("m2")
+    d_o = F.col("u") / n
+    d_e = e.cast("double") / (n.cast("double") * (n - 1).cast("double"))
+    alpha = F.lit(1.0) - F.col("u") * (n - 1).cast("double") / e.cast(
+        "double"
+    )
+    return tot.crossJoin(by_r).crossJoin(e_parts).select(
+        "n_items",
+        "n_unpairable",
+        "n_ratings",
+        F.when(n >= 2, F.round(d_o, 6)).alias("d_o"),
+        F.when(n >= 2, F.round(d_e, 6)).alias("d_e"),
+        F.when((n >= 2) & (e > 0), F.round(alpha, 6)).alias("alpha"),
+    )

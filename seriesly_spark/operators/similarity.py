@@ -1221,3 +1221,61 @@ def ann_rank_eval(
         rel_col="rel",
         k=k_eval,
     )
+
+
+def embedding_dispersion(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Corpus-diversity report for an embedding column — the ONE-PASS
+    identity a curation pipeline runs before and after dedup/mixing to
+    see whether it collapsed the embedding space:
+
+        sum_{i<j} ||x_i - x_j||^2 = n * sum_i ||x_i||^2 - ||sum_i x_i||^2
+
+    so the mean pairwise squared distance (and the covariance trace,
+    its /2-per-point view) needs only per-dimension sums — never a
+    pairwise anything. Output one row: (n, dim, mean_norm2, trace_cov,
+    mean_sq_dist) rounded to 6; mean_sq_dist NULL when n < 2.
+
+    Shape: posexplode to (dim, val) with a map-side-combined hash
+    aggregate to d rows (d = embedding width, bounded), then a d-row
+    fold. Per-dim sums accumulate as decimal(38,18) (order-independent
+    in any engine/partitioning — the similarity-family discipline);
+    the d squared-sum terms are rounded to 6 and decimal-folded (the
+    DCG pattern) so the final three divisions see identical inputs in
+    both engines. At 100 TB this is one scan emitting d rows per
+    partition; the mapInPandas Gram trick (pca_power_iteration) is the
+    escalation when d^2 moments are needed — for first moments the
+    JVM-side explode stays in whole-stage codegen.
+    """
+    v = F.col("val").cast("double")
+    ex = vectors.select(F.posexplode(F.col(vec_col)).alias("dim", "val"))
+    per = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(v.cast(_DEC)).alias("s"),
+        F.sum((v * v).cast(_DEC)).alias("s2"),
+    )
+    folded = per.agg(
+        F.max("cnt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("dim"),
+        F.sum("s2").cast("double").alias("m2"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s").cast("double"), 6
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("q"),
+    )
+    n_d = F.col("n").cast("double")
+    trace = F.col("m2") / n_d - F.col("q") / (n_d * n_d)
+    msd = (
+        F.lit(2.0)
+        * (n_d * F.col("m2") - F.col("q"))
+        / (n_d * (F.col("n") - 1).cast("double"))
+    )
+    return folded.select(
+        "n",
+        "dim",
+        F.round(F.col("m2") / n_d, 6).alias("mean_norm2"),
+        F.round(trace, 6).alias("trace_cov"),
+        F.when(F.col("n") >= 2, F.round(msd, 6)).alias("mean_sq_dist"),
+    )

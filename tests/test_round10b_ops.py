@@ -236,3 +236,91 @@ class TestSimhashEval:
 
         r = simhash_eval(df).collect()[0]
         assert r.n_true == 0 and r.recall is None
+
+
+class TestKrippendorffAlpha:
+    def _long(self, spark, items):
+        rows = [(i, c) for i, cats in items.items() for c in cats]
+        return spark.createDataFrame(rows, "item long, cat string")
+
+    def test_hand_computed_with_unpairable(self, spark):
+        # item 1: A,A (d=0) | item 2: A,B (d=2) | item 3: B (unpairable)
+        # U = 2/1 = 2; n = 4; D_o = .5
+        # marginals A=3, B=1 -> E = 16 - 10 = 6; D_e = 6/12 = .5
+        # alpha = 1 - 2*3/6 = 0
+        from seriesly_spark.operators.evaluation import krippendorff_alpha
+
+        df = self._long(spark, {1: ["A", "A"], 2: ["A", "B"], 3: ["B"]})
+        r = krippendorff_alpha(df, "item", "cat").collect()[0]
+        assert r.n_items == 2 and r.n_unpairable == 1 and r.n_ratings == 4
+        assert r.d_o == pytest.approx(0.5)
+        assert r.d_e == pytest.approx(0.5)
+        assert r.alpha == pytest.approx(0.0)
+
+    def test_mixed_panel_sizes(self, spark):
+        # item 1: A,A,A (r=3, d=0) | item 2: A,B (r=2, d=2)
+        # U = 0/2 + 2/1 = 2; n = 5; D_o = .4
+        # marginals A=4, B=1 -> E = 25 - 17 = 8; D_e = 8/20 = .4
+        # alpha = 1 - 2*4/8 = 0
+        from seriesly_spark.operators.evaluation import krippendorff_alpha
+
+        df = self._long(spark, {1: ["A", "A", "A"], 2: ["A", "B"]})
+        r = krippendorff_alpha(df, "item", "cat").collect()[0]
+        assert r.n_ratings == 5
+        assert r.d_o == pytest.approx(0.4)
+        assert r.alpha == pytest.approx(0.0)
+
+    def test_perfect_agreement(self, spark):
+        from seriesly_spark.operators.evaluation import krippendorff_alpha
+
+        df = self._long(spark, {1: ["A", "A"], 2: ["B", "B"]})
+        r = krippendorff_alpha(df, "item", "cat").collect()[0]
+        assert r.d_o == pytest.approx(0.0)
+        assert r.alpha == pytest.approx(1.0)
+
+    def test_single_category_alpha_null(self, spark):
+        from seriesly_spark.operators.evaluation import krippendorff_alpha
+
+        df = self._long(spark, {1: ["A", "A"], 2: ["A", "A"]})
+        r = krippendorff_alpha(df, "item", "cat").collect()[0]
+        assert r.d_e == pytest.approx(0.0)
+        assert r.alpha is None
+
+
+class TestEmbeddingDispersion:
+    def test_hand_computed(self, spark):
+        # [1,0],[0,1],[1,1]: M2 = 4, S = (2,2), Q = 8
+        # mean_norm2 = 4/3; trace = 4/3 - 8/9 = 4/9
+        # pairs: 2 + 1 + 1 -> mean_sq_dist = 4/3
+        from seriesly_spark.operators.similarity import embedding_dispersion
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        r = embedding_dispersion(df).collect()[0]
+        assert r.n == 3 and r.dim == 2
+        assert r.mean_norm2 == pytest.approx(round(4 / 3, 6))
+        assert r.trace_cov == pytest.approx(round(4 / 9, 6))
+        assert r.mean_sq_dist == pytest.approx(round(4 / 3, 6))
+
+    def test_identical_vectors_zero_dispersion(self, spark):
+        from seriesly_spark.operators.similarity import embedding_dispersion
+
+        df = spark.createDataFrame(
+            [(i, [3.0, 4.0]) for i in range(5)],
+            "vec_id long, embedding array<double>",
+        )
+        r = embedding_dispersion(df).collect()[0]
+        assert r.mean_norm2 == pytest.approx(25.0)
+        assert r.trace_cov == pytest.approx(0.0)
+        assert r.mean_sq_dist == pytest.approx(0.0)
+
+    def test_single_vector_null_pairwise(self, spark):
+        from seriesly_spark.operators.similarity import embedding_dispersion
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        r = embedding_dispersion(df).collect()[0]
+        assert r.n == 1 and r.mean_sq_dist is None
