@@ -61,6 +61,7 @@ from seriesly_spark.operators.evaluation import (
     agreement_kappa,
     best_threshold,
     brier_score,
+    bt_strength,
     calibration_bins,
     classifier_report,
     expected_calibration_error,
@@ -3990,6 +3991,28 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths over a synthetic 5-player preference
+    corpus (players doc_id%5 vs (doc_id div 5)%5; the HIGHER index wins
+    unless n_chars%3 == 0 — a planted strength gradient): 3 MM rounds,
+    round-6 + decimal-fold per round, end normalization to mean 1. The
+    oracle replays every round (the kmeans_lloyd unrolled-CTE
+    pattern), value-checking the whole iteration."""
+    docs = _table(spark, sf_dir, "documents")
+    a = F.col("doc_id") % 5
+    b = F.expr("(doc_id div 5) % 5")
+    up = F.col("n_chars") % 3 > 0
+    m = docs.where(a != b).select(
+        F.when(up, F.greatest(a, b)).otherwise(F.least(a, b)).alias(
+            "winner"
+        ),
+        F.when(up, F.least(a, b)).otherwise(F.greatest(a, b)).alias(
+            "loser"
+        ),
+    )
+    return bt_strength(m, iterations=3)
+
+
 def q_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-diversity one-pass report over the embeddings table:
     mean pairwise squared distance via the n*sum||x||^2 - ||sum x||^2
@@ -4087,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_eval": q_simhash_eval,
         "krippendorff_alpha": q_krippendorff_alpha,
         "embedding_dispersion": q_embedding_dispersion,
+        "bt_strength": q_bt_strength,
         "audio_decode_stats": q_audio_decode_stats,
         "bm25_topk": q_bm25_topk,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4593,6 +4617,48 @@ SELECT n_items, n_unpairable, n_ratings,
                 / CAST(n_ratings * n_ratings - m2 AS DOUBLE), 6)
   END AS alpha
 FROM tot CROSS JOIN u CROSS JOIN m2
+"""
+    # bt_strength: unrolled MM rounds (the _km_round pattern) — per
+    # round the opponent terms round-6 then decimal-sum, p re-rounds
+    # to 6 and clamps winners to 1e-6; end normalization to mean 1.
+    def _bt_round(r: int) -> str:
+        return f"""
+d{r} AS (SELECT g.i,
+          CAST(sum(CAST(round(g.n / (pa.p + pb.p), 6) AS DECIMAL(28,6)))
+               AS DOUBLE) AS d
+        FROM g JOIN p{r - 1} pa ON g.i = pa.i
+               JOIN p{r - 1} pb ON g.j = pb.i
+        GROUP BY g.i),
+p{r} AS (SELECT d.i,
+           CASE WHEN wn.w IS NOT NULL AND d.d > 0 THEN
+             greatest(round(CAST(wn.w AS DOUBLE) / d.d, 6), 0.000001)
+           ELSE CAST(0 AS DOUBLE) END AS p
+         FROM d{r} d LEFT JOIN wn ON d.i = wn.i)"""
+
+    d["bt_strength"] = f"""
+WITH m AS (
+  SELECT CASE WHEN n_chars % 3 > 0 THEN greatest(a, b)
+              ELSE least(a, b) END AS w,
+         CASE WHEN n_chars % 3 > 0 THEN least(a, b)
+              ELSE greatest(a, b) END AS l
+  FROM (SELECT doc_id % 5 AS a, (doc_id // 5) % 5 AS b, n_chars
+        FROM documents)
+  WHERE a <> b),
+wl AS (SELECT w, l, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1, 2),
+g AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM (
+        SELECT w AS i, l AS j, n FROM wl
+        UNION ALL SELECT l, w, n FROM wl)
+      GROUP BY 1, 2),
+wn AS (SELECT w AS i, CAST(sum(n) AS BIGINT) AS w FROM wl GROUP BY 1),
+p0 AS (SELECT DISTINCT i, CAST(1 AS DOUBLE) AS p FROM g),{_bt_round(1)},{_bt_round(2)},{_bt_round(3)},
+s AS (SELECT CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(count(*) AS BIGINT) AS k FROM p3),
+tg AS (SELECT i, CAST(sum(n) AS BIGINT) AS games FROM g GROUP BY 1)
+SELECT p3.i AS item, CAST(coalesce(wn.w, 0) AS BIGINT) AS wins, tg.games,
+       CASE WHEN s.s > 0 THEN round(p3.p * s.k / s.s, 6)
+            ELSE CAST(0 AS DOUBLE) END AS strength
+FROM p3 LEFT JOIN wn ON p3.i = wn.i JOIN tg ON p3.i = tg.i, s
+ORDER BY strength DESC, item
 """
     # embedding_dispersion: per-dim decimal sums kept AS DECIMAL into
     # the fold (Spark sums the decimal column then casts once); the d

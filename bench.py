@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "simhash_eval",
     "krippendorff_alpha",
     "embedding_dispersion",
+    "bt_strength",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

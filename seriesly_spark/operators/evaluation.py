@@ -1288,3 +1288,119 @@ def krippendorff_alpha(
         F.when(n >= 2, F.round(d_e, 6)).alias("d_e"),
         F.when((n >= 2) & (e > 0), F.round(alpha, 6)).alias("alpha"),
     )
+
+
+def bt_strength(
+    df: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iterations: int = 3,
+) -> DataFrame:
+    """Bradley-Terry strength scores from pairwise preference outcomes
+    (Hunter 2004 MM updates, fixed iteration count) — the QC gate for a
+    preference/RLHF corpus: which policies/annotators/model variants
+    does the comparison data actually rank, and how separated are they.
+    Input is one row per comparison (winner, loser).
+
+        p_i <- W_i / sum_j n_ij / (p_i + p_j)     (one MM round)
+
+    with W_i = total wins, n_ij = games between i and j. Iterations
+    are a FIXED parameter (the kmeans_lloyd convention): the plan
+    unrolls deterministically and a DuckDB oracle can replay every
+    round. Per-round discipline: the n_ij/(p_i+p_j) terms are rounded
+    to 6 then decimal-summed (order-independent fold over an item's
+    opponents), p is re-rounded to 6 each round and clamped to 1e-6
+    for winners (a winner whose score rounds to 0 against a 0-win
+    opponent would otherwise produce a 0/0 in the next round);
+    zero-win items hold strength 0 (their MLE). Output strengths are
+    normalized once at the end to mean 1 (decimal-exact total of
+    6-decimal scores).
+
+    Scale: ONE corpus aggregate to the directed (winner, loser, n)
+    cells — the only corpus-sized stage; everything after operates on
+    the |items|^2-bounded games table (items are models/policies —
+    metadata-sized by construction) with a per-round eager
+    localCheckpoint keeping the unrolled plan flat. Output: (item,
+    wins, games, strength) ordered by strength desc, item; rows with a
+    NULL side or winner == loser are ignored.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    w_c, l_c = F.col(winner_col), F.col(loser_col)
+    wl = scoped_persist(
+        df.where(w_c.isNotNull() & l_c.isNotNull() & (w_c != l_c))
+        .groupBy(w_c.alias("__w"), l_c.alias("__l"))
+        .agg(F.count(F.lit(1)).alias("__n")),
+        "evaluation.bt_cells",
+        eager=True,
+    )
+    games = scoped_persist(
+        wl.select(F.col("__w").alias("i"), F.col("__l").alias("j"), "__n")
+        .unionByName(
+            wl.select(F.col("__l").alias("i"), F.col("__w").alias("j"), "__n")
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("__n").alias("n")),
+        "evaluation.bt_games",
+        eager=True,
+    )
+    wins = wl.groupBy(F.col("__w").alias("i")).agg(
+        F.sum("__n").cast("bigint").alias("w")
+    )
+    p = (
+        games.select("i")
+        .distinct()
+        .select("i", F.lit(1.0).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        pj = p.select(F.col("i").alias("j"), F.col("p").alias("pj"))
+        d = (
+            games.join(p, "i")
+            .join(pj, "j")
+            .select(
+                "i",
+                F.round(F.col("n") / (F.col("p") + F.col("pj")), 6)
+                .cast("decimal(28,6)")
+                .alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").cast("double").alias("d"))
+        )
+        p = (
+            d.join(wins, "i", "left")
+            .select(
+                "i",
+                F.when(
+                    F.col("w").isNotNull() & (F.col("d") > 0),
+                    F.greatest(
+                        F.round(F.col("w") / F.col("d"), 6), F.lit(1e-6)
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    tot = p.agg(
+        F.sum(F.col("p").cast("decimal(18,6)")).cast("double").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    tgames = games.groupBy("i").agg(F.sum("n").cast("bigint").alias("games"))
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .join(wins, "i", "left")
+        .join(tgames, "i")
+        .select(
+            F.col("i").alias("item"),
+            F.coalesce(F.col("w"), F.lit(0)).cast("bigint").alias("wins"),
+            "games",
+            F.when(
+                F.col("s") > 0,
+                F.round(F.col("p") * F.col("k") / F.col("s"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("strength"),
+        )
+        .orderBy(F.col("strength").desc(), "item")
+    )

@@ -324,3 +324,68 @@ class TestEmbeddingDispersion:
         )
         r = embedding_dispersion(df).collect()[0]
         assert r.n == 1 and r.mean_sq_dist is None
+
+
+class TestBtStrength:
+    def _matches(self, spark, triples):
+        rows = []
+        for w, l, n in triples:
+            rows.extend([(w, l)] * n)
+        return spark.createDataFrame(rows, "winner long, loser long")
+
+    def test_two_player_mle(self, spark):
+        # A beats B 3-1: BT MLE has p_A/p_B = 3; MM converges in one
+        # round from uniform start (D = 4/2 = 2 for both).
+        # Normalized to mean 1: (1.5, 0.5).
+        from seriesly_spark.operators.evaluation import bt_strength
+
+        out = {
+            r.item: r
+            for r in bt_strength(
+                self._matches(spark, [(0, 1, 3), (1, 0, 1)]), iterations=3
+            ).collect()
+        }
+        assert out[0].wins == 3 and out[0].games == 4
+        assert out[1].wins == 1 and out[1].games == 4
+        assert out[0].strength == pytest.approx(1.5)
+        assert out[1].strength == pytest.approx(0.5)
+
+    def test_zero_win_item_has_zero_strength(self, spark):
+        from seriesly_spark.operators.evaluation import bt_strength
+
+        out = {
+            r.item: r
+            for r in bt_strength(
+                self._matches(spark, [(0, 1, 3), (1, 0, 1), (0, 2, 2)]),
+                iterations=3,
+            ).collect()
+        }
+        assert out[2].wins == 0 and out[2].games == 2
+        assert out[2].strength == 0.0
+        assert out[0].strength > out[1].strength > 0.0
+
+    def test_planted_gradient_orders_items(self, spark):
+        # round-robin where the higher index wins every game: strengths
+        # must be strictly increasing in the index.
+        from seriesly_spark.operators.evaluation import bt_strength
+
+        triples = [
+            (j, i, 2) for i in range(4) for j in range(4) if j > i
+        ]
+        rows = bt_strength(
+            self._matches(spark, triples), iterations=3
+        ).collect()
+        assert [r.item for r in rows] == [3, 2, 1, 0]
+        assert rows[-1].strength == 0.0  # item 0 never wins
+
+    def test_self_and_null_rows_ignored(self, spark):
+        from seriesly_spark.operators.evaluation import bt_strength
+
+        df = spark.createDataFrame(
+            [(0, 0), (0, None), (None, 1), (0, 1)],
+            "winner long, loser long",
+        )
+        out = bt_strength(df, iterations=2).collect()
+        assert {(r.item, r.wins, r.games) for r in out} == {
+            (0, 1, 1), (1, 0, 1)
+        }
