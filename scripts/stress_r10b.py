@@ -51,8 +51,13 @@ from seriesly_spark.session import get_spark  # noqa: E402
 from seriesly_spark.operators.clustering import silhouette_report  # noqa: E402
 from seriesly_spark.operators.evaluation import (  # noqa: E402
     best_threshold,
+    bt_strength,
     expected_calibration_error,
     fleiss_kappa,
+    krippendorff_alpha,
+)
+from seriesly_spark.operators.similarity import (  # noqa: E402
+    embedding_dispersion,
 )
 
 N_EVAL = int(os.environ.get("STRESS_EVAL_ROWS", 100_000_000))
@@ -286,6 +291,184 @@ def main():
         got_sil[-1], want_g)
     print(f"silhouette replay check: EXACT (global mean_sil={want_g}, "
           f"per-cluster means match to 6 decimals)", flush=True)
+
+    # ---- krippendorff_alpha at 100M ratings (ragged panel) ---------------
+    # Same 3-rater rule as the fleiss stress; alpha INCLUDES the
+    # id%11 cohort (r=2). Closed form over the id%165 grid.
+    t = timed(lambda: krippendorff_alpha(rated, "item", "cat"))
+    rows.append((f"krippendorff_alpha ({3 * n_items / 1e6:g}M ratings, "
+                 "ragged panel)", t))
+    got_a = krippendorff_alpha(rated, "item", "cat").collect()[0]
+    base, rem = divmod(n_items, 165)
+    by_r = defaultdict(int)
+    n_pair = 0
+    n_unp = 0
+    n_rat = 0
+    marg = Counter()
+    for r in range(165):
+        n_r = base + (1 if r < rem else 0)
+        if n_r == 0:
+            continue
+        a = r % 5
+        b = (r + 1) % 5 if r % 3 == 0 else a
+        c = None if r % 11 == 0 else a
+        cats = [x for x in (a, b, c) if x is not None]
+        ri = len(cats)
+        if ri < 2:
+            n_unp += n_r
+            continue
+        n_pair += n_r
+        n_rat += ri * n_r
+        cell = Counter(cats)
+        by_r[ri] += (ri * ri - sum(v * v for v in cell.values())) * n_r
+        for kk, v in cell.items():
+            marg[kk] += v * n_r
+    u = float(
+        sum(
+            (
+                Decimal(repr(round6(sr / (ri - 1)))).quantize(
+                    Decimal("0.000001")
+                )
+                for ri, sr in by_r.items()
+            ),
+            Decimal(0),
+        )
+    )
+    m2 = sum(v * v for v in marg.values())
+    e_mass = n_rat * n_rat - m2
+    d_o = round6(u / n_rat)
+    d_e = round6(float(e_mass) / (float(n_rat) * float(n_rat - 1)))
+    alpha = round6(1.0 - u * float(n_rat - 1) / float(e_mass))
+    assert got_a["n_items"] == n_pair and got_a["n_unpairable"] == n_unp
+    assert got_a["n_ratings"] == n_rat, (got_a["n_ratings"], n_rat)
+    assert got_a["d_o"] == d_o, (got_a["d_o"], d_o)
+    assert got_a["d_e"] == d_e, (got_a["d_e"], d_e)
+    assert got_a["alpha"] == alpha, (got_a["alpha"], alpha)
+    print(f"krippendorff closed-form check: EXACT (alpha={alpha}; the "
+          f"ragged r=2 cohort participates, {n_unp} unpairable)",
+          flush=True)
+
+    # ---- bt_strength at 100M comparisons ---------------------------------
+    # 8 players; winner = max(a, b) unless id%5 == 0 (upsets) — the
+    # (a, b, upset) triple is a function of id % 280, so the win matrix
+    # is closed-form; the MM rounds are replayed exactly in Python.
+    n_cmp = N_EVAL
+    aa = F.col("id") % 8
+    bb = (F.col("id") * 7 + 3) % 8
+    up_ = F.col("id") % 5 == 0
+    matches = spark.range(n_cmp).where(aa != bb).select(
+        F.when(up_, F.least(aa, bb)).otherwise(F.greatest(aa, bb)).alias(
+            "winner"
+        ),
+        F.when(up_, F.greatest(aa, bb)).otherwise(F.least(aa, bb)).alias(
+            "loser"
+        ),
+    )
+    t = timed(lambda: bt_strength(matches, iterations=3))
+    rows.append((f"bt_strength ({n_cmp / 1e6:g}M comparisons, 8 players)",
+                 t))
+    got_bt2 = {r.item: r for r in bt_strength(matches, iterations=3).collect()}
+    # closed-form win cells over id % 40 (lcm of 8-cycle in (a,b) and 5)
+    wl = Counter()
+    period = 40
+    base, rem = divmod(n_cmp, period)
+    for r in range(period):
+        n_r = base + (1 if r < rem else 0)
+        if n_r == 0:
+            continue
+        a = r % 8
+        b = (r * 7 + 3) % 8
+        if a == b:
+            continue
+        w, l = (min(a, b), max(a, b)) if r % 5 == 0 else (max(a, b),
+                                                          min(a, b))
+        wl[(w, l)] += n_r
+    g2 = Counter()
+    wn2 = Counter()
+    for (w, l), n_ in wl.items():
+        g2[(w, l)] += n_
+        g2[(l, w)] += n_
+        wn2[w] += n_
+    items = sorted({i for i, _ in g2})
+    p_py = {i: 1.0 for i in items}
+    for _ in range(3):
+        newp = {}
+        for i in items:
+            dsum = sum(
+                (
+                    Decimal(repr(round6(g2[(i, j)] / (p_py[i] + p_py[j])))
+                            ).quantize(Decimal("0.000001"))
+                    for j in items
+                    if (i, j) in g2
+                ),
+                Decimal(0),
+            )
+            d_ = float(dsum)
+            if wn2.get(i) and d_ > 0:
+                newp[i] = max(round6(wn2[i] / d_), 1e-6)
+            else:
+                newp[i] = 0.0
+        p_py = newp
+    s_ = float(
+        sum(
+            (Decimal(repr(v)).quantize(Decimal("0.000001"))
+             for v in p_py.values()),
+            Decimal(0),
+        )
+    )
+    k_ = len(items)
+    for i in items:
+        want = round6(p_py[i] * k_ / s_) if s_ > 0 else 0.0
+        assert got_bt2[i].strength == want, (i, got_bt2[i].strength, want)
+        assert got_bt2[i].wins == wn2.get(i, 0)
+    print("bt_strength MM replay check: EXACT (3 rounds, 8 players, "
+          f"top strength={max(r.strength for r in got_bt2.values())})",
+          flush=True)
+
+    # ---- embedding_dispersion at 2M vectors -------------------------------
+    # Reuses the planted silhouette corpus: per-dim sums are closed-form
+    # from the (c, delta) grid.
+    t = timed(lambda: embedding_dispersion(vecs))
+    rows.append((f"embedding_dispersion ({N_VECS / 1e6:g}M vecs, d={D})", t))
+    got_disp = embedding_dispersion(vecs).collect()[0]
+    # closed form: per-dim decimal sums over the period-804 grid
+    sdim = defaultdict(lambda: Decimal(0))
+    s2dim = defaultdict(lambda: Decimal(0))
+    base, rem = divmod(N_VECS, 804)
+    for rid_ in range(804):
+        n_r = base + (1 if rid_ < rem else 0)
+        cc = rid_ % 4
+        dd = ((rid_ * 2003) % 201 - 100) / 1000
+        for dim_, val in ((cc, 1.0), ((cc + 1) % 4, dd)):
+            if dim_ == cc and cc == (cc + 1) % 4:
+                continue
+            sdim[dim_] += dec18(val) * n_r
+            s2dim[dim_] += dec18(val * val) * n_r
+    # dims 4..15 are all-zero but still emit per-dim rows
+    m2_d = float(sum(s2dim.values(), Decimal(0)))
+    q_d = float(
+        sum(
+            (
+                Decimal(repr(round6(float(sdim[dim_]) * float(sdim[dim_]))
+                             )).quantize(Decimal("0.000001"))
+                for dim_ in range(D)
+            ),
+            Decimal(0),
+        )
+    )
+    n_ = N_VECS
+    want_mn = round6(m2_d / n_)
+    want_tr = round6(m2_d / n_ - q_d / (float(n_) * float(n_)))
+    want_msd = round6(2.0 * (n_ * m2_d - q_d) / (float(n_) * float(n_ - 1)))
+    assert got_disp["n"] == n_ and got_disp["dim"] == D, got_disp
+    assert got_disp["mean_norm2"] == want_mn, (got_disp["mean_norm2"],
+                                               want_mn)
+    assert got_disp["trace_cov"] == want_tr, (got_disp["trace_cov"],
+                                              want_tr)
+    assert got_disp["mean_sq_dist"] == want_msd, (got_disp["mean_sq_dist"],
+                                                  want_msd)
+    print(f"embedding_dispersion closed-form check: EXACT "
+          f"(mean_sq_dist={want_msd})", flush=True)
 
     print("\n| op | wall |", flush=True)
     print("|---|---|", flush=True)
