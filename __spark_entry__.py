@@ -4090,9 +4090,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changes since), then the alphabetically-first r07
         # certifications to fill the window. New round-10 queries are
         # inserted at the head as they land (never-certified first).
-        # Slots 1-4: never driver-certified (new this round — the
-        # retrieval-ranking eval, Cohen's-kappa agreement gate, and
-        # the winnowing fingerprint pair).
+        # Slots 1-18: never driver-certified (new in round 10 — the
+        # ranking/agreement/winnowing batch, then the round-10b
+        # evaluator batch: ECE, best-threshold, Fleiss, silhouette,
+        # simhash_eval, Krippendorff, dispersion, Bradley-Terry).
+        # Slots 19-50: the stalest-certified cohort (r05-stamped).
         "rank_eval": q_rank_eval,
         "agreement_kappa": q_agreement_kappa,
         "winnow_stats": q_winnow_stats,
