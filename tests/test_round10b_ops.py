@@ -389,3 +389,38 @@ class TestBtStrength:
         assert {(r.item, r.wins, r.games) for r in out} == {
             (0, 1, 1), (1, 0, 1)
         }
+
+
+class TestSilhouetteAssignmentConsistency:
+    def test_cluster_sizes_match_ivf_assign(self, spark):
+        # silhouette_report's own-cluster argmax must agree with
+        # ivf_assign's (same round-6 cosine, same (sim, -cid) tie-break)
+        # — the gate and the router must see the same partition of the
+        # corpus or the quality numbers describe a different layout.
+        from seriesly_spark.operators.clustering import silhouette_report
+        from seriesly_spark.operators.similarity import ivf_assign
+
+        vecs = spark.range(60).selectExpr(
+            "id AS vec_id",
+            "array(cast(1 + id % 7 as double), cast(id % 3 as double),"
+            " cast((id * 13) % 5 as double)) AS embedding",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+             (2, [0.0, 0.0, 1.0])],
+            "centroid_id long, embedding array<double>",
+        )
+        sil = {
+            r.cluster: r.n
+            for r in silhouette_report(vecs, cents).collect()
+            if r.cluster >= 0
+        }
+        asg = {
+            r.centroid_id: r.n
+            for r in ivf_assign(vecs, cents)
+            .groupBy("centroid_id")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        assert sil == asg
