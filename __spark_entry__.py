@@ -127,6 +127,7 @@ from seriesly_spark.operators.similarity import (
     rademacher_weights,
 )
 from seriesly_spark.operators.similarity import norm as simnorm
+from seriesly_spark.operators.vector_index import IvfIndex
 from seriesly_spark.operators.textstats import (
     BPE_ISH_RE,
     PII_PATTERNS,
@@ -3991,6 +3992,32 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent incremental IVF index, end to end: freeze the
+    first-4 codebook, update with the even then the odd half of the
+    embeddings corpus, compact into the cell-partitioned layout, then
+    probe top-10 for vector 0's embedding at nprobe=2 (own row
+    excluded). The oracle replays routing, cell membership, probe-cell
+    ranking, and the final top-k — value-checking the whole persisted
+    path; probe plans carry PartitionFilters on centroid_id."""
+    import tempfile as _tf2
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cb = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    root = _tf2.mkdtemp(prefix="seriesly-ivfidx-")
+    idx = IvfIndex(spark, f"{root}/idx", codebook=cb)
+    idx.update(emb.where(F.col("vec_id") % 2 == 0))
+    idx.update(emb.where(F.col("vec_id") % 2 == 1))
+    idx.compact()
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0].embedding
+    ]
+    return idx.topk(qv, k=10, nprobe=2, exclude_id=0)
+
+
 def q_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry strengths over a synthetic 5-player preference
     corpus (players doc_id%5 vs (doc_id div 5)%5; the HIGHER index wins
@@ -4113,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krippendorff_alpha": q_krippendorff_alpha,
         "embedding_dispersion": q_embedding_dispersion,
         "bt_strength": q_bt_strength,
+        "ivf_index_topk": q_ivf_index_topk,
         "audio_decode_stats": q_audio_decode_stats,
         "bm25_topk": q_bm25_topk,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4619,6 +4647,33 @@ SELECT n_items, n_unpairable, n_ratings,
                 / CAST(n_ratings * n_ratings - m2 AS DOUBLE), 6)
   END AS alpha
 FROM tot CROSS JOIN u CROSS JOIN m2
+"""
+    # ivf_index_topk: the persisted index must return exactly what the
+    # declarative IVF math says — first-4 codebook routing (ann_ivf's
+    # CTEs), the query's top-2 cells by round-6 cosine (cid tie-break),
+    # exact top-10 inside those cells, own row excluded. Storage
+    # (staging, delta, compaction) must be value-invisible.
+    d["ivf_index_topk"] = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+           WHERE vec_id < 4),
+s AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+    {_cos('e.embedding', 'c.ce')} AS sim
+  FROM embeddings e CROSS JOIN c),
+a AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cid) AS rn
+    FROM s) WHERE rn = 1),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pc AS (SELECT cid FROM (
+         SELECT c.cid, {_cos('q.qe', 'c.ce')} AS sim
+         FROM c CROSS JOIN q
+         ORDER BY sim DESC, cid LIMIT 2))
+SELECT a.vec_id, {_cos('a.embedding', 'q.qe')} AS cos_sim
+FROM a CROSS JOIN q
+WHERE a.cid IN (SELECT cid FROM pc) AND a.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
     # bt_strength: unrolled MM rounds (the _km_round pattern) — per
     # round the opponent terms round-6 then decimal-sum, p re-rounds

@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "krippendorff_alpha",
     "embedding_dispersion",
     "bt_strength",
+    "ivf_index_topk",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)
