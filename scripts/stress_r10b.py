@@ -470,6 +470,65 @@ def main():
     print(f"embedding_dispersion closed-form check: EXACT "
           f"(mean_sq_dist={want_msd})", flush=True)
 
+    # ---- IvfIndex at 2M vectors -------------------------------------------
+    # Same planted corpus as the silhouette: the probe answer is
+    # closed-form. Query = e_0: probe cells (nprobe=2) are [0, 1]
+    # (cos 1.0 to cell 0; 0.0 three-way tie -> smallest cid), and the
+    # top-k are the cell-0 members with delta = 0 (sim exactly 1.0),
+    # smallest vec_id tie-break — enumerable from the period-804 grid.
+    import tempfile as _tf
+
+    from seriesly_spark.operators.vector_index import IvfIndex
+
+    root = _tf.mkdtemp(prefix="stress-ivfidx-")
+    cents_d = [
+        (i, [1.0 if j == i else 0.0 for j in range(D)]) for i in range(4)
+    ]
+    cb = spark.createDataFrame(
+        cents_d, "centroid_id long, embedding array<double>"
+    )
+    idx = IvfIndex(spark, f"{root}/idx", codebook=cb)
+    t0 = time.perf_counter()
+    idx.update(vecs.where(F.col("vec_id") % 2 == 0))
+    idx.update(vecs.where(F.col("vec_id") % 2 == 1))
+    t_upd = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    idx.compact()
+    t_cmp = time.perf_counter() - t0
+    qv = [1.0 if j == 0 else 0.0 for j in range(D)]
+    t0 = time.perf_counter()
+    got_idx = idx.topk(qv, k=10, nprobe=2).collect()
+    t_probe = time.perf_counter() - t0
+    rows.append((f"IvfIndex updates ({N_VECS / 1e6:g}M vecs, 2 batches)",
+                 t_upd))
+    rows.append(("IvfIndex compact (fold into 4 cells)", t_cmp))
+    rows.append(("IvfIndex probe (nprobe=2, k=10)", t_probe))
+    assert set(idx.probe_cells(qv, nprobe=2)) == {0, 1}
+    # expectation via the exact sim6 replica over the period-804 grid:
+    # per grid cell the sim to e_0 depends only on (rid%4, delta);
+    # rank (sim desc, vec_id) over ids < N_VECS in probed cells.
+    grid_sim = {}
+    for rid_ in range(804):
+        cc = rid_ % 4
+        if cc not in (0, 1):
+            continue
+        dd = ((rid_ * 2003) % 201 - 100) / 1000
+        n2v_terms = [1.0 * 1.0, dd * dd]
+        dot_terms = [1.0 * 1.0] if cc == 0 else [dd * 1.0]
+        grid_sim[rid_] = sim6(dot_terms, n2v_terms, 1.0)
+    cand = []
+    floor_sim = sorted({s for s in grid_sim.values()}, reverse=True)
+    cut = floor_sim[min(10, len(floor_sim)) - 1]
+    for rid_, s_ in grid_sim.items():
+        if s_ >= cut:
+            cand.extend((-s_, i) for i in range(rid_, N_VECS, 804))
+    cand.sort()
+    want = [(i, -ns) for ns, i in cand[:10]]
+    got_pairs = [(r.vec_id, r.cos_sim) for r in got_idx]
+    assert got_pairs == want, (got_pairs[:4], want[:4])
+    print(f"IvfIndex probe check: EXACT (top-10 replayed from the grid; "
+          f"head: {got_pairs[:3]})", flush=True)
+
     print("\n| op | wall |", flush=True)
     print("|---|---|", flush=True)
     for name, tt in rows:
