@@ -4018,6 +4018,29 @@ def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(qv, k=10, nprobe=2, exclude_id=0)
 
 
+def q_ivf_index_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched probe of the persistent IVF index: 8 query vectors
+    routed per-query to their top-2 cells (WindowGroupLimit), one
+    partition-pruned scan of the probed-cell union, per-query top-5
+    (self excluded). Oracle replays routing + ranking per query —
+    results must equal per-query probes, in one pass."""
+    import tempfile as _tf3
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cb = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    root = _tf3.mkdtemp(prefix="seriesly-ivfidxm-")
+    idx = IvfIndex(spark, f"{root}/idx", codebook=cb)
+    idx.update(emb.where(F.col("vec_id") % 2 == 0))
+    idx.update(emb.where(F.col("vec_id") % 2 == 1))
+    idx.compact()
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return idx.topk_multi(queries, k=5, nprobe=2, exclude_self=True)
+
+
 def q_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry strengths over a synthetic 5-player preference
     corpus (players doc_id%5 vs (doc_id div 5)%5; the HIGHER index wins
@@ -4141,6 +4164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dispersion": q_embedding_dispersion,
         "bt_strength": q_bt_strength,
         "ivf_index_topk": q_ivf_index_topk,
+        "ivf_index_topk_multi": q_ivf_index_topk_multi,
         "audio_decode_stats": q_audio_decode_stats,
         "bm25_topk": q_bm25_topk,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4674,6 +4698,39 @@ SELECT a.vec_id, {_cos('a.embedding', 'q.qe')} AS cos_sim
 FROM a CROSS JOIN q
 WHERE a.cid IN (SELECT cid FROM pc) AND a.vec_id <> 0
 ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+    # ivf_index_topk_multi: per-query routing (top-2 cells by round-6
+    # cosine, cid tie-break) + per-query top-5 within the probed
+    # cells, self excluded — the batched mirror of ivf_index_topk.
+    d["ivf_index_topk_multi"] = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+           WHERE vec_id < 4),
+s AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+    {_cos('e.embedding', 'c.ce')} AS sim
+  FROM embeddings e CROSS JOIN c),
+a AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cid) AS rn
+    FROM s) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < 8),
+pc AS (SELECT query_id, cid, qe FROM (
+         SELECT q.query_id, q.qe, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos('q.qe', 'c.ce')} DESC, c.cid) AS rn
+         FROM q CROSS JOIN c) WHERE rn <= 2),
+cand AS (
+  SELECT pc.query_id, a.vec_id,
+    {_cos('a.embedding', 'pc.qe')} AS cos_sim
+  FROM a JOIN pc ON a.cid = pc.cid
+  WHERE a.vec_id <> pc.query_id)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, vec_id) AS rn FROM cand)
+WHERE rn <= 5
+ORDER BY query_id, cos_sim DESC, vec_id
 """
     # bt_strength: unrolled MM rounds (the _km_round pattern) — per
     # round the opponent terms round-6 then decimal-sum, p re-rounds

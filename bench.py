@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "embedding_dispersion",
     "bt_strength",
     "ivf_index_topk",
+    "ivf_index_topk_multi",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -237,6 +237,85 @@ class IvfIndex:
         )
         return sims.orderBy(F.col("cos_sim").desc(), "vec_id").limit(int(k))
 
+    def topk_multi(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 1,
+        id_col: str = "query_id",
+        vec_col: str = "embedding",
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """Batched exact-within-probed-cells top-k for a query FRAME —
+        the production probe shape (a retrieval batch never loops the
+        driver over single-query probes): per-query cell routing over
+        the broadcast codebook (row_number <= nprobe compiles to
+        WindowGroupLimit — partial top-k before the exchange), static
+        partition pruning from the O(|Q| x nprobe) distinct
+        probed-cell set (a driver boundary in the rate.py class), ONE
+        scan of the union of probed cells joined against the broadcast
+        routing table, and a per-query rank filter for the final
+        top-k. Round-6 cosines, (cos desc, vec_id) tie-break —
+        identical results to per-query :meth:`topk` calls, in one
+        pass. ``exclude_self`` drops rows where vec_id == query_id
+        (queries drawn from the indexed corpus). Output: (query_id,
+        vec_id, cos_sim) ordered."""
+        from pyspark.sql import Window
+
+        cb = F.broadcast(
+            self._codebook().select(
+                F.col("centroid_id").alias("__cid"),
+                F.col("embedding").alias("__cv"),
+            )
+        )
+        q = queries.select(
+            F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qe")
+        )
+        routed = (
+            q.crossJoin(cb)
+            .select(
+                "__qid",
+                "__qe",
+                "__cid",
+                F.round(cosine(F.col("__qe"), F.col("__cv")), 6).alias(
+                    "__s"
+                ),
+            )
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__qid").orderBy(
+                        F.col("__s").desc(), F.col("__cid")
+                    )
+                ),
+            )
+            .where(F.col("__rn") <= int(nprobe))
+            .select("__qid", "__qe", F.col("__cid").alias("centroid_id"))
+        )
+        cells = [
+            int(r.centroid_id)
+            for r in routed.select("centroid_id").distinct().collect()
+        ]
+        scan = self._cells_df().where(F.col("centroid_id").isin(cells))
+        cand = scan.join(F.broadcast(routed), "centroid_id").select(
+            F.col("__qid").alias("query_id"),
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("__qe")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        if exclude_self:
+            cand = cand.where(F.col("vec_id") != F.col("query_id"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id")
+        )
+        return (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= int(k))
+            .select("query_id", "vec_id", "cos_sim")
+            .orderBy("query_id", F.col("cos_sim").desc(), "vec_id")
+        )
+
     def compact(self, keep_staging: int = 2) -> dict:
         """Fold the delta into the cell-partitioned base — one file per
         cell (repartition by cell BEFORE partitionBy), distinct rows —
@@ -277,3 +356,4 @@ class IvfIndex:
             "files_after": _nfiles(self._data),
             "staging_removed": removed,
         }
+

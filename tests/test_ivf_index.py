@@ -164,3 +164,50 @@ class TestIvfIndex:
         more = _vecs(spark, 140).where(F.col("vec_id") >= 120)
         rep = recovered.update(more).collect()
         assert sum(r.n for r in rep) == 20
+
+
+class TestIvfIndexTopkMulti:
+    def test_equals_per_query_probes(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        vecs = _vecs(spark, 100)
+        idx = IvfIndex(
+            spark, str(tmp_path / "idx"), codebook=_codebook(spark, vecs)
+        )
+        idx.update(vecs)
+        idx.compact()
+        queries = vecs.where(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        multi = idx.topk_multi(
+            queries, k=4, nprobe=2, exclude_self=True
+        ).collect()
+        for qid in range(6):
+            qv = [
+                float(x)
+                for x in vecs.where(F.col("vec_id") == qid)
+                .collect()[0]
+                .embedding
+            ]
+            single = idx.topk(qv, k=4, nprobe=2, exclude_id=qid).collect()
+            got = [
+                (r.vec_id, r.cos_sim) for r in multi if r.query_id == qid
+            ]
+            assert got == [(r.vec_id, r.cos_sim) for r in single], qid
+
+    def test_routing_uses_windowgrouplimit(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        vecs = _vecs(spark, 60)
+        idx = IvfIndex(
+            spark, str(tmp_path / "idx"), codebook=_codebook(spark, vecs)
+        )
+        idx.update(vecs)
+        queries = vecs.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        df = idx.topk_multi(queries, k=3, nprobe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        live = plan.split("== Initial Plan ==")[0]
+        assert "WindowGroupLimit" in live
+        assert "CartesianProduct" not in live
