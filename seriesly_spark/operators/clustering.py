@@ -330,6 +330,11 @@ def silhouette_report(
     from seriesly_spark.operators.similarity import dot, norm2
     from seriesly_spark.operators.util import spread
 
+    if centroids.limit(2).count() < 2:  # k-row frame: a metadata action
+        raise ValueError(
+            "silhouette_report needs >= 2 centroids: with one cell "
+            "there is no 'nearest other' distance and s is undefined"
+        )
     c = F.broadcast(
         centroids.select(
             F.col(centroid_id_col).alias("__cid"),

@@ -424,3 +424,18 @@ class TestSilhouetteAssignmentConsistency:
             .collect()
         }
         assert sil == asg
+
+
+def test_silhouette_rejects_single_centroid(spark):
+    from seriesly_spark.operators.clustering import silhouette_report
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id long, embedding array<double>"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match=">= 2 centroids"):
+        silhouette_report(vecs, cents)
