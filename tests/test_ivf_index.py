@@ -211,3 +211,46 @@ class TestIvfIndexTopkMulti:
         live = plan.split("== Initial Plan ==")[0]
         assert "WindowGroupLimit" in live
         assert "CartesianProduct" not in live
+
+
+class TestIvfIndexCompactCrashRollback:
+    def test_crash_before_any_rename_rolls_back(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # crash at the data -> data.compact-old rename: tmp is complete
+        # but NO swap happened — recovery must DROP the tmp (roll back)
+        # and leave base+delta exactly as they were; a later compact()
+        # then succeeds.
+        vecs = _vecs(spark, 90)
+        idx = IvfIndex(
+            spark, str(tmp_path / "idx"), codebook=_codebook(spark, vecs)
+        )
+        # first compact establishes a base (without one, the swap's
+        # data -> old step is a makedirs, not a rename)
+        idx.update(vecs.where(F.col("vec_id") < 50))
+        idx.compact()
+        idx.update(vecs.where(F.col("vec_id") >= 50))
+        qv = [
+            float(x)
+            for x in vecs.where(F.col("vec_id") == 3)
+            .collect()[0]
+            .embedding
+        ]
+        want = idx.topk(qv, k=6, nprobe=2, exclude_id=3).collect()
+        _crash_rename_from(monkeypatch, idx._data)
+        with pytest.raises(_InjectedCrash):
+            idx.compact()
+        monkeypatch.undo()
+        recovered = IvfIndex(spark, str(tmp_path / "idx"))
+        assert not os.path.isdir(idx._data + ".compact-tmp")
+        assert os.path.isdir(idx._delta)  # delta untouched by rollback
+        assert (
+            recovered.topk(qv, k=6, nprobe=2, exclude_id=3).collect()
+            == want
+        )
+        stats = recovered.compact()
+        assert stats["files_after"] > 0
+        assert (
+            recovered.topk(qv, k=6, nprobe=2, exclude_id=3).collect()
+            == want
+        )
