@@ -222,6 +222,7 @@ from seriesly_spark.streaming.ingest import (
     streaming_dedup_counts,
     streaming_distinct_users,
     streaming_join_pairs,
+    streaming_score_drift,
     streaming_sessionize,
 )
 
@@ -1380,6 +1381,25 @@ WITH e AS (SELECT epoch_us(ts)*1000 AS ts_ns, event_type FROM events)
 SELECT {_bucket('ts_ns', DAY_MS)} AS bucket_ms, event_type, count(*) AS cnt
 FROM e GROUP BY 1, 2
 """
+
+
+def q_streaming_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PSI drift of the live event-value feed against the
+    frozen corpus reference, computed as a stream — the streaming
+    member of the scorer-evaluation family. The streaming stage is
+    only the (window x bin) count aggregate; the PSI fold (dense bin
+    grids, round-6 proportions, psi_report's exact term formula,
+    per-window decimal term fold) runs post-drain and equals the batch
+    computation the oracle replays."""
+    _prep(spark)
+    return streaming_score_drift(
+        spark,
+        f"{sf_dir}/events.parquet",
+        group_ms=DAY_MS,
+        n_bins=10,
+        lo=-5.0,
+        hi=5.0,
+    )
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4166,6 +4186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_strength": q_bt_strength,
         "ivf_index_topk": q_ivf_index_topk,
         "ivf_index_topk_multi": q_ivf_index_topk_multi,
+        "streaming_score_drift": q_streaming_score_drift,
         "audio_decode_stats": q_audio_decode_stats,
         "bm25_topk": q_bm25_topk,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4699,6 +4720,52 @@ SELECT a.vec_id, {_cos('a.embedding', 'q.qe')} AS cos_sim
 FROM a CROSS JOIN q
 WHERE a.cid IN (SELECT cid FROM pc) AND a.vec_id <> 0
 ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+    # streaming_score_drift: the final stream table equals the batch
+    # windowed PSI — mirror the bin expression, round-6 proportions,
+    # psi_report's term formula, and the per-window decimal term fold.
+    d["streaming_score_drift"] = f"""
+WITH e AS (SELECT epoch_us(ts)*1000 AS ts_ns, value FROM events
+           WHERE value IS NOT NULL),
+b AS (SELECT {_bucket('ts_ns', DAY_MS)} AS bucket_ms,
+        least(greatest(CAST(floor((value - -5.0) / 10.0 * 10) AS INT),
+                       0), 9) AS bin
+      FROM e),
+cur AS (SELECT bucket_ms, bin, CAST(count(*) AS BIGINT) AS n_cur
+        FROM b GROUP BY 1, 2),
+refc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref
+         FROM b GROUP BY 1),
+bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+refd AS (SELECT bins.bin, coalesce(refc.n_ref, 0) AS n_ref
+         FROM bins LEFT JOIN refc USING (bin)),
+refp AS (SELECT bin,
+           CASE WHEN (SELECT sum(n_ref) FROM refd) > 0 THEN
+             round(CAST(n_ref AS DOUBLE)
+                   / (SELECT sum(n_ref) FROM refd), 6) END AS p_ref
+         FROM refd),
+wins AS (SELECT DISTINCT bucket_ms FROM cur),
+grid AS (SELECT w.bucket_ms, bins.bin FROM wins w CROSS JOIN bins),
+j AS (SELECT grid.bucket_ms, grid.bin,
+        coalesce(cur.n_cur, 0) AS n_cur, refp.p_ref
+      FROM grid
+      LEFT JOIN cur ON grid.bucket_ms = cur.bucket_ms
+                   AND grid.bin = cur.bin
+      JOIN refp ON grid.bin = refp.bin),
+p AS (SELECT bucket_ms, n_cur, p_ref,
+        CASE WHEN sum(n_cur) OVER (PARTITION BY bucket_ms) > 0 THEN
+          round(CAST(n_cur AS DOUBLE)
+                / sum(n_cur) OVER (PARTITION BY bucket_ms), 6)
+        END AS p_cur
+      FROM j),
+t AS (SELECT bucket_ms, n_cur,
+        CASE WHEN p_ref IS NOT NULL AND p_cur IS NOT NULL THEN
+          round((greatest(p_cur, 1e-6) - greatest(p_ref, 1e-6))
+                * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6)), 6)
+        END AS term
+      FROM p)
+SELECT bucket_ms, CAST(sum(n_cur) AS BIGINT) AS n,
+       round(CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS psi
+FROM t GROUP BY bucket_ms ORDER BY bucket_ms
 """
     # ivf_index_topk_multi: per-query routing (top-2 cells by round-6
     # cosine, cid tie-break) + per-query top-5 within the probed

@@ -25,7 +25,7 @@ import tempfile
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -441,3 +441,134 @@ def streaming_dedup_counts(
         return _run_to_memory(agg, query_name, "complete", spark)
     finally:
         _rm_staging(stream_dir)
+
+
+def streaming_score_drift(
+    spark: SparkSession,
+    events_path: str,
+    group_ms: int = 86_400_000,
+    n_bins: int = 10,
+    lo: float = -5.0,
+    hi: float = 5.0,
+    eps: float = 1e-6,
+    query_name: str = "stream_score_drift",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Windowed PSI drift of the event-value distribution against the
+    corpus-wide reference, computed AS A STREAM — the streaming member
+    of the scorer-evaluation family: the monitor a pipeline runs on the
+    live scored feed so a scorer's thresholds stop being trusted the
+    day the distribution moves, not at the next batch audit.
+
+    The STREAMING stage is only the windowed bin-count aggregate
+    (map-side-combined; state is (window x n_bins) counters — bounded,
+    watermark-evictable); everything after the drain is an
+    n_bins-per-window batch fold: dense bin grid per window (groupBy
+    DROPS empty bins and an empty bin IS the drift signal — the
+    psi_report rule), round-6 proportions, the exact psi_report term
+    formula ((p - q) * ln(p / q) on eps-clamped round-6 proportions),
+    and a per-window decimal fold of the round-6 terms (order-
+    independent — a float sum over bins is the cross-engine trap).
+    The final table equals the batch windowed-PSI computation, which
+    is what the DuckDB oracle replays. Output: (bucket_ms, n, psi)
+    ordered; psi NULL only when the reference side is empty.
+    """
+    span = hi - lo
+
+    def binned(col):
+        return F.least(
+            F.greatest(
+                F.floor((col - F.lit(lo)) / F.lit(span) * n_bins).cast(
+                    "int"
+                ),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+
+    src, staged = _stream_source(spark, events_path)
+    withts = src.where(F.col("value").isNotNull()).withColumn(
+        "__ts", F.col("ts")
+    )
+    if watermark is not None:
+        withts = withts.withWatermark("__ts", watermark)
+    agg = withts.groupBy(
+        F.window("__ts", f"{group_ms} milliseconds"),
+        binned(F.col("value")).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n_cur"))
+    mode = "update" if watermark is not None else "complete"
+    try:
+        tbl = _run_to_memory(agg, query_name, mode, spark)
+    finally:
+        _rm_staging(staged)
+    counts = tbl.select(
+        F.unix_millis(F.col("window.start")).alias("bucket_ms"),
+        "bin",
+        "n_cur",
+    )
+    if watermark is not None:
+        # update mode re-emits changed rows; counts grow monotonically,
+        # so the latest emission is the max.
+        counts = counts.groupBy("bucket_ms", "bin").agg(
+            F.max("n_cur").alias("n_cur")
+        )
+    # Frozen reference: the whole corpus profile, computed batch-side
+    # over the same normalized source (n_bins rows; dense).
+    ref = (
+        normalize_events(spark.read.parquet(events_path))
+        .where(F.col("value").isNotNull())
+        .groupBy(binned(F.col("value")).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    refd = bins.join(ref, "bin", "left").select(
+        "bin", F.coalesce("n_ref", F.lit(0)).alias("n_ref")
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    refp = refd.select(
+        "bin",
+        F.when(
+            F.sum("n_ref").over(tot) > 0,
+            F.round(F.col("n_ref") / F.sum("n_ref").over(tot), 6),
+        ).alias("p_ref"),
+    )
+    wins = counts.select("bucket_ms").distinct()
+    grid = wins.crossJoin(F.broadcast(bins))
+    j = (
+        grid.join(counts, ["bucket_ms", "bin"], "left")
+        .select(
+            "bucket_ms",
+            "bin",
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .join(F.broadcast(refp), "bin")
+    )
+    wtot = Window.partitionBy("bucket_ms")
+    withp = j.select(
+        "bucket_ms",
+        "n_cur",
+        "p_ref",
+        F.when(
+            F.sum("n_cur").over(wtot) > 0,
+            F.round(F.col("n_cur") / F.sum("n_cur").over(wtot), 6),
+        ).alias("p_cur"),
+    )
+    p = F.greatest(F.col("p_cur"), F.lit(eps))
+    q = F.greatest(F.col("p_ref"), F.lit(eps))
+    term = F.when(
+        F.col("p_ref").isNotNull() & F.col("p_cur").isNotNull(),
+        F.round((p - q) * F.log(p / q), 6),
+    )
+    return (
+        withp.withColumn("__t", term)
+        .groupBy("bucket_ms")
+        .agg(
+            F.sum("n_cur").cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("__t").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("psi"),
+        )
+        .orderBy("bucket_ms")
+    )

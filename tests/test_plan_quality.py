@@ -27,6 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 # dedicated tests (test_streaming_join, test_db stream tests) instead.
 SKIP = {
     "streaming_bucket_agg",
+    "streaming_score_drift",
     "streaming_watermarked_agg",
     "streaming_sessionize",
     "streaming_dedup",
