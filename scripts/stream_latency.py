@@ -146,6 +146,29 @@ def main():
         results["streaming_distinct"] = drain(
             dist, "lat_distinct", "complete", spark
         )
+
+        # 6. windowed score-drift bin counts (the streaming half of
+        # streaming_score_drift; the PSI fold is post-drain batch work)
+        src = source(spark, d)
+        bins = F.least(
+            F.greatest(
+                F.floor((F.col("value") + 5.0) / 10.0 * 10).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(9),
+        )
+        drift = (
+            src.where(F.col("value").isNotNull())
+            .withWatermark("ts", "1 day")
+            .groupBy(
+                F.window("ts", "86400000 milliseconds"),
+                bins.alias("bin"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_cur"))
+        )
+        results["streaming_score_drift"] = drain(
+            drift, "lat_drift", "update", spark
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
