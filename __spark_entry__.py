@@ -4163,9 +4163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Slots 1-21: never driver-certified (new in round 10 — the
         # ranking/agreement/winnowing batch, then the round-10b
         # evaluator batch: ECE, best-threshold, Fleiss, silhouette,
-        # simhash_eval, Krippendorff, dispersion, Bradley-Terry, and
-        # the IvfIndex probe pair). Slots 22-50: the stalest-certified
-        # cohort (r05-stamped).
+        # simhash_eval, Krippendorff, dispersion, Bradley-Terry, the
+        # IvfIndex probe pair, and the streaming PSI drift monitor).
+        # Slots 22-50: the stalest-certified cohort (r05-stamped).
         "rank_eval": q_rank_eval,
         "agreement_kappa": q_agreement_kappa,
         "winnow_stats": q_winnow_stats,
