@@ -821,11 +821,16 @@ class SimhashIndex:
         max_hamming: int = 3,
         auto_compact_files: int | None = None,
         auto_compact_ratio: float | None = None,
+        tables: str = "pigeonhole4",
     ):
         if not 0 <= max_hamming <= 3:
             raise ValueError(
-                "max_hamming must be in [0, 3]: the 4x16 band split "
-                "only guarantees an intact band for Hamming <= 3"
+                "max_hamming must be in [0, 3]: both table splits "
+                "only guarantee an intact band for Hamming <= 3"
+            )
+        if tables not in ("pigeonhole4", "manku20"):
+            raise ValueError(
+                f"tables must be 'pigeonhole4' or 'manku20', got {tables!r}"
             )
         self.spark = spark
         self.path = path
@@ -847,6 +852,26 @@ class SimhashIndex:
                 "files directly under the index root; rebuild from the "
                 "source corpus or point at a fresh path."
             )
+        # The table split shapes every persisted (band, bval) row, so
+        # it is FROZEN at creation (the IvfIndex codebook rule): a
+        # probe under a different split would silently miss matches.
+        # Legacy indexes (no marker) are pigeonhole4 by construction.
+        marker = os.path.join(path, "TABLES")
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                frozen = f.read().strip()
+            if frozen != tables:
+                raise ValueError(
+                    f"SimhashIndex at {path} was built with "
+                    f"tables={frozen!r}; reopening with {tables!r} "
+                    "requires a rebuild at a fresh path."
+                )
+        else:
+            os.makedirs(path, exist_ok=True)
+            with open(marker, "w") as f:
+                f.write(tables)
+        self.tables = tables
+        self._n_bands = 4 if tables == "pigeonhole4" else 20
 
     _SCHEMA = "bval long, hi long, lo long, band int"
 
@@ -879,7 +904,8 @@ class SimhashIndex:
     def _signatures(
         self, docs: DataFrame, text_col: str, id_col: str
     ) -> DataFrame:
-        """(id, band, bval, hi, lo) — 4 pigeonhole rows per doc."""
+        """(id, band, bval, hi, lo) — 4 pigeonhole rows per doc, or 20
+        Manku-table rows (see :meth:`_manku_keys`)."""
         from seriesly_spark.operators.dedup import simhash64_md5
 
         sig = simhash64_md5(docs, text_col, id_col).select(
@@ -887,18 +913,53 @@ class SimhashIndex:
             F.col("sig_hi").alias("hi"),
             F.col("sig_lo").alias("lo"),
         )
-        bands = F.array(
-            F.col("lo").bitwiseAND(F.lit(65535)),
-            F.shiftright(F.col("lo"), 16),
-            F.col("hi").bitwiseAND(F.lit(65535)),
-            F.shiftright(F.col("hi"), 16),
-        )
+        if self.tables == "manku20":
+            bands = self._manku_keys()
+        else:
+            bands = F.array(
+                F.col("lo").bitwiseAND(F.lit(65535)),
+                F.shiftright(F.col("lo"), 16),
+                F.col("hi").bitwiseAND(F.lit(65535)),
+                F.shiftright(F.col("hi"), 16),
+            )
         return sig.select(
             "id",
             "hi",
             "lo",
             F.posexplode(bands).alias("band", "bval"),
         )
+
+    @staticmethod
+    def _manku_keys() -> "F.Column":
+        """The Manku/Jain/Sarma (WWW 2007) multi-table split for 64-bit
+        fingerprints at Hamming <= 3: six blocks (11+11+10 bits per
+        32-bit half), one table per C(6,3) = 20 block TRIPLES, keyed on
+        the concatenated ~32-bit triple value. Any 3 bit-flips dirty at
+        most 3 blocks, so at least one triple stays intact — lossless,
+        exactly like the 4x16 split — but the key space per table is
+        ~2^32 instead of 2^16: at 10^9+ docs a band bucket holds
+        ~|history|/2^32 rows instead of /2^16, which is what keeps the
+        candidate join's blast radius flat at that scale (the cost is
+        20 stored rows per doc instead of 4)."""
+        from itertools import combinations
+
+        blocks = []
+        for half in (F.col("lo"), F.col("hi")):
+            blocks.extend(
+                [
+                    half.bitwiseAND(F.lit(0x7FF)),
+                    F.shiftright(half, 11).bitwiseAND(F.lit(0x7FF)),
+                    F.shiftright(half, 22).bitwiseAND(F.lit(0x3FF)),
+                ]
+            )
+        keys = []
+        for i, j, k in combinations(range(6), 3):
+            keys.append(
+                blocks[i]
+                + F.shiftleft(blocks[j], 11)
+                + F.shiftleft(blocks[k], 22)
+            )
+        return F.array(*keys)
 
     def update(
         self,
@@ -988,7 +1049,7 @@ class SimhashIndex:
             (
                 self._index_df()
                 .distinct()
-                .repartition(4, "band")
+                .repartition(self._n_bands, "band")
                 .sortWithinPartitions("bval", "hi", "lo")
                 .write.mode("overwrite")
                 .partitionBy("band")

@@ -439,3 +439,75 @@ def test_silhouette_rejects_single_centroid(spark):
 
     with _pt.raises(ValueError, match=">= 2 centroids"):
         silhouette_report(vecs, cents)
+
+
+class TestSimhashIndexManku:
+    """The Manku (WWW'07) 20-table split: same verified MATCHES as the
+    4x16 pigeonhole split (both are lossless for Hamming <= 3), finer
+    candidate keys. The split is frozen with the index."""
+
+    def _corpus(self, spark):
+        base = "one two three four five six seven eight nine ten"
+        a = spark.createDataFrame(
+            [
+                (1, base),
+                (2, "totally different content in this one here"),
+                (3, "the quick brown fox jumps over the lazy dog"),
+            ],
+            "doc_id long, text string",
+        )
+        b = spark.createDataFrame(
+            [
+                (10, base),  # verbatim replay: Hamming 0
+                (11, "nothing like anything prior at all ok then"),
+                (12, "the quick brown fox jumps over the lazy dog"),
+            ],
+            "doc_id long, text string",
+        )
+        return a, b
+
+    def test_modes_agree_on_verified_matches(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import SimhashIndex
+
+        a, b = self._corpus(spark)
+        outs = {}
+        for mode in ("pigeonhole4", "manku20"):
+            idx = SimhashIndex(
+                spark, str(tmp_path / mode), tables=mode
+            )
+            idx.update(a)
+            outs[mode] = {
+                r.id: (r.near_dup, r.n_dup_hits)
+                for r in idx.update(b).collect()
+            }
+        assert outs["pigeonhole4"] == outs["manku20"]
+        assert outs["manku20"][10] == (True, 1)
+        assert outs["manku20"][11] == (False, 0)
+
+    def test_manku_compact_preserves_matches(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import SimhashIndex
+
+        a, b = self._corpus(spark)
+        idx = SimhashIndex(spark, str(tmp_path / "m"), tables="manku20")
+        idx.update(a)
+        idx.compact()
+        out = {r.id: r.near_dup for r in idx.update(b).collect()}
+        assert out[10] and out[12] and not out[11]
+
+    def test_table_split_is_frozen(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import SimhashIndex
+
+        SimhashIndex(spark, str(tmp_path / "f"), tables="manku20")
+        with pytest.raises(ValueError, match="rebuild at a fresh path"):
+            SimhashIndex(spark, str(tmp_path / "f"), tables="pigeonhole4")
+        # reopening with the SAME split is fine
+        SimhashIndex(spark, str(tmp_path / "f"), tables="manku20")
+        # legacy default reopens as pigeonhole4
+        SimhashIndex(spark, str(tmp_path / "g"))
+        SimhashIndex(spark, str(tmp_path / "g"), tables="pigeonhole4")
+
+    def test_unknown_split_rejected(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import SimhashIndex
+
+        with pytest.raises(ValueError, match="pigeonhole4"):
+            SimhashIndex(spark, str(tmp_path / "x"), tables="manku6")
