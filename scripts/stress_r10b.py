@@ -529,6 +529,51 @@ def main():
     print(f"IvfIndex probe check: EXACT (top-10 replayed from the grid; "
           f"head: {got_pairs[:3]})", flush=True)
 
+    # batched probe: the 4 centroid directions as a query frame — each
+    # query's top-10 must equal the single-probe replay for its axis
+    # (the grid is symmetric under cluster rotation, so the same
+    # per-cell ranking applies with rid%4 == c).
+    qdf = spark.createDataFrame(
+        [(c, [1.0 if j == c else 0.0 for j in range(D)]) for c in range(4)],
+        "query_id long, embedding array<double>",
+    )
+    t0 = time.perf_counter()
+    got_multi = idx.topk_multi(qdf, k=10, nprobe=2).collect()
+    t_multi = time.perf_counter() - t0
+    rows.append(("IvfIndex topk_multi (4 queries, nprobe=2, k=10)", t_multi))
+    by_q = {}
+    for r in got_multi:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.cos_sim))
+    for c in range(4):
+        # per-axis replica (cheap: 804 cells): for query e_c the probed
+        # candidates with nonzero sim are own-cell members (rid%4 == c,
+        # dot = 1) and — when probed — the (c-1)%4 cell (dot = delta);
+        # every other probed vector sims to exactly 0.0 and can't reach
+        # the top-10 against ~N/4 own-cell members.
+        gs = {}
+        for rid_ in range(804):
+            cc = rid_ % 4
+            dd = ((rid_ * 2003) % 201 - 100) / 1000
+            n2v_terms = [1.0, dd * dd]
+            if cc == c:
+                gs[rid_] = sim6([1.0], n2v_terms, 1.0)
+            elif (cc + 1) % 4 == c:
+                gs[rid_] = sim6([dd], n2v_terms, 1.0)
+        # probed cells for query e_c: cell c (cos 1) + smallest other
+        probe2 = {c, min(x for x in range(4) if x != c)}
+        cand_c = []
+        fl = sorted({s for rid_, s in gs.items() if rid_ % 4 in probe2},
+                    reverse=True)
+        cut_c = fl[min(10, len(fl)) - 1]
+        for rid_, s_ in gs.items():
+            if rid_ % 4 in probe2 and s_ >= cut_c:
+                cand_c.extend((-s_, i) for i in range(rid_, N_VECS, 804))
+        cand_c.sort()
+        want_c = [(i, -ns) for ns, i in cand_c[:10]]
+        assert by_q[c] == want_c, (c, by_q[c][:3], want_c[:3])
+    print("IvfIndex topk_multi check: EXACT (all 4 query axes replayed)",
+          flush=True)
+
     print("\n| op | wall |", flush=True)
     print("|---|---|", flush=True)
     for name, tt in rows:
