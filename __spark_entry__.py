@@ -190,6 +190,7 @@ from seriesly_spark.operators.clustering import (
     silhouette_report,
 )
 from seriesly_spark.operators.urls import normalize_url, url_dedup_stats
+from seriesly_spark.operators.bpe import bpe_train
 from seriesly_spark.operators.packing import chunk_documents, pack_sequences
 from seriesly_spark.operators.windows import (
     fill_gaps,
@@ -1381,6 +1382,19 @@ WITH e AS (SELECT epoch_us(ts)*1000 AS ts_ns, event_type FROM events)
 SELECT {_bucket('ts_ns', DAY_MS)} AS bucket_ms, event_type, count(*) AS cnt
 FROM e GROUP BY 1, 2
 """
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 6 BPE merges on the documents corpus (words <= 24 chars —
+    the URL/hash junk guard): ONE corpus aggregate to the (word, count)
+    vocabulary, then vocabulary-sized rounds, each picking the
+    (count DESC, lhs, rhs) argmax pair and applying it with the greedy
+    left-to-right fold. The oracle unrolls all six rounds (list_reduce
+    mirror of the Spark aggregate fold), value-checking the learned
+    merge table end to end."""
+    return bpe_train(
+        _table(spark, sf_dir, "documents"), merges=6, max_word_len=24
+    )
 
 
 def q_streaming_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4187,6 +4201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_topk": q_ivf_index_topk,
         "ivf_index_topk_multi": q_ivf_index_topk_multi,
         "streaming_score_drift": q_streaming_score_drift,
+        "bpe_train": q_bpe_train,
         "audio_decode_stats": q_audio_decode_stats,
         "bm25_topk": q_bm25_topk,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4720,6 +4735,43 @@ SELECT a.vec_id, {_cos('a.embedding', 'q.qe')} AS cos_sim
 FROM a CROSS JOIN q
 WHERE a.cid IN (SELECT cid FROM pc) AND a.vec_id <> 0
 ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+    # bpe_train: unrolled BPE rounds — per round the argmax pair by
+    # (count DESC, lhs, rhs) and the greedy left-to-right fusion via
+    # list_reduce (the Spark aggregate fold's exact mirror).
+    def _bpe_round(r: int) -> str:
+        return f"""
+p{r} AS (SELECT u.pr.a AS a, u.pr.b AS b, CAST(sum(n) AS BIGINT) AS cnt
+         FROM v{r - 1}, unnest(
+           CASE WHEN len(syms) >= 2 THEN
+             list_transform(range(1, len(syms)),
+                            i -> {{'a': syms[i], 'b': syms[i + 1]}})
+           ELSE [] END) AS u(pr)
+         GROUP BY 1, 2),
+m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+v{r} AS (SELECT v.n,
+           CASE WHEN len(v.syms) <= 1 THEN v.syms
+           ELSE list_reduce(list_transform(v.syms, s -> [s]),
+                (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                                 THEN acc[1:len(acc) - 1] || [m.a || m.b]
+                                 ELSE acc || x END) END AS syms
+         FROM v{r - 1} v, m{r} m)"""
+
+    _bpe_rounds = ",".join(_bpe_round(r) for r in range(1, 7))
+    _bpe_sel = "\nUNION ALL ".join(
+        f"SELECT {r} AS \"rank\", a AS lhs, b AS rhs, cnt AS pair_count "
+        f"FROM m{r}"
+        for r in range(1, 7)
+    )
+    d["bpe_train"] = f"""
+WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(regexp_split_to_array(trim(text),
+                   '\\s+')) AS word FROM documents)
+           WHERE word <> '' AND len(word) <= 24 GROUP BY 1),
+v0 AS (SELECT n, list_transform(range(1, len(word) + 1),
+         i -> substr(word, i, 1)) AS syms FROM w),{_bpe_rounds}
+{_bpe_sel}
+ORDER BY "rank"
 """
     # streaming_score_drift: the final stream table equals the batch
     # windowed PSI — mirror the bin expression, round-6 proportions,

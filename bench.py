@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "bt_strength",
     "ivf_index_topk",
     "ivf_index_topk_multi",
+    "bpe_train",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -1,0 +1,113 @@
+"""BPE tokenizer training on the cluster — learn the top-K byte-pair
+merges from a corpus (Sennrich et al. 2016, the algorithm behind
+GPT-2/RoBERTa vocabularies; `textstats.token_counts_bpe` APPLIES a
+BPE-ish pretokenizer — this TRAINS the merge table itself).
+
+The load-bearing scale property is the classic one: after ONE corpus
+aggregate to the (word, count) vocabulary table, every training round
+runs on the VOCABULARY, not the corpus — pair statistics are
+sum-of-counts over distinct words (HF `tokenizers` trains exactly this
+way). The corpus is touched once no matter how many merges are
+learned; the per-round work is |vocab|-sized with map-side-combined
+pair aggregates.
+
+Determinism (oracle-replayable, the kmeans/bt_strength convention):
+a FIXED number of rounds, each round's winning pair chosen by
+(count DESC, left, right) — binary string order in both engines —
+and merges applied by a LEFT-TO-RIGHT GREEDY fold (an 'aaa' corpus
+with merge (a,a) fuses positions 1-2, leaving the third 'a' alone),
+expressed as the same fold in Spark (`aggregate`) and DuckDB
+(`list_reduce`). The winning pair is collected per round — one 1-row
+driver boundary per merge, the rate.py class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+_PAIRS = (
+    "CASE WHEN size(syms) >= 2 THEN "
+    "transform(sequence(0, size(syms) - 2), "
+    "i -> struct(syms[i] AS a, syms[i + 1] AS b)) "
+    "ELSE cast(array() AS array<struct<a: string, b: string>>) END"
+)
+
+
+def _fuse(syms, a: str, b: str):
+    """Greedy left-to-right application of merge (a, b): walking the
+    symbol list, fuse when the accumulator's last symbol is ``a`` and
+    the next is ``b`` — non-overlapping by construction (the fused
+    symbol a||b no longer equals ``a``, barring a||b == a which needs
+    the empty string, filtered at tokenization)."""
+    merged = F.array(F.lit(a + b))
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), merged),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: int = 8,
+    max_word_len: int | None = None,
+) -> DataFrame:
+    """Learn ``merges`` BPE merge rules from the corpus. Words are
+    whitespace tokens split to characters; ``max_word_len`` (optional)
+    drops longer words from the vocabulary (URL/hash junk guard — a
+    64-char token contributes 63 pair slots per occurrence).
+
+    Output: (rank, lhs, rhs, pair_count) — one row per learned merge
+    in training order; fewer than ``merges`` rows when the vocabulary
+    runs out of repeated pairs. The result is driver-sized (K rows) by
+    construction; the vocabulary table it is distilled from never
+    leaves the cluster.
+    """
+    if merges < 1:
+        raise ValueError("merges must be >= 1")
+    spark = docs.sparkSession
+    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+    w = docs.select(tok).where(F.col("word") != "")
+    if max_word_len is not None:
+        w = w.where(F.length("word") <= max_word_len)
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for r in range(1, merges + 1):
+        best = (
+            vocab.select("n", F.explode(F.expr(_PAIRS)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0].a, best[0].b, int(best[0].cnt)
+        rows.append((r, a, b, cnt))
+        vocab = vocab.select(
+            "n", _fuse(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "rank int, lhs string, rhs string, pair_count long",
+    )

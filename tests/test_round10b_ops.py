@@ -511,3 +511,63 @@ class TestSimhashIndexManku:
 
         with pytest.raises(ValueError, match="pigeonhole4"):
             SimhashIndex(spark, str(tmp_path / "x"), tables="manku6")
+
+
+class TestBpeTrain:
+    def test_textbook_merges(self, spark):
+        from seriesly_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "low lower lowest low low"), (2, "new newer newest new")],
+            "doc_id long, text string",
+        )
+        got = [tuple(r) for r in bpe_train(df, merges=4).collect()]
+        # (l,o) x5 wins round 1; then (lo,w) x5; the (e,w)/(n,e) x4 tie
+        # breaks lexicographically to (e,w); then (n,ew).
+        assert got == [
+            (1, "l", "o", 5),
+            (2, "lo", "w", 5),
+            (3, "e", "w", 4),
+            (4, "n", "ew", 4),
+        ]
+
+    def test_greedy_nonoverlapping_fusion(self, spark):
+        from seriesly_spark.operators.bpe import bpe_train
+
+        # 'aaaa': round 1 learns (a,a) with count 3 (three adjacent
+        # slots); round 2 sees [aa, aa] -> learns (aa,aa) with count 1.
+        df = spark.createDataFrame(
+            [(1, "aaaa")], "doc_id long, text string"
+        )
+        got = [tuple(r) for r in bpe_train(df, merges=2).collect()]
+        assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+
+    def test_runs_out_of_pairs(self, spark):
+        from seriesly_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "ab ab")], "doc_id long, text string"
+        )
+        got = [tuple(r) for r in bpe_train(df, merges=5).collect()]
+        # one merge exhausts every multi-symbol word
+        assert got == [(1, "a", "b", 2)]
+
+    def test_max_word_len_guard(self, spark):
+        from seriesly_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "zzzzzzzzzz ab ab")], "doc_id long, text string"
+        )
+        got = [tuple(r) for r in bpe_train(
+            df, merges=1, max_word_len=5
+        ).collect()]
+        assert got == [(1, "a", "b", 2)]  # the z-blob never participates
+
+    def test_merges_below_one_rejected(self, spark):
+        from seriesly_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            bpe_train(df, merges=0)
