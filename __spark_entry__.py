@@ -4174,12 +4174,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changes since), then the alphabetically-first r07
         # certifications to fill the window. New round-10 queries are
         # inserted at the head as they land (never-certified first).
-        # Slots 1-21: never driver-certified (new in round 10 — the
+        # Slots 1-22: never driver-certified (new in round 10 — the
         # ranking/agreement/winnowing batch, then the round-10b
         # evaluator batch: ECE, best-threshold, Fleiss, silhouette,
         # simhash_eval, Krippendorff, dispersion, Bradley-Terry, the
-        # IvfIndex probe pair, and the streaming PSI drift monitor).
-        # Slots 22-50: the stalest-certified cohort (r05-stamped).
+        # IvfIndex probe pair, the streaming PSI drift monitor, and
+        # BPE merge training).
+        # Slots 23-50: the stalest-certified cohort (r05-stamped).
         "rank_eval": q_rank_eval,
         "agreement_kappa": q_agreement_kappa,
         "winnow_stats": q_winnow_stats,
