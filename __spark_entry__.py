@@ -190,7 +190,7 @@ from seriesly_spark.operators.clustering import (
     silhouette_report,
 )
 from seriesly_spark.operators.urls import normalize_url, url_dedup_stats
-from seriesly_spark.operators.bpe import bpe_train
+from seriesly_spark.operators.bpe import bpe_stats, bpe_train
 from seriesly_spark.operators.packing import chunk_documents, pack_sequences
 from seriesly_spark.operators.windows import (
     fill_gaps,
@@ -1393,6 +1393,17 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror of the Spark aggregate fold), value-checking the learned
     merge table end to end."""
     return bpe_train(
+        _table(spark, sf_dir, "documents"), merges=6, max_word_len=24
+    )
+
+
+def q_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility/compression of the 6-merge BPE vocabulary learned on
+    the documents corpus: BIGINT symbol masses before/after the merges
+    weighted by word counts, two IEEE divisions. Oracle replays the
+    training AND the scoring (the bpe_train rounds with the original
+    word length threaded through)."""
+    return bpe_stats(
         _table(spark, sf_dir, "documents"), merges=6, max_word_len=24
     )
 
@@ -4174,13 +4185,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changes since), then the alphabetically-first r07
         # certifications to fill the window. New round-10 queries are
         # inserted at the head as they land (never-certified first).
-        # Slots 1-22: never driver-certified (new in round 10 — the
+        # Slots 1-23: never driver-certified (new in round 10 — the
         # ranking/agreement/winnowing batch, then the round-10b
         # evaluator batch: ECE, best-threshold, Fleiss, silhouette,
         # simhash_eval, Krippendorff, dispersion, Bradley-Terry, the
         # IvfIndex probe pair, the streaming PSI drift monitor, and
-        # BPE merge training).
-        # Slots 23-50: the stalest-certified cohort (r05-stamped).
+        # BPE merge training + its fertility gate).
+        # Slots 24-50: the stalest-certified cohort (r05-stamped).
         "rank_eval": q_rank_eval,
         "agreement_kappa": q_agreement_kappa,
         "winnow_stats": q_winnow_stats,
@@ -4203,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_topk_multi": q_ivf_index_topk_multi,
         "streaming_score_drift": q_streaming_score_drift,
         "bpe_train": q_bpe_train,
+        "bpe_stats": q_bpe_stats,
         "audio_decode_stats": q_audio_decode_stats,
         "bm25_topk": q_bm25_topk,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4773,6 +4785,46 @@ v0 AS (SELECT n, list_transform(range(1, len(word) + 1),
          i -> substr(word, i, 1)) AS syms FROM w),{_bpe_rounds}
 {_bpe_sel}
 ORDER BY "rank"
+"""
+    # bpe_stats: the same unrolled rounds with the original word
+    # length (len0) threaded through; the final fold is pure BIGINT
+    # masses + two IEEE divisions.
+    def _bpe_round_len(r: int) -> str:
+        return f"""
+p{r} AS (SELECT u.pr.a AS a, u.pr.b AS b, CAST(sum(n) AS BIGINT) AS cnt
+         FROM v{r - 1}, unnest(
+           CASE WHEN len(syms) >= 2 THEN
+             list_transform(range(1, len(syms)),
+                            i -> {{'a': syms[i], 'b': syms[i + 1]}})
+           ELSE [] END) AS u(pr)
+         GROUP BY 1, 2),
+m{r} AS (SELECT a, b FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+v{r} AS (SELECT v.n, v.len0,
+           CASE WHEN len(v.syms) <= 1 THEN v.syms
+           ELSE list_reduce(list_transform(v.syms, s -> [s]),
+                (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                                 THEN acc[1:len(acc) - 1] || [m.a || m.b]
+                                 ELSE acc || x END) END AS syms
+         FROM v{r - 1} v, m{r} m)"""
+
+    _bpe_rounds_len = ",".join(_bpe_round_len(r) for r in range(1, 7))
+    d["bpe_stats"] = f"""
+WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(regexp_split_to_array(trim(text),
+                   '\\s+')) AS word FROM documents)
+           WHERE word <> '' AND len(word) <= 24 GROUP BY 1),
+v0 AS (SELECT n, CAST(len(word) AS BIGINT) AS len0,
+         list_transform(range(1, len(word) + 1),
+         i -> substr(word, i, 1)) AS syms FROM w),{_bpe_rounds_len}
+SELECT CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n) AS BIGINT) AS n_word_instances,
+       CAST(sum(n * len0) AS BIGINT) AS symbols_before,
+       CAST(sum(n * len(syms)) AS BIGINT) AS symbols_after,
+       round(CAST(sum(n * len(syms)) AS DOUBLE)
+             / CAST(sum(n) AS DOUBLE), 6) AS tokens_per_word,
+       round(CAST(sum(n * len(syms)) AS DOUBLE)
+             / CAST(sum(n * len0) AS DOUBLE), 6) AS compression
+FROM v6
 """
     # streaming_score_drift: the final stream table equals the batch
     # windowed PSI — mirror the bin expression, round-6 proportions,

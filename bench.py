@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "ivf_index_topk",
     "ivf_index_topk_multi",
     "bpe_train",
+    "bpe_stats",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

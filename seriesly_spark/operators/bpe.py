@@ -111,3 +111,73 @@ def bpe_train(
         spark.sparkContext.parallelize(rows, 1),
         "rank int, lhs string, rhs string, pair_count long",
     )
+
+
+def bpe_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: int = 8,
+    max_word_len: int | None = None,
+) -> DataFrame:
+    """Train ``merges`` BPE rules (exactly :func:`bpe_train`'s loop)
+    and score what the learned vocabulary buys on the SAME corpus —
+    the fertility/compression gate a tokenizer budget decision reads:
+    symbols per word instance before (= characters) and after the
+    merges, and their ratio.
+
+    Every mass is a BIGINT sum over the vocabulary weighted by corpus
+    counts (symbols_after = sum n * |syms|), so the two ratios are
+    single IEEE divisions — engine-exact. Output one row: (n_words,
+    n_word_instances, symbols_before, symbols_after, tokens_per_word,
+    compression); n_words is distinct vocabulary size.
+    """
+    if merges < 1:
+        raise ValueError("merges must be >= 1")
+    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+    w = docs.select(tok).where(F.col("word") != "")
+    if max_word_len is not None:
+        w = w.where(F.length("word") <= max_word_len)
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.length("word").alias("len0"),
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(merges):
+        best = (
+            vocab.select("n", F.explode(F.expr(_PAIRS)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        vocab = vocab.select(
+            "n",
+            "len0",
+            _fuse(F.col("syms"), best[0].a, best[0].b).alias("syms"),
+        ).localCheckpoint(eager=True)
+    before = F.sum(F.col("n") * F.col("len0")).cast("bigint")
+    after = F.sum(F.col("n") * F.size("syms")).cast("bigint")
+    inst = F.sum("n").cast("bigint")
+    return vocab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        inst.alias("n_word_instances"),
+        before.alias("symbols_before"),
+        after.alias("symbols_after"),
+        F.round(
+            after.cast("double") / inst.cast("double"), 6
+        ).alias("tokens_per_word"),
+        F.round(
+            after.cast("double") / before.cast("double"), 6
+        ).alias("compression"),
+    )

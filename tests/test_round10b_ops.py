@@ -571,3 +571,30 @@ class TestBpeTrain:
 
         with _pt.raises(ValueError):
             bpe_train(df, merges=0)
+
+
+class TestBpeStats:
+    def test_hand_computed_compression(self, spark):
+        from seriesly_spark.operators.bpe import bpe_stats
+
+        # vocab: ab x3 (2 chars), abc x1 (3): before = 3*2 + 1*3 = 9
+        # merge 1 = (a,b) x4 -> ab:[ab] (1 sym), abc:[ab,c] (2 syms)
+        # after one more merge (ab,c) x1 -> abc:[abc]
+        # merges=2: after = 3*1 + 1*1 = 4; instances = 4
+        df = spark.createDataFrame(
+            [(1, "ab ab ab abc")], "doc_id long, text string"
+        )
+        r = bpe_stats(df, merges=2).collect()[0]
+        assert r.n_words == 2 and r.n_word_instances == 4
+        assert r.symbols_before == 9 and r.symbols_after == 4
+        assert r.tokens_per_word == pytest.approx(1.0)
+        assert r.compression == pytest.approx(round(4 / 9, 6))
+
+    def test_zero_merges_rejected(self, spark):
+        from seriesly_spark.operators.bpe import bpe_stats
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            bpe_stats(df, merges=0)
