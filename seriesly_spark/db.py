@@ -773,8 +773,11 @@ class SerieslyDB:
         if dedup_within is not None:
             return (
                 s.withColumn(
+                    # Integer division: seq is a NANOSECOND epoch long
+                    # (~2^60); float `/` would round it through a 53-bit
+                    # mantissa (~200 ns loss) before the cast.
                     "__commit_ts",
-                    F.timestamp_micros((F.col("seq") / 1000).cast("long")),
+                    F.timestamp_micros(F.expr("seq div 1000")),
                 )
                 .withWatermark("__commit_ts", dedup_within)
                 .dropDuplicatesWithinWatermark(["seq"])

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from seriesly_spark.operators.util import CheckpointRotator
+
 
 _PAIRS = (
     "CASE WHEN size(syms) >= 2 THEN "
@@ -78,7 +80,12 @@ def bpe_train(
     w = docs.select(tok).where(F.col("word") != "")
     if max_word_len is not None:
         w = w.where(F.length("word") <= max_word_len)
-    vocab = (
+    # Each round's vocabulary is eagerly checkpointed (lineage would
+    # otherwise nest one fold per merge); the rotator unpersists the
+    # PREVIOUS round's blocks so the loop holds one live vocabulary
+    # copy, not merges+1.
+    rot = CheckpointRotator()
+    vocab = rot.checkpoint(
         w.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -88,7 +95,6 @@ def bpe_train(
                 "i -> substring(word, i, 1))"
             ).alias("syms"),
         )
-        .localCheckpoint(eager=True)
     )
     rows = []
     for r in range(1, merges + 1):
@@ -104,9 +110,12 @@ def bpe_train(
             break
         a, b, cnt = best[0].a, best[0].b, int(best[0].cnt)
         rows.append((r, a, b, cnt))
-        vocab = vocab.select(
-            "n", _fuse(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=True)
+        vocab = rot.checkpoint(
+            vocab.select("n", _fuse(F.col("syms"), a, b).alias("syms"))
+        )
+    # The merge table was collected in-loop; nothing references the
+    # final vocabulary copy anymore.
+    rot.close(spark.sparkContext)
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
         "rank int, lhs string, rhs string, pair_count long",
@@ -137,7 +146,11 @@ def bpe_stats(
     w = docs.select(tok).where(F.col("word") != "")
     if max_word_len is not None:
         w = w.where(F.length("word") <= max_word_len)
-    vocab = (
+    # One-live-copy checkpoint lifecycle, exactly as in bpe_train. The
+    # FINAL round's checkpoint stays alive — the returned aggregate
+    # reads it — which is the same one-copy budget as scoped_persist.
+    rot = CheckpointRotator()
+    vocab = rot.checkpoint(
         w.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -148,7 +161,6 @@ def bpe_stats(
                 "i -> substring(word, i, 1))"
             ).alias("syms"),
         )
-        .localCheckpoint(eager=True)
     )
     for _ in range(merges):
         best = (
@@ -161,11 +173,13 @@ def bpe_stats(
         )
         if not best:
             break
-        vocab = vocab.select(
-            "n",
-            "len0",
-            _fuse(F.col("syms"), best[0].a, best[0].b).alias("syms"),
-        ).localCheckpoint(eager=True)
+        vocab = rot.checkpoint(
+            vocab.select(
+                "n",
+                "len0",
+                _fuse(F.col("syms"), best[0].a, best[0].b).alias("syms"),
+            )
+        )
     before = F.sum(F.col("n") * F.col("len0")).cast("bigint")
     after = F.sum(F.col("n") * F.size("syms")).cast("bigint")
     inst = F.sum("n").cast("bigint")

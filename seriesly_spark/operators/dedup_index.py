@@ -855,18 +855,26 @@ class SimhashIndex:
         # The table split shapes every persisted (band, bval) row, so
         # it is FROZEN at creation (the IvfIndex codebook rule): a
         # probe under a different split would silently miss matches.
-        # Legacy indexes (no marker) are pigeonhole4 by construction.
+        # Legacy indexes (no marker) are pigeonhole4 by construction —
+        # so when the marker is absent but fingerprint rows already
+        # exist, the index IS pigeonhole4 and stamping a different
+        # requested split would silently probe 20-band keys against
+        # 4-band rows (every historical near-dup classifies as novel).
         marker = os.path.join(path, "TABLES")
         if os.path.isfile(marker):
             with open(marker) as f:
                 frozen = f.read().strip()
-            if frozen != tables:
-                raise ValueError(
-                    f"SimhashIndex at {path} was built with "
-                    f"tables={frozen!r}; reopening with {tables!r} "
-                    "requires a rebuild at a fresh path."
-                )
+        elif _has_parquet(self._data) or _has_parquet(self._delta):
+            frozen = "pigeonhole4"
         else:
+            frozen = None
+        if frozen is not None and frozen != tables:
+            raise ValueError(
+                f"SimhashIndex at {path} was built with "
+                f"tables={frozen!r}; reopening with {tables!r} "
+                "requires a rebuild at a fresh path."
+            )
+        if not os.path.isfile(marker):
             os.makedirs(path, exist_ok=True)
             with open(marker, "w") as f:
                 f.write(tables)
@@ -1022,7 +1030,14 @@ class SimhashIndex:
         staged = self.spark.read.schema(
             "id long, n_candidates long, n_dup_hits long, near_dup boolean"
         ).parquet(out_dir)
-        to_append = sig.select("band", "bval", "hi", "lo")
+        # Never index NULL fingerprints (DedupIndex's never-index-NULL
+        # rule): a NULL/empty-text doc yields sig rows with NULL
+        # bval/hi/lo that no equi-join probe can ever match — appending
+        # them just grows junk rows per shard forever. The doc still
+        # gets its classification row above (0 candidates).
+        to_append = sig.select("band", "bval", "hi", "lo").where(
+            F.col("hi").isNotNull() & F.col("lo").isNotNull()
+        )
         if _dir_bytes(sig_dir) < 32 << 20:
             to_append = to_append.coalesce(1)
         to_append.write.mode("append").parquet(self._delta)

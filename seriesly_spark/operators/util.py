@@ -82,3 +82,62 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+_ROTATOR_LOCK = threading.Lock()
+
+
+class CheckpointRotator:
+    """One-live-copy lifecycle for ``localCheckpoint`` loops.
+
+    Iterative operators (BPE merge rounds, label propagation) must
+    eagerly ``localCheckpoint`` each round to truncate lineage, but a
+    checkpointed frame's blocks are NOT freed by ``DataFrame.
+    unpersist()`` (checkpoints bypass the CacheManager — measured: the
+    blocks stay in ``getPersistentRDDs`` after the call), so a K-round
+    loop accumulates K+1 full copies of the loop state in the block
+    manager. This helper tracks the checkpoint's underlying persistent
+    RDD ids (the diff of ``getPersistentRDDs`` around the checkpoint,
+    taken under a process-wide lock so two concurrent rotators can't
+    claim each other's ids) and unpersists the PREVIOUS round's blocks
+    once the new round's checkpoint has materialized — bounded at one
+    live copy, the ``scoped_persist`` budget.
+    """
+
+    def __init__(self) -> None:
+        self._ids: set[int] = set()
+
+    @staticmethod
+    def _persistent_ids(sc) -> set[int]:
+        m = sc._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    @staticmethod
+    def _unpersist(sc, ids: set[int]) -> None:
+        if not ids:
+            return
+        try:
+            m = sc._jsc.getPersistentRDDs()
+            for k in list(m.keySet().toArray()):
+                if int(k) in ids:
+                    m.get(k).unpersist(False)
+        except Exception:
+            pass  # freeing is best-effort (e.g. session already stopped)
+
+    def checkpoint(self, df: DataFrame) -> DataFrame:
+        """Eagerly checkpoint ``df`` and free the rotator's previous
+        checkpoint (safe: the new frame no longer references it)."""
+        sc = df.sparkSession.sparkContext
+        with _ROTATOR_LOCK:
+            before = self._persistent_ids(sc)
+            cp = df.localCheckpoint(eager=True)
+            new_ids = self._persistent_ids(sc) - before
+        prev, self._ids = self._ids, new_ids
+        self._unpersist(sc, prev)
+        return cp
+
+    def close(self, sc) -> None:
+        """Free the final round's blocks once the loop's RESULT no
+        longer depends on them (e.g. after it was collected)."""
+        ids, self._ids = self._ids, set()
+        self._unpersist(sc, ids)
