@@ -955,6 +955,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_table(spark, sf_dir, "documents"), n=3, bands=16)
 
 
+def q_dedup_minhash_lsh_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates at rows_per_band=2 (8 bands x 2 hashes
+    over the SAME 16-hash signature vector as the r=1 miner) — the
+    precision banding `lsh_autotune` recommends once r=1's any-single-
+    hash collisions over-generate (quadratically, as the corpus grows).
+    Band k's signature is md5(h_{2k} || h_{2k+1}); the oracle replays
+    the per-hash chunk minhashes and the concat+md5 fold in SQL."""
+    return minhash_lsh_pairs(
+        _table(spark, sf_dir, "documents"), n=3, bands=8, rows_per_band=2
+    )
+
+
 def q_dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-guarded minhash miner (max_bucket=25): (band, sig)
     buckets shared by more than 25 docs are dropped before the
@@ -4178,70 +4190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_certified.py asserts every entry is certified or inside
     the current head-50."""
     return {
-        # --- head-50 layout for the r10 driver window ---
-        # Every entry is certified (CERTIFIED.json now folds r01-r09).
-        # Rotation re-stamps the STALEST cohort: the 45 queries whose
-        # newest green driver row is r05 (four rounds of shared-spine
-        # changes since), then the alphabetically-first r07
-        # certifications to fill the window. New round-10 queries are
-        # inserted at the head as they land (never-certified first).
-        # Slots 1-23: never driver-certified (new in round 10 — the
-        # ranking/agreement/winnowing batch, then the round-10b
-        # evaluator batch: ECE, best-threshold, Fleiss, silhouette,
-        # simhash_eval, Krippendorff, dispersion, Bradley-Terry, the
-        # IvfIndex probe pair, the streaming PSI drift monitor, and
-        # BPE merge training + its fertility gate).
-        # Slots 24-50: the stalest-certified cohort (r05-stamped).
-        "rank_eval": q_rank_eval,
-        "agreement_kappa": q_agreement_kappa,
-        "winnow_stats": q_winnow_stats,
-        "winnow_overlap": q_winnow_overlap,
-        "classifier_report": q_classifier_report,
-        "ann_rank_eval": q_ann_rank_eval,
-        "pii_redact": q_pii_redact,
-        "score_brier": q_score_brier,
-        "winnow_eval": q_winnow_eval,
-        "simhash_index_incremental": q_simhash_index_incremental,
-        "score_ece": q_score_ece,
-        "score_best_threshold": q_score_best_threshold,
-        "fleiss_kappa": q_fleiss_kappa,
-        "kmeans_silhouette": q_kmeans_silhouette,
-        "simhash_eval": q_simhash_eval,
-        "krippendorff_alpha": q_krippendorff_alpha,
-        "embedding_dispersion": q_embedding_dispersion,
-        "bt_strength": q_bt_strength,
-        "ivf_index_topk": q_ivf_index_topk,
-        "ivf_index_topk_multi": q_ivf_index_topk_multi,
-        "streaming_score_drift": q_streaming_score_drift,
-        "bpe_train": q_bpe_train,
-        "bpe_stats": q_bpe_stats,
-        "audio_decode_stats": q_audio_decode_stats,
-        "bm25_topk": q_bm25_topk,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "chisq_type_hour": q_chisq_type_hour,
-        "compression_ratio": q_compression_ratio,
-        "containment_dup": q_containment_dup,
-        "containment_dup_capped": q_containment_dup_capped,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_cosine_pairs": q_dedup_cosine_pairs,
-        "dedup_index_incremental": q_dedup_index_incremental,
-        "dedup_ladder_report": q_dedup_ladder_report,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
-        "dedup_simhash": q_dedup_simhash,
-        "epoch_shuffle": q_epoch_shuffle,
-        "hard_negatives": q_hard_negatives,
-        "hash_split": q_hash_split,
-        "heavy_hitters_tokens": q_heavy_hitters,
-        "hll_rollup_users": q_hll_rollup_users,
-        "image_decode_stats": q_image_decode_stats,
-        "jpeg_decode_stats": q_jpeg_decode_stats,
-        "lang_confusion": q_lang_confusion,
-        "lsh_eval": q_lsh_eval,
-        "markov_transitions": q_markov_transitions,
-        "minhash_index_incremental": q_minhash_index_incremental,
-        "p01_multi_pointer": q_p01_multi_pointer,
+        # --- head-50: the next driver certification window ---
+        # Regenerated by scripts/rotate_registry.py: never-
+        # certified entries first (registration order), then the
+        # stalest-certified cohorts (CERTIFIED.json), alphabetical
+        # within a cohort; alphabetical tail.
+        "dedup_minhash_lsh_r2": q_dedup_minhash_lsh_r2,
         "p05_bucket_agg": q_p05_bucket_agg,
         "pca_certify": q_pca_certify,
         "png_decode_stats": q_png_decode_stats,
@@ -4265,31 +4219,173 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_screen": q_compression_screen,
         "contamination": q_contamination,
         "dedup_best": q_dedup_best,
-        # --- tail: newer-certified cohorts (r07 rest, r08, r09) ---
+        "dedup_exact": q_dedup_exact,
+        "dedup_index_bucketed_probe": q_dedup_index_bucketed_probe,
+        "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
+        "embedding_centroids": q_embedding_centroids,
+        "encoding_screen": q_encoding_screen,
+        "gapfill_hourly": q_gapfill_hourly,
+        "hopping_window": q_hopping_window,
+        "lang_id": q_lang_id,
+        "lsh_autotune": q_lsh_autotune,
+        "minhash_bucketed_probe": q_minhash_bucketed_probe,
+        "mixture_sample": q_mixture_sample,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_meta": q_multimodal_meta,
+        "p02_canonical_filter": q_p02_canonical_filter,
+        "p02_canonical_numbers": q_p02_canonical_numbers,
+        "p03_eq_filter": q_p03_eq_filter,
+        "percentiles": q_percentiles,
+        "range_join": q_range_join,
+        "rep_stats": q_rep_stats,
+        "revenue_by_nation": q_revenue_by_nation,
+        "rollup_daily": q_rollup_daily,
+        "s01_range_read": q_s01_range_read,
+        "s03_point_lookup": q_s03_point_lookup,
+        "s04_upsert_lww": q_s04_upsert_lww,
+        "s06_bulk_delete_effect": q_s06_bulk_delete_effect,
+        # --- tail: certified; covered by the all-query
+        # oracle replay in tests/test_entry_oracle.py ---
+        "activity_concentration": q_concentration,
+        "agreement_kappa": q_agreement_kappa,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "ann_ivf_trained": q_ann_ivf_trained,
-        "score_ks": q_score_ks,
-        "score_lift": q_score_lift,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_multi_exact": q_ann_multi_exact,
+        "ann_rank_eval": q_ann_rank_eval,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_quantized": q_ann_topk_quantized,
+        "approx_pct_certify": q_approx_pct_certify,
+        "audio_decode_stats": q_audio_decode_stats,
         "autocorr_lag1": q_autocorr_lag1,
         "bigram_lm": q_bigram_lm,
+        "bm25_topk": q_bm25_topk,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "bpe_stats": q_bpe_stats,
+        "bpe_train": q_bpe_train,
+        "bt_strength": q_bt_strength,
+        "bucketed_sessionize": q_bucketed_sessionize,
+        "c01_cache_hit": q_c01_cache_hit,
+        "char_entropy": q_char_entropy,
+        "chisq_type_hour": q_chisq_type_hour,
+        "chunk_documents": q_chunk_documents,
+        "classifier_report": q_classifier_report,
+        "cohort_retention": q_cohort_retention,
+        "collocation_pmi": q_collocation_pmi,
         "column_profile": q_column_profile,
+        "compression_ratio": q_compression_ratio,
+        "containment_dup": q_containment_dup,
+        "containment_dup_capped": q_containment_dup_capped,
+        "continuous_rollup": q_continuous_rollup,
         "corr_pairs_hourly": q_corr_pairs_hourly,
         "cusum_changepoint": q_cusum_changepoint,
+        "daily_type_pivot": q_daily_type_pivot,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_cosine_pairs": q_dedup_cosine_pairs,
+        "dedup_index_incremental": q_dedup_index_incremental,
+        "dedup_ladder_report": q_dedup_ladder_report,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "dedup_simhash": q_dedup_simhash,
+        "distinct_users_daily": q_distinct_users_daily,
+        "dup_span": q_dup_span,
+        "embedding_dispersion": q_embedding_dispersion,
+        "embedding_normalize": q_embedding_normalize,
+        "embedding_quantize": q_embedding_quantize,
+        "epoch_shuffle": q_epoch_shuffle,
+        "ewma_hourly": q_ewma_hourly,
+        "fleiss_kappa": q_fleiss_kappa,
+        "funnel_counts": q_funnel_counts,
+        "funnel_users": q_funnel_users,
+        "gapfill_linear": q_gapfill_linear,
+        "hard_negatives": q_hard_negatives,
+        "hash_split": q_hash_split,
+        "heavy_hitters_tokens": q_heavy_hitters,
+        "histogram_clamped": q_histogram_clamped,
+        "hll_rollup_users": q_hll_rollup_users,
+        "image_decode_stats": q_image_decode_stats,
         "inter_event_stats": q_inter_event_stats,
         "interval_coverage": q_interval_coverage,
         "iqr_outliers": q_iqr_outliers,
+        "ivf_cell_purity": q_ivf_cell_purity,
+        "ivf_index_topk": q_ivf_index_topk,
+        "ivf_index_topk_multi": q_ivf_index_topk_multi,
+        "jpeg_decode_stats": q_jpeg_decode_stats,
+        "kmeans_lloyd": q_kmeans_lloyd,
+        "kmeans_silhouette": q_kmeans_silhouette,
+        "krippendorff_alpha": q_krippendorff_alpha,
+        "lang_confusion": q_lang_confusion,
         "length_curriculum": q_length_curriculum,
         "levenshtein_pairs": q_levenshtein_pairs,
+        "lsh_eval": q_lsh_eval,
+        "mad_outliers": q_mad_outliers,
+        "markov_transitions": q_markov_transitions,
         "merge_intervals": q_merge_intervals,
+        "minhash_index_incremental": q_minhash_index_incremental,
+        "minmax_downsample": q_minmax_downsample,
+        "mixture_plan": q_mixture_plan,
+        "moving_avg_6h": q_moving_avg_6h,
         "normalized_dedup": q_normalized_dedup,
+        "p01_multi_pointer": q_p01_multi_pointer,
+        "p08_timeout": q_p08_timeout,
+        "pack_sequences": q_pack_sequences,
         "pct_change_series": q_pct_change,
+        "pii_redact": q_pii_redact,
         "pii_screen": q_pii_screen,
+        "pipeline_e2e": q_pipeline_e2e,
+        "quality_filter": q_quality_filter,
         "quantile_transform": q_quantile_transform,
+        "rank_eval": q_rank_eval,
         "rfm_scores": q_rfm,
         "rollup_events": q_rollup_events,
+        "s07_compact_effect": q_s07_compact_effect,
+        "s08_ddl_roundtrip": q_s08_ddl_roundtrip,
+        "s09_db_info": q_s09_db_info,
+        "s10_dump_limit": q_s10_dump_limit,
+        "s14_single_doc_delete": q_s14_single_doc_delete,
+        "s15_poll_copy": q_s15_poll_copy,
+        "s16_dump_load_roundtrip": q_s16_dump_load_roundtrip,
+        "salted_join": q_salted_join,
+        "sample_hash": q_sample_hash,
+        "score_auc": q_score_auc,
+        "score_auc_by_source": q_score_auc_by_source,
+        "score_best_threshold": q_score_best_threshold,
+        "score_brier": q_score_brier,
+        "score_calibration": q_score_calibration,
+        "score_ece": q_score_ece,
+        "score_ks": q_score_ks,
+        "score_lift": q_score_lift,
+        "score_pr_curve": q_score_pr_curve,
+        "score_psi_shards": q_score_psi_shards,
         "seasonal_residuals": q_seasonal_residuals,
+        "series_gaps": q_series_gaps,
+        "sessionize_users": q_sessionize_users,
+        "setops_users": q_setops_users,
+        "simhash_eval": q_simhash_eval,
+        "simhash_index_incremental": q_simhash_index_incremental,
         "sliding_distinct_users": q_sliding_distinct,
+        "snapshot_diff": q_snapshot_diff,
         "source_profile": q_source_profile,
+        "streaming_bucket_agg": q_streaming_bucket_agg,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_join": q_streaming_join,
+        "streaming_score_drift": q_streaming_score_drift,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_watermarked_agg": q_streaming_watermarked_agg,
         "substring_dup": q_substring_dup,
+        "t01_parse_time": q_t01_parse_time,
+        "text_fingerprint": q_text_fingerprint,
+        "text_stats": q_text_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "time_weighted_avg": q_time_weighted_avg,
+        "token_counts_bpe": q_token_counts_bpe,
+        "topk_events_per_type": q_topk_events_per_type,
+        "tpch_q1": q_tpch_q1,
         "tpch_q10": q_tpch_q10,
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
@@ -4302,115 +4398,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "tpch_q21_fast": q_tpch_q21_fast,
         "tpch_q22": q_tpch_q22,
+        "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "trend_slope": q_trend_slope,
         "type_cooccurrence": q_type_cooccurrence,
         "type_token_ratio": q_type_token_ratio,
         "unpivot_daily": q_unpivot_daily,
+        "value_histogram": q_value_histogram,
+        "vocab_topk": q_vocab_topk,
         "weighted_sample": q_weighted_sample,
         "welch_ttest": q_welch_ttest,
-        "activity_concentration": q_concentration,
-        "ann_ivf": q_ann_ivf,
-        "ann_topk_cosine": q_ann_topk_cosine,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "approx_pct_certify": q_approx_pct_certify,
-        "dup_span": q_dup_span,
-        "snapshot_diff": q_snapshot_diff,
-        "mixture_plan": q_mixture_plan,
-        "ann_multi_exact": q_ann_multi_exact,
-        "ann_lsh_recall": q_ann_lsh_recall,
-        "score_auc": q_score_auc,
-        "score_calibration": q_score_calibration,
-        "score_auc_by_source": q_score_auc_by_source,
-        "score_pr_curve": q_score_pr_curve,
-        "score_psi_shards": q_score_psi_shards,
-        "ivf_cell_purity": q_ivf_cell_purity,
-        "ann_ivf_recall": q_ann_ivf_recall,
-        "moving_avg_6h": q_moving_avg_6h,
-        "distinct_users_daily": q_distinct_users_daily,
-        "quality_filter": q_quality_filter,
-        "s07_compact_effect": q_s07_compact_effect,
-        "s08_ddl_roundtrip": q_s08_ddl_roundtrip,
-        "s14_single_doc_delete": q_s14_single_doc_delete,
-        "p08_timeout": q_p08_timeout,
-        "c01_cache_hit": q_c01_cache_hit,
-        "s16_dump_load_roundtrip": q_s16_dump_load_roundtrip,
-        "s15_poll_copy": q_s15_poll_copy,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "streaming_dedup": q_streaming_dedup,
-        "bucketed_sessionize": q_bucketed_sessionize,
-        "embedding_normalize": q_embedding_normalize,
-        "embedding_quantize": q_embedding_quantize,
-        "salted_join": q_salted_join,
-        "continuous_rollup": q_continuous_rollup,
-        "pipeline_e2e": q_pipeline_e2e,
-        "ann_topk_quantized": q_ann_topk_quantized,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "cohort_retention": q_cohort_retention,
-        "funnel_counts": q_funnel_counts,
-        "funnel_users": q_funnel_users,
+        "winnow_eval": q_winnow_eval,
+        "winnow_overlap": q_winnow_overlap,
+        "winnow_stats": q_winnow_stats,
         "zscore_outliers": q_zscore_outliers,
-        "gapfill_linear": q_gapfill_linear,
-        "ewma_hourly": q_ewma_hourly,
-        "streaming_join": q_streaming_join,
-        "kmeans_lloyd": q_kmeans_lloyd,
-        "histogram_clamped": q_histogram_clamped,
-        "daily_type_pivot": q_daily_type_pivot,
-        "mad_outliers": q_mad_outliers,
-        "char_entropy": q_char_entropy,
-        "collocation_pmi": q_collocation_pmi,
-        "time_weighted_avg": q_time_weighted_avg,
-        "series_gaps": q_series_gaps,
-        "minmax_downsample": q_minmax_downsample,
-        "lsh_autotune": q_lsh_autotune,
-        "encoding_screen": q_encoding_screen,
-        "dedup_index_bucketed_probe": q_dedup_index_bucketed_probe,
-        "minhash_bucketed_probe": q_minhash_bucketed_probe,
-        "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
-        "p03_eq_filter": q_p03_eq_filter,
-        "sample_hash": q_sample_hash,
-        "s01_range_read": q_s01_range_read,
-        "s03_point_lookup": q_s03_point_lookup,
-        "s09_db_info": q_s09_db_info,
-        "s10_dump_limit": q_s10_dump_limit,
-        "p02_canonical_numbers": q_p02_canonical_numbers,
-        "p02_canonical_filter": q_p02_canonical_filter,
-        "t01_parse_time": q_t01_parse_time,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "text_fingerprint": q_text_fingerprint,
-        "lang_id": q_lang_id,
-        "s06_bulk_delete_effect": q_s06_bulk_delete_effect,
-        "token_counts_bpe": q_token_counts_bpe,
-        "hopping_window": q_hopping_window,
-        "s04_upsert_lww": q_s04_upsert_lww,
-        "range_join": q_range_join,
-        "percentiles": q_percentiles,
-        "value_histogram": q_value_histogram,
-        "sessionize_users": q_sessionize_users,
-        "topk_events_per_type": q_topk_events_per_type,
-        "revenue_by_nation": q_revenue_by_nation,
-        "streaming_bucket_agg": q_streaming_bucket_agg,
-        "streaming_watermarked_agg": q_streaming_watermarked_agg,
-        "streaming_sessionize": q_streaming_sessionize,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_features": q_multimodal_features,
-        "vocab_topk": q_vocab_topk,
-        "rollup_daily": q_rollup_daily,
-        "mixture_sample": q_mixture_sample,
-        "setops_users": q_setops_users,
-        "rep_stats": q_rep_stats,
-        "embedding_centroids": q_embedding_centroids,
-        "gapfill_hourly": q_gapfill_hourly,
     }
 
 
@@ -5790,6 +5795,23 @@ sig AS (
       substr(md5((band // 4)::VARCHAR || '|' || x),
              ((band % 4) * 8 + 1)::INT, 8))) AS sig
   FROM g, unnest(range(0, 16)) AS u(band)
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+""",
+        "dedup_minhash_lsh_r2": f"""
+WITH g AS ({_GRAMS_SQL}),
+h AS (
+  SELECT doc_id, i,
+    list_min(list_transform(grams, x ->
+      substr(md5((i // 4)::VARCHAR || '|' || x),
+             ((i % 4) * 8 + 1)::INT, 8))) AS hv
+  FROM g, unnest(range(0, 16)) AS u(i)
+),
+sig AS (
+  SELECT doc_id, (i // 2)::INT AS band,
+         md5(string_agg(hv, '' ORDER BY i)) AS sig
+  FROM h GROUP BY doc_id, (i // 2)::INT
 )
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id

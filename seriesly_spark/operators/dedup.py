@@ -306,6 +306,32 @@ def minhash_chunk_signatures(grams_col, bands: int):
     )
 
 
+def minhash_band_sigs(grams_col, bands: int, rows_per_band: int = 1):
+    """Array of ``bands`` banded LSH signatures over a SHARED
+    ``bands * rows_per_band``-hash minhash vector — the exact banding
+    convention :func:`lsh_autotune` scores, so a tuner-picked
+    (bands, rows_per_band) config runs verbatim in the production
+    miner/index. ``rows_per_band == 1`` keeps the historical raw-chunk
+    signatures (oracle-pinned since round 4); ``r > 1`` folds each
+    band's r consecutive chunks into one md5 — a band collides only
+    when ALL r member minhashes agree, the precision knob that stops
+    r=1's quadratic candidate over-generation as the corpus grows (any
+    Jaccard >~ 0.25 pair collides SOMEWHERE among 16 single-hash
+    bands; at r=2 the per-band collision probability is s^2)."""
+    if rows_per_band < 1:
+        raise ValueError("rows_per_band must be >= 1")
+    mh = minhash_chunk_signatures(grams_col, bands * rows_per_band)
+    if rows_per_band == 1:
+        return mh
+    r = rows_per_band
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda k: F.md5(
+            F.concat_ws("", F.slice(mh, k * r + 1, r)).cast("binary")
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -313,15 +339,20 @@ def minhash_lsh_pairs(
     n: int = 3,
     bands: int = 16,
     max_bucket: int | None = None,
+    rows_per_band: int = 1,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via minhash banding (r=1 per band).
+    """Candidate near-duplicate pairs via minhash banding.
 
     Per band i, the signature is min over shingles of md5(i || shingle) —
     a valid minhash under the uniform ordering of the hex strings, and
     portable (md5 exists in Spark, DuckDB, everywhere). Two docs are
     candidates when any band signature collides. Expected to catch pairs
-    with Jaccard >= ~1 - (1 - s)^bands; follow with ngram_jaccard_pairs on
-    the candidates for exactness at scale.
+    with Jaccard >= ~1 - (1 - s^r)^bands; follow with ngram_jaccard_pairs
+    on the candidates for exactness at scale.
+
+    ``rows_per_band``: hashes folded per band (see
+    :func:`minhash_band_sigs`) — run the config :func:`lsh_autotune`
+    picked; total minhashes computed = ``bands * rows_per_band``.
 
     ``max_bucket``: the minhash analogue of ``max_df`` — a corpus-wide
     boilerplate shingle ("tail edit token" page chrome) becomes the
@@ -342,7 +373,7 @@ def minhash_lsh_pairs(
     banded = sh.select(
         "id",
         F.posexplode(
-            minhash_chunk_signatures(F.col("grams"), bands)
+            minhash_band_sigs(F.col("grams"), bands, rows_per_band)
         ).alias("band", "sig"),
     )
     # One signature row per (doc, band) — computing the md5 minhashes is the

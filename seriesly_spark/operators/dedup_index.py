@@ -529,6 +529,12 @@ class MinhashIndex:
     >= 1 band); a pipeline verifies them with the exact miners,
     exactly as in batch LSH.
 
+    The banding (``n``, ``bands``, ``rows_per_band`` — see
+    ``dedup.minhash_band_sigs``; run the config ``lsh_autotune``
+    picked) is FROZEN at creation via the ``BANDING`` marker: every
+    persisted row is keyed by it, so a mismatched reopen raises
+    instead of silently probing keys that can never match.
+
     Layout: ``path/data/band=N/*.parquet`` (sig rows),
     ``path/staging/<epoch>/{sig,out}/*.parquet``.
     """
@@ -541,11 +547,15 @@ class MinhashIndex:
         bands: int = 16,
         auto_compact_files: int | None = None,
         auto_compact_ratio: float | None = None,
+        rows_per_band: int = 1,
     ):
+        if rows_per_band < 1:
+            raise ValueError("rows_per_band must be >= 1")
         self.spark = spark
         self.path = path
         self.n = n
         self.bands = bands
+        self.rows_per_band = rows_per_band
         self.auto_compact_files = auto_compact_files
         self.auto_compact_ratio = auto_compact_ratio
         self._data = os.path.join(path, "data")
@@ -571,6 +581,32 @@ class MinhashIndex:
                 "the index from the source corpus (or point at a "
                 "fresh path)."
             )
+        # The banding shapes every persisted (band, sig) row, so it is
+        # FROZEN at creation (SimhashIndex's TABLES rule): probing
+        # bands=8,r=2 signatures with bands=16,r=1 keys silently never
+        # matches. Pre-marker indexes are r=1 by construction — when
+        # the marker is absent but signature rows exist, adopt r=1
+        # (with the caller's bands, which pre-marker indexes trusted)
+        # and reject any r > 1 reopen.
+        marker = os.path.join(path, "BANDING")
+        want = f"n={n},bands={bands},rows_per_band={rows_per_band}"
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                frozen = f.read().strip()
+        elif _has_parquet(self._data) or _has_parquet(self._delta):
+            frozen = f"n={n},bands={bands},rows_per_band=1"
+        else:
+            frozen = None
+        if frozen is not None and frozen != want:
+            raise ValueError(
+                f"MinhashIndex at {path} was built with {frozen}; "
+                f"reopening with {want} requires a rebuild at a "
+                "fresh path."
+            )
+        if not os.path.isfile(marker):
+            os.makedirs(path, exist_ok=True)
+            with open(marker, "w") as f:
+                f.write(want)
 
     def _index_df(self) -> DataFrame:
         parts = []
@@ -598,7 +634,7 @@ class MinhashIndex:
         self, docs: DataFrame, text_col: str, id_col: str
     ) -> DataFrame:
         from seriesly_spark.operators.dedup import (
-            minhash_chunk_signatures,
+            minhash_band_sigs,
             word_shingles,
         )
         from seriesly_spark.operators.util import spread
@@ -612,7 +648,9 @@ class MinhashIndex:
         return sh.select(
             "id",
             F.posexplode(
-                minhash_chunk_signatures(F.col("grams"), self.bands)
+                minhash_band_sigs(
+                    F.col("grams"), self.bands, self.rows_per_band
+                )
             ).alias("band", "sig"),
         )
 

@@ -124,3 +124,139 @@ def test_seq_div_conversion_is_exact(spark):
     )
     assert row.exact == seq // 1000
     assert row.lossy != row.exact  # the trap the fix closes
+
+
+class TestRowsPerBandMiner:
+    """minhash_lsh_pairs(rows_per_band=r): banded signatures folded
+    from the SAME shared minhash vector lsh_autotune scores — r is the
+    precision knob (a band collides only when all r member hashes
+    agree)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "alpha beta gamma delta epsilon zeta eta theta"),
+                (3, "alpha beta gamma delta epsilon zeta eta iota"),
+                (4, "one two three four five six seven eight"),
+                (5, "one two three nine five six seven eight"),
+                (6, "totally different text goes here now ok yes"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_exact_dups_always_collide(self, spark):
+        from seriesly_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = self._docs(spark)
+        for bands, r in ((16, 1), (8, 2), (4, 4)):
+            pairs = {
+                tuple(p)
+                for p in minhash_lsh_pairs(
+                    docs, bands=bands, rows_per_band=r
+                ).collect()
+            }
+            assert (1, 2) in pairs, (bands, r)
+
+    def test_higher_r_never_adds_candidates(self, spark):
+        """With the band count halved and r doubled over the same
+        16-hash vector, a band collision at r=2 implies both member
+        hashes collide — each r=2 candidate pair is also an r=1
+        candidate (subset, typically strict)."""
+        from seriesly_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = self._docs(spark)
+        p1 = {
+            tuple(p)
+            for p in minhash_lsh_pairs(docs, bands=16).collect()
+        }
+        p2 = {
+            tuple(p)
+            for p in minhash_lsh_pairs(
+                docs, bands=8, rows_per_band=2
+            ).collect()
+        }
+        assert p2 <= p1
+
+    def test_r1_unchanged_by_default(self, spark):
+        from seriesly_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = self._docs(spark)
+        default = {
+            tuple(p) for p in minhash_lsh_pairs(docs, bands=16).collect()
+        }
+        explicit = {
+            tuple(p)
+            for p in minhash_lsh_pairs(
+                docs, bands=16, rows_per_band=1
+            ).collect()
+        }
+        assert default == explicit
+
+    def test_bad_r_rejected(self, spark):
+        from seriesly_spark.operators.dedup import minhash_lsh_pairs
+
+        with pytest.raises(ValueError, match="rows_per_band"):
+            minhash_lsh_pairs(self._docs(spark), rows_per_band=0).collect()
+
+
+class TestMinhashIndexRowsPerBand:
+    def _shards(self, spark):
+        a = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "one two three four five six seven eight"),
+            ],
+            "doc_id long, text string",
+        )
+        b = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta eta theta"),
+                (11, "never seen words in any earlier shard at all"),
+            ],
+            "doc_id long, text string",
+        )
+        return a, b
+
+    def test_r2_probe_matches_history(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import MinhashIndex
+
+        a, b = self._shards(spark)
+        idx = MinhashIndex(
+            spark, str(tmp_path / "r2"), bands=8, rows_per_band=2
+        )
+        idx.update(a)
+        out = {r.id: r.near_dup_candidate for r in idx.update(b).collect()}
+        assert out == {10: True, 11: False}
+        # compact preserves the banding and the probe result
+        idx.compact()
+        c = spark.createDataFrame(
+            [(20, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        assert idx.update(c).collect()[0].near_dup_candidate
+
+    def test_banding_frozen(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import MinhashIndex
+
+        p = str(tmp_path / "fz")
+        MinhashIndex(spark, p, bands=8, rows_per_band=2)
+        with pytest.raises(ValueError, match="rebuild at a fresh path"):
+            MinhashIndex(spark, p, bands=8, rows_per_band=1)
+        with pytest.raises(ValueError, match="rebuild at a fresh path"):
+            MinhashIndex(spark, p, bands=16, rows_per_band=2)
+        MinhashIndex(spark, p, bands=8, rows_per_band=2)  # same: fine
+
+    def test_markerless_with_data_adopts_r1(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import MinhashIndex
+
+        a, _ = self._shards(spark)
+        p = str(tmp_path / "legacy")
+        MinhashIndex(spark, p).update(a)
+        os.remove(os.path.join(p, "BANDING"))
+        with pytest.raises(ValueError, match="rows_per_band=1"):
+            MinhashIndex(spark, p, bands=16, rows_per_band=2)
+        idx = MinhashIndex(spark, p)  # adopts r=1, restamps
+        assert idx.rows_per_band == 1
+        with open(os.path.join(p, "BANDING")) as f:
+            assert f.read().strip() == "n=3,bands=16,rows_per_band=1"
