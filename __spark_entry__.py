@@ -190,7 +190,12 @@ from seriesly_spark.operators.clustering import (
     silhouette_report,
 )
 from seriesly_spark.operators.urls import normalize_url, url_dedup_stats
-from seriesly_spark.operators.bpe import bpe_stats, bpe_train
+from seriesly_spark.operators.bpe import (
+    bpe_encode,
+    bpe_stats,
+    bpe_train,
+    bpe_train_fast,
+)
 from seriesly_spark.operators.packing import chunk_documents, pack_sequences
 from seriesly_spark.operators.windows import (
     fill_gaps,
@@ -1407,6 +1412,36 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(
         _table(spark, sf_dir, "documents"), merges=6, max_word_len=24
     )
+
+
+def q_bpe_train_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-maintenance BPE trainer on the same corpus and
+    config as `bpe_train`: round k re-aggregates ONLY the words that
+    contain the winning pair, swapping their old pair contributions
+    for new ones in a persistent (a, b, cnt) table (the HF-tokenizers
+    shape — O(affected + |pairs|) per round instead of a full
+    vocabulary re-aggregate). The merge table is IDENTICAL to the
+    naive loop by construction, so it shares bpe_train's oracle (the
+    unrolled full-re-aggregate rounds) — the equivalence IS the gate."""
+    return bpe_train_fast(
+        _table(spark, sf_dir, "documents"), merges=6, max_word_len=24
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE ENCODE with the 6-merge table learned by
+    bpe_train (train -> encode -> budget, the complete tokenizer
+    pipeline): the K merges are collected (driver-sized by
+    construction), folded over the DISTINCT-WORD vocabulary in rank
+    order, and joined back to word occurrences — the corpus is
+    tokenized once and never re-scanned per merge. Output one row per
+    document: (id, n_words, n_tokens, encoded) with `encoded` the
+    space-joined token stream in document word order. The oracle
+    replays training AND encoding (the unrolled rounds, then the same
+    greedy fold per distinct word, re-joined by position)."""
+    docs = _table(spark, sf_dir, "documents")
+    mt = bpe_train(docs, merges=6, max_word_len=24)
+    return bpe_encode(docs, mt)
 
 
 def q_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4196,6 +4231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stalest-certified cohorts (CERTIFIED.json), alphabetical
         # within a cohort; alphabetical tail.
         "dedup_minhash_lsh_r2": q_dedup_minhash_lsh_r2,
+        "bpe_encode": q_bpe_encode,
+        "bpe_train_fast": q_bpe_train_fast,
         "p05_bucket_agg": q_p05_bucket_agg,
         "pca_certify": q_pca_certify,
         "png_decode_stats": q_png_decode_stats,
@@ -4830,6 +4867,53 @@ SELECT CAST(count(*) AS BIGINT) AS n_words,
        round(CAST(sum(n * len(syms)) AS DOUBLE)
              / CAST(sum(n * len0) AS DOUBLE), 6) AS compression
 FROM v6
+"""
+    # bpe_train_fast: incremental pair-count maintenance learns the
+    # SAME merge table as the naive full-re-aggregate loop by
+    # construction (integer counts, identical argmax + fold) — the
+    # oracle IS bpe_train's unrolled replay; the equivalence is the gate.
+    d["bpe_train_fast"] = d["bpe_train"]
+    # bpe_encode: replay the 6 training rounds (m1..m6), then apply
+    # them in rank order to the DISTINCT words (the same greedy
+    # list_reduce fold), and stitch token streams back in document
+    # word order. Word-less docs keep a (0, 0, '') row on both sides.
+    def _enc_round(r: int) -> str:
+        return f"""
+enc{r} AS (SELECT e.word,
+             CASE WHEN len(e.toks) <= 1 THEN e.toks
+             ELSE list_reduce(list_transform(e.toks, s -> [s]),
+                  (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                                   THEN acc[1:len(acc) - 1] || [m.a || m.b]
+                                   ELSE acc || x END) END AS toks
+           FROM enc{r - 1} e, m{r} m)"""
+
+    _enc_rounds = ",".join(_enc_round(r) for r in range(1, 7))
+    d["bpe_encode"] = f"""
+WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(regexp_split_to_array(trim(text),
+                   '\\s+')) AS word FROM documents)
+           WHERE word <> '' AND len(word) <= 24 GROUP BY 1),
+v0 AS (SELECT n, list_transform(range(1, len(word) + 1),
+         i -> substr(word, i, 1)) AS syms FROM w),{_bpe_rounds},
+occ AS (
+  SELECT doc_id, u.pw.pos AS pos, u.pw.word AS word
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents),
+       unnest(list_transform(range(1, len(ws) + 1),
+              i -> {{'pos': i, 'word': ws[i]}})) AS u(pw)
+  WHERE u.pw.word <> ''),
+enc0 AS (SELECT word, list_transform(range(1, len(word) + 1),
+           i -> substr(word, i, 1)) AS toks
+         FROM (SELECT DISTINCT word FROM occ)),{_enc_rounds},
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+          string_agg(array_to_string(toks, ' '), ' ' ORDER BY pos)
+            AS encoded
+        FROM occ JOIN enc6 USING (word) GROUP BY doc_id)
+SELECT d.doc_id AS id, coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.encoded, '') AS encoded
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
     # streaming_score_drift: the final stream table equals the batch
     # windowed PSI — mirror the bin expression, round-6 proportions,

@@ -195,3 +195,200 @@ def bpe_stats(
             after.cast("double") / before.cast("double"), 6
         ).alias("compression"),
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 16,
+) -> DataFrame:
+    """Apply a learned BPE merge table corpus-wide — the missing third
+    of the tokenizer pipeline (train -> ENCODE -> budget): every
+    document's words are fused through the merges IN RANK ORDER with
+    the same greedy left-to-right fold the trainer used.
+
+    ``merges``: the :func:`bpe_train` result (a driver-sized K-row
+    DataFrame with rank/lhs/rhs — collected here, the sanctioned 1-row-
+    per-merge boundary) or an already-ordered list of (lhs, rhs) pairs.
+
+    Scale shape: the fold runs on the DISTINCT-WORD vocabulary, never
+    the corpus — one tokenize pass builds (doc, pos, word), the K
+    merges fold over |vocab| rows (chunked ``chunk`` merges per
+    projection, checkpoint-rotated so expression depth and lineage stay
+    bounded for production-sized merge tables), and one equi-join on
+    ``word`` maps the encoded vocabulary back to word occurrences (AQE
+    broadcasts it when small). Output one row per input document:
+    (id, n_words, n_tokens, encoded) — ``encoded`` joins every token
+    with single spaces in document word order (word boundaries carry no
+    other marker; words never contain whitespace by construction).
+    """
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r.lhs, r.rhs)
+            for r in merges.select("rank", "lhs", "rhs")
+            .orderBy("rank")
+            .collect()
+        ]
+    merges = list(merges)
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "word"
+        ),
+    ).where(F.col("word") != "")
+    vocab = words.select("word").distinct().withColumn(
+        "toks",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ),
+    )
+    rot = CheckpointRotator()
+    for lo in range(0, len(merges), max(1, chunk)):
+        col = F.col("toks")
+        for a, b in merges[lo : lo + max(1, chunk)]:
+            col = _fuse(col, a, b)
+        vocab = rot.checkpoint(vocab.select("word", col.alias("toks")))
+    enc = (
+        words.join(vocab, "word")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("toks")).cast("bigint").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "toks"))
+                        ),
+                        lambda s: s.toks,
+                    )
+                ),
+            ).alias("encoded"),
+        )
+    )
+    # Total: a word-less document (empty/NULL text) still gets a row.
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(enc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+            F.coalesce("encoded", F.lit("")).alias("encoded"),
+        )
+    )
+
+
+def bpe_train_fast(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: int = 8,
+    max_word_len: int | None = None,
+) -> DataFrame:
+    """:func:`bpe_train` with INCREMENTAL pair-count maintenance — the
+    HF-tokenizers training shape: instead of re-aggregating every
+    word's pair slots each round, round k touches only the words that
+    CONTAIN the winning pair (a, b): they are re-fused and their old
+    pair contributions are swapped for their new ones in a persistent
+    (a, b, cnt) table. The table is small by construction (distinct
+    ADJACENT symbol pairs — bounded by |alphabet + learned merges|^2,
+    thousands in practice), so the per-round aggregate is O(affected
+    words), not O(sum-of-word-lengths) — what makes production merge
+    counts (K ~ 30k) feasible. The merge table is IDENTICAL to the
+    naive loop (equivalence-gated in tests — integer counts, same
+    (count DESC, lhs, rhs) argmax, same greedy fold).
+
+    Measured (PLANS.md round 11): 2M-distinct-word vocabulary, 16
+    merges — naive 94.8 s, this 40.9 s (2.3x wall-clock; the explode
+    volume shrinks to the affected subset, and the remaining per-round
+    floor is the vocabulary rewrite). At GATE scale (sf0.1's tiny vocabulary)
+    the naive loop is FASTER — per-round job overhead dominates — so
+    both stay in the registry. A base+overlay variant that avoids the
+    per-round full-vocabulary rewrite measured WORSE (46.2 s): early
+    merges affect 30%+ of the vocabulary, so the overlay anti-join
+    costs more than the rewrite it saves; rejected.
+    """
+    if merges < 1:
+        raise ValueError("merges must be >= 1")
+    spark = docs.sparkSession
+    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+    w = docs.select(tok).where(F.col("word") != "")
+    if max_word_len is not None:
+        w = w.where(F.length("word") <= max_word_len)
+    vrot, crot = CheckpointRotator(), CheckpointRotator()
+    vocab = vrot.checkpoint(
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+    )
+
+    def _pair_counts(v: DataFrame, sign: int) -> DataFrame:
+        return (
+            v.select((F.col("n") * sign).alias("n"),
+                     F.explode(F.expr(_PAIRS)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+
+    counts = crot.checkpoint(_pair_counts(vocab, 1))
+    rows = []
+    for r in range(1, merges + 1):
+        best = (
+            counts.where(F.col("cnt") > 0)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0].a, best[0].b, int(best[0].cnt)
+        rows.append((r, a, b, cnt))
+        has_pair = F.expr(
+            "size(syms) >= 2 AND exists(sequence(0, size(syms) - 2), "
+            f"i -> syms[i] = {_lit(a)} AND syms[i + 1] = {_lit(b)})"
+        )
+        affected = vocab.where(has_pair)
+        fused = affected.select(
+            "n", _fuse(F.col("syms"), a, b).alias("syms")
+        )
+        # swap the affected words' contributions: -old +new, folded
+        # into the running table; zero-sum pairs are dropped lazily by
+        # the argmax's cnt > 0 guard (exact integer bookkeeping).
+        counts = crot.checkpoint(
+            counts.unionByName(_pair_counts(affected, -1))
+            .unionByName(_pair_counts(fused, 1))
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+            .where(F.col("cnt") != 0)
+        )
+        # coalesce: the union CONCATENATES partitions (unaffected's P +
+        # fused's P), so without a bound the vocabulary's partition
+        # count doubles every round (observed: 4 -> 1024 by round 10).
+        vocab = vrot.checkpoint(
+            vocab.where(~has_pair)
+            .unionByName(fused)
+            .coalesce(spark.sparkContext.defaultParallelism)
+        )
+    vrot.close(spark.sparkContext)
+    crot.close(spark.sparkContext)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "rank int, lhs string, rhs string, pair_count long",
+    )
+
+
+def _lit(s: str) -> str:
+    """SQL single-quoted string literal (symbols come from corpus text,
+    so quotes/backslashes must be escaped for the expr() predicate)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

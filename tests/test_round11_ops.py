@@ -260,3 +260,105 @@ class TestMinhashIndexRowsPerBand:
         assert idx.rows_per_band == 1
         with open(os.path.join(p, "BANDING")) as f:
             assert f.read().strip() == "n=3,bands=16,rows_per_band=1"
+
+
+class TestBpeEncode:
+    def test_textbook_encode(self, spark):
+        from seriesly_spark.operators.bpe import bpe_encode, bpe_train
+
+        docs = spark.createDataFrame(
+            [(1, "low low low lower lowest"), (2, "newer new")],
+            "doc_id long, text string",
+        )
+        mt = bpe_train(docs, merges=2)  # learns (l,o) then (lo,w)
+        out = {r.id: r for r in bpe_encode(docs, mt).collect()}
+        assert [(r.lhs, r.rhs) for r in mt.collect()] == [
+            ("l", "o"), ("lo", "w"),
+        ]
+        assert out[1].encoded == "low low low low e r low e s t"
+        assert out[1].n_words == 5 and out[1].n_tokens == 10
+        assert out[2].encoded == "n e w e r n e w"
+
+    def test_merge_order_matters(self, spark):
+        """Merges apply in RANK order: (a,b) before (ab,c) — feeding
+        them reversed must not fuse 'abc' into one token."""
+        from seriesly_spark.operators.bpe import bpe_encode
+
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        fwd = bpe_encode(docs, [("a", "b"), ("ab", "c")]).collect()[0]
+        rev = bpe_encode(docs, [("ab", "c"), ("a", "b")]).collect()[0]
+        assert fwd.encoded == "abc" and fwd.n_tokens == 1
+        assert rev.encoded == "ab c" and rev.n_tokens == 2
+
+    def test_wordless_docs_get_zero_rows(self, spark):
+        from seriesly_spark.operators.bpe import bpe_encode
+
+        docs = spark.createDataFrame(
+            [(1, "ok then"), (2, None), (3, "   ")],
+            "doc_id long, text string",
+        )
+        out = {r.id: r for r in bpe_encode(docs, [("o", "k")]).collect()}
+        assert (out[2].n_words, out[2].n_tokens, out[2].encoded) == (0, 0, "")
+        assert (out[3].n_words, out[3].n_tokens, out[3].encoded) == (0, 0, "")
+        assert out[1].encoded == "ok t h e n"
+
+    def test_chunked_fold_matches_single_chunk(self, spark):
+        from seriesly_spark.operators.bpe import bpe_encode, bpe_train
+
+        docs = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog " * 2)
+             for i in range(4)],
+            "doc_id long, text string",
+        )
+        mt = [(r.lhs, r.rhs) for r in bpe_train(docs, merges=7).collect()]
+        a = {tuple(r) for r in bpe_encode(docs, mt, chunk=2).collect()}
+        b = {tuple(r) for r in bpe_encode(docs, mt, chunk=16).collect()}
+        assert a == b
+
+
+class TestBpeTrainFast:
+    def test_equivalent_to_naive(self, spark):
+        from seriesly_spark.operators.bpe import bpe_train, bpe_train_fast
+
+        docs = spark.createDataFrame(
+            [(1, "low lower lowest low low newer new wider wide"),
+             (2, "low low lowest newer new new wide wide"),
+             (3, "entirely other words appear here too")],
+            "doc_id long, text string",
+        )
+        a = [tuple(r) for r in bpe_train(docs, merges=12).collect()]
+        b = [tuple(r) for r in bpe_train_fast(docs, merges=12).collect()]
+        assert a == b
+
+    def test_equivalent_with_quote_symbols(self, spark):
+        """Winning symbols containing quotes/backslashes must survive
+        the expr() predicate escaping."""
+        from seriesly_spark.operators.bpe import bpe_train, bpe_train_fast
+
+        docs = spark.createDataFrame(
+            [(1, r"it's it's it's o'='o o'='o can\'t can\'t")],
+            "doc_id long, text string",
+        )
+        a = [tuple(r) for r in bpe_train(docs, merges=6).collect()]
+        b = [tuple(r) for r in bpe_train_fast(docs, merges=6).collect()]
+        assert a == b
+
+    def test_runs_out_of_pairs(self, spark):
+        from seriesly_spark.operators.bpe import bpe_train_fast
+
+        docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+        out = bpe_train_fast(docs, merges=10).collect()
+        # one merge (a,b) exhausts the vocabulary's repeated pairs
+        assert [(r.lhs, r.rhs) for r in out] == [("a", "b")]
+
+    def test_partition_count_stays_bounded(self, spark):
+        from seriesly_spark.operators.bpe import bpe_train_fast
+
+        docs = spark.createDataFrame(
+            [(1, "low lower lowest low low newer new wider wide " * 3)],
+            "doc_id long, text string",
+        )
+        # 10 rounds would hit 4 * 2^10 partitions without the coalesce;
+        # success within the session's tiny parallelism is the gate
+        out = bpe_train_fast(docs, merges=10).collect()
+        assert len(out) >= 5
