@@ -96,6 +96,8 @@ from seriesly_spark.operators.sketches import (
 )
 from seriesly_spark.operators.sampling import (
     contamination_overlap,
+    dedup_safe_split,
+    ngram_novelty,
     epoch_shuffle,
     rare_label_collapse,
     reservoir_per_group,
@@ -1522,6 +1524,28 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle equi-join against the distinct corpus set, never pairwise."""
     docs = _table(spark, sf_dir, "documents")
     return contamination_overlap(docs, F.col("doc_id") % 10 == 0, n=3)
+
+
+def q_dedup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: the train/val/test label hashes the exact-dup
+    cluster representative (min doc_id per content md5), so byte-identical
+    copies of a test doc can never land in train. The input unions a
+    re-crawl twin of every doc (id + 100000, same bytes) — every cluster
+    has 2 members and the twin MUST inherit the original's split. One
+    hash-agg shuffle on the md5 + one co-partitioned join back."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return dedup_safe_split(spread(docs.unionByName(twins)))
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty score: per doc, the fraction of its distinct
+    trigram shingles it introduces first (min carrier id == own id) —
+    the curriculum/frontier ranking signal. Gram-keyed shuffle only."""
+    docs = _table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=3)
 
 
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4233,6 +4257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_r2": q_dedup_minhash_lsh_r2,
         "bpe_encode": q_bpe_encode,
         "bpe_train_fast": q_bpe_train_fast,
+        "dedup_safe_split": q_dedup_safe_split,
+        "ngram_novelty": q_ngram_novelty,
         "p05_bucket_agg": q_p05_bucket_agg,
         "pca_certify": q_pca_certify,
         "png_decode_stats": q_png_decode_stats,
@@ -6097,6 +6123,39 @@ SELECT CASE WHEN v < 98 THEN 'train' WHEN v < 99 THEN 'val' ELSE 'test' END
          AS split,
        count(*) AS n_docs
 FROM b GROUP BY 1
+""",
+        "dedup_safe_split": f"""
+WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents),
+d AS (SELECT doc_id, md5(text) AS ch FROM u),
+r AS (SELECT ch, min(doc_id) AS rep_id FROM d GROUP BY ch),
+k AS (SELECT d.doc_id, r.rep_id,
+             md5(cast(r.rep_id as varchar)) AS h
+      FROM d JOIN r USING (ch)),
+b AS (SELECT doc_id, rep_id, {_MD5_U16_SQL} % 100 AS v FROM k)
+SELECT doc_id, rep_id,
+       CASE WHEN v < 98 THEN 'train' WHEN v < 99 THEN 'val' ELSE 'test' END
+         AS split
+FROM b
+""",
+        "ngram_novelty": r"""
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+e AS (SELECT doc_id, len(grams) AS n_shingles, unnest(grams) AS g
+      FROM g WHERE len(grams) > 0),
+f AS (SELECT g, min(doc_id) AS first_id FROM e GROUP BY g)
+SELECT e.doc_id, any_value(e.n_shingles) AS n_shingles,
+       cast(sum(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END)
+             / any_value(e.n_shingles), 6) AS novelty
+FROM e JOIN f USING (g) GROUP BY e.doc_id
 """,
         "sample_hash": f"""
 WITH k AS (SELECT event_id, value,

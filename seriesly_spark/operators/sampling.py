@@ -18,6 +18,18 @@ appear anywhere in the rest of the corpus — the decontamination check run
 before training on scraped data (does this eval document leak into the
 corpus?). Shingle equi-join against the distinct corpus shingle set; never
 a pairwise comparison.
+
+dedup_safe_split: hash_split where exact duplicates always co-locate —
+the split hashes the duplicate cluster's REPRESENTATIVE (min id per
+content hash), never the row, so a test document's byte-identical twins
+cannot leak into train. The split-by-group rule hash_split documents,
+made automatic for the one group every pipeline has: exact-dup clusters.
+
+ngram_novelty: per document, the fraction of its distinct word n-grams
+whose FIRST corpus occurrence (min doc id over all carriers) is that
+document — the marginal-novelty signal data-curriculum and crawl-frontier
+scoring use (a doc of entirely already-seen n-grams adds nothing). One
+shuffle on the gram, an equi-join back, a per-doc fold; never pairwise.
 """
 
 from __future__ import annotations
@@ -25,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from seriesly_spark.operators.dedup import word_shingles
+from seriesly_spark.operators.dedup import content_hash, word_shingles
 from seriesly_spark.operators.util import scoped_persist, spread
 
 
@@ -144,6 +156,84 @@ def contamination_overlap(
             F.round(
                 F.count("__hit") / F.first("n_shingles"), 6
             ).alias("overlap"),
+        )
+    )
+
+
+def dedup_safe_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: every row gets
+    :func:`hash_split`'s deterministic label, but computed from the
+    exact-duplicate cluster REPRESENTATIVE (min ``id_col`` per content
+    hash, ``dedup.dedup_exact``'s survivor) instead of the row id — so
+    byte-identical copies of a test document can never land in train.
+    Near-dup co-location composes the same way: feed the cluster id
+    from ``connected_components`` to :func:`hash_split` directly.
+
+    Output: (id, rep_id, split), one row per input row. Plan: one
+    hash-agg shuffle on the content md5 (dedup_exact's shape) + one
+    co-partitioned equi-join back on the same key — at 100 TB both
+    stages shuffle (hash, id) pairs, never text.
+    """
+    h = content_hash(F.col(text_col))
+    reps = (
+        docs.groupBy(h.alias("__h"))
+        .agg(F.min(id_col).alias("rep_id"))
+    )
+    rows = docs.select(F.col(id_col), h.alias("__h")).join(reps, "__h")
+    return hash_split(rows, "rep_id", weights, salt).select(
+        id_col, "rep_id", "split"
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per document: how many of its distinct word-n-gram shingles are
+    FIRST INTRODUCED by it — i.e. no document with a smaller id carries
+    the gram. Output (id, n_shingles, n_novel, novelty) for documents
+    with >= 1 shingle; ``novelty`` = n_novel / n_shingles rounded to 6.
+
+    The id order stands in for arrival order (crawl ingest ids are
+    monotone), making this the marginal-contribution score a curriculum
+    or frontier scheduler ranks by. Plan: explode distinct grams once
+    (persisted — the first-carrier aggregate and the join probe both
+    read it), min-id per gram (map-side combine does the heavy lifting),
+    co-partitioned join back on the gram, per-doc fold. The only wide
+    exchange is keyed on the gram — the same scale class as
+    ``contamination_overlap`` / ``ngram_jaccard_pairs``.
+    """
+    sh = spread(docs).select(
+        F.col(id_col), word_shingles(text_col, n).alias("grams")
+    ).where(F.size("grams") > 0)
+    ex = sh.select(
+        id_col,
+        F.size("grams").alias("n_shingles"),
+        F.explode("grams").alias("g"),
+    )
+    ex = scoped_persist(ex, "sampling.novelty_shingles")
+    first = ex.groupBy("g").agg(F.min(id_col).alias("__first"))
+    return (
+        ex.join(first, "g")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.sum(
+                (F.col("__first") == F.col(id_col)).cast("long")
+            ).alias("n_novel"),
+            F.round(
+                F.sum((F.col("__first") == F.col(id_col)).cast("long"))
+                / F.first("n_shingles"),
+                6,
+            ).alias("novelty"),
         )
     )
 

@@ -362,3 +362,88 @@ class TestBpeTrainFast:
         # success within the session's tiny parallelism is the gate
         out = bpe_train_fast(docs, merges=10).collect()
         assert len(out) >= 5
+
+
+class TestDedupSafeSplit:
+    def test_duplicates_colocate(self, spark):
+        from seriesly_spark.operators.sampling import dedup_safe_split
+
+        docs = spark.createDataFrame(
+            [(i, f"unique text {i}") for i in range(20)]
+            + [(100 + i, f"unique text {i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        out = dedup_safe_split(docs).collect()
+        assert len(out) == 40
+        by_id = {r.doc_id: r for r in out}
+        for i in range(20):
+            # the twin inherits the original's representative AND split
+            assert by_id[100 + i].rep_id == i == by_id[i].rep_id
+            assert by_id[100 + i].split == by_id[i].split
+
+    def test_matches_hash_split_of_rep(self, spark):
+        from seriesly_spark.operators.sampling import (
+            dedup_safe_split,
+            hash_split,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"t {i % 7}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.split for r in dedup_safe_split(docs).collect()
+        }
+        # rep of cluster k (text "t k") is its smallest id = k
+        reps = spark.createDataFrame(
+            [(i, i % 7) for i in range(50)], "doc_id long, rep long"
+        )
+        want = {
+            r.doc_id: r.split
+            for r in hash_split(reps, "rep").collect()
+        }
+        assert got == want
+
+    def test_custom_weights_and_salt(self, spark):
+        from seriesly_spark.operators.sampling import dedup_safe_split
+
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(200)], "doc_id long, text string"
+        )
+        out = dedup_safe_split(
+            docs, weights={"a": 50, "b": 50}, salt="s1"
+        ).collect()
+        labels = {r.split for r in out}
+        assert labels == {"a", "b"}
+
+
+class TestNgramNovelty:
+    def test_first_doc_fully_novel(self, spark):
+        from seriesly_spark.operators.sampling import ngram_novelty
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d"),          # grams: "a b c", "b c d"
+                (2, "a b c d"),          # exact repeat: zero novel
+                (3, "a b c x"),          # "a b c" seen, "b c x" novel
+                (4, "zz"),               # < n tokens: no row
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in ngram_novelty(docs, n=3).collect()}
+        assert set(out) == {1, 2, 3}
+        assert (out[1].n_shingles, out[1].n_novel) == (2, 2)
+        assert out[1].novelty == 1.0
+        assert (out[2].n_novel, out[2].novelty) == (0, 0.0)
+        assert (out[3].n_shingles, out[3].n_novel) == (2, 1)
+        assert out[3].novelty == 0.5
+
+    def test_distinct_grams_counted_once(self, spark):
+        from seriesly_spark.operators.sampling import ngram_novelty
+
+        # "a b a b a b": grams {"a b a", "b a b"} (distinct), both novel
+        docs = spark.createDataFrame(
+            [(7, "a b a b a b")], "doc_id long, text string"
+        )
+        (row,) = ngram_novelty(docs, n=3).collect()
+        assert (row.n_shingles, row.n_novel, row.novelty) == (2, 2, 1.0)
