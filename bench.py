@@ -219,6 +219,11 @@ BENCH_QUERIES = [
     "ivf_index_topk_multi",
     "bpe_train",
     "bpe_stats",
+    "dedup_minhash_lsh_r2",
+    "bpe_encode",
+    "bpe_train_fast",
+    "dedup_safe_split",
+    "ngram_novelty",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

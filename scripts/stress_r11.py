@@ -291,6 +291,83 @@ def part_c_train(spark, rows):
     print(rows[-1], flush=True)
 
 
+def part_d(spark, rows):
+    """pack_sequences at production shape: N docs, toklen = (id%7)+1,
+    32 shards, seq_len=512. EXACT checks: (a) total packed tokens equal
+    the closed-form corpus token count; (b) every sequence except each
+    (part, shard) stream's last holds exactly seq_len tokens; (c) 64
+    sampled docs' (seq_id, doc_start_tok, n_tok_in_seq) rows equal a
+    Python replay of the shard's prefix sum (toklen is periodic in the
+    shard's arrival index with period 7, so the replay is closed-form,
+    never a corpus scan)."""
+    from seriesly_spark.operators.packing import pack_sequences
+
+    n = int(os.environ.get("STRESS_R11_PACK_DOCS", 100_000_000))
+    shards, seq_len = 32, 512
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("web").alias("source"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), (F.col("id") % 7 + 1).cast("int")),
+                lambda i: F.lit("w"),
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    packed = pack_sequences(
+        docs, seq_len=seq_len, shards=shards
+    ).persist()
+    total = packed.agg(F.sum("n_tok_in_seq").alias("t")).collect()[0]["t"]
+    wall = time.time() - t0
+    # (a) closed-form corpus tokens: sum over ids of (id%7)+1.
+    full, rem = divmod(n, 7)
+    want_total = full * 28 + sum(r + 1 for r in range(rem))
+    # (b) all sequences full except each stream's last.
+    seqs = packed.groupBy("part", "shard", "seq_id").agg(
+        F.sum("n_tok_in_seq").alias("sz")
+    )
+    last = seqs.groupBy("part", "shard").agg(F.max("seq_id").alias("mx"))
+    short = (
+        seqs.join(last, ["part", "shard"])
+        .where((F.col("seq_id") != F.col("mx")) & (F.col("sz") != seq_len))
+        .count()
+    )
+    # (c) sampled docs vs the periodic prefix-sum replay: every
+    # (seq_id, doc_start_tok, n_tok_in_seq) row of 64 sampled docs.
+    step = max(1, n // 64)
+    sample_ids = list(range(0, n, step))
+    got = {}
+    for r in packed.where(F.col("doc_id").isin(sample_ids)).collect():
+        got.setdefault(r["doc_id"], set()).add(
+            (r["seq_id"], r["doc_start_tok"], r["n_tok_in_seq"])
+        )
+    ok_rows = True
+    for d in sample_ids:
+        s, k = d % shards, d // shards  # shard, arrival index in shard
+        cyc = [((s + shards * j) % 7) + 1 for j in range(7)]
+        start = (k // 7) * sum(cyc) + sum(cyc[: k % 7])
+        tl = (d % 7) + 1
+        want = set()
+        for seq in range(start // seq_len, (start + tl - 1) // seq_len + 1):
+            lo = max(start, seq * seq_len)
+            hi = min(start + tl, (seq + 1) * seq_len)
+            want.add((seq, lo - start, hi - lo))
+        if got.get(d) != want:
+            ok_rows = False
+            break
+    packed.unpersist()
+    ok = total == want_total and short == 0 and ok_rows
+    rows.append(
+        f"| pack_sequences ({n:,} docs, 32 shards, seq_len=512) | "
+        f"{wall:.1f} s | {'EXACT' if ok else 'MISMATCH'}: closed-form "
+        f"token total ({total:,}), 0 short non-final sequences, 64 "
+        f"sampled spans replayed |"
+    )
+    print(rows[-1], flush=True)
+
+
 def main():
     spark = get_spark("stress-r11")
     spark.sparkContext.setLogLevel("ERROR")
@@ -303,6 +380,8 @@ def main():
         part_c(spark, rows)
     if os.environ.get("STRESS_R11_BPE_TRAIN", "0") == "1":
         part_c_train(spark, rows)
+    if os.environ.get("STRESS_R11_PACK", "0") == "1":
+        part_d(spark, rows)
     print("\n".join(rows))
 
 

@@ -304,7 +304,7 @@ def bpe_train_fast(
     (count DESC, lhs, rhs) argmax, same greedy fold).
 
     Measured (PLANS.md round 11): 2M-distinct-word vocabulary, 16
-    merges — naive 94.8 s, this 40.9 s (2.3x wall-clock; the explode
+    merges — naive 107.0 s, this 45.6 s (2.35x wall-clock; the explode
     volume shrinks to the affected subset, and the remaining per-round
     floor is the vocabulary rewrite). At GATE scale (sf0.1's tiny vocabulary)
     the naive loop is FASTER — per-round job overhead dominates — so

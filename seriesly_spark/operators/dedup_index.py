@@ -844,7 +844,16 @@ class SimhashIndex:
     integer XOR+popcounts per candidate. At 10^9+ docs per index the
     Manku extension (more tables keyed on longer bit-block unions —
     C(6,3) tables for 64-bit/k=3) bounds bucket sizes further; this
-    layout is the 4-table base case. Same LSM split, durable staging,
+    layout is the 4-table base case. **Recommendation: pass
+    ``tables="manku20"`` for any index expected to exceed ~10^5
+    documents** — random 16-bit band collisions grow with
+    |history| x |batch| / 2^16, and the measured gap WIDENS
+    quadratically: 4.5M band candidates vs 446 at 500k hash-unique
+    docs (equal wall), 135M vs 24.7k at 2M docs (probe 272 s vs
+    61 s — the pigeonhole candidate join is already the bottleneck;
+    PLANS.md rounds 10-11). pigeonhole4 stays the default only for
+    continuity with pre-marker indexes; verified matches are
+    mode-invariant (pinned in tests). Same LSM split, durable staging,
     crash-atomic compact(), and opt-in auto-compaction as the
     siblings (shared ``_recover_compact`` / ``_swap_in_compacted``).
 
