@@ -46,6 +46,7 @@ from seriesly_spark.operators.dedup import (
     hamming_pairs,
     levenshtein_pairs,
     dedup_best,
+    minhash_dedup_auto,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     paragraph_dedup,
@@ -3619,6 +3620,19 @@ def q_lsh_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_autotune(docs)
 
 
+def q_dedup_minhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed tuner→miner loop in one call: lsh_autotune scores the
+    four bandings on the deterministic 1/3 sample (doc_id % 3 — the
+    tune-on-a-sample production shape), the 1-row pick crosses the
+    driver, and minhash_lsh_pairs mines the FULL corpus with the picked
+    (bands, rows_per_band). Oracle recomputes the pick in a CTE and
+    mines with it — the whole composition is engine-replayable."""
+    docs = _table(spark, sf_dir, "documents")
+    return minhash_dedup_auto(
+        docs, tune_docs=docs.where(F.col("doc_id") % 3 == 0)
+    )
+
+
 def q_compression_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production redundancy screen (one zlib pass per doc, no
     planted certificate payloads) projected to its oracle-checkable
@@ -4259,6 +4273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_fast": q_bpe_train_fast,
         "dedup_safe_split": q_dedup_safe_split,
         "ngram_novelty": q_ngram_novelty,
+        "dedup_minhash_auto": q_dedup_minhash_auto,
         "p05_bucket_agg": q_p05_bucket_agg,
         "pca_certify": q_pca_certify,
         "png_decode_stats": q_png_decode_stats,
@@ -6138,6 +6153,89 @@ SELECT doc_id, rep_id,
        CASE WHEN v < 98 THEN 'train' WHEN v < 99 THEN 'val' ELSE 'test' END
          AS split
 FROM b
+""",
+        "dedup_minhash_auto": r"""
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id % 3 = 0)
+  WHERE len(toks) >= 3
+),
+mh AS (
+  SELECT doc_id, list_transform(range(0, 32), i ->
+    list_min(list_transform(grams, x ->
+      substr(md5((i // 4)::VARCHAR || '|' || x), ((i % 4) * 8 + 1)::INT, 8)
+    ))) AS mh
+  FROM g
+),
+cfg AS (SELECT * FROM (VALUES (32, 1), (16, 2), (8, 4), (4, 8))
+        AS t(bands, rows_per_band)),
+banded AS (
+  SELECT m.doc_id, c.bands, u.k AS band,
+    md5(array_to_string(
+      m.mh[u.k * c.rows_per_band + 1 : (u.k + 1) * c.rows_per_band], ''
+    )) AS sig
+  FROM mh m CROSS JOIN cfg c
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS k) u
+  WHERE u.k < c.bands
+),
+cand AS (
+  SELECT DISTINCT a.bands, a.doc_id AS a, b.doc_id AS b
+  FROM banded a JOIN banded b
+    ON a.bands = b.bands AND a.band = b.band AND a.sig = b.sig
+    AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.grams, b.grams)) /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+        6) >= 0.5),
+per AS (
+  SELECT c.bands, c.rows_per_band,
+    (SELECT count(*) FROM truth)::BIGINT AS n_true,
+    coalesce(cc.n_cand, 0)::BIGINT AS n_cand,
+    coalesce(hh.n_hit, 0)::BIGINT AS n_hit
+  FROM cfg c
+  LEFT JOIN (SELECT bands, count(*) AS n_cand FROM cand GROUP BY bands) cc
+    USING (bands)
+  LEFT JOIN (SELECT cand.bands, count(*) AS n_hit
+             FROM cand JOIN truth ON cand.a = truth.a AND cand.b = truth.b
+             GROUP BY cand.bands) hh USING (bands)
+),
+pick AS (
+  SELECT bands, rows_per_band AS r FROM per
+  ORDER BY coalesce(
+      round(CASE WHEN n_true > 0 THEN n_hit / CAST(n_true AS double) END, 6)
+        >= 0.9, false) DESC,
+    n_cand ASC, bands ASC
+  LIMIT 1
+),
+gf AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+mf AS (
+  SELECT doc_id, list_transform(range(0, 32), i ->
+    list_min(list_transform(grams, x ->
+      substr(md5((i // 4)::VARCHAR || '|' || x), ((i % 4) * 8 + 1)::INT, 8)
+    ))) AS mh
+  FROM gf
+),
+bf AS (
+  SELECT m.doc_id, u.k AS band,
+    md5(array_to_string(m.mh[u.k * p.r + 1 : (u.k + 1) * p.r], '')) AS sig
+  FROM mf m CROSS JOIN pick p
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS k) u
+  WHERE u.k < p.bands
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM bf a JOIN bf b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """,
         "ngram_novelty": r"""
 WITH g AS (

@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "bpe_train_fast",
     "dedup_safe_split",
     "ngram_novelty",
+    "dedup_minhash_auto",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -1186,6 +1186,58 @@ def lsh_autotune(
     )
 
 
+def minhash_dedup_auto(
+    docs: DataFrame,
+    tune_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 32,
+    configs: tuple = ((32, 1), (16, 2), (8, 4), (4, 8)),
+    threshold: float = 0.5,
+    target_recall: float = 0.9,
+    max_df: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """One-call TUNED near-dup mining — the closed tuner→miner loop:
+    :func:`lsh_autotune` scores every banding of one shared
+    ``n_hashes``-minhash vector on ``tune_docs`` (pass a deterministic
+    sample — ``hash_sample`` / a modulo predicate — exactly how the
+    tuner runs at corpus scale; defaults to ``docs``), the single
+    picked row crosses the driver (a 1-row boundary, the sanctioned
+    kind), and :func:`minhash_lsh_pairs` mines ``docs`` corpus-wide
+    with the picked (bands, rows_per_band). Output: candidate pairs
+    (a, b), a < b.
+
+    Determinism: the pick is a pure function of the tuning corpus
+    (exact-Jaccard truth, integer candidate counts, total tie-break
+    order), so the whole composition is engine-replayable — the DuckDB
+    oracle recomputes the pick in a CTE and mines with it.
+    """
+    tuned = lsh_autotune(
+        docs if tune_docs is None else tune_docs,
+        text_col,
+        id_col,
+        n=n,
+        n_hashes=n_hashes,
+        configs=configs,
+        threshold=threshold,
+        target_recall=target_recall,
+        max_df=max_df,
+        max_bucket=max_bucket,
+    )
+    (pick,) = [r for r in tuned.collect() if r["picked"]]
+    return minhash_lsh_pairs(
+        docs,
+        text_col,
+        id_col,
+        n=n,
+        bands=int(pick["bands"]),
+        max_bucket=max_bucket,
+        rows_per_band=int(pick["rows_per_band"]),
+    )
+
+
 def dup_span_stats(
     docs: DataFrame,
     n: int = 15,

@@ -447,3 +447,54 @@ class TestNgramNovelty:
         )
         (row,) = ngram_novelty(docs, n=3).collect()
         assert (row.n_shingles, row.n_novel, row.novelty) == (2, 2, 1.0)
+
+
+class TestTunerToMinerLoop:
+    """The round-11 point of rows_per_band: whatever config
+    lsh_autotune picks must RUN verbatim in the production miner."""
+
+    def test_picked_config_runs_and_recalls(self, spark):
+        from seriesly_spark.operators.dedup import (
+            lsh_autotune,
+            minhash_lsh_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"planted near dup pair body w{i % 3} common tail "
+                 "alpha beta gamma delta epsilon") for i in range(6)]
+            + [(100 + i, f"unrelated filler u{100 + i} " * 8)
+               for i in range(20)],
+            "doc_id long, text string",
+        )
+        tuned = lsh_autotune(docs, n_hashes=16,
+                             configs=((16, 1), (8, 2), (4, 4)))
+        (pick,) = [r for r in tuned.collect() if r.picked]
+        pairs = minhash_lsh_pairs(
+            docs, bands=pick.bands, rows_per_band=pick.rows_per_band
+        ).collect()
+        got = {(r.a, r.b) for r in pairs}
+        # the three planted same-w cluster pairs must collide under the
+        # PICKED banding (it met target_recall on exact-Jaccard truth)
+        assert {(0, 3), (1, 4), (2, 5)} <= got
+
+
+class TestNoveltyConservation:
+    def test_novel_counts_sum_to_distinct_corpus_grams(self, spark):
+        from seriesly_spark.operators.sampling import ngram_novelty
+
+        texts = [
+            "the quick brown fox jumps",
+            "the quick brown cat sleeps",
+            "a wholly different sentence here now",
+            "the quick brown fox jumps",   # exact dup of doc 0
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        out = ngram_novelty(docs, n=3).collect()
+        # every distinct corpus gram is introduced exactly once
+        grams = set()
+        for t in texts:
+            w = t.split()
+            grams |= {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        assert sum(r.n_novel for r in out) == len(grams)
