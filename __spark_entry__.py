@@ -1531,12 +1531,13 @@ def q_dedup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe split: the train/val/test label hashes the exact-dup
     cluster representative (min doc_id per content md5), so byte-identical
     copies of a test doc can never land in train. The input unions a
-    re-crawl twin of every doc (id + 100000, same bytes) — every cluster
-    has 2 members and the twin MUST inherit the original's split. One
-    hash-agg shuffle on the md5 + one co-partitioned join back."""
+    re-crawl twin of every doc (id := -doc_id - 1, same bytes — negation
+    cannot collide with the nonnegative real ids at ANY scale factor) —
+    every cluster has 2 members and the twin MUST inherit the original's
+    split. One hash-agg shuffle on the md5 + one co-partitioned join."""
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
     twins = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (-F.col("doc_id") - 1).alias("doc_id"), "text"
     )
     return dedup_safe_split(spread(docs.unionByName(twins)))
 
@@ -6142,7 +6143,7 @@ FROM b GROUP BY 1
         "dedup_safe_split": f"""
 WITH u AS (SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 100000, text FROM documents),
+           SELECT -doc_id - 1, text FROM documents),
 d AS (SELECT doc_id, md5(text) AS ch FROM u),
 r AS (SELECT ch, min(doc_id) AS rep_id FROM d GROUP BY ch),
 k AS (SELECT d.doc_id, r.rep_id,

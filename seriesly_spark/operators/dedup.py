@@ -1213,6 +1213,15 @@ def minhash_dedup_auto(
     (exact-Jaccard truth, integer candidate counts, total tie-break
     order), so the whole composition is engine-replayable — the DuckDB
     oracle recomputes the pick in a CTE and mines with it.
+
+    Caveat (inherited from :func:`lsh_autotune`): the tuner's "exact"
+    Jaccard truth hashes shingles to 64 bits (``ngram_jaccard_pairs``
+    over xxhash64 grams), so a single shingle collision on a pair
+    sitting exactly at ``threshold`` could flip a truth row and with it
+    the picked (bands, rows_per_band) — and the blast radius of a
+    flipped pick is the ENTIRE corpus-wide pair output, not one row.
+    At 64 bits the per-pair collision odds are ~|grams|²/2⁶⁵; if that
+    is a concern, tune on raw gram strings via a custom truth set.
     """
     tuned = lsh_autotune(
         docs if tune_docs is None else tune_docs,

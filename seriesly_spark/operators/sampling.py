@@ -179,8 +179,13 @@ def dedup_safe_split(
     hash-agg shuffle on the content md5 (dedup_exact's shape) + one
     co-partitioned equi-join back on the same key — at 100 TB both
     stages shuffle (hash, id) pairs, never text.
+
+    NULL text is a cluster of its own: the key is the md5 coalesced to
+    a sentinel (md5 output is hex, so ``"null"`` cannot collide), so
+    null-text rows get a split label like everyone else instead of
+    silently vanishing through the equi-join's NULL-key drop.
     """
-    h = content_hash(F.col(text_col))
+    h = F.coalesce(content_hash(F.col(text_col)), F.lit("null"))
     reps = (
         docs.groupBy(h.alias("__h"))
         .agg(F.min(id_col).alias("rep_id"))

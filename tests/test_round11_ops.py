@@ -416,6 +416,23 @@ class TestDedupSafeSplit:
         labels = {r.split for r in out}
         assert labels == {"a", "b"}
 
+    def test_null_text_rows_keep_a_label(self, spark):
+        # r11 ADVICE: md5(NULL) is NULL and an equi-join drops NULL keys,
+        # so null-text rows used to vanish from the split entirely. They
+        # must come back as ONE cluster (rep = min id among nulls), each
+        # with a real split label.
+        from seriesly_spark.operators.sampling import dedup_safe_split
+
+        docs = spark.createDataFrame(
+            [(1, "alpha"), (2, None), (3, "alpha"), (4, None)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup_safe_split(docs).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        assert out[2].rep_id == 2 == out[4].rep_id
+        assert out[2].split == out[4].split
+        assert out[1].rep_id == 1 == out[3].rep_id
+
 
 class TestNgramNovelty:
     def test_first_doc_fully_novel(self, spark):
