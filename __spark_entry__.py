@@ -94,6 +94,7 @@ from seriesly_spark.operators.sketches import (
     heavy_hitters,
     approx_quantile_ranks,
     hll_bucket_rollup,
+    kmv_overlap,
 )
 from seriesly_spark.operators.sampling import (
     contamination_overlap,
@@ -419,6 +420,16 @@ _MD5_U16_SQL = (
     " + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) * 16"
     " + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))"
 )
+
+
+def _hex48_sql(col: str) -> str:
+    """DuckDB expression: first 12 hex chars of ``col`` as a 48-bit
+    BIGINT — the exact value Spark's conv(substr(h,1,12),16,10) yields
+    (48 bits, so also exact as a double on both engines)."""
+    e = f"CAST(strpos('0123456789abcdef', substr({col}, 1, 1)) - 1 AS BIGINT)"
+    for i in range(2, 13):
+        e = f"({e} * 16 + (strpos('0123456789abcdef', substr({col}, {i}, 1)) - 1))"
+    return e
 
 # Distinct word-3-gram shingles per document (docs with >= 3 tokens), the
 # DuckDB mirror of operators.dedup.word_shingles.
@@ -3634,6 +3645,20 @@ def q_dedup_minhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-audience overlap between event types from K-minimum-
+    values sketches (k=128): per unordered type pair, the estimated
+    distinct-user counts, union, Jaccard, and intersection — the
+    set-intersection question HLL sketches cannot answer. Deterministic
+    (pure md5 bottom-k), so the oracle replays every number exactly;
+    the rank filter compiles to WindowGroupLimit, so each map task
+    forwards at most k hashes per type regardless of corpus size."""
+    ev = _events(spark, sf_dir)
+    return kmv_overlap(
+        ev.select("event_type", "user_id"), "event_type", "user_id", k=128
+    )
+
+
 def q_compression_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production redundancy screen (one zlib pass per doc, no
     planted certificate payloads) projected to its oracle-checkable
@@ -4359,6 +4384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_incremental": q_dedup_index_incremental,
         "dedup_ladder_report": q_dedup_ladder_report,
         "dedup_minhash_auto": q_dedup_minhash_auto,
+        "kmv_overlap": q_kmv_overlap,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
         "dedup_minhash_lsh_r2": q_dedup_minhash_lsh_r2,
@@ -6154,6 +6180,41 @@ SELECT doc_id, rep_id,
        CASE WHEN v < 98 THEN 'train' WHEN v < 99 THEN 'val' ELSE 'test' END
          AS split
 FROM b
+""",
+        "kmv_overlap": f"""
+WITH p AS (SELECT DISTINCT event_type AS g, user_id AS key FROM events),
+hh AS (SELECT g, md5(CAST(key AS VARCHAR)) AS h FROM p),
+rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+       FROM hh),
+sk AS (SELECT g, h FROM rk WHERE r <= 128),
+gs AS (SELECT g, count(*) AS m, max(h) AS hk, list_sort(list(h)) AS hs
+       FROM sk GROUP BY g),
+pr AS (SELECT a.g AS g_a, b.g AS g_b, a.m AS m_a, b.m AS m_b,
+              a.hk AS hk_a, b.hk AS hk_b, a.hs AS hs_a, b.hs AS hs_b
+       FROM gs a JOIN gs b ON a.g < b.g),
+mg AS (SELECT *, list_sort(list_distinct(hs_a || hs_b)) AS u FROM pr),
+kx AS (SELECT *, least(128, len(u)) AS kk FROM mg),
+hx AS (SELECT *, u[kk] AS hk_u,
+              len(list_intersect(hs_a, hs_b)) AS n_int_full FROM kx),
+est AS (SELECT g_a, g_b,
+  CASE WHEN m_a < 128 THEN CAST(m_a AS DOUBLE)
+       ELSE (m_a - 1) / ({_hex48_sql('hk_a')} / 281474976710656.0)
+  END AS est_a,
+  CASE WHEN m_b < 128 THEN CAST(m_b AS DOUBLE)
+       ELSE (m_b - 1) / ({_hex48_sql('hk_b')} / 281474976710656.0)
+  END AS est_b,
+  CASE WHEN m_a < 128 AND m_b < 128 THEN CAST(len(u) AS DOUBLE)
+       ELSE (kk - 1) / ({_hex48_sql('hk_u')} / 281474976710656.0)
+  END AS est_union,
+  CASE WHEN m_a < 128 AND m_b < 128 THEN n_int_full / len(u)
+       ELSE len(list_filter(list_intersect(hs_a, hs_b),
+                            x -> x <= hk_u)) / CAST(kk AS DOUBLE)
+  END AS jaccard
+  FROM hx)
+SELECT g_a, g_b, round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+       round(est_union, 6) AS est_union, round(jaccard, 6) AS jaccard,
+       round(jaccard * est_union, 6) AS est_intersect
+FROM est ORDER BY g_a, g_b
 """,
         "dedup_minhash_auto": r"""
 WITH g AS (

@@ -155,3 +155,87 @@ def heavy_hitters(
         .where(F.col("n") > F.col("threshold"))
         .select("item", "n", "n_total", F.round("threshold", 6).alias("threshold"))
     )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Pairwise distinct-set overlap between groups from K-minimum-values
+    sketches (Bar-Yossef et al., RANDOM'02; Beyer et al., SIGMOD'07) —
+    the "audience overlap" question HLL cannot answer: HLL unions but
+    never intersects, while a KMV sketch is a uniform bottom-k SAMPLE of
+    the group's distinct-key hash space, so two sketches estimate their
+    sets' Jaccard (shared fraction of the merged bottom-k) and from it
+    the intersection size. Everything is a pure function of md5, so a
+    second engine replays the numbers bit-for-bit — unlike HLL, this
+    sketch needs no error-envelope certificate, it IS deterministic.
+
+    Output, one row per unordered group pair (g_a < g_b):
+    ``(g_a, g_b, est_a, est_b, est_union, jaccard, est_intersect)``.
+    Groups with fewer than k distinct keys carry their sketch EXACTLY, so
+    pairs of unsaturated groups report exact values; saturated pairs use
+    the classic estimators ``D = (K-1)/v_K`` and ``J = |shared ∩ top-K|/K``
+    on the merged bottom-K.
+
+    Scale shape (the 100 TB path): ONE distinct on (group, key), then the
+    rank filter compiles to WindowGroupLimit — each map task forwards at
+    most k rows per group, so the exchange carries O(k · groups ·
+    partitions) hashes regardless of corpus size; the pairwise stage runs
+    on |groups| sketch rows (driver-tiny, broadcast nested-loop on the
+    a < b inequality — the sanctioned tiny-side shape).
+    """
+    from pyspark.sql import Window
+
+    two48 = float(1 << 48)
+
+    def hexval(c):  # first 12 hex chars -> 48-bit int (exact in double)
+        return F.conv(F.substring(c, 1, 12), 16, 10).cast("bigint")
+
+    pairs = df.select(
+        F.col(group_col).alias("g"),
+        F.md5(F.col(key_col).cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    sk = pairs.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+    gs = sk.groupBy("g").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.array_sort(F.collect_list("h")).alias("hs"),
+    )
+
+    def est_one(m, hs):  # per-group distinct estimate (exact when m < k)
+        vk = hexval(F.element_at(hs, m.cast("int"))) / F.lit(two48)
+        return F.when(m < k, m.cast("double")).otherwise((m - 1) / vk)
+
+    a = gs.select(
+        F.col("g").alias("g_a"), F.col("m").alias("m_a"), F.col("hs").alias("hs_a")
+    )
+    b = gs.select(
+        F.col("g").alias("g_b"), F.col("m").alias("m_b"), F.col("hs").alias("hs_b")
+    )
+    j = a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+    u = F.array_sort(F.array_union("hs_a", "hs_b"))
+    j = j.withColumn("u", u).withColumn(
+        "kk", F.least(F.lit(k), F.size("u"))
+    ).withColumn("hk", F.element_at("u", F.col("kk")))
+    inter_full = F.array_intersect("hs_a", "hs_b")
+    shared_topk = F.size(F.filter(inter_full, lambda x: x <= F.col("hk")))
+    both_exact = (F.col("m_a") < k) & (F.col("m_b") < k)
+    vk = hexval(F.col("hk")) / F.lit(two48)
+    est_union = F.when(both_exact, F.size("u").cast("double")).otherwise(
+        (F.col("kk") - 1) / vk
+    )
+    jac = F.when(
+        both_exact, F.size(inter_full) / F.size("u")
+    ).otherwise(shared_topk / F.col("kk"))
+    return j.select(
+        "g_a",
+        "g_b",
+        F.round(est_one(F.col("m_a"), F.col("hs_a")), 6).alias("est_a"),
+        F.round(est_one(F.col("m_b"), F.col("hs_b")), 6).alias("est_b"),
+        F.round(est_union, 6).alias("est_union"),
+        F.round(jac, 6).alias("jaccard"),
+        F.round(jac * est_union, 6).alias("est_intersect"),
+    ).orderBy("g_a", "g_b")
