@@ -225,6 +225,8 @@ BENCH_QUERIES = [
     "dedup_safe_split",
     "ngram_novelty",
     "dedup_minhash_auto",
+    # round 12
+    "kmv_overlap",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)
