@@ -96,6 +96,7 @@ from seriesly_spark.operators.sketches import (
     hll_bucket_rollup,
     kmv_overlap,
 )
+from seriesly_spark.operators.graph import derivation_edges, pagerank
 from seriesly_spark.operators.sampling import (
     contamination_overlap,
     dedup_safe_split,
@@ -420,6 +421,56 @@ _MD5_U16_SQL = (
     " + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) * 16"
     " + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))"
 )
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """DuckDB replay of q_pagerank_docs: the derivation-edge CTEs, then
+    ``iters`` unrolled power-iteration rounds. Float parity notes: every
+    literal is CAST to DOUBLE (a bare 1.0 is DECIMAL in DuckDB), and the
+    base term is written (1.0 - 0.85) so both engines evaluate the same
+    binary double (Python's 1.0 - 0.85 != the literal 0.15)."""
+    head = r"""
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+e AS (SELECT doc_id AS src, unnest(grams) AS gr FROM g
+      WHERE len(grams) > 0),
+f AS (SELECT gr, min(src) AS dst FROM e GROUP BY gr),
+edges AS (SELECT DISTINCT e.src, f.dst FROM e JOIN f USING (gr)
+          WHERE e.src <> f.dst),
+nodes AS (SELECT doc_id AS node FROM documents),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
+       FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f""",
+c{k} AS (SELECT ed.dst AS node,
+  CAST(sum(CAST(r.r / dg.deg AS DECIMAL(38,18))) AS DOUBLE) AS c
+  FROM edges ed JOIN r{k - 1} r ON ed.src = r.node
+  JOIN deg dg ON dg.src = ed.src GROUP BY ed.dst),
+m{k} AS (SELECT coalesce(
+  CAST(sum(CAST(r.r AS DECIMAL(38,18))) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS m
+  FROM r{k - 1} r LEFT JOIN deg dg ON r.node = dg.src
+  WHERE dg.src IS NULL),
+r{k} AS (SELECT n.node,
+  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+    + CAST(0.85 AS DOUBLE)
+      * (coalesce(c.c, CAST(0.0 AS DOUBLE)) + m.m / nn.n) AS r
+  FROM nodes n CROSS JOIN nn LEFT JOIN c{k} c ON n.node = c.node
+  CROSS JOIN m{k} m)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node, round(r, 9) AS rank FROM r{iters}\n"
+    )
 
 
 def _hex48_sql(col: str) -> str:
@@ -3645,6 +3696,19 @@ def q_dedup_minhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the corpus derivation graph: doc -> first carrier
+    (min id) of each of its distinct trigrams — heavily-pointed-to
+    documents originate the corpus's phrasing (the crawl-frontier /
+    representative-selection importance score). Five power iterations
+    with decimal-accumulated mass sums and dangling redistribution;
+    the oracle unrolls the same five rounds in chained CTEs."""
+    docs = _table(spark, sf_dir, "documents")
+    return pagerank(
+        derivation_edges(docs, n=3), docs.select("doc_id"), iterations=5
+    )
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-audience overlap between event types from K-minimum-
     values sketches (k=128): per unordered type pair, the estimated
@@ -4385,6 +4449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ladder_report": q_dedup_ladder_report,
         "dedup_minhash_auto": q_dedup_minhash_auto,
         "kmv_overlap": q_kmv_overlap,
+        "pagerank_docs": q_pagerank_docs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
         "dedup_minhash_lsh_r2": q_dedup_minhash_lsh_r2,
@@ -6181,6 +6246,7 @@ SELECT doc_id, rep_id,
          AS split
 FROM b
 """,
+        "pagerank_docs": _pagerank_sql(5),
         "kmv_overlap": f"""
 WITH p AS (SELECT DISTINCT event_type AS g, user_id AS key FROM events),
 hh AS (SELECT g, md5(CAST(key AS VARCHAR)) AS h FROM p),

@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "dedup_minhash_auto",
     # round 12
     "kmv_overlap",
+    "pagerank_docs",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

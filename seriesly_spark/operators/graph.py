@@ -1,0 +1,167 @@
+"""Iterative graph operators — PageRank over corpus-derived graphs.
+
+The reference engine has no graph surface at all (its reducers are
+per-bucket folds, query.go:408-447); this module extends the
+beyond-reference LLM-pipeline layer with the second iterative-graph
+primitive after ``dedup.connected_components``: power-iteration
+PageRank (Page, Brin, Motwani, Winograd — "The PageRank Citation
+Ranking", Stanford InfoLab 1999), the standard importance score for
+crawl-frontier prioritization and duplicate-cluster representative
+selection.
+
+Scale shape: each iteration is ONE equi-join of the edge list with the
+current rank vector plus a key-shuffled aggregate on the destination —
+the same shuffle class as one round of label propagation. Rank mass
+sums are decimal-accumulated (order-independent), so results are exact
+replays across engines and partitionings; iteration state is bounded
+to one live copy via ``CheckpointRotator``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from seriesly_spark.operators.dedup import word_shingles
+from seriesly_spark.operators.util import (
+    CheckpointRotator,
+    scoped_persist,
+    spread,
+)
+
+
+def derivation_edges(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Provenance edges of the corpus: one edge ``src -> dst`` whenever
+    document ``src`` carries a distinct word n-gram whose FIRST carrier
+    (minimum id — ingest order) is document ``dst != src``. The result
+    is the "derives from" graph a curriculum or crawl scheduler ranks:
+    heavily-pointed-to documents originate the corpus's phrasing
+    (boilerplate sources, canonical texts), novel documents point
+    almost nowhere.
+
+    Plan: explode distinct grams once (persisted: the first-carrier
+    aggregate and the join probe share the scan), min-id per gram
+    (map-side combine), equi-join back on the gram, distinct (src, dst)
+    pairs. The only wide exchanges are keyed on the gram and on the
+    edge pair — ``ngram_novelty``'s scale class.
+    """
+    ex = spread(docs).select(
+        F.col(id_col).alias("src"),
+        F.explode(word_shingles(text_col, n)).alias("g"),
+    )
+    ex = scoped_persist(ex, "graph.derivation_shingles")
+    first = ex.groupBy("g").agg(F.min("src").alias("dst"))
+    return (
+        ex.join(first, "g")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Power-iteration PageRank with uniform dangling-mass
+    redistribution:
+
+        r'(v) = (1-d)/n  +  d * ( sum_{u->v} r(u)/deg(u)  +  m/n )
+
+    where ``m`` is the total rank held by dangling nodes (no out-edges)
+    and ``deg`` is the out-degree. A fixed ``iterations`` count (not a
+    convergence test) keeps the computation a pure function of the
+    graph — replayable on any engine by unrolling the same number of
+    rounds.
+
+    ``edges``: (src, dst), deduplicated here. ``nodes``: one-column
+    frame of the node universe (defaults to the union of edge
+    endpoints); isolated nodes receive base + dangling-share rank.
+    Output: (node, rank) with rank rounded to 9 decimals; ranks sum
+    to ~1.
+
+    Determinism: per-destination contributions and the dangling mass
+    are decimal(38,18)-accumulated (exact, order-independent), so the
+    double arithmetic sequence is identical on every engine and
+    partitioning. Scale: the edge list and out-degrees are persisted
+    once; each round shuffles (node, rank) pairs keyed on the node —
+    never the graph payload; the 1-row n / dangling-mass aggregates
+    broadcast (the sanctioned tiny crossJoin).
+    """
+    # Pre-partition the loop invariants on their join keys so each
+    # round's joins reuse the cached partitioning instead of
+    # re-exchanging the graph 5x: edges on src (the contribution join),
+    # the node-degree table on node (the rank rebuild join probes it
+    # with the per-round contrib table, which is the side that should
+    # shuffle — it is aggregate-sized, the graph is not).
+    edges = scoped_persist(
+        edges.select("src", "dst").distinct().repartition("src"),
+        "graph.pagerank_edges",
+    )
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        (c,) = nodes.columns
+        nodes = nodes.select(F.col(c).alias("node"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes_deg = scoped_persist(
+        nodes.repartition("node").join(
+            deg, nodes["node"] == deg["src"], "left"
+        ).select("node", "deg"),
+        "graph.pagerank_nodes",
+    )
+    n_row = nodes_deg.agg(F.count(F.lit(1)).alias("n"))
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,18)")).cast("double")
+
+    # The rank table carries each node's static out-degree, so a round
+    # needs NO degree join (contributions divide in place) and NO
+    # anti-join for the dangling mass (a null-degree filter on the
+    # checkpointed table).
+    rot = CheckpointRotator()
+    ranks = rot.checkpoint(
+        nodes_deg.crossJoin(F.broadcast(n_row)).select(
+            "node", "deg", (F.lit(1.0) / F.col("n")).alias("r")
+        )
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("node").alias("src"), "r", "deg"), "src"
+            )
+            .groupBy("dst")
+            .agg(dsum(F.col("r") / F.col("deg")).alias("c"))
+        )
+        m_row = ranks.where(F.col("deg").isNull()).agg(
+            F.coalesce(dsum(F.col("r")), F.lit(0.0)).alias("m")
+        )
+        ranks = rot.checkpoint(
+            nodes_deg.crossJoin(F.broadcast(n_row))
+            .crossJoin(F.broadcast(m_row))
+            .join(contrib, nodes_deg["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("m") / F.col("n")
+                    )
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.round("r", 9).alias("rank"))

@@ -95,3 +95,75 @@ class TestKmvOverlapEstimates:
             .toString()
         )
         assert "WindowGroupLimit" in plan
+
+
+class TestPagerank:
+    def test_matches_power_iteration(self, spark):
+        # 1->2, 1->3, 2->3, 3->1, node 4 dangling: closed-loop replay
+        from seriesly_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+        )
+        nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], "node long")
+        got = {
+            r.node: r.rank
+            for r in pagerank(edges, nodes, iterations=20).collect()
+        }
+        r = [0.25] * 4
+        adj, deg = {1: [2, 3], 2: [3], 3: [1]}, {1: 2, 2: 1, 3: 1}
+        for _ in range(20):
+            c = [0.0] * 4
+            for u, vs in adj.items():
+                for v in vs:
+                    c[v - 1] += r[u - 1] / deg[u]
+            m = r[3]
+            r = [0.15 / 4 + 0.85 * (ci + m / 4) for ci in c]
+        for i in range(4):
+            assert got[i + 1] == round(r[i], 9)
+
+    def test_mass_conserved(self, spark):
+        from seriesly_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(i, (i * 7) % 23) for i in range(23) if i != (i * 7) % 23],
+            "src long, dst long",
+        )
+        out = pagerank(edges, iterations=8).collect()
+        assert sum(r.rank for r in out) == pytest.approx(1.0, abs=1e-6)
+
+    def test_all_dangling(self, spark):
+        # no edges at all: every node keeps exactly 1/n forever
+        from seriesly_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame([], "src long, dst long")
+        nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+        out = pagerank(edges, nodes, iterations=3).collect()
+        assert {r.rank for r in out} == {0.2}
+
+    def test_partitioning_invariant(self, spark):
+        from seriesly_spark.operators.graph import pagerank
+
+        rows = [(i, (i * 3) % 40) for i in range(40) if i != (i * 3) % 40]
+        e1 = spark.createDataFrame(rows, "src long, dst long").coalesce(1)
+        e2 = spark.createDataFrame(rows, "src long, dst long").repartition(16)
+        a = sorted(map(str, pagerank(e1, iterations=5).collect()))
+        b = sorted(map(str, pagerank(e2, iterations=5).collect()))
+        assert a == b
+
+
+class TestDerivationEdges:
+    def test_first_carrier_edges(self, spark):
+        from seriesly_spark.operators.graph import derivation_edges
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d"),    # introduces "a b c", "b c d"
+                (2, "a b c d"),    # copies both -> edges 2->1 (distinct)
+                (3, "x y z"),      # novel: no out-edge
+                (4, "b c d q r"),  # shares "b c d" -> edge 4->1
+            ],
+            "doc_id long, text string",
+        )
+        got = {(r.src, r.dst) for r in derivation_edges(docs, n=3).collect()}
+        assert got == {(2, 1), (4, 1)}
