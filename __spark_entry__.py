@@ -89,6 +89,7 @@ from seriesly_spark.operators.multimodal import (
     image_channel_stats,
     payload_features,
     payload_metadata,
+    phash_dedup,
 )
 from seriesly_spark.operators.sketches import (
     heavy_hitters,
@@ -2334,6 +2335,78 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_channel_stats(imgs)
 
 
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL perceptual-hash image near-dup, certified end-to-end: each
+    doc manufactures a photo-like 32x32 PPM synthesized from a DENSE
+    md5-keyed low-frequency DCT spectrum for res = doc_id % 40 (dense
+    spectra are what real photos have — sparse synthetic gradients put
+    the pHash median in a sea of ±eps ties and shatter, measured), and
+    every doc also gets a +30-brightness TWIN under id -doc_id - 1 (NOT
+    byte-identical — a true near-duplicate). The engine decodes the
+    bytes, grayscales, resizes, 2-D DCTs, and median-thresholds to a
+    64-bit pHash (multimodal.phash64), then hash-clusters. The oracle
+    knows clusters ONLY by construction (residue of the original id),
+    so the match certifies the decode->DCT->hash pipeline separates all
+    40 patterns (measured inter-pattern Hamming >= 22) AND collides
+    every brightness-shifted twin with its original (median
+    thresholding absorbs the DC shift; measured Hamming 0 on all 40) —
+    near-dup power the md5 dedup ladder cannot offer."""
+    import numpy as np
+    import pandas as pd
+
+    # spread: the single-file projection arrives as ONE partition, and
+    # the manufacture+decode+DCT stage is the heavy kind (see the PNG
+    # gate) — without it the whole pipeline runs on one core
+    docs = spread(_table(spark, sf_dir, "documents").select("doc_id"))
+    both = docs.unionByName(
+        docs.select((-F.col("doc_id") - 1).alias("doc_id"))
+    )
+
+    def make(batches):
+        import hashlib
+
+        from seriesly_spark.operators.multimodal import _dct_matrix
+
+        m = _dct_matrix(32)
+        cache: dict[int, "np.ndarray"] = {}
+
+        def base_img(res: int) -> "np.ndarray":
+            if res not in cache:
+                g = np.zeros((8, 8))
+                for u in range(8):
+                    for v in range(8):
+                        if (u, v) == (0, 0):
+                            continue
+                        b = hashlib.md5(
+                            f"{res}|{u}|{v}".encode()
+                        ).digest()[0]
+                        g[u, v] = (2.0 + b % 16) * (
+                            1.0 if b >= 128 else -1.0
+                        )
+                ideal = m[:8, :].T @ g @ m[:8, :]
+                img = 128 + ideal * (90.0 / np.abs(ideal).max())
+                cache[res] = np.round(
+                    np.stack([img + 5 * ch for ch in range(3)], axis=2)
+                ).clip(0, 255).astype(np.uint8)
+            return cache[res]
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                orig = d if d >= 0 else -d - 1
+                arr = base_img(orig % 40)
+                if d < 0:  # the brightness twin
+                    arr = (arr.astype(np.int64) + 30).clip(0, 255).astype(
+                        np.uint8
+                    )
+                payloads.append(encode_ppm(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = both.mapInPandas(make, "doc_id long, payload binary")
+    return phash_dedup(imgs)
+
+
 def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode, certified: each document manufactures an RGB8
     PNG whose pixel (r, c, ch) = (doc_id*37 + r*5 + c*13 + ch*7) % 256
@@ -4450,6 +4523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_auto": q_dedup_minhash_auto,
         "kmv_overlap": q_kmv_overlap,
         "pagerank_docs": q_pagerank_docs,
+        "image_phash_dedup": q_image_phash_dedup,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
         "dedup_minhash_lsh_r2": q_dedup_minhash_lsh_r2,
@@ -6247,6 +6321,19 @@ SELECT doc_id, rep_id,
 FROM b
 """,
         "pagerank_docs": _pagerank_sql(5),
+        "image_phash_dedup": """
+WITH u AS (SELECT doc_id FROM documents
+           UNION ALL
+           SELECT -doc_id - 1 FROM documents),
+k AS (SELECT doc_id,
+             (CASE WHEN doc_id >= 0 THEN doc_id
+                   ELSE -doc_id - 1 END) % 40 AS res
+      FROM u)
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY res) AS rep_id,
+       count(*) OVER (PARTITION BY res) AS cluster_size
+FROM k
+""",
         "kmv_overlap": f"""
 WITH p AS (SELECT DISTINCT event_type AS g, user_id AS key FROM events),
 hh AS (SELECT g, md5(CAST(key AS VARCHAR)) AS h FROM p),

@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     # round 12
     "kmv_overlap",
     "pagerank_docs",
+    "image_phash_dedup",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

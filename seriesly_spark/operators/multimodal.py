@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import round_half_up
+from .util import round_half_up, scoped_persist
 
 META_SCHEMA = "doc_id long, n_bytes long, width long, height long, n_frames long"
 
@@ -487,3 +487,92 @@ def audio_stats(
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(stats, AUDIO_STATS_SCHEMA)
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis matrix (float64): M[k, i] =
+    s_k * cos(pi * (2i + 1) * k / (2n)), s_0 = sqrt(1/n), else
+    sqrt(2/n). 2-D DCT of A is then M @ A @ M.T."""
+    i = np.arange(n)
+    m = np.cos(np.pi * (2 * i[None, :] + 1) * i[:, None] / (2 * n))
+    m[0] *= np.sqrt(1.0 / n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return m
+
+
+def phash64(arr: "np.ndarray", hash_size: int = 8) -> int:
+    """64-bit perceptual hash of a decoded (h, w, 3) uint8 image — the
+    classic DCT pHash (Zauner, "Implementation and Benchmarking of
+    Perceptual Image Hash Functions", 2010; same scheme as the public
+    imagehash library): grayscale (channel mean), resize to
+    (4*hash_size)^2, 2-D DCT-II, keep the top-left hash_size^2
+    low-frequency block, threshold each coefficient against the block's
+    MEDIAN. Median thresholding makes the hash invariant to global
+    brightness/contrast shifts; low-frequency cropping makes it robust
+    to small pixel noise — byte-identical images always collide, and
+    near-identical ones land within a small Hamming distance."""
+    gray = arr.astype(np.float64).mean(axis=2, keepdims=True)
+    size = 4 * hash_size
+    small = resize_nearest(gray.astype(np.uint8)[:, :, [0, 0, 0]], size, size)
+    m = _dct_matrix(size)
+    coeffs = (m @ small[:, :, 0].astype(np.float64) @ m.T)[
+        :hash_size, :hash_size
+    ]
+    bits = (coeffs > np.median(coeffs)).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v  # as signed int64
+
+
+PHASH_SCHEMA = "doc_id long, phash long, width int, height int"
+
+
+def image_phash(
+    images: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-image 64-bit perceptual hash over binary payloads: decode
+    (PPM/PNG built-in, see decode_image) and pHash inside ONE
+    Arrow-batched ``mapInPandas`` stage — the multimodal sibling of the
+    text dedup fingerprints. Output (doc_id, phash, width, height).
+
+    At 100 TB this is the image-dedup map stage: payloads never leave
+    the executor, the emitted row is 28 bytes, and downstream exact
+    grouping (identical/near-identical images) or Hamming banding (the
+    SimhashIndex machinery works unchanged on phash) shuffles hashes
+    only."""
+    src = images.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "phash": [], "width": [], "height": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                arr = decode_image(bytes(payload))
+                h, w, _ = arr.shape
+                rows["doc_id"].append(doc_id)
+                rows["phash"].append(phash64(arr))
+                rows["width"].append(w)
+                rows["height"].append(h)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(hash_batches, PHASH_SCHEMA)
+
+
+def phash_dedup(
+    images: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact perceptual-hash dedup: cluster images whose pHash collides
+    (byte-identical images always do; brightness-shifted and lightly
+    perturbed copies usually do) and assign every image its cluster
+    representative (min id) plus the cluster size. ONE hash-agg shuffle
+    on the 8-byte phash after the map-side hashing stage — dedup_exact's
+    scale shape with the md5 swapped for a perceptual fingerprint."""
+    hashed = scoped_persist(
+        image_phash(images, payload_col, id_col), "multimodal.phash"
+    )
+    reps = hashed.groupBy("phash").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("cluster_size")
+    )
+    return hashed.join(reps, "phash").select(
+        "doc_id", "rep_id", "cluster_size"
+    )

@@ -167,3 +167,136 @@ class TestDerivationEdges:
         )
         got = {(r.src, r.dst) for r in derivation_edges(docs, n=3).collect()}
         assert got == {(2, 1), (4, 1)}
+
+
+class TestImagePhash:
+    """Fixture = the q_image_phash_dedup construction: a 32x32 image
+    synthesized from a dense md5-keyed low-frequency DCT spectrum per
+    residue (photo-like: every low-freq coefficient carries signal, so
+    the median threshold has margin — sparse synthetic gradients put
+    the median in a sea of ties and shatter under 1-px noise,
+    measured Hamming 12-30)."""
+
+    def _arr(self, res, brightness=0):
+        import hashlib
+
+        import numpy as np
+
+        from seriesly_spark.operators.multimodal import _dct_matrix
+
+        m = _dct_matrix(32)
+        g = np.zeros((8, 8))
+        for u in range(8):
+            for v in range(8):
+                if (u, v) == (0, 0):
+                    continue
+                b = hashlib.md5(f"{res}|{u}|{v}".encode()).digest()[0]
+                g[u, v] = (2.0 + b % 16) * (1.0 if b >= 128 else -1.0)
+        ideal = m[:8, :].T @ g @ m[:8, :]
+        img = 128 + ideal * (90.0 / np.abs(ideal).max())
+        out = np.round(
+            np.stack([img + 5 * ch for ch in range(3)], axis=2)
+        ).clip(0, 255).astype("uint8")
+        if brightness:
+            out = (out.astype(int) + brightness).clip(0, 255).astype("uint8")
+        return out
+
+    @staticmethod
+    def _ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    def test_patterns_pairwise_distinct_with_margin(self):
+        # the q_image_phash_dedup oracle needs all 40 residue patterns
+        # on DISTINCT pHashes; measured min inter-pattern Hamming is 22
+        from seriesly_spark.operators.multimodal import phash64
+
+        hashes = [phash64(self._arr(res)) for res in range(40)]
+        assert len(set(hashes)) == 40
+        m = min(
+            self._ham(hashes[i], hashes[j])
+            for i in range(40)
+            for j in range(i + 1, 40)
+        )
+        assert m >= 12
+
+    def test_brightness_shift_is_hash_invariant(self):
+        # the oracle clusters +30-brightness twins WITH their originals,
+        # so this must be exact equality, not merely small Hamming
+        from seriesly_spark.operators.multimodal import phash64
+
+        for res in range(40):
+            assert phash64(self._arr(res, brightness=30)) == phash64(
+                self._arr(res)
+            ), res
+
+    def test_single_pixel_noise_stays_local(self):
+        from seriesly_spark.operators.multimodal import phash64
+
+        for res in (3, 5, 17, 31):
+            noisy = self._arr(res).copy()
+            noisy[0, 0, :] = 255
+            assert self._ham(phash64(noisy), phash64(self._arr(res))) <= 4
+
+    def test_ppm_roundtrip_preserves_hash(self):
+        from seriesly_spark.operators.multimodal import (
+            decode_ppm,
+            encode_ppm,
+            phash64,
+        )
+
+        a = self._arr(7)
+        assert phash64(decode_ppm(encode_ppm(a))) == phash64(a)
+
+    def test_phash_dedup_clusters(self, spark):
+        import pandas as pd
+
+        from seriesly_spark.operators.multimodal import encode_ppm, phash_dedup
+
+        def make(batches):
+            # self-contained (closures over the test class do not pickle
+            # to executors): same construction as _arr, inlined
+            import hashlib
+
+            import numpy as np
+
+            from seriesly_spark.operators.multimodal import (
+                _dct_matrix,
+                encode_ppm,
+            )
+
+            m = _dct_matrix(32)
+
+            def arr(res):
+                g = np.zeros((8, 8))
+                for u in range(8):
+                    for v in range(8):
+                        if (u, v) == (0, 0):
+                            continue
+                        b = hashlib.md5(
+                            f"{res}|{u}|{v}".encode()
+                        ).digest()[0]
+                        g[u, v] = (2.0 + b % 16) * (1.0 if b >= 128 else -1.0)
+                ideal = m[:8, :].T @ g @ m[:8, :]
+                img = 128 + ideal * (90.0 / np.abs(ideal).max())
+                return np.round(
+                    np.stack([img + 5 * ch for ch in range(3)], axis=2)
+                ).clip(0, 255).astype("uint8")
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload": [
+                            encode_ppm(arr(int(d) % 3))
+                            for d in pdf["doc_id"]
+                        ],
+                    }
+                )
+
+        docs = spark.range(9).select(F.col("id").alias("doc_id"))
+        imgs = docs.mapInPandas(make, "doc_id long, payload binary")
+        out = {r.doc_id: r for r in phash_dedup(imgs).collect()}
+        assert len(out) == 9
+        for i in range(9):
+            assert out[i].rep_id == i % 3
+            assert out[i].cluster_size == 3
