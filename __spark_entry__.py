@@ -89,6 +89,7 @@ from seriesly_spark.operators.multimodal import (
     image_channel_stats,
     payload_features,
     payload_metadata,
+    image_phash,
     phash_dedup,
 )
 from seriesly_spark.operators.sketches import (
@@ -2351,8 +2352,18 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every brightness-shifted twin with its original (median
     thresholding absorbs the DC shift; measured Hamming 0 on all 40) —
     near-dup power the md5 dedup ladder cannot offer."""
-    import numpy as np
-    import pandas as pd
+    imgs = _phash_fixture(spark, sf_dir, twin="brightness")
+    return phash_dedup(imgs)
+
+
+def _phash_fixture(spark: SparkSession, sf_dir: str, twin: str) -> DataFrame:
+    """Shared image fixture of the two pHash gates: one 32x32 PPM per
+    doc (dense md5-keyed low-frequency DCT spectrum for res = doc_id %
+    40) plus one TWIN per doc under id -doc_id - 1 — a +30-brightness
+    copy (``twin="brightness"``: pHash-identical, measured Hamming 0 on
+    all 40 patterns) or a 1-px corruption (``twin="noise"``: measured
+    Hamming 0-4 per pattern, the per-res values pinned in the
+    near-pairs oracle)."""
 
     # spread: the single-file projection arrives as ONE partition, and
     # the manufacture+decode+DCT stage is the heavy kind (see the PNG
@@ -2365,12 +2376,18 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def make(batches):
         import hashlib
 
-        from seriesly_spark.operators.multimodal import _dct_matrix
+        import numpy as np
+        import pandas as pd
+
+        from seriesly_spark.operators.multimodal import (
+            _dct_matrix,
+            encode_ppm,
+        )
 
         m = _dct_matrix(32)
-        cache: dict[int, "np.ndarray"] = {}
+        cache: dict = {}
 
-        def base_img(res: int) -> "np.ndarray":
+        def base_img(res: int):
             if res not in cache:
                 g = np.zeros((8, 8))
                 for u in range(8):
@@ -2396,15 +2413,46 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(doc_id)
                 orig = d if d >= 0 else -d - 1
                 arr = base_img(orig % 40)
-                if d < 0:  # the brightness twin
-                    arr = (arr.astype(np.int64) + 30).clip(0, 255).astype(
-                        np.uint8
-                    )
+                if d < 0:
+                    if twin == "brightness":
+                        arr = (arr.astype(np.int64) + 30).clip(
+                            0, 255
+                        ).astype(np.uint8)
+                    else:  # 1-px corruption
+                        arr = arr.copy()
+                        arr[0, 0, :] = 255
                 payloads.append(encode_ppm(arr))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    imgs = both.mapInPandas(make, "doc_id long, payload binary")
-    return phash_dedup(imgs)
+    return both.mapInPandas(make, "doc_id long, payload binary")
+
+
+# Measured pHash Hamming distance between each residue pattern and its
+# 1-px-corrupted twin (deterministic function of the fixture + phash64;
+# re-derive with tests/test_round12_ops.py's fixture if phash64 ever
+# changes — a mismatch here is the near-pairs gate doing its job).
+_PHASH_NOISE_HD = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 4, 0, 0, 2, 0, 0, 2, 0, 0, 2,
+    0, 2, 2, 0, 0, 0, 0, 2, 0, 0, 0, 2, 0, 2, 0, 2, 0, 2, 2, 0,
+]
+
+
+def q_image_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming MINING over perceptual hashes — the image twin of
+    the simhash near-dup miner: pHash every image (originals + 1-px
+    corrupted twins, Hamming 0-4 by construction), pigeonhole-split the
+    64-bit hash into 5 x 12-bit bands (any pair within Hamming 4 agrees
+    on a full band), equi-join on (band, chunk), verify with
+    bit_count(xor) <= 4. Cross-pattern distances are >= 22, so the
+    output is EXACTLY the within-residue pairs; the oracle enumerates
+    them by construction with the measured per-pattern twin distances
+    pinned as literals. At index scale the same fingerprints drop into
+    SimhashIndex (manku20) unchanged — this gate certifies the
+    decode->DCT->hash->band->verify composition."""
+    fp = image_phash(_phash_fixture(spark, sf_dir, twin="noise"))
+    return hamming_pairs(
+        fp, 64, max_hamming=4, bands=5, fp_col="phash"
+    )
 
 
 def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4524,6 +4572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "pagerank_docs": q_pagerank_docs,
         "image_phash_dedup": q_image_phash_dedup,
+        "image_phash_near_pairs": q_image_phash_near_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
         "dedup_minhash_lsh_r2": q_dedup_minhash_lsh_r2,
@@ -6321,6 +6370,19 @@ SELECT doc_id, rep_id,
 FROM b
 """,
         "pagerank_docs": _pagerank_sql(5),
+        "image_phash_near_pairs": f"""
+WITH o AS (SELECT doc_id FROM documents),
+u AS (SELECT doc_id, doc_id % 40 AS res, 0 AS tw FROM o
+      UNION ALL
+      SELECT -doc_id - 1, doc_id % 40, 1 FROM o),
+t AS (SELECT * FROM (VALUES {", ".join(
+    f"({i}, {hd})" for i, hd in enumerate(_PHASH_NOISE_HD)
+)}) AS t(res, hd))
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CASE WHEN a.tw = b.tw THEN 0 ELSE t.hd END AS hamming
+FROM u a JOIN u b ON a.res = b.res AND a.doc_id < b.doc_id
+JOIN t ON t.res = a.res
+""",
         "image_phash_dedup": """
 WITH u AS (SELECT doc_id FROM documents
            UNION ALL

@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "kmv_overlap",
     "pagerank_docs",
     "image_phash_dedup",
+    "image_phash_near_pairs",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)
