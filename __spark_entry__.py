@@ -100,6 +100,7 @@ from seriesly_spark.operators.sketches import (
 )
 from seriesly_spark.operators.graph import derivation_edges, pagerank
 from seriesly_spark.operators.sampling import (
+    cap_per_group,
     contamination_overlap,
     dedup_safe_split,
     ngram_novelty,
@@ -3830,6 +3831,16 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 8 documents per source, chosen by md5(doc_id) rank — the
+    deterministic per-domain cap of a crawl-curation stage (stable
+    across runs/engines, monotone in the cap). Compiles to
+    WindowGroupLimit: a mega-domain forwards 8 rows per map task, never
+    its full row count."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "source", "doc_id", cap=8)
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-audience overlap between event types from K-minimum-
     values sketches (k=128): per unordered type pair, the estimated
@@ -4479,6 +4490,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # certified entries first (registration order), then the
         # stalest-certified cohorts (CERTIFIED.json), alphabetical
         # within a cohort; alphabetical tail.
+        "kmv_overlap": q_kmv_overlap,
+        "pagerank_docs": q_pagerank_docs,
+        "image_phash_dedup": q_image_phash_dedup,
+        "image_phash_near_pairs": q_image_phash_near_pairs,
+        "source_cap": q_source_cap,
         "rollup_daily": q_rollup_daily,
         "s01_range_read": q_s01_range_read,
         "s03_point_lookup": q_s03_point_lookup,
@@ -4524,11 +4540,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": q_funnel_counts,
         "funnel_users": q_funnel_users,
         "gapfill_linear": q_gapfill_linear,
-        "histogram_clamped": q_histogram_clamped,
-        "ivf_cell_purity": q_ivf_cell_purity,
-        "kmeans_lloyd": q_kmeans_lloyd,
-        "mad_outliers": q_mad_outliers,
-        "minmax_downsample": q_minmax_downsample,
         # --- tail: certified; covered by the all-query
         # oracle replay in tests/test_entry_oracle.py ---
         "activity_concentration": q_concentration,
@@ -4569,10 +4580,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_incremental": q_dedup_index_incremental,
         "dedup_ladder_report": q_dedup_ladder_report,
         "dedup_minhash_auto": q_dedup_minhash_auto,
-        "kmv_overlap": q_kmv_overlap,
-        "pagerank_docs": q_pagerank_docs,
-        "image_phash_dedup": q_image_phash_dedup,
-        "image_phash_near_pairs": q_image_phash_near_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
         "dedup_minhash_lsh_r2": q_dedup_minhash_lsh_r2,
@@ -4589,15 +4596,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "hash_split": q_hash_split,
         "heavy_hitters_tokens": q_heavy_hitters,
+        "histogram_clamped": q_histogram_clamped,
         "hll_rollup_users": q_hll_rollup_users,
         "hopping_window": q_hopping_window,
         "image_decode_stats": q_image_decode_stats,
         "inter_event_stats": q_inter_event_stats,
         "interval_coverage": q_interval_coverage,
         "iqr_outliers": q_iqr_outliers,
+        "ivf_cell_purity": q_ivf_cell_purity,
         "ivf_index_topk": q_ivf_index_topk,
         "ivf_index_topk_multi": q_ivf_index_topk_multi,
         "jpeg_decode_stats": q_jpeg_decode_stats,
+        "kmeans_lloyd": q_kmeans_lloyd,
         "kmeans_silhouette": q_kmeans_silhouette,
         "krippendorff_alpha": q_krippendorff_alpha,
         "lang_confusion": q_lang_confusion,
@@ -4606,10 +4616,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "levenshtein_pairs": q_levenshtein_pairs,
         "lsh_autotune": q_lsh_autotune,
         "lsh_eval": q_lsh_eval,
+        "mad_outliers": q_mad_outliers,
         "markov_transitions": q_markov_transitions,
         "merge_intervals": q_merge_intervals,
         "minhash_bucketed_probe": q_minhash_bucketed_probe,
         "minhash_index_incremental": q_minhash_index_incremental,
+        "minmax_downsample": q_minmax_downsample,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
         "moving_avg_6h": q_moving_avg_6h,
@@ -6370,6 +6382,13 @@ SELECT doc_id, rep_id,
 FROM b
 """,
         "pagerank_docs": _pagerank_sql(5),
+        "source_cap": """
+WITH r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+SELECT doc_id, source FROM r WHERE rn <= 8
+""",
         "image_phash_near_pairs": f"""
 WITH o AS (SELECT doc_id FROM documents),
 u AS (SELECT doc_id, doc_id % 40 AS res, 0 AS tw FROM o

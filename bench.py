@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "pagerank_docs",
     "image_phash_dedup",
     "image_phash_near_pairs",
+    "source_cap",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -549,3 +549,36 @@ def mixture_plan(
         )
         .orderBy(group_col)
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-group row cap — the "at most N documents per
+    domain" curation stage: within each group, rank rows by the md5 of
+    their key (a uniform random-but-reproducible order; ``key_col``
+    breaks the astronomically-unlikely hash tie) and keep the first
+    ``cap``. The kept set is a pure function of (keys, salt): stable
+    across runs, engines, partitionings, and monotone in ``cap`` (a
+    cap-16 keep set contains the cap-8 one).
+
+    Scale shape: the rank filter compiles to WindowGroupLimit, so every
+    map task forwards at most ``cap`` rows per group BEFORE the
+    exchange — a skewed mega-domain ships cap rows per input partition,
+    never its full row count. Output: the input columns, capped.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")
+    )
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= cap)
+        .drop("__r")
+    )

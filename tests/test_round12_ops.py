@@ -300,3 +300,41 @@ class TestImagePhash:
         for i in range(9):
             assert out[i].rep_id == i % 3
             assert out[i].cluster_size == 3
+
+
+class TestCapPerGroup:
+    def test_cap_and_monotone(self, spark):
+        from seriesly_spark.operators.sampling import cap_per_group
+
+        df = spark.createDataFrame(
+            [(i, f"g{i % 3}") for i in range(30)], "doc_id long, source string"
+        )
+        k4 = {r.doc_id for r in cap_per_group(df, "source", "doc_id", 4).collect()}
+        k8 = {r.doc_id for r in cap_per_group(df, "source", "doc_id", 8).collect()}
+        assert len(k4) == 12 and len(k8) == 24
+        assert k4 <= k8  # monotone in cap
+
+    def test_under_cap_groups_kept_whole(self, spark):
+        from seriesly_spark.operators.sampling import cap_per_group
+
+        df = spark.createDataFrame(
+            [(i, "solo") for i in range(3)], "doc_id long, source string"
+        )
+        assert cap_per_group(df, "source", "doc_id", 10).count() == 3
+
+    def test_partitioning_invariant_and_plan(self, spark):
+        from seriesly_spark.operators.sampling import cap_per_group
+
+        rows = [(i, f"g{i % 5}") for i in range(200)]
+        d1 = spark.createDataFrame(rows, "doc_id long, source string").coalesce(1)
+        d2 = spark.createDataFrame(rows, "doc_id long, source string").repartition(16)
+        a = sorted(r.doc_id for r in cap_per_group(d1, "source", "doc_id", 7).collect())
+        b = sorted(r.doc_id for r in cap_per_group(d2, "source", "doc_id", 7).collect())
+        assert a == b
+        plan = (
+            cap_per_group(d2, "source", "doc_id", 7)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan
