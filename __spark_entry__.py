@@ -89,6 +89,7 @@ from seriesly_spark.operators.multimodal import (
     image_channel_stats,
     payload_features,
     payload_metadata,
+    audio_fingerprints,
     image_phash,
     phash_dedup,
 )
@@ -2357,19 +2358,29 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dedup(imgs)
 
 
-def _phash_fixture(spark: SparkSession, sf_dir: str, twin: str) -> DataFrame:
+def _phash_fixture(
+    spark: SparkSession, sf_dir: str, twin: str, probe: bool = False
+) -> DataFrame:
     """Shared image fixture of the two pHash gates: one 32x32 PPM per
     doc (dense md5-keyed low-frequency DCT spectrum for res = doc_id %
     40) plus one TWIN per doc under id -doc_id - 1 — a +30-brightness
     copy (``twin="brightness"``: pHash-identical, measured Hamming 0 on
     all 40 patterns) or a 1-px corruption (``twin="noise"``: measured
     Hamming 0-4 per pattern, the per-res values pinned in the
-    near-pairs oracle)."""
+    near-pairs oracle).
+
+    ``probe=True`` keeps a 1-in-10 id shard: near-PAIR gates emit a row
+    per within-cluster pair, i.e. O(cluster_size^2) — quadratic in sf —
+    so they mine a probe shard (everything is still exercised; the
+    full-corpus run is the dedup gate, whose output is linear)."""
 
     # spread: the single-file projection arrives as ONE partition, and
     # the manufacture+decode+DCT stage is the heavy kind (see the PNG
     # gate) — without it the whole pipeline runs on one core
-    docs = spread(_table(spark, sf_dir, "documents").select("doc_id"))
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    if probe:
+        docs = docs.where(F.col("doc_id") % 10 == 0)
+    docs = spread(docs)
     both = docs.unionByName(
         docs.select((-F.col("doc_id") - 1).alias("doc_id"))
     )
@@ -2450,7 +2461,9 @@ def q_image_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned as literals. At index scale the same fingerprints drop into
     SimhashIndex (manku20) unchanged — this gate certifies the
     decode->DCT->hash->band->verify composition."""
-    fp = image_phash(_phash_fixture(spark, sf_dir, twin="noise"))
+    fp = image_phash(
+        _phash_fixture(spark, sf_dir, twin="noise", probe=True)
+    )
     return hamming_pairs(
         fp, 64, max_hamming=4, bands=5, fp_col="phash"
     )
@@ -3831,6 +3844,94 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Measured fingerprint Hamming distance between each residue tone and
+# its 0.7x-volume twin (deterministic function of the fixture +
+# audio_fingerprint64; volume scaling preserves every band-energy-ratio
+# sign exactly — the 1-2 bit flips are int16 rounding on near-zero
+# double differences).
+_AFP_VOLUME_HD = [
+    0, 0, 0, 0, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 1,
+    1, 0, 0, 0, 1, 1, 0, 0, 0, 0, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0,
+]
+
+
+def _afp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fixture of the fingerprint gate: per doc, a 4000-sample
+    mono 16-bit WAV of 5 frames x 17 orthogonal band-center sinusoids
+    with md5-keyed amplitudes for res = doc_id % 40 (every band carries
+    deliberate energy, so every fingerprint bit has margin — the same
+    dense-spectrum lesson as the pHash fixture), plus a 0.7x-VOLUME
+    twin under id -doc_id - 1 (a true re-leveled near-duplicate, not
+    byte-identical). Mines a 1-in-10 id shard for the same
+    quadratic-output reason as _phash_fixture's probe mode."""
+    docs = spread(
+        _table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 10 == 0)
+    )
+    both = docs.unionByName(
+        docs.select((-F.col("doc_id") - 1).alias("doc_id"))
+    )
+
+    def make(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from seriesly_spark.operators.multimodal import encode_wav
+
+        frame = 800
+        nb = frame // 2
+        edges = 1 + (np.arange(18) * nb) // 17
+        centers = (edges[:-1] + edges[1:]) // 2
+        i = np.arange(frame)
+        cache: dict = {}
+
+        def tone(res: int):
+            if res not in cache:
+                frames = []
+                for f in range(5):
+                    sig = np.zeros(frame)
+                    for b in range(17):
+                        h = hashlib.md5(
+                            f"afp|{res}|{f}|{b}".encode()
+                        ).digest()
+                        a = 500 + (h[0] % 16) * 150
+                        sig += a * np.sin(2 * np.pi * centers[b] * i / frame)
+                    frames.append(sig)
+                cache[res] = np.concatenate(frames)
+            return cache[res]
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                orig = d if d >= 0 else -d - 1
+                scale = 1.0 if d >= 0 else 0.7
+                sig = np.round(tone(orig % 40) * scale).clip(
+                    -32768, 32767
+                ).astype(np.int16)
+                payloads.append(encode_wav(sig))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return both.mapInPandas(make, "doc_id long, payload binary")
+
+
+def q_audio_fp_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming mining over AUDIO fingerprints — re-leveled-copy
+    detection, the audio twin of image_phash_near_pairs: fingerprint
+    every clip (originals + 0.7x-volume twins, Hamming 0-2 by
+    construction since energy-ratio signs are gain-invariant),
+    pigeonhole-split the 64-bit Haitsma-Kalker word into 5 x 12-bit
+    bands, equi-join on (band, chunk), verify bit_count(xor) <= 4.
+    Cross-tone distances measure >= 16, so the output is EXACTLY the
+    within-residue pairs; the oracle enumerates them by construction
+    with the measured per-tone twin distances pinned as literals."""
+    fp = audio_fingerprints(_afp_fixture(spark, sf_dir))
+    return hamming_pairs(fp, 64, max_hamming=4, bands=5, fp_col="afp")
+
+
 def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At most 8 documents per source, chosen by md5(doc_id) rank — the
     deterministic per-domain cap of a crawl-curation stage (stable
@@ -4494,6 +4595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_docs": q_pagerank_docs,
         "image_phash_dedup": q_image_phash_dedup,
         "image_phash_near_pairs": q_image_phash_near_pairs,
+        "audio_fp_near_pairs": q_audio_fp_near_pairs,
         "source_cap": q_source_cap,
         "rollup_daily": q_rollup_daily,
         "s01_range_read": q_s01_range_read,
@@ -4539,7 +4641,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_hourly": q_ewma_hourly,
         "funnel_counts": q_funnel_counts,
         "funnel_users": q_funnel_users,
-        "gapfill_linear": q_gapfill_linear,
         # --- tail: certified; covered by the all-query
         # oracle replay in tests/test_entry_oracle.py ---
         "activity_concentration": q_concentration,
@@ -4593,6 +4694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "fleiss_kappa": q_fleiss_kappa,
         "gapfill_hourly": q_gapfill_hourly,
+        "gapfill_linear": q_gapfill_linear,
         "hard_negatives": q_hard_negatives,
         "hash_split": q_hash_split,
         "heavy_hitters_tokens": q_heavy_hitters,
@@ -6382,6 +6484,19 @@ SELECT doc_id, rep_id,
 FROM b
 """,
         "pagerank_docs": _pagerank_sql(5),
+        "audio_fp_near_pairs": f"""
+WITH o AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+u AS (SELECT doc_id, doc_id % 40 AS res, 0 AS tw FROM o
+      UNION ALL
+      SELECT -doc_id - 1, doc_id % 40, 1 FROM o),
+t AS (SELECT * FROM (VALUES {", ".join(
+    f"({i}, {hd})" for i, hd in enumerate(_AFP_VOLUME_HD)
+)}) AS t(res, hd))
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CASE WHEN a.tw = b.tw THEN 0 ELSE t.hd END AS hamming
+FROM u a JOIN u b ON a.res = b.res AND a.doc_id < b.doc_id
+JOIN t ON t.res = a.res
+""",
         "source_cap": """
 WITH r AS (SELECT doc_id, source,
              row_number() OVER (PARTITION BY source
@@ -6390,7 +6505,7 @@ WITH r AS (SELECT doc_id, source,
 SELECT doc_id, source FROM r WHERE rn <= 8
 """,
         "image_phash_near_pairs": f"""
-WITH o AS (SELECT doc_id FROM documents),
+WITH o AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
 u AS (SELECT doc_id, doc_id % 40 AS res, 0 AS tw FROM o
       UNION ALL
       SELECT -doc_id - 1, doc_id % 40, 1 FROM o),

@@ -576,3 +576,62 @@ def phash_dedup(
     return hashed.join(reps, "phash").select(
         "doc_id", "rep_id", "cluster_size"
     )
+
+
+def audio_fingerprint64(samples: "np.ndarray") -> int:
+    """64-bit audio fingerprint — the Haitsma-Kalker band-energy scheme
+    ("A Highly Robust Audio Fingerprinting System", ISMIR 2002),
+    compacted to one word: split the clip into 5 equal frames, measure
+    17 band energies per frame (FFT magnitude-squared over contiguous
+    bins, DC excluded), and emit bit(f, b) = sign of the TIME-difference
+    of adjacent BAND-differences — 4 frame transitions x 16 band
+    transitions = 64 bits. Energy ratios are volume-invariant (a gain
+    change scales every band by the same factor, preserving all signs),
+    so re-encoded / re-leveled copies of a clip land within a tiny
+    Hamming ball — the audio analogue of phash64's brightness
+    invariance."""
+    x = samples.astype(np.float64)
+    n = (len(x) // 5) * 5
+    if n == 0:
+        return 0
+    frames = x[:n].reshape(5, -1)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    nbins = spec.shape[1] - 1  # non-DC
+    if nbins < 17:
+        return 0
+    edges = 1 + (np.arange(18) * nbins) // 17
+    e = np.add.reduceat(spec[:, 1:], edges[:-1] - 1, axis=1)[:, :17]
+    d = e[:, :-1] - e[:, 1:]
+    dd = d[1:, :] - d[:-1, :]
+    v = 0
+    for b in (dd > 0).ravel():
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v  # as signed int64
+
+
+AFP_SCHEMA = "doc_id long, afp long, n_samples long, sample_rate long"
+
+
+def audio_fingerprints(
+    clips: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-clip 64-bit audio fingerprint over binary WAV payloads:
+    decode (RIFF walker, decode_wav) and fingerprint inside ONE
+    Arrow-batched mapInPandas stage — payloads never leave the
+    executor; 32 bytes out per clip. Downstream, exact grouping or
+    hamming_pairs banding dedups re-leveled/re-encoded copies at
+    hash-only shuffle cost."""
+    src = clips.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "afp": [], "n_samples": [], "sample_rate": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                samples, rate = decode_wav(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["afp"].append(audio_fingerprint64(samples))
+                rows["n_samples"].append(len(samples))
+                rows["sample_rate"].append(rate)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(fp, AFP_SCHEMA)

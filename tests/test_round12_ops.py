@@ -338,3 +338,81 @@ class TestCapPerGroup:
             .toString()
         )
         assert "WindowGroupLimit" in plan
+
+
+class TestAudioFingerprint:
+    def _tone(self, res, scale=1.0):
+        import hashlib
+
+        import numpy as np
+
+        frame = 800
+        nb = frame // 2
+        edges = 1 + (np.arange(18) * nb) // 17
+        centers = (edges[:-1] + edges[1:]) // 2
+        i = np.arange(frame)
+        frames = []
+        for f in range(5):
+            sig = np.zeros(frame)
+            for b in range(17):
+                h = hashlib.md5(f"afp|{res}|{f}|{b}".encode()).digest()
+                a = 500 + (h[0] % 16) * 150
+                sig += a * np.sin(2 * np.pi * centers[b] * i / frame)
+            frames.append(sig)
+        import numpy as np
+
+        return np.round(np.concatenate(frames) * scale).clip(
+            -32768, 32767
+        ).astype("int16")
+
+    @staticmethod
+    def _ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    def test_tones_pairwise_distinct_with_margin(self):
+        from seriesly_spark.operators.multimodal import audio_fingerprint64
+
+        fps = [audio_fingerprint64(self._tone(r)) for r in range(40)]
+        assert len(set(fps)) == 40
+        m = min(
+            self._ham(fps[i], fps[j])
+            for i in range(40)
+            for j in range(i + 1, 40)
+        )
+        assert m >= 8
+
+    def test_volume_near_invariance_matches_pinned_table(self):
+        # the oracle pins these exact distances; re-derive them here so
+        # any audio_fingerprint64 change fails loudly in-suite too
+        import __spark_entry__ as entry
+
+        from seriesly_spark.operators.multimodal import audio_fingerprint64
+
+        got = [
+            self._ham(
+                audio_fingerprint64(self._tone(r, 0.7)),
+                audio_fingerprint64(self._tone(r)),
+            )
+            for r in range(40)
+        ]
+        assert got == entry._AFP_VOLUME_HD
+
+    def test_wav_roundtrip_preserves_fingerprint(self):
+        from seriesly_spark.operators.multimodal import (
+            audio_fingerprint64,
+            decode_wav,
+            encode_wav,
+        )
+
+        t = self._tone(11)
+        s, rate = decode_wav(encode_wav(t))
+        assert rate == 16_000
+        assert audio_fingerprint64(s) == audio_fingerprint64(t)
+
+    def test_degenerate_clips(self):
+        import numpy as np
+
+        from seriesly_spark.operators.multimodal import audio_fingerprint64
+
+        assert audio_fingerprint64(np.zeros(0, dtype=np.int16)) == 0
+        assert audio_fingerprint64(np.zeros(40, dtype=np.int16)) == 0
