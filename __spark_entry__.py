@@ -92,6 +92,7 @@ from seriesly_spark.operators.multimodal import (
     audio_fingerprints,
     image_phash,
     phash_dedup,
+    video_phash_dedup,
 )
 from seriesly_spark.operators.sketches import (
     heavy_hitters,
@@ -3918,6 +3919,79 @@ def _afp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.mapInPandas(make, "doc_id long, payload binary")
 
 
+def q_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-dup via ordered frame-pHash signatures: each doc
+    manufactures a 4-frame framepack (length-prefixed container of
+    32x32 PPMs — the dense-spectrum construction keyed (res, frame),
+    res = doc_id % 40), and a +16-brightness twin of the WHOLE video
+    under id -doc_id - 1 (+16 is flip-free across all 160 frames,
+    measured; +30 flips 3 near-tie coefficients). The engine demuxes,
+    decodes, and pHashes every frame inside one Arrow stage, folds the
+    ORDERED hash sequence into an md5 signature, and clusters. The
+    oracle knows clusters only by construction, so the match certifies
+    demux -> per-frame decode -> DCT hash -> ordered signature ->
+    cluster end-to-end: re-graded copies collide, frame edits would
+    not (order sensitivity is test-pinned)."""
+    docs = spread(_table(spark, sf_dir, "documents").select("doc_id"))
+    both = docs.unionByName(
+        docs.select((-F.col("doc_id") - 1).alias("doc_id"))
+    )
+
+    def make(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from seriesly_spark.operators.multimodal import (
+            _dct_matrix,
+            encode_framepack,
+            encode_ppm,
+        )
+
+        m = _dct_matrix(32)
+        cache: dict = {}
+
+        def frame_img(res: int, f: int):
+            if (res, f) not in cache:
+                g = np.zeros((8, 8))
+                for u in range(8):
+                    for v in range(8):
+                        if (u, v) == (0, 0):
+                            continue
+                        b = hashlib.md5(
+                            f"vid|{res}|{f}|{u}|{v}".encode()
+                        ).digest()[0]
+                        g[u, v] = (2.0 + b % 16) * (
+                            1.0 if b >= 128 else -1.0
+                        )
+                ideal = m[:8, :].T @ g @ m[:8, :]
+                img = 128 + ideal * (90.0 / np.abs(ideal).max())
+                cache[(res, f)] = np.round(
+                    np.stack([img + 5 * c for c in range(3)], axis=2)
+                ).clip(0, 255).astype(np.uint8)
+            return cache[(res, f)]
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                orig = d if d >= 0 else -d - 1
+                frames = []
+                for f in range(4):
+                    arr = frame_img(orig % 40, f)
+                    if d < 0:  # the re-graded twin
+                        arr = (arr.astype(np.int64) + 16).clip(
+                            0, 255
+                        ).astype(np.uint8)
+                    frames.append(encode_ppm(arr))
+                payloads.append(encode_framepack(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    vids = both.mapInPandas(make, "doc_id long, payload binary")
+    return video_phash_dedup(vids)
+
+
 def q_audio_fp_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded Hamming mining over AUDIO fingerprints — re-leveled-copy
     detection, the audio twin of image_phash_near_pairs: fingerprint
@@ -4596,6 +4670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dedup": q_image_phash_dedup,
         "image_phash_near_pairs": q_image_phash_near_pairs,
         "audio_fp_near_pairs": q_audio_fp_near_pairs,
+        "video_phash_dedup": q_video_phash_dedup,
         "source_cap": q_source_cap,
         "rollup_daily": q_rollup_daily,
         "s01_range_read": q_s01_range_read,
@@ -4640,7 +4715,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "ewma_hourly": q_ewma_hourly,
         "funnel_counts": q_funnel_counts,
-        "funnel_users": q_funnel_users,
         # --- tail: certified; covered by the all-query
         # oracle replay in tests/test_entry_oracle.py ---
         "activity_concentration": q_concentration,
@@ -4693,6 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_screen": q_encoding_screen,
         "epoch_shuffle": q_epoch_shuffle,
         "fleiss_kappa": q_fleiss_kappa,
+        "funnel_users": q_funnel_users,
         "gapfill_hourly": q_gapfill_hourly,
         "gapfill_linear": q_gapfill_linear,
         "hard_negatives": q_hard_negatives,
@@ -6484,6 +6559,20 @@ SELECT doc_id, rep_id,
 FROM b
 """,
         "pagerank_docs": _pagerank_sql(5),
+        "video_phash_dedup": """
+WITH u AS (SELECT doc_id FROM documents
+           UNION ALL
+           SELECT -doc_id - 1 FROM documents),
+k AS (SELECT doc_id,
+             (CASE WHEN doc_id >= 0 THEN doc_id
+                   ELSE -doc_id - 1 END) % 40 AS res
+      FROM u)
+SELECT doc_id,
+       4 AS n_frames,
+       min(doc_id) OVER (PARTITION BY res) AS rep_id,
+       count(*) OVER (PARTITION BY res) AS cluster_size
+FROM k
+""",
         "audio_fp_near_pairs": f"""
 WITH o AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
 u AS (SELECT doc_id, doc_id % 40 AS res, 0 AS tw FROM o

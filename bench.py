@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "image_phash_near_pairs",
     "source_cap",
     "audio_fp_near_pairs",
+    "video_phash_dedup",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -416,3 +416,90 @@ class TestAudioFingerprint:
 
         assert audio_fingerprint64(np.zeros(0, dtype=np.int16)) == 0
         assert audio_fingerprint64(np.zeros(40, dtype=np.int16)) == 0
+
+
+class TestVideoPhash:
+    def test_framepack_roundtrip(self):
+        import numpy as np
+
+        from seriesly_spark.operators.multimodal import (
+            decode_framepack,
+            encode_framepack,
+            encode_ppm,
+        )
+
+        a = np.zeros((4, 4, 3), dtype=np.uint8)
+        frames = [encode_ppm(a), encode_ppm(a + 7), b"opaque"]
+        assert decode_framepack(encode_framepack(frames)) == frames
+        assert decode_framepack(encode_framepack([])) == []
+
+    def test_framepack_truncation_raises(self):
+        import pytest as _pytest
+
+        from seriesly_spark.operators.multimodal import (
+            decode_framepack,
+            encode_framepack,
+        )
+
+        payload = encode_framepack([b"abcdef"])
+        with _pytest.raises(ValueError):
+            decode_framepack(payload[:-2])
+
+    def test_video_dedup_order_sensitive(self, spark):
+        # same frames, different order -> different signature clusters;
+        # identical order -> one cluster
+        import pandas as pd
+
+        from seriesly_spark.operators.multimodal import (
+            encode_framepack,
+            encode_ppm,
+            video_phash_dedup,
+        )
+
+        def make(batches):
+            import hashlib
+
+            import numpy as np
+
+            from seriesly_spark.operators.multimodal import _dct_matrix
+
+            m = _dct_matrix(32)
+
+            def img(f):
+                g = np.zeros((8, 8))
+                for u in range(8):
+                    for v in range(8):
+                        if (u, v) == (0, 0):
+                            continue
+                        b = hashlib.md5(f"tv|{f}|{u}|{v}".encode()).digest()[0]
+                        g[u, v] = (2.0 + b % 16) * (1.0 if b >= 128 else -1.0)
+                ideal = m[:8, :].T @ g @ m[:8, :]
+                base = 128 + ideal * (90.0 / np.abs(ideal).max())
+                return np.round(
+                    np.stack([base + 5 * c for c in range(3)], axis=2)
+                ).clip(0, 255).astype("uint8")
+
+            from seriesly_spark.operators.multimodal import (
+                encode_framepack,
+                encode_ppm,
+            )
+
+            for pdf in batches:
+                payloads = []
+                for d in pdf["doc_id"]:
+                    order = [0, 1, 2] if int(d) % 2 == 0 else [2, 1, 0]
+                    payloads.append(
+                        encode_framepack([encode_ppm(img(f)) for f in order])
+                    )
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        docs = spark.range(6).select(F.col("id").alias("doc_id"))
+        vids = docs.mapInPandas(make, "doc_id long, payload binary")
+        out = {r.doc_id: r for r in video_phash_dedup(vids).collect()}
+        assert all(r.n_frames == 3 for r in out.values())
+        # evens cluster together (rep 0), odds together (rep 1)
+        for i in range(6):
+            assert out[i].rep_id == (0 if i % 2 == 0 else 1)
+            assert out[i].cluster_size == 3
