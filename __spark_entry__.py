@@ -238,6 +238,7 @@ from seriesly_spark.streaming.ingest import (
     streaming_dedup_counts,
     streaming_distinct_users,
     streaming_join_pairs,
+    streaming_phash_dedup,
     streaming_score_drift,
     streaming_sessionize,
 )
@@ -3919,6 +3920,22 @@ def _afp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.mapInPandas(make, "doc_id long, payload binary")
 
 
+def q_streaming_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual dedup: four arrivals per doc (a brightness
+    re-grade of every image, then a whole-file replay in a second
+    micro-batch) are pHashed in a streaming mapInPandas stage and
+    reconciled through the dropDuplicates state store — the kept set is
+    one image per distinct pattern. FULL DuckDB oracle (rare for a
+    streaming gate): the final count equals the batch count of distinct
+    id-residue patterns by construction."""
+    _prep(spark)
+    return streaming_phash_dedup(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        query_name="gate_stream_phash",
+    )
+
+
 def q_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIDEO near-dup via ordered frame-pHash signatures: each doc
     manufactures a 4-frame framepack (length-prefixed container of
@@ -4671,6 +4688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_near_pairs": q_image_phash_near_pairs,
         "audio_fp_near_pairs": q_audio_fp_near_pairs,
         "video_phash_dedup": q_video_phash_dedup,
+        "streaming_phash_dedup": q_streaming_phash_dedup,
         "source_cap": q_source_cap,
         "rollup_daily": q_rollup_daily,
         "s01_range_read": q_s01_range_read,
@@ -4714,7 +4732,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_normalize": q_embedding_normalize,
         "embedding_quantize": q_embedding_quantize,
         "ewma_hourly": q_ewma_hourly,
-        "funnel_counts": q_funnel_counts,
         # --- tail: certified; covered by the all-query
         # oracle replay in tests/test_entry_oracle.py ---
         "activity_concentration": q_concentration,
@@ -4767,6 +4784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_screen": q_encoding_screen,
         "epoch_shuffle": q_epoch_shuffle,
         "fleiss_kappa": q_fleiss_kappa,
+        "funnel_counts": q_funnel_counts,
         "funnel_users": q_funnel_users,
         "gapfill_hourly": q_gapfill_hourly,
         "gapfill_linear": q_gapfill_linear,
@@ -6559,6 +6577,9 @@ SELECT doc_id, rep_id,
 FROM b
 """,
         "pagerank_docs": _pagerank_sql(5),
+        "streaming_phash_dedup": """
+SELECT count(DISTINCT doc_id % 40) AS n_unique FROM documents
+""",
         "video_phash_dedup": """
 WITH u AS (SELECT doc_id FROM documents
            UNION ALL

@@ -572,3 +572,93 @@ def streaming_score_drift(
         )
         .orderBy("bucket_ms")
     )
+
+
+def streaming_phash_dedup(
+    spark: SparkSession,
+    docs_path: str,
+    query_name: str = "stream_phash_dedup",
+) -> DataFrame:
+    """Streaming PERCEPTUAL image dedup: an image stream (each document
+    manufactures its dense-spectrum 32x32 image AND a +30-brightness
+    re-grade of it — two arrivals per doc; the whole file then replays
+    a second time, so four arrivals per doc across micro-batches) is
+    pHashed inside a streaming mapInPandas stage and deduplicated on
+    the hash through the state store. Brightness twins and replays all
+    collide on the pHash, so the kept set is exactly ONE image per
+    distinct pattern — the streaming analogue of phash_dedup, and a
+    composition batch distinct cannot express across micro-batches.
+
+    State is one row per DISTINCT IMAGE (content diversity, not stream
+    length); for corpora where that is unbounded, compose with a
+    watermarked key like streaming_dedup_counts. Output: one row,
+    n_unique — equals the batch count of distinct patterns (the
+    oracle)."""
+    import os as _os
+    import tempfile as _tf
+
+    stream_dir = _tf.mkdtemp(prefix="seriesly-sphash-")
+    for i in range(2):
+        _os.symlink(docs_path, _os.path.join(stream_dir, f"replay{i}.parquet"))
+    schema = spark.read.parquet(docs_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select("doc_id")
+    )
+
+    def hash_images(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from seriesly_spark.operators.multimodal import (
+            _dct_matrix,
+            decode_ppm,
+            encode_ppm,
+            phash64,
+        )
+
+        m = _dct_matrix(32)
+        cache: dict = {}
+
+        def base_img(res: int):
+            if res not in cache:
+                g = np.zeros((8, 8))
+                for u in range(8):
+                    for v in range(8):
+                        if (u, v) == (0, 0):
+                            continue
+                        b = hashlib.md5(f"{res}|{u}|{v}".encode()).digest()[0]
+                        g[u, v] = (2.0 + b % 16) * (1.0 if b >= 128 else -1.0)
+                ideal = m[:8, :].T @ g @ m[:8, :]
+                img = 128 + ideal * (90.0 / np.abs(ideal).max())
+                cache[res] = np.round(
+                    np.stack([img + 5 * c for c in range(3)], axis=2)
+                ).clip(0, 255).astype(np.uint8)
+            return cache[res]
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id in pdf["doc_id"]:
+                res = int(doc_id) % 40
+                arr = base_img(res)
+                bright = (arr.astype(np.int64) + 30).clip(0, 255).astype(
+                    np.uint8
+                )
+                for img in (arr, bright):  # two arrivals per doc
+                    # byte-honest: encode to PPM, decode back, hash
+                    ids.append(doc_id)
+                    hashes.append(phash64(decode_ppm(encode_ppm(img))))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    hashed = src.mapInPandas(hash_images, "doc_id long, phash long")
+    agg = hashed.dropDuplicates(["phash"]).agg(
+        F.count(F.lit(1)).alias("n_unique")
+    )
+    try:
+        return _run_to_memory(agg, query_name, "complete", spark)
+    finally:
+        _rm_staging(stream_dir)

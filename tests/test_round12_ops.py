@@ -503,3 +503,17 @@ class TestVideoPhash:
         for i in range(6):
             assert out[i].rep_id == (0 if i % 2 == 0 else 1)
             assert out[i].cluster_size == 3
+
+
+class TestStreamingPhashDedup:
+    def test_four_arrivals_one_survivor_per_pattern(self, spark):
+        from seriesly_spark.streaming.ingest import streaming_phash_dedup
+
+        out = streaming_phash_dedup(
+            spark,
+            "/root/testdata/sf0.001/documents.parquet",
+            query_name="t12_stream_phash",
+        ).collect()
+        # 50 docs x (original + brightness twin) x 2 replays = 200
+        # arrivals; the state store must fold them to the 40 patterns
+        assert [r.n_unique for r in out] == [40]
