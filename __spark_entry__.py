@@ -99,6 +99,7 @@ from seriesly_spark.operators.sketches import (
     approx_quantile_ranks,
     hll_bucket_rollup,
     kmv_overlap,
+    kmv_rollup,
 )
 from seriesly_spark.operators.graph import derivation_edges, pagerank
 from seriesly_spark.operators.sampling import (
@@ -4033,6 +4034,22 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, "source", "doc_id", cap=8)
 
 
+def q_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user KMV sketches + the merged all-days estimate
+    from ONE scan — hll_rollup_users' shape with exact engine
+    replayability: the bottom-k of the union of per-day bottom-k sets IS
+    the global bottom-k, so the rollup row is a sketch merge, never a
+    rescan (at 100 TB: daily sketches persist, any coarser grain is a
+    k-row merge). k=128; days under 128 distinct users report exact."""
+    ev = _events(spark, sf_dir)
+    day_ns = DAY_MS * 1_000_000
+    days = ev.select(
+        F.expr(f"(ts_ns div {day_ns}) * {DAY_MS}").alias("bucket"),
+        "user_id",
+    )
+    return kmv_rollup(days, "bucket", "user_id", k=128)
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-audience overlap between event types from K-minimum-
     values sketches (k=128): per unordered type pair, the estimated
@@ -4683,6 +4700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stalest-certified cohorts (CERTIFIED.json), alphabetical
         # within a cohort; alphabetical tail.
         "kmv_overlap": q_kmv_overlap,
+        "kmv_rollup": q_kmv_rollup,
         "pagerank_docs": q_pagerank_docs,
         "image_phash_dedup": q_image_phash_dedup,
         "image_phash_near_pairs": q_image_phash_near_pairs,
@@ -4731,7 +4749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span": q_dup_span,
         "embedding_normalize": q_embedding_normalize,
         "embedding_quantize": q_embedding_quantize,
-        "ewma_hourly": q_ewma_hourly,
         # --- tail: certified; covered by the all-query
         # oracle replay in tests/test_entry_oracle.py ---
         "activity_concentration": q_concentration,
@@ -4783,6 +4800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dispersion": q_embedding_dispersion,
         "encoding_screen": q_encoding_screen,
         "epoch_shuffle": q_epoch_shuffle,
+        "ewma_hourly": q_ewma_hourly,
         "fleiss_kappa": q_fleiss_kappa,
         "funnel_counts": q_funnel_counts,
         "funnel_users": q_funnel_users,
@@ -6575,6 +6593,27 @@ SELECT doc_id, rep_id,
        CASE WHEN v < 98 THEN 'train' WHEN v < 99 THEN 'val' ELSE 'test' END
          AS split
 FROM b
+""",
+        "kmv_rollup": f"""
+WITH p AS (SELECT DISTINCT {_bucket('epoch_us(ts)*1000', DAY_MS)} AS bucket,
+             md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+rk AS (SELECT bucket, h,
+         row_number() OVER (PARTITION BY bucket ORDER BY h) AS r FROM p),
+sk AS (SELECT bucket, h FROM rk WHERE r <= 128),
+pb AS (SELECT bucket, count(*) AS m, max(h) AS hk FROM sk GROUP BY bucket),
+mg AS (SELECT count(*) AS m, max(h) AS hk FROM
+        (SELECT DISTINCT h FROM sk ORDER BY h LIMIT 128))
+SELECT bucket,
+  round(CASE WHEN m < 128 THEN CAST(m AS DOUBLE)
+        ELSE (m - 1) / ({_hex48_sql('hk')} / 281474976710656.0) END, 6)
+    AS est_distinct
+FROM pb
+UNION ALL
+SELECT NULL AS bucket,
+  round(CASE WHEN m < 128 THEN CAST(m AS DOUBLE)
+        ELSE (m - 1) / ({_hex48_sql('hk')} / 281474976710656.0) END, 6)
+    AS est_distinct
+FROM mg
 """,
         "pagerank_docs": _pagerank_sql(5),
         "streaming_phash_dedup": """

@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "dedup_minhash_auto",
     # round 12
     "kmv_overlap",
+    "kmv_rollup",
     "pagerank_docs",
     "image_phash_dedup",
     "image_phash_near_pairs",

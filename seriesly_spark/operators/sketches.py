@@ -239,3 +239,66 @@ def kmv_overlap(
         F.round(jac, 6).alias("jaccard"),
         F.round(jac * est_union, 6).alias("est_intersect"),
     ).orderBy("g_a", "g_b")
+
+
+def kmv_rollup(
+    df: DataFrame,
+    bucket_col: str,
+    key_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Per-bucket distinct estimates plus the merged all-buckets
+    estimate from ONE scan — ``hll_bucket_rollup``'s shape with KMV
+    sketches, which buys exact engine replayability: the bottom-k of
+    the UNION of per-bucket bottom-k sets IS the bottom-k of the full
+    distinct set (any globally-small hash is small within its own
+    bucket), so the rollup row is a pure merge of the per-bucket
+    sketches — never a rescan — and every number is a deterministic
+    function of md5. Output (bucket, est_distinct), rollup row has
+    bucket NULL; estimates are exact for buckets with < k distinct
+    keys.
+
+    Scale shape: the per-bucket rank filter compiles to
+    WindowGroupLimit (<= k hashes per bucket per map task); the merge
+    is a global ordered limit over <= k * buckets rows, which compiles
+    to TakeOrderedAndProject (per-partition top-k, no single-partition
+    window)."""
+    from pyspark.sql import Window
+
+    two48 = float(1 << 48)
+
+    def hexval(c):
+        return F.conv(F.substring(c, 1, 12), 16, 10).cast("bigint")
+
+    def est(m, hk):
+        return F.round(
+            F.when(m < k, m.cast("double")).otherwise(
+                (m - 1) / (hexval(hk) / F.lit(two48))
+            ),
+            6,
+        )
+
+    pairs = df.select(
+        F.col(bucket_col).alias("bucket"),
+        F.md5(F.col(key_col).cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("bucket").orderBy("h")
+    sk = scoped_persist(
+        pairs.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k),
+        "sketches.kmv_rollup",
+    )
+    per_bucket = sk.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("m"), F.max("h").alias("hk")
+    ).select("bucket", est(F.col("m"), F.col("hk")).alias("est_distinct"))
+    merged = (
+        sk.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.count(F.lit(1)).alias("m"), F.max("h").alias("hk"))
+        .select(
+            F.lit(None).cast(dict(df.dtypes)[bucket_col]).alias("bucket"),
+            est(F.col("m"), F.col("hk")).alias("est_distinct"),
+        )
+    )
+    return per_bucket.unionByName(merged)

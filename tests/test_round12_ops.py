@@ -517,3 +517,49 @@ class TestStreamingPhashDedup:
         # 50 docs x (original + brightness twin) x 2 replays = 200
         # arrivals; the state store must fold them to the 40 patterns
         assert [r.n_unique for r in out] == [40]
+
+
+class TestKmvRollup:
+    def test_exact_when_unsaturated_and_merge_is_true_bottom_k(self, spark):
+        from seriesly_spark.operators.sketches import kmv_rollup
+
+        rows = (
+            [("d1", i) for i in range(40)]
+            + [("d2", i) for i in range(20, 60)]
+            + [("d3", i) for i in range(50)]
+        )
+        df = spark.createDataFrame(rows, "bucket string, key long")
+        got = {
+            r.bucket: r.est_distinct
+            for r in kmv_rollup(df, "bucket", "key", k=128).collect()
+        }
+        # all buckets unsaturated -> exact; merged row (NULL) exact too
+        assert got == {"d1": 40.0, "d2": 40.0, "d3": 50.0, None: 60.0}
+
+    def test_saturated_rollup_envelope(self, spark):
+        from seriesly_spark.operators.sketches import kmv_rollup
+
+        rows = [(f"d{i % 4}", i) for i in range(40_000)]
+        df = spark.createDataFrame(rows, "bucket string, key long")
+        out = {
+            r.bucket: r.est_distinct
+            for r in kmv_rollup(df, "bucket", "key", k=256).collect()
+        }
+        for b in ("d0", "d1", "d2", "d3"):
+            assert out[b] == pytest.approx(10_000, rel=0.25)
+        assert out[None] == pytest.approx(40_000, rel=0.25)
+
+    def test_plan_shapes(self, spark):
+        from seriesly_spark.operators.sketches import kmv_rollup
+
+        df = spark.createDataFrame(
+            [("a", i) for i in range(10)], "bucket string, key long"
+        )
+        plan = (
+            kmv_rollup(df, "bucket", "key", k=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan           # per-bucket bottom-k
+        assert "TakeOrderedAndProject" in plan      # global merge limit
