@@ -171,3 +171,48 @@ class TestRound6EmptyInputs:
         assert mh.update(empty_docs).count() == 0
         # compact on an empty index is a no-op, not an error
         assert idx.compact()["files_after"] == 0
+
+
+class TestRound12EmptyInputs:
+    def test_kmv_empty(self, spark, empty_events):
+        from seriesly_spark.operators.sketches import kmv_overlap, kmv_rollup
+
+        ev = empty_events.select("event_type", "user_id")
+        assert kmv_overlap(ev, "event_type", "user_id").count() == 0
+        # rollup emits its merged row even on empty input: est 0 exact
+        rows = kmv_rollup(
+            empty_events.select(
+                F.col("ts_ns").alias("bucket"), "user_id"
+            ),
+            "bucket",
+            "user_id",
+        ).collect()
+        assert [(r.bucket, r.est_distinct) for r in rows] == [(None, 0.0)]
+
+    def test_graph_empty(self, spark, empty_docs):
+        from seriesly_spark.operators.graph import derivation_edges, pagerank
+
+        assert derivation_edges(empty_docs).count() == 0
+        edges = spark.createDataFrame([], "src long, dst long")
+        assert pagerank(edges, iterations=3).count() == 0
+
+    def test_multimodal_hash_empty(self, spark):
+        from seriesly_spark.operators.multimodal import (
+            audio_fingerprints,
+            image_phash,
+            phash_dedup,
+            video_phash_dedup,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, payload binary")
+        assert image_phash(empty).count() == 0
+        assert phash_dedup(empty).count() == 0
+        assert audio_fingerprints(empty).count() == 0
+        assert video_phash_dedup(empty).count() == 0
+
+    def test_cap_per_group_empty(self, spark, empty_docs):
+        from seriesly_spark.operators.sampling import cap_per_group
+
+        assert (
+            cap_per_group(empty_docs, "source", "doc_id", cap=5).count() == 0
+        )
