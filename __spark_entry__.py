@@ -36,6 +36,7 @@ from seriesly_spark.operators.dedup_index import (
 )
 from seriesly_spark.operators.dedup import (
     boilerplate_ngrams,
+    jaccard_prefix_pairs,
     lsh_autotune,
     lsh_eval,
     connected_components,
@@ -103,7 +104,9 @@ from seriesly_spark.operators.sketches import (
 )
 from seriesly_spark.operators.graph import derivation_edges, pagerank
 from seriesly_spark.operators.sampling import (
+    budget_select,
     cap_per_group,
+    dsir_scores,
     contamination_overlap,
     dedup_safe_split,
     ngram_novelty,
@@ -4680,6 +4683,41 @@ def q_simhash_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.4 pairs via AllPairs/PPJoin
+    prefix filtering (join only each doc's rarest |d|-ceil(t|d|)+1
+    shingles, length-filter, verify on full arrays) — output-identical
+    to the naive shingle equi-join (equivalence-gated in tests) at a
+    fraction of the join input; the oracle brute-forces the
+    definition."""
+    return jaccard_prefix_pairs(
+        _table(spark, sf_dir, "documents"), n=3, threshold=0.4
+    )
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights of every document against the English
+    slice as the target distribution: hashed unigram+bigram bucket
+    (md5 16-bit fold mod 1024) multinomials with add-0.5 smoothing,
+    per-doc log2-likelihood-ratio fold in decimal(38,18). Higher =
+    more target-like; the oracle replays buckets, counts and the fold
+    bit-for-bit."""
+    docs = _table(spark, sf_dir, "documents")
+    return dsir_scores(docs, docs.where(F.col("lang") == "en"))
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level execution of the temperature-0.5 mixture plan: a
+    10k-token budget (binding at every test sf) is allocated across sources by sqrt weight
+    (mixture_plan's exact arithmetic), then each source keeps its
+    token-richest documents while the running total fits the
+    allocation — the selection pass that turns the mixing worksheet
+    into a training set."""
+    return budget_select(
+        _table(spark, sf_dir, "documents"), "source", budget_tokens=10_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -4699,6 +4737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # certified entries first (registration order), then the
         # stalest-certified cohorts (CERTIFIED.json), alphabetical
         # within a cohort; alphabetical tail.
+        "jaccard_prefix": q_jaccard_prefix,
+        "dsir_scores": q_dsir_scores,
+        "budget_select": q_budget_select,
         "kmv_overlap": q_kmv_overlap,
         "kmv_rollup": q_kmv_rollup,
         "pagerank_docs": q_pagerank_docs,
@@ -6339,6 +6380,60 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.grams, b.grams)) /
       (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
       6) >= 0.5
+""",
+        "jaccard_prefix": f"""
+WITH g AS ({_GRAMS_SQL})
+SELECT a.doc_id AS a, b.doc_id AS b,
+  round(len(list_intersect(a.grams, b.grams)) /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+        6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.grams, b.grams)) /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+      6) >= 0.4
+""",
+        "dsir_scores": f"""
+WITH t AS (SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+f AS (SELECT doc_id, lang, unnest(toks) AS f FROM t
+      UNION ALL
+      SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS f
+      FROM t, unnest(range(1, len(toks))) AS r(i)),
+hb AS (SELECT doc_id, lang, md5('dsir' || f) AS h FROM f),
+bk AS (SELECT doc_id, lang, {_MD5_U16_SQL} % 1024 AS b FROM hb),
+db AS (SELECT doc_id, b, count(*) AS m FROM bk GROUP BY 1, 2),
+cq AS (SELECT b, sum(m) AS cq FROM db GROUP BY 1),
+cp AS (SELECT b, count(*) AS cp FROM bk WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT sum(cq) FROM cq) AS tq,
+               (SELECT sum(cp) FROM cp) AS tp),
+sc AS (SELECT db.doc_id, sum(db.m) AS nf,
+         sum(cast(db.m * (log2((coalesce(cp, 0) + 0.5) / (tp + 512.0))
+                          - log2((cq + 0.5) / (tq + 512.0)))
+             as decimal(38,18))) AS s
+       FROM db LEFT JOIN cp USING (b) JOIN cq USING (b), tot
+       GROUP BY 1)
+SELECT d.doc_id, cast(coalesce(nf, 0) as bigint) AS n_feats,
+       round(cast(s as double), 6) AS logratio
+FROM documents d LEFT JOIN sc USING (doc_id)
+""",
+        "budget_select": """
+WITH t AS (SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+           FROM documents),
+g AS (SELECT source, sum(nt) AS n_tokens FROM t GROUP BY 1),
+p AS (SELECT source, sqrt(cast(n_tokens as double)) AS pw FROM g),
+tot AS (SELECT cast(sum(cast(pw as decimal(38,18))) as double) AS tp FROM p),
+alloc AS (SELECT source, cast(round(10000.0 * pw / tp, 0) as bigint)
+            AS planned
+          FROM p CROSS JOIN tot),
+c AS (SELECT doc_id, source, nt,
+        sum(nt) OVER (PARTITION BY source ORDER BY nt DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT c.doc_id, c.source, cast(c.nt as bigint) AS n_tokens,
+       cast(c.cum as bigint) AS cum_tokens
+FROM c JOIN alloc USING (source) WHERE c.cum <= alloc.planned
 """,
         "dedup_ngram_jaccard_capped": f"""
 WITH g AS ({_GRAMS_SQL}),

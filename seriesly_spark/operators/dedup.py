@@ -1767,3 +1767,101 @@ def simhash_eval(
             ).alias("precision"),
         )
     )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard >= threshold pairs via prefix filtering — the
+    AllPairs/PPJoin candidate generation (Bayardo et al. WWW'07; Xiao
+    et al. WWW'08; Vernica et al. SIGMOD'10 for the distributed
+    shape). Same output as :func:`ngram_jaccard_pairs` (equivalence-
+    gated in tests), but the self-join runs over each document's
+    PREFIX only, not all of its shingles.
+
+    Why it is safe: order all shingles by one global total order
+    (ascending document frequency, ties by shingle value — rarest
+    first). If J(A,B) >= t then |A∩B| >= ceil(t*|A|): were every
+    shared shingle outside A's first |A| - ceil(t*|A|) + 1, the
+    suffix's ceil(t*|A|) - 1 slots could not hold them. The SMALLEST-
+    ordered shared shingle therefore sits inside BOTH prefixes, so the
+    prefix-only equi-join finds every qualifying pair. Candidates then
+    pass a length filter (J <= min/max, so min(|A|,|B|) >=
+    t*max(|A|,|B|) is necessary) and an exact verification over the
+    full shingle arrays (array_intersect — JVM-side, no Python).
+
+    Why it scales: the join input shrinks from sum(|d|) rows to
+    sum(|d| - ceil(t*|d|) + 1) (~(1-t) of the explode), and — the real
+    win — the prefix keeps each document's RAREST shingles, so the
+    quadratic join buckets that ultra-frequent shingles create in the
+    naive equi-join mostly vanish without the lossy ``max_df`` cap
+    (measured candidate-count A/B in PLANS.md). Verification joins
+    move full gram arrays only for surviving candidates.
+
+    The prefix length uses ceil(t*|A| - 1e-9): the epsilon only ever
+    LENGTHENS a prefix at a float-representation boundary, so it can
+    add a candidate but never lose a true pair.
+    """
+    from pyspark.sql import Window
+
+    exploded = _shingle_sets(
+        docs, text_col, id_col, n, "dedup.prefix_exploded", eager=True
+    )
+    dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    plen = (
+        F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"))
+    )
+    prefix = (
+        exploded.join(dfreq, "g")
+        .withColumn("__rn", rn)
+        .where(F.col("__rn") <= plen)
+        .select("id", "sz", "g")
+    )
+    a = prefix.select(F.col("id").alias("a"), F.col("sz").alias("sza"), "g")
+    b = prefix.select(F.col("id").alias("b"), F.col("sz").alias("szb"), "g")
+    cand = (
+        a.join(b, "g")
+        .where(
+            (F.col("a") < F.col("b"))
+            & (
+                F.least("sza", "szb").cast("double")
+                >= F.lit(threshold) * F.greatest("sza", "szb")
+            )
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    sets_ = exploded.groupBy("id", "sz").agg(
+        F.collect_list("g").alias("gs")
+    )
+    joined = cand.join(
+        sets_.select(
+            F.col("id").alias("a"),
+            F.col("sz").alias("sza"),
+            F.col("gs").alias("ga"),
+        ),
+        "a",
+    ).join(
+        sets_.select(
+            F.col("id").alias("b"),
+            F.col("sz").alias("szb"),
+            F.col("gs").alias("gb"),
+        ),
+        "b",
+    )
+    i = F.size(F.array_intersect("ga", "gb"))
+    jac = F.round(i / (F.col("sza") + F.col("szb") - i), 6)
+    return (
+        joined.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("a", "b", "jaccard")
+    )

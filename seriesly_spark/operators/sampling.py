@@ -582,3 +582,161 @@ def cap_per_group(
         .where(F.col("__r") <= cap)
         .drop("__r")
     )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    k: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS'23): score
+    every raw-pool document by how much more likely its hashed n-gram
+    features are under a TARGET corpus (the distribution you want —
+    curated text, a domain) than under the raw pool itself. The
+    downstream resampler keeps raw docs with the highest weights —
+    the principled version of "filter the crawl to look like the
+    target".
+
+    Features are the paper's: unigrams and bigrams, hashed into
+    ``buckets`` counters (md5-based — the same engine-portable 16-bit
+    fold as :func:`hash_split`, so any engine with md5+substr replays
+    the bucketing bit-for-bit). Both corpora fit add-k-smoothed
+    multinomials over the bucket space; a raw doc's weight is its
+    feature multiset's log-likelihood ratio
+
+        logratio(d) = sum_f m_f * (log2 p_target(f) - log2 p_raw(f))
+
+    folded in decimal(38,18) (order-independent — the bigram_lm_score
+    convention) and rounded to 6. Output: (doc_id, n_feats, logratio),
+    logratio NULL for empty documents; higher = more target-like.
+
+    Scale shape: two hash aggregates collapse each corpus to at most
+    ``buckets`` rows (map-side combine — Zipf skew lands on partial
+    counts, not row movement); per-doc feature multisets shuffle as
+    (doc, bucket, m) triples, never text; the two count tables and the
+    two 1-row totals join as broadcasts. At 100 TB the only
+    corpus-sized stages are the two feature explodes.
+    """
+    from seriesly_spark.operators.textstats import tokens
+
+    def feats(df: DataFrame, with_id: bool) -> DataFrame:
+        t = tokens(text_col)
+        pre = spread(df).select(
+            (F.col(id_col) if with_id else F.lit(0)).alias("id"),
+            t.alias("__t"),
+        )
+        uni = F.col("__t")
+        bi = F.when(
+            F.size("__t") >= 2,
+            F.transform(
+                F.slice("__t", 1, F.size("__t") - 1),
+                lambda x, i: F.concat_ws(" ", x, F.col("__t")[i + 1]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return pre.select(
+            "id",
+            F.explode(F.concat(uni, bi)).alias("__f"),
+        ).select(
+            "id", (_md5_u16(F.col("__f"), "dsir") % buckets).alias("b")
+        )
+
+    doc_feats = feats(raw, with_id=True).groupBy("id", "b").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    q_cnt = doc_feats.groupBy("b").agg(F.sum("m").alias("cq"))
+    p_cnt = feats(target, with_id=False).groupBy("b").agg(
+        F.count(F.lit(1)).alias("cp")
+    )
+    tots = q_cnt.agg(F.sum("cq").alias("tq")).crossJoin(
+        F.broadcast(p_cnt.agg(F.sum("cp").alias("tp")))
+    )
+    lr = F.log2(
+        (F.coalesce(F.col("cp"), F.lit(0)) + F.lit(k))
+        / (F.col("tp") + F.lit(float(k * buckets)))
+    ) - F.log2(
+        (F.col("cq") + F.lit(k)) / (F.col("tq") + F.lit(float(k * buckets)))
+    )
+    scored = (
+        doc_feats.join(p_cnt, "b", "left")
+        .join(q_cnt, "b")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("id")
+        .agg(
+            F.sum("m").alias("n_feats"),
+            F.sum((F.col("m") * lr).cast("decimal(38,18)")).alias("__s"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_feats",
+            F.round(F.col("__s").cast("double"), 6).alias("logratio"),
+        )
+    )
+    spine = raw.select(id_col)
+    return spine.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        "logratio",
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    group_col: str,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    temperature: float = 0.5,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Execute a :func:`mixture_plan` at document granularity: give
+    each source its temperature-planned token allocation, then fill it
+    greedily with the source's token-richest documents (ties by id) —
+    the selection pass that turns the mixing worksheet into an actual
+    training set when the budget is a hard token count. A document is
+    kept iff its source's running token total, taken longest-first,
+    still fits the source's ``planned_tokens``.
+
+    Deterministic and engine-replayable: the allocation is
+    mixture_plan's (sqrt weights at the default τ=0.5, decimal
+    cross-group sums), the ranking is (n_tokens DESC, id ASC) — a
+    total order — and the running total is a plain window cumsum.
+    Output: (doc_id, group, n_tokens, cum_tokens), the selected rows.
+
+    Scale shape: ONE corpus pass reduces each doc to (id, group,
+    n_tokens) before the exchange (text never shuffles); the cumsum
+    sorts per source — bounded by the per-group partition sort budget,
+    the same contract as every sessionizer here. Sources-sized
+    allocation table joins as a broadcast. For a mega-source whose
+    (id, count) pairs overflow a partition's sort budget, pre-cap with
+    :func:`cap_per_group` at ~budget/min_doc_tokens rows first.
+    """
+    from pyspark.sql import Window
+
+    from seriesly_spark.operators.textstats import tokens
+
+    plan = mixture_plan(
+        df, group_col, budget_tokens, size_col, text_col, temperature
+    ).select(group_col, "planned_tokens")
+    sz = (
+        F.col(size_col).cast("long")
+        if size_col
+        else F.size(tokens(text_col)).cast("long")
+    )
+    ranked = spread(df).select(
+        F.col(id_col), F.col(group_col), sz.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("n_tokens"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranked.join(F.broadcast(plan), group_col)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= F.col("planned_tokens"))
+        .select(id_col, group_col, "n_tokens", "cum_tokens")
+    )

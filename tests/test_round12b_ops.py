@@ -1,0 +1,180 @@
+"""Round-12b operator tests: prefix-filtered exact similarity join
+(AllPairs/PPJoin), DSIR importance scoring, and token-budget document
+selection."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from seriesly_spark.operators.dedup import (
+    jaccard_prefix_pairs,
+    ngram_jaccard_pairs,
+)
+from seriesly_spark.operators.sampling import budget_select, dsir_scores
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestJaccardPrefixEquivalence:
+    """The prefix-filtered join is an OPTIMIZATION: its output must be
+    byte-identical to the naive shingle equi-join at every threshold —
+    the q21_fast equivalence convention."""
+
+    ROWS = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),
+        (3, "a b c d e zz yy xx"),
+        (4, "completely different text with no overlap at all"),
+        (5, "completely different text with no overlap at most"),
+        (6, "a b c d e f g h"),  # exact dup of 1
+        (7, "one two"),  # shorter than n=3 -> no shingles
+    ]
+
+    @pytest.mark.parametrize("t", [0.3, 0.5, 0.8, 1.0])
+    def test_matches_naive(self, spark, t):
+        docs = _docs(spark, self.ROWS)
+        naive = {
+            (r.a, r.b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        fast = {
+            (r.a, r.b): r.jaccard
+            for r in jaccard_prefix_pairs(docs, threshold=t).collect()
+        }
+        assert fast == naive
+
+    def test_exact_dup_pair_found(self, spark):
+        docs = _docs(spark, self.ROWS)
+        out = {
+            (r.a, r.b): r.jaccard
+            for r in jaccard_prefix_pairs(docs, threshold=0.9).collect()
+        }
+        assert out[(1, 6)] == 1.0
+
+    def test_sf_corpus_equivalence(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        naive = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, threshold=0.4).collect())
+        )
+        fast = sorted(
+            map(tuple, jaccard_prefix_pairs(docs, threshold=0.4).collect())
+        )
+        assert naive == fast
+
+    def test_prefix_join_is_smaller(self, spark):
+        """The point of the filter: the prefix table (join input) holds
+        strictly fewer rows than the full exploded shingle table."""
+        from seriesly_spark.operators.dedup import _shingle_sets
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        full = _shingle_sets(
+            docs, "text", "doc_id", 3, "t.full"
+        ).count()
+        # reproduce the operator's prefix stage row count
+        from pyspark.sql import Window
+
+        exploded = _shingle_sets(docs, "text", "doc_id", 3, "t.pre")
+        dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        plen = (
+            F.col("sz")
+            - F.ceil(F.lit(0.5) * F.col("sz") - F.lit(1e-9))
+            + F.lit(1)
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"))
+        )
+        pref = (
+            exploded.join(dfreq, "g")
+            .withColumn("__rn", rn)
+            .where(F.col("__rn") <= plen)
+            .count()
+        )
+        assert pref < full
+        # at t=0.5 the prefix keeps ~ (1-t) of each doc's shingles (+1)
+        assert pref <= full * 0.7
+
+
+class TestDsirScores:
+    def test_target_scores_higher(self, spark):
+        """Docs drawn from the target's vocabulary must outscore docs
+        from a disjoint vocabulary."""
+        raw = _docs(
+            spark,
+            [
+                (1, "alpha beta gamma delta alpha beta"),
+                (2, "epsilon zeta eta theta epsilon zeta"),
+                (3, "alpha beta alpha beta gamma gamma"),
+            ],
+        )
+        target = _docs(
+            spark, [(10, "alpha beta gamma alpha beta gamma delta")]
+        )
+        out = {r.doc_id: r.logratio for r in dsir_scores(raw, target).collect()}
+        assert out[1] > out[2]
+        assert out[3] > out[2]
+
+    def test_spine_complete_and_counts(self, spark):
+        raw = _docs(spark, [(1, "a b c"), (2, "x")])
+        target = _docs(spark, [(9, "a b")])
+        rows = {r.doc_id: r for r in dsir_scores(raw, target).collect()}
+        assert set(rows) == {1, 2}
+        # n_feats = unigrams + bigrams = 3 + 2 and 1 + 0
+        assert rows[1].n_feats == 5
+        assert rows[2].n_feats == 1
+
+    def test_partition_invariance(self, spark):
+        raw = _docs(
+            spark,
+            [(i, f"tok{i % 7} tok{i % 3} tok{i % 5} common") for i in range(40)],
+        )
+        target = _docs(spark, [(99, "tok1 tok2 common common tok1")])
+        a = sorted(map(tuple, dsir_scores(raw, target).collect()))
+        b = sorted(
+            map(tuple, dsir_scores(raw.repartition(7), target).collect())
+        )
+        assert a == b
+
+
+class TestBudgetSelect:
+    def test_budget_respected_and_greedy(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "s1", "w " * 50),
+                (2, "s1", "w " * 30),
+                (3, "s1", "w " * 10),
+                (4, "s2", "w " * 40),
+            ],
+            "doc_id long, source string, text string",
+        )
+        out = budget_select(df, "source", budget_tokens=90)
+        rows = {r.doc_id: r for r in out.collect()}
+        # every selected doc's running total fits its allocation
+        for r in rows.values():
+            assert r.cum_tokens <= 90
+        # longest-first: doc 1 (50 tokens) must be s1's first pick
+        if 2 in rows:
+            assert 1 in rows
+        tot = (
+            out.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+        )
+        assert all(r.t <= 90 for r in tot)
+
+    def test_all_selected_when_budget_huge(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = budget_select(docs, "source", budget_tokens=10_000_000)
+        assert out.count() == docs.count()
+
+    def test_cum_is_prefix_sum(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = budget_select(docs, "source", budget_tokens=5_000).collect()
+        by_src = {}
+        for r in sorted(out, key=lambda r: (r.source, r.cum_tokens)):
+            by_src.setdefault(r.source, []).append(r)
+        for rs in by_src.values():
+            run = 0
+            for r in rs:
+                run += r.n_tokens
+                assert r.cum_tokens == run
