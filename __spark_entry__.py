@@ -6405,8 +6405,8 @@ bk AS (SELECT doc_id, lang, {_MD5_U16_SQL} % 1024 AS b FROM hb),
 db AS (SELECT doc_id, b, count(*) AS m FROM bk GROUP BY 1, 2),
 cq AS (SELECT b, sum(m) AS cq FROM db GROUP BY 1),
 cp AS (SELECT b, count(*) AS cp FROM bk WHERE lang = 'en' GROUP BY 1),
-tot AS (SELECT (SELECT sum(cq) FROM cq) AS tq,
-               (SELECT sum(cp) FROM cp) AS tp),
+tot AS (SELECT (SELECT coalesce(sum(cq), 0) FROM cq) AS tq,
+               (SELECT coalesce(sum(cp), 0) FROM cp) AS tp),
 sc AS (SELECT db.doc_id, sum(db.m) AS nf,
          sum(cast(db.m * (log2((coalesce(cp, 0) + 0.5) / (tp + 512.0))
                           - log2((cq + 0.5) / (tq + 512.0)))

@@ -651,8 +651,14 @@ def dsir_scores(
     p_cnt = feats(target, with_id=False).groupBy("b").agg(
         F.count(F.lit(1)).alias("cp")
     )
-    tots = q_cnt.agg(F.sum("cq").alias("tq")).crossJoin(
-        F.broadcast(p_cnt.agg(F.sum("cp").alias("tp")))
+    # coalesce: an EMPTY corpus sums to NULL; 0 backs the smoothed
+    # model off to the uniform 1/B instead of propagating NULL scores
+    tots = q_cnt.agg(
+        F.coalesce(F.sum("cq"), F.lit(0)).alias("tq")
+    ).crossJoin(
+        F.broadcast(
+            p_cnt.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("tp"))
+        )
     )
     lr = F.log2(
         (F.coalesce(F.col("cp"), F.lit(0)) + F.lit(k))

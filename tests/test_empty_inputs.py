@@ -216,3 +216,21 @@ class TestRound12EmptyInputs:
         assert (
             cap_per_group(empty_docs, "source", "doc_id", cap=5).count() == 0
         )
+
+    def test_round12b_empty(self, spark, empty_docs):
+        from seriesly_spark.operators.dedup import jaccard_prefix_pairs
+        from seriesly_spark.operators.sampling import (
+            budget_select,
+            dsir_scores,
+        )
+
+        assert jaccard_prefix_pairs(empty_docs).count() == 0
+        assert budget_select(empty_docs, "source", 1000).count() == 0
+        # empty raw pool: empty spine out
+        one = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string"
+        )
+        assert dsir_scores(empty_docs, one).count() == 0
+        # empty TARGET: every feature backs off to pure smoothing
+        out = dsir_scores(one, empty_docs.select("doc_id", "text")).collect()
+        assert len(out) == 1 and out[0].logratio is not None
