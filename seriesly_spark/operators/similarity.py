@@ -1279,3 +1279,199 @@ def embedding_dispersion(vectors: DataFrame, vec_col: str = "embedding") -> Data
         F.round(trace, 6).alias("trace_cov"),
         F.when(F.col("n") >= 2, F.round(msd, 6)).alias("mean_sq_dist"),
     )
+
+
+def _query_projections(
+    vectors: DataFrame,
+    query_ids: list[int],
+    planes: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-plane projection VALUES for the query rows only — (query_id,
+    p, pr) with the exact decimal-fold semantics of
+    :func:`lsh_signature` (term = double product cast decimal(38,18),
+    exact sum, cast double), so signs AND magnitudes replay bit-for-bit
+    in any engine. |Q| x planes rows — driver-scale."""
+    w = rademacher_weights(planes, dim)
+    wdf = vectors.sparkSession.createDataFrame(
+        [([[float(x) for x in row] for row in w],)],
+        "__w array<array<double>>",
+    )
+    pr = F.expr(
+        f"""transform(sequence(0, {planes - 1}), p ->
+          cast(aggregate(
+            zip_with({vec_col}, __w[p],
+                     (x, s) -> cast(cast(x as double) * s as {_DEC})),
+            cast(0 as {_DEC}), (a, b) -> cast(a + b as {_DEC}))
+            as double))"""
+    )
+    return (
+        vectors.where(F.col(id_col).isin(query_ids))
+        .crossJoin(F.broadcast(wdf))
+        .select(
+            F.col(id_col).alias("query_id"), F.posexplode(pr).alias("p", "pr")
+        )
+    )
+
+
+def multiprobe_chunks(
+    vectors: DataFrame,
+    query_ids: list[int],
+    planes: int = 32,
+    bands: int = 4,
+    nprobe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH probe set (Lv et al., VLDB'07): for each query
+    band, probe the query's own chunk PLUS the ``nprobe - 1`` chunks
+    reached by flipping the band's lowest-|margin| sign bits — the
+    planes where the query sits closest to the hyperplane, i.e. where
+    a true near neighbor most plausibly landed on the other side. The
+    classic recall-vs-hash-budget trade: more probes beat more tables
+    because they reuse the SAME corpus signatures (no extra storage,
+    no extra signature pass).
+
+    Margin ranking ties break by plane index; flips are single-bit
+    (perturbation depth 1 — the regime where multi-probe wins most per
+    probe). Output: (query_id, band, chunk), distinct — |Q| x bands x
+    nprobe rows, broadcast-scale.
+    """
+    from pyspark.sql import Window
+
+    width = planes // bands
+    qp = _query_projections(
+        vectors, query_ids, planes, dim, id_col, vec_col
+    ).withColumn("band", (F.col("p") / width).cast("int"))
+    bit = F.expr(f"shiftleft(cast(1 as bigint), p % {width})")
+    base = qp.groupBy("query_id", "band").agg(
+        F.sum(
+            F.when(F.col("pr") >= 0, bit).otherwise(F.lit(0).cast("long"))
+        ).alias("chunk")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id", "band").orderBy(
+            F.abs(F.col("pr")), F.col("p")
+        )
+    )
+    flips = (
+        qp.withColumn("__rn", rn)
+        .where(F.col("__rn") <= nprobe - 1)
+        .join(base, ["query_id", "band"])
+        .select(
+            "query_id",
+            "band",
+            F.col("chunk").bitwiseXOR(bit).alias("chunk"),
+        )
+    )
+    return base.select("query_id", "band", "chunk").unionByName(flips).distinct()
+
+
+def ann_lsh_multiprobe_recall(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    planes: int = 32,
+    bands: int = 4,
+    nprobe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the MULTI-PROBE sign-LSH probe vs exact brute force
+    — :func:`ann_lsh_recall` with ``nprobe - 1`` extra probes per band
+    at the same (planes, bands) hash budget. Reports the probe's cost
+    alongside its accuracy: ``n_cand`` is the number of distinct
+    candidates whose vectors were actually scored, so the gate reads
+    "recall X at a Y-row scan" and the nprobe knob is tunable on
+    evidence (measured sf0.1 curve in PLANS.md).
+
+    Scale shape: corpus signatures ONE Arrow pass (persisted banded
+    table, same as ann_lsh_recall); the probe set is |Q| x bands x
+    nprobe rows built from the |Q|-row projection table and broadcast;
+    candidates dedupe before any vector is touched.
+
+    Output: (query_id, n_exact, n_cand, n_hit, recall) by query_id.
+    """
+    from pyspark.sql import Window
+
+    exact = ann_topk_multi(
+        vectors, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    )
+    sig = lsh_signature(
+        vectors, planes=planes, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    chunks = scoped_persist(
+        sig.select(
+            F.col(id_col),
+            F.explode(F.array(*_band_chunks(planes, bands))).alias("bc"),
+        ).select(id_col, "bc.band", "bc.chunk"),
+        "similarity.lsh_multiprobe_chunks",
+        eager=True,
+    )
+    probes = F.broadcast(
+        multiprobe_chunks(
+            vectors, query_ids, planes, bands, nprobe, dim, id_col, vec_col
+        )
+    )
+    cand = (
+        chunks.join(probes, ["band", "chunk"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    q = F.broadcast(
+        vectors.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    scored = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(
+                dot(F.col(vec_col), F.col("__qv"))
+                / (norm(F.col(vec_col)) * F.col("__qn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    approx = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
+    )
+    ncand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    hit = approx.select("query_id", F.col(id_col).alias("__hit_id"))
+    joined = exact.join(
+        hit,
+        (exact["query_id"] == hit["query_id"])
+        & (exact[id_col] == hit["__hit_id"]),
+        "left",
+    ).select(exact["query_id"], exact[id_col], "__hit_id")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit_id").alias("n_hit"),
+        )
+        .join(ncand, "query_id", "left")  # a probe can miss entirely
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_cand").cast("long"), F.lit(0)).alias(
+                "n_cand"
+            ),
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

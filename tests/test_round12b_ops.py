@@ -178,3 +178,68 @@ class TestBudgetSelect:
             for r in rs:
                 run += r.n_tokens
                 assert r.cum_tokens == run
+
+
+class TestMultiprobeLsh:
+    def test_monotone_in_nprobe(self, spark):
+        """More probes may only ADD candidates: n_cand and recall are
+        non-decreasing in nprobe, and nprobe=1 equals the single-probe
+        gate exactly."""
+        from seriesly_spark.operators.similarity import (
+            ann_lsh_multiprobe_recall,
+            ann_lsh_recall,
+        )
+
+        vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qs = [0, 1, 2, 3]
+        single = {
+            r.query_id: r.recall for r in ann_lsh_recall(vecs, qs).collect()
+        }
+        prev_cand, prev_rec = None, None
+        for np_ in (1, 2, 4):
+            rows = {
+                r.query_id: r
+                for r in ann_lsh_multiprobe_recall(
+                    vecs, qs, nprobe=np_
+                ).collect()
+            }
+            if np_ == 1:
+                assert {q: r.recall for q, r in rows.items()} == single
+            if prev_cand is not None:
+                for q in qs:
+                    assert rows[q].n_cand >= prev_cand[q]
+                    assert rows[q].recall >= prev_rec[q]
+            prev_cand = {q: r.n_cand for q, r in rows.items()}
+            prev_rec = {q: r.recall for q, r in rows.items()}
+
+    def test_probe_set_shape(self, spark):
+        """nprobe=3 at 4 bands: exactly 12 distinct probes per query
+        (base + 2 single-bit flips per band — all distinct by
+        construction), and every base chunk is present."""
+        from seriesly_spark.operators.similarity import (
+            lsh_signature,
+            _band_chunks,
+            multiprobe_chunks,
+        )
+
+        vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qs = [0, 1, 2]
+        probes = multiprobe_chunks(vecs, qs, nprobe=3)
+        per_q = {
+            r.query_id: r.n
+            for r in probes.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert per_q == {0: 12, 1: 12, 2: 12}
+        sig = lsh_signature(
+            vecs.where(F.col("vec_id").isin(qs)), planes=32, dim=64
+        )
+        base = sig.select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.array(*_band_chunks(32, 4))).alias("bc"),
+        ).select("query_id", "bc.band", "bc.chunk")
+        missing = base.join(
+            probes, ["query_id", "band", "chunk"], "left_anti"
+        ).count()
+        assert missing == 0
