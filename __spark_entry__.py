@@ -102,7 +102,7 @@ from seriesly_spark.operators.sketches import (
     kmv_overlap,
     kmv_rollup,
 )
-from seriesly_spark.operators.graph import derivation_edges, pagerank
+from seriesly_spark.operators.graph import derivation_edges, hits, pagerank
 from seriesly_spark.operators.sampling import (
     budget_select,
     cap_per_group,
@@ -620,6 +620,62 @@ bands AS (
 
 # ---------------------------------------------------------------------------
 # Seriesly parity queries (events table; doc column = props)
+
+def _hits_sql(iters: int = 3) -> str:
+    """DuckDB replay of q_hits_docs: the derivation-edge CTEs, then
+    ``iters`` unrolled HITS rounds (authority half-step, L2 normalize,
+    hub half-step, L2 normalize). Same float-parity conventions as
+    _pagerank_sql: every literal CAST to DOUBLE, contribution and
+    squared-norm folds in DECIMAL(38,18)."""
+    head = r"""
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+e AS (SELECT doc_id AS src, unnest(grams) AS gr FROM g
+      WHERE len(grams) > 0),
+f AS (SELECT gr, min(src) AS dst FROM e GROUP BY gr),
+edges AS (SELECT DISTINCT e.src, f.dst FROM e JOIN f USING (gr)
+          WHERE e.src <> f.dst),
+nodes AS (SELECT doc_id AS node FROM documents),
+h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f""",
+ar{k} AS (SELECT ed.dst AS node,
+  CAST(sum(CAST(h.h AS DECIMAL(38,18))) AS DOUBLE) AS a
+  FROM edges ed JOIN h{k - 1} h ON ed.src = h.node GROUP BY ed.dst),
+na{k} AS (SELECT sqrt(coalesce(
+  CAST(sum(CAST(a * a AS DECIMAL(38,18))) AS DOUBLE),
+  CAST(0.0 AS DOUBLE))) AS na FROM ar{k}),
+a{k} AS (SELECT n.node,
+  CASE WHEN na.na > CAST(0.0 AS DOUBLE)
+       THEN coalesce(ar.a, CAST(0.0 AS DOUBLE)) / na.na
+       ELSE CAST(0.0 AS DOUBLE) END AS a
+  FROM nodes n LEFT JOIN ar{k} ar ON n.node = ar.node CROSS JOIN na{k} na),
+hr{k} AS (SELECT ed.src AS node,
+  CAST(sum(CAST(a.a AS DECIMAL(38,18))) AS DOUBLE) AS h
+  FROM edges ed JOIN a{k} a ON ed.dst = a.node GROUP BY ed.src),
+nh{k} AS (SELECT sqrt(coalesce(
+  CAST(sum(CAST(h * h AS DECIMAL(38,18))) AS DOUBLE),
+  CAST(0.0 AS DOUBLE))) AS nh FROM hr{k}),
+h{k} AS (SELECT n.node,
+  CASE WHEN nh.nh > CAST(0.0 AS DOUBLE)
+       THEN coalesce(hr.h, CAST(0.0 AS DOUBLE)) / nh.nh
+       ELSE CAST(0.0 AS DOUBLE) END AS h
+  FROM nodes n LEFT JOIN hr{k} hr ON n.node = hr.node CROSS JOIN nh{k} nh)"""
+        )
+    tail = f"""
+SELECT h{iters}.node, round(h{iters}.h, 9) AS hub,
+       round(a{iters}.a, 9) AS authority
+FROM h{iters} JOIN a{iters} ON h{iters}.node = a{iters}.node
+"""
+    return head + "".join(steps) + tail
+
 
 def q_s01_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: ordered key-range scan with bodies (reference database.go:339-351)."""
@@ -4735,6 +4791,17 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the corpus derivation graph — the
+    companion importance score to pagerank_docs: authorities ORIGINATE
+    the corpus's phrasing (first carriers), hubs recombine it. Three
+    power rounds with decimal-accumulated contribution and L2-norm
+    folds; the oracle unrolls the identical rounds in chained CTEs."""
+    docs = _table(spark, sf_dir, "documents")
+    return hits(derivation_edges(docs, n=3), docs.select("doc_id"),
+                iterations=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -4756,6 +4823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within a cohort; alphabetical tail.
         "jaccard_prefix": q_jaccard_prefix,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "hits_docs": q_hits_docs,
         "dsir_scores": q_dsir_scores,
         "budget_select": q_budget_select,
         "kmv_overlap": q_kmv_overlap,
@@ -6729,6 +6797,7 @@ SELECT NULL AS bucket,
 FROM mg
 """,
         "pagerank_docs": _pagerank_sql(5),
+        "hits_docs": _hits_sql(3),
         "streaming_phash_dedup": """
 SELECT count(DISTINCT doc_id % 40) AS n_unique FROM documents
 """,

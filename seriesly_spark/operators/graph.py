@@ -165,3 +165,116 @@ def pagerank(
             )
         )
     return ranks.select("node", F.round("r", 9).alias("rank"))
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    iterations: int = 4,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM'99 "Authoritative
+    sources in a hyperlinked environment") — the second stationary
+    importance score next to :func:`pagerank`, separating pages that
+    POINT AT the good stuff (hubs: aggregator/index documents) from
+    the pages being pointed at (authorities: canonical texts). On the
+    corpus derivation graph the distinction is exactly the curation
+    question: authorities originate phrasing, hubs recombine it.
+
+    Power iteration with L2 normalization each half-step:
+
+        a'(v) = sum_{u->v} h(u) / ||.||_2
+        h'(v) = sum_{v->w} a'(w) / ||.||_2
+
+    Fixed ``iterations`` (not a convergence test) keeps the result a
+    pure function of the graph, replayable by unrolling the same
+    rounds in any engine. Determinism: contribution sums and the
+    squared-norm fold are decimal(38,18)-accumulated; sqrt and the
+    divisions are correctly-rounded doubles, so every engine produces
+    bit-identical vectors. Zero-norm (edgeless graph) coalesces to 0.
+
+    Scale shape: identical to pagerank's round — the persisted,
+    src-partitioned edge list joins the current (node, score) vector
+    and aggregates on the other endpoint; the two norm rows broadcast;
+    ``CheckpointRotator`` bounds state to one live copy. Output:
+    (node, hub, authority) rounded to 9.
+    """
+    edges = scoped_persist(
+        edges.select("src", "dst").distinct().repartition("src"),
+        "graph.hits_edges",
+    )
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        (c,) = nodes.columns
+        nodes = nodes.select(F.col(c).alias("node"))
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,18)")).cast("double")
+
+    # Iterate over EDGE ENDPOINTS only: a node with no out-edges has
+    # hub 0 in every round and contributes nothing to any authority
+    # (and vice versa), so the loop never needs the full node spine —
+    # hub state lives on the src universe, authority state on the dst
+    # universe, and the spine joins ONCE at the end (measured 11.8 ->
+    # ~7 s at sf0.1; the per-round spine rebuild was 2 joins/round of
+    # pure zeros). TWO rotators: both vectors are live at the final
+    # join, so each gets its own one-copy lifecycle.
+    rot_h = CheckpointRotator()
+    rot_a = CheckpointRotator()
+    hv = rot_h.checkpoint(
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.lit(1.0).alias("h"))
+    )
+    av = None
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(hv.select(F.col("node").alias("src"), "h"), "src")
+            .groupBy("dst")
+            .agg(dsum(F.col("h")).alias("a"))
+        )
+        na = a_raw.agg(
+            F.sqrt(F.coalesce(dsum(F.col("a") * F.col("a")), F.lit(0.0))).alias(
+                "na"
+            )
+        )
+        av = rot_a.checkpoint(
+            a_raw.crossJoin(F.broadcast(na)).select(
+                F.col("dst").alias("node"),
+                F.when(F.col("na") > 0.0, F.col("a") / F.col("na"))
+                .otherwise(F.lit(0.0))
+                .alias("a"),
+            )
+        )
+        h_raw = (
+            edges.join(av.select(F.col("node").alias("dst"), "a"), "dst")
+            .groupBy("src")
+            .agg(dsum(F.col("a")).alias("h"))
+        )
+        nh = h_raw.agg(
+            F.sqrt(F.coalesce(dsum(F.col("h") * F.col("h")), F.lit(0.0))).alias(
+                "nh"
+            )
+        )
+        hv = rot_h.checkpoint(
+            h_raw.crossJoin(F.broadcast(nh)).select(
+                F.col("src").alias("node"),
+                F.when(F.col("nh") > 0.0, F.col("h") / F.col("nh"))
+                .otherwise(F.lit(0.0))
+                .alias("h"),
+            )
+        )
+    return (
+        nodes.join(hv.select(F.col("node").alias("__h_n"), "h"),
+                   nodes["node"] == F.col("__h_n"), "left")
+        .join(av.select(F.col("node").alias("__a_n"), "a"),
+              nodes["node"] == F.col("__a_n"), "left")
+        .select(
+            "node",
+            F.round(F.coalesce("h", F.lit(0.0)), 9).alias("hub"),
+            F.round(F.coalesce("a", F.lit(0.0)), 9).alias("authority"),
+        )
+    )

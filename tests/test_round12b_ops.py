@@ -243,3 +243,63 @@ class TestMultiprobeLsh:
             probes, ["query_id", "band", "chunk"], "left_anti"
         ).count()
         assert missing == 0
+
+
+class TestHits:
+    def test_star_closed_form(self, spark):
+        """10 leaves -> hub: center is the pure authority (1.0), every
+        leaf a pure hub (1/sqrt(10)) — the fixed point from round 1, so
+        any iteration count gives the closed form."""
+        import math
+
+        from seriesly_spark.operators.graph import hits
+
+        edges = spark.createDataFrame(
+            [(i, 0) for i in range(1, 11)], "src long, dst long"
+        )
+        out = {
+            r.node: (r.hub, r.authority)
+            for r in hits(edges, iterations=3).collect()
+        }
+        assert out[0] == (0.0, 1.0)
+        leaf = round(1 / math.sqrt(10), 9)
+        for i in range(1, 11):
+            assert out[i] == (leaf, 0.0)
+
+    def test_l2_normalized(self, spark):
+        from seriesly_spark.operators.graph import hits
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (1, 3), (4, 2)], "src long, dst long"
+        )
+        rows = hits(edges, iterations=4).collect()
+        h2 = sum(r.hub**2 for r in rows)
+        a2 = sum(r.authority**2 for r in rows)
+        assert abs(h2 - 1.0) < 1e-6 and abs(a2 - 1.0) < 1e-6
+
+    def test_isolated_nodes_zero(self, spark):
+        from seriesly_spark.operators.graph import hits
+
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+        out = {
+            r.node: (r.hub, r.authority)
+            for r in hits(edges, nodes, iterations=2).collect()
+        }
+        assert set(out) == {0, 1, 2, 3, 4}
+        assert out[1] == (1.0, 0.0) and out[2] == (0.0, 1.0)
+        for i in (0, 3, 4):
+            assert out[i] == (0.0, 0.0)
+
+    def test_partition_invariance(self, spark):
+        from seriesly_spark.operators.graph import hits
+
+        edges = spark.createDataFrame(
+            [(i, (i * 7) % 23) for i in range(200) if i != (i * 7) % 23],
+            "src long, dst long",
+        )
+        a = sorted(map(tuple, hits(edges, iterations=3).collect()))
+        b = sorted(
+            map(tuple, hits(edges.repartition(13), iterations=3).collect())
+        )
+        assert a == b
