@@ -234,3 +234,18 @@ class TestRound12EmptyInputs:
         # empty TARGET: every feature backs off to pure smoothing
         out = dsir_scores(one, empty_docs.select("doc_id", "text")).collect()
         assert len(out) == 1 and out[0].logratio is not None
+
+    def test_hits_empty(self, spark, empty_docs):
+        from seriesly_spark.operators.graph import derivation_edges, hits
+
+        edges = derivation_edges(empty_docs)
+        assert hits(edges, iterations=2).count() == 0
+        nodes = spark.createDataFrame([(1,), (2,)], "node long")
+        out = {r.node: (r.hub, r.authority)
+               for r in hits(edges, nodes, iterations=2).collect()}
+        assert out == {1: (0.0, 0.0), 2: (0.0, 0.0)}
+
+    def test_multiprobe_empty(self, spark, empty_vecs):
+        from seriesly_spark.operators.similarity import multiprobe_chunks
+
+        assert multiprobe_chunks(empty_vecs, [0, 1], nprobe=3).count() == 0
