@@ -4871,11 +4871,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocation_pmi": q_collocation_pmi,
         "continuous_rollup": q_continuous_rollup,
         "daily_type_pivot": q_daily_type_pivot,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "distinct_users_daily": q_distinct_users_daily,
-        "dup_span": q_dup_span,
-        "embedding_normalize": q_embedding_normalize,
-        "embedding_quantize": q_embedding_quantize,
         # --- tail: certified; covered by the all-query
         # oracle replay in tests/test_entry_oracle.py ---
         "activity_concentration": q_concentration,
@@ -4921,10 +4916,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_r2": q_dedup_minhash_lsh_r2,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_safe_split": q_dedup_safe_split,
         "dedup_simhash": q_dedup_simhash,
+        "distinct_users_daily": q_distinct_users_daily,
+        "dup_span": q_dup_span,
         "embedding_centroids": q_embedding_centroids,
         "embedding_dispersion": q_embedding_dispersion,
+        "embedding_normalize": q_embedding_normalize,
+        "embedding_quantize": q_embedding_quantize,
         "encoding_screen": q_encoding_screen,
         "epoch_shuffle": q_epoch_shuffle,
         "ewma_hourly": q_ewma_hourly,
