@@ -644,12 +644,26 @@ def dsir_scores(
             "id", (_md5_u16(F.col("__f"), "dsir") % buckets).alias("b")
         )
 
-    doc_feats = feats(raw, with_id=True).groupBy("id", "b").agg(
-        F.count(F.lit(1)).alias("m")
+    # doc_feats has THREE consumers in the one action (the raw count
+    # table, its total, and the scored join) and p_cnt two (join +
+    # total) — persist both or the corpus-sized feature explodes run
+    # once per consumer (plan audit: 20 Exchanges -> 8). Both persists
+    # are eager for the single-action reason the minhash miners
+    # document; p_cnt is bucket-sized (<= ``buckets`` rows).
+    doc_feats = scoped_persist(
+        feats(raw, with_id=True).groupBy("id", "b").agg(
+            F.count(F.lit(1)).alias("m")
+        ),
+        "sampling.dsir_doc_feats",
+        eager=True,
     )
     q_cnt = doc_feats.groupBy("b").agg(F.sum("m").alias("cq"))
-    p_cnt = feats(target, with_id=False).groupBy("b").agg(
-        F.count(F.lit(1)).alias("cp")
+    p_cnt = scoped_persist(
+        feats(target, with_id=False).groupBy("b").agg(
+            F.count(F.lit(1)).alias("cp")
+        ),
+        "sampling.dsir_target_counts",
+        eager=True,
     )
     # coalesce: an EMPTY corpus sums to NULL; 0 backs the smoothed
     # model off to the uniform 1/B instead of propagating NULL scores
@@ -724,17 +738,24 @@ def budget_select(
 
     from seriesly_spark.operators.textstats import tokens
 
-    plan = mixture_plan(
-        df, group_col, budget_tokens, size_col, text_col, temperature
-    ).select(group_col, "planned_tokens")
     sz = (
         F.col(size_col).cast("long")
         if size_col
         else F.size(tokens(text_col)).cast("long")
     )
-    ranked = spread(df).select(
-        F.col(id_col), F.col(group_col), sz.alias("n_tokens")
+    # Reduce to (id, group, n_tokens) ONCE and feed both the planning
+    # aggregate and the ranking from the cached projection — otherwise
+    # the corpus tokenizes twice (mixture_plan re-derives sizes).
+    ranked = scoped_persist(
+        spread(df).select(
+            F.col(id_col), F.col(group_col), sz.alias("n_tokens")
+        ),
+        "sampling.budget_ranked",
+        eager=True,
     )
+    plan = mixture_plan(
+        ranked, group_col, budget_tokens, size_col="n_tokens"
+    ).select(group_col, "planned_tokens")
     w = (
         Window.partitionBy(group_col)
         .orderBy(F.desc("n_tokens"), F.asc(id_col))
