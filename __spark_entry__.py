@@ -173,6 +173,7 @@ from seriesly_spark.operators.textstats import (
     vocab_coverage,
 )
 from seriesly_spark.operators.analytics import (
+    profile_diff,
     autocorr_lag,
     chisq_independence,
     concentration_stats,
@@ -4802,6 +4803,20 @@ def q_hits_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 iterations=3)
 
 
+def q_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift audit: column_profile of the first half of
+    January vs the second, joined per column with null-rate deltas and
+    the distinct-count ratio — the shape gate a pipeline runs on every
+    new drop before it enters training."""
+    ev = _events(spark, sf_dir)
+    cut = F.unix_micros(F.col("ts")) < 1_705_276_800_000_000  # 2024-01-15
+    return profile_diff(
+        ev.where(cut),
+        ev.where(~cut),
+        ["user_id", "event_type", "value"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -4826,6 +4841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_docs": q_hits_docs,
         "dsir_scores": q_dsir_scores,
         "budget_select": q_budget_select,
+        "profile_diff": q_profile_diff,
         "kmv_overlap": q_kmv_overlap,
         "kmv_rollup": q_kmv_rollup,
         "pagerank_docs": q_pagerank_docs,
@@ -4870,7 +4886,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "collocation_pmi": q_collocation_pmi,
         "continuous_rollup": q_continuous_rollup,
-        "daily_type_pivot": q_daily_type_pivot,
         # --- tail: certified; covered by the all-query
         # oracle replay in tests/test_entry_oracle.py ---
         "activity_concentration": q_concentration,
@@ -4903,6 +4918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "corr_pairs_hourly": q_corr_pairs_hourly,
         "cusum_changepoint": q_cusum_changepoint,
+        "daily_type_pivot": q_daily_type_pivot,
         "dedup_best": q_dedup_best,
         "dedup_clusters": q_dedup_clusters,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
@@ -8282,6 +8298,47 @@ WITH d AS (SELECT (epoch_us(ts) // {DAY_MS * 1000}) * {DAY_MS} AS day_ms,
 SELECT day_ms, 'cnt' AS metric, cnt AS value FROM d
 UNION ALL SELECT day_ms, 'sum_v' AS metric, sum_v AS value FROM d
 UNION ALL SELECT day_ms, 'n_users' AS metric, n_users AS value FROM d
+""",
+        "profile_diff": """
+WITH ha AS (SELECT * FROM events
+            WHERE epoch_us(ts) < 1705276800000000),
+hb AS (SELECT * FROM events
+       WHERE NOT (epoch_us(ts) < 1705276800000000)),
+pa AS (
+  SELECT 'user_id' AS "column", count(*) AS n_a,
+    cast(count(CASE WHEN user_id IS NULL THEN 1 END) as bigint) AS nn_a,
+    cast(count(DISTINCT user_id) as bigint) AS distinct_a FROM ha
+  UNION ALL
+  SELECT 'event_type', count(*),
+    cast(count(CASE WHEN event_type IS NULL THEN 1 END) as bigint),
+    cast(count(DISTINCT event_type) as bigint) FROM ha
+  UNION ALL
+  SELECT 'value', count(*),
+    cast(count(CASE WHEN value IS NULL THEN 1 END) as bigint),
+    cast(count(DISTINCT value) as bigint) FROM ha),
+pb AS (
+  SELECT 'user_id' AS "column", count(*) AS n_b,
+    cast(count(CASE WHEN user_id IS NULL THEN 1 END) as bigint) AS nn_b,
+    cast(count(DISTINCT user_id) as bigint) AS distinct_b FROM hb
+  UNION ALL
+  SELECT 'event_type', count(*),
+    cast(count(CASE WHEN event_type IS NULL THEN 1 END) as bigint),
+    cast(count(DISTINCT event_type) as bigint) FROM hb
+  UNION ALL
+  SELECT 'value', count(*),
+    cast(count(CASE WHEN value IS NULL THEN 1 END) as bigint),
+    cast(count(DISTINCT value) as bigint) FROM hb)
+SELECT pa."column", cast(n_a as bigint) AS n_a, cast(n_b as bigint) AS n_b,
+  CASE WHEN n_a > 0 THEN round(nn_a / n_a, 6) END AS null_rate_a,
+  CASE WHEN n_b > 0 THEN round(nn_b / n_b, 6) END AS null_rate_b,
+  round((CASE WHEN n_b > 0 THEN round(nn_b / n_b, 6) END)
+        - (CASE WHEN n_a > 0 THEN round(nn_a / n_a, 6) END), 6)
+    AS null_rate_delta,
+  distinct_a, distinct_b,
+  CASE WHEN distinct_a > 0
+       THEN round(cast(distinct_b as double) / distinct_a, 6)
+  END AS distinct_ratio
+FROM pa JOIN pb USING ("column")
 """,
         "column_profile": """
 SELECT 'event_id' AS "column", count(*) AS n_rows,

@@ -1195,3 +1195,54 @@ def rfm_scores(
             _score(F.col("monetary"), "__m").alias("m_score"),
         )
     )
+
+
+def profile_diff(
+    a: DataFrame, b: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Snapshot-to-snapshot drift audit: :func:`column_profile` of two
+    drops of the same table joined per column, with the rate deltas a
+    data owner actually reads — the "did yesterday's crawl change
+    shape" gate run BEFORE the new drop enters training. A null-rate
+    jump is a broken upstream join; a distinct-count collapse is a
+    default value flooding the column; a distinct explosion is an id
+    leaking into a categorical.
+
+    Two single-pass profiles (each one hash aggregate + the distinct
+    expands), a |cols|-row join, pure arithmetic after. Rates round to
+    6. Output per column: (column, n_a, n_b, null_rate_a, null_rate_b,
+    null_rate_delta, distinct_a, distinct_b, distinct_ratio) —
+    distinct_ratio is b/a (NULL when a profile side is empty).
+    """
+    pa = column_profile(a, cols).select(
+        "column",
+        F.col("n_rows").alias("n_a"),
+        F.col("n_null").alias("__null_a"),
+        F.col("n_distinct").alias("distinct_a"),
+    )
+    pb = column_profile(b, cols).select(
+        "column",
+        F.col("n_rows").alias("n_b"),
+        F.col("n_null").alias("__null_b"),
+        F.col("n_distinct").alias("distinct_b"),
+    )
+    ra = F.when(
+        F.col("n_a") > 0, F.round(F.col("__null_a") / F.col("n_a"), 6)
+    )
+    rb = F.when(
+        F.col("n_b") > 0, F.round(F.col("__null_b") / F.col("n_b"), 6)
+    )
+    return pa.join(pb, "column").select(
+        "column",
+        "n_a",
+        "n_b",
+        ra.alias("null_rate_a"),
+        rb.alias("null_rate_b"),
+        F.round(rb - ra, 6).alias("null_rate_delta"),
+        "distinct_a",
+        "distinct_b",
+        F.when(
+            F.col("distinct_a") > 0,
+            F.round(F.col("distinct_b") / F.col("distinct_a"), 6),
+        ).alias("distinct_ratio"),
+    )

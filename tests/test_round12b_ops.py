@@ -303,3 +303,44 @@ class TestHits:
             map(tuple, hits(edges.repartition(13), iterations=3).collect())
         )
         assert a == b
+
+
+class TestProfileDiff:
+    def test_detects_drift(self, spark):
+        from seriesly_spark.operators.analytics import profile_diff
+
+        a = spark.createDataFrame(
+            [(i, "t%d" % (i % 5), float(i)) for i in range(100)],
+            "user_id long, event_type string, value double",
+        )
+        # drop B's type diversity to 1 and null out 40% of value
+        b = spark.createDataFrame(
+            [
+                (i, "t0", None if i % 5 < 2 else float(i))
+                for i in range(50)
+            ],
+            "user_id long, event_type string, value double",
+        )
+        out = {
+            r.column: r
+            for r in profile_diff(
+                a, b, ["user_id", "event_type", "value"]
+            ).collect()
+        }
+        assert out["event_type"].distinct_a == 5
+        assert out["event_type"].distinct_b == 1
+        assert out["event_type"].distinct_ratio == 0.2
+        assert out["value"].null_rate_a == 0.0
+        assert out["value"].null_rate_b == 0.4
+        assert out["value"].null_rate_delta == 0.4
+        assert out["user_id"].n_a == 100 and out["user_id"].n_b == 50
+
+    def test_empty_side_null_rates(self, spark):
+        from seriesly_spark.operators.analytics import profile_diff
+
+        a = spark.createDataFrame([(1,)], "x long")
+        b = spark.createDataFrame([], "x long")
+        (r,) = profile_diff(a, b, ["x"]).collect()
+        assert r.n_b == 0
+        assert r.null_rate_b is None and r.null_rate_delta is None
+        assert r.distinct_ratio == 0.0
