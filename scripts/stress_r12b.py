@@ -216,4 +216,93 @@ if __name__ == "__main__":
     gate_prefix_join(spark)
     gate_dsir(spark)
     gate_budget(spark)
+    gate_hits(spark)
+    gate_profile_diff(spark)
     print("ALL GATES PASS")
+
+
+def gate_hits(spark) -> None:
+    """5M hub nodes, each with ONE out-edge into one of 1000 authority
+    groups whose sizes grow linearly (group i gets ~i-proportional
+    in-degree). Closed form: a_k(i) ∝ d_i^k after k rounds (each round
+    multiplies a(i) by d_i before normalization), h_k(v) ∝ a_k(g(v)).
+    Checked to 1e-9 relative against the exact python replay."""
+    import math
+
+    from seriesly_spark.operators.graph import hits
+
+    n_auth, n_hub = 1000, 5_000_000
+    # hub v -> authority floor(sqrt(v * n_auth^2 / n_hub)) gives a
+    # linearly growing in-degree profile d_i ~ (2i+1) * n_hub / n_auth^2
+    edges = spark.range(n_hub).select(
+        (F.col("id") + n_auth).alias("src"),
+        F.sqrt(F.col("id").cast("double") * n_auth * n_auth / n_hub)
+        .cast("long")
+        .alias("dst"),
+    )
+    t0 = time.time()
+    out = hits(edges, iterations=3)
+    # authorities: a(i) proportional to d_i^3
+    arows = {
+        r.node: r.authority
+        for r in out.where(F.col("node") < n_auth).collect()
+    }
+    deg = (
+        edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d")).collect()
+    )
+    d = {r.dst: r.d for r in deg}
+    wall = time.time() - t0
+    # replay: a_k ∝ d^k, L2-normalized
+    ak = {i: float(v) ** 3 for i, v in d.items()}
+    nrm = math.sqrt(sum(v * v for v in ak.values()))
+    bad = 0
+    for i, v in ak.items():
+        want = v / nrm
+        got = arows.get(i, 0.0)
+        if abs(got - want) > 1e-9 * max(1.0, abs(want)) + 1e-12:
+            bad += 1
+    assert bad == 0, f"{bad} authorities off closed form"
+    print(
+        f"hits: 5M-edge / 5.001M-node graph, 3 rounds in {wall:.1f} s; "
+        f"all {len(ak)} authorities equal the d^3 closed form to 1e-9"
+    )
+
+
+def gate_profile_diff(spark) -> None:
+    """Two 50M-row snapshots with constructed drift: snapshot B nulls
+    every 4th value and collapses the categorical to 10% of A's
+    distinct values. Exact closed-form expectations."""
+    from seriesly_spark.operators.analytics import profile_diff
+
+    n = 50_000_000
+    a = spark.range(n).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 1000)).alias("event_type"),
+        F.col("id").cast("double").alias("value"),
+    )
+    b = spark.range(n).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 100)).alias("event_type"),
+        F.when(F.col("id") % 4 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("id").cast("double"))
+        .alias("value"),
+    )
+    t0 = time.time()
+    out = {
+        r.column: r
+        for r in profile_diff(
+            a, b, ["user_id", "event_type", "value"]
+        ).collect()
+    }
+    wall = time.time() - t0
+    assert out["event_type"].distinct_a == 1000
+    assert out["event_type"].distinct_b == 100
+    assert out["event_type"].distinct_ratio == 0.1
+    assert out["value"].null_rate_b == 0.25
+    assert out["value"].null_rate_delta == 0.25
+    assert out["user_id"].n_a == n and out["user_id"].n_b == n
+    print(
+        f"profile_diff: two 50M-row snapshots profiled+diffed in "
+        f"{wall:.1f} s; drift values exact (0.1 distinct ratio, "
+        f"0.25 null-rate jump)"
+    )
