@@ -1865,3 +1865,69 @@ def jaccard_prefix_pairs(
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("a", "b", "jaccard")
     )
+
+
+def minhash_lsh_pairs_cross(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 16,
+    max_bucket: int | None = None,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """CROSS-corpus minhash candidate pairs — near-dup decontamination
+    of one corpus against another WITHOUT a persistent index: which
+    probe documents (a fresh crawl, a candidate training shard) are
+    near-duplicates of something in ``corpus`` (an eval benchmark, the
+    already-trained set)? :func:`minhash_lsh_pairs` answers the
+    within-corpus question; the indexes (``MinhashIndex``) answer it
+    incrementally against history — this is the one-shot two-frame
+    variant for when no index exists and none should (a single
+    pre-training decontamination pass).
+
+    Identical signature machinery and banding convention (shared
+    ``bands * rows_per_band`` minhash vector, so tuner picks transfer
+    verbatim); the join is corpus-side x probe-side only — no
+    within-corpus or within-probe pairs, which is what makes the
+    bucket join linear in each side instead of quadratic in their
+    union. ``max_bucket`` caps (band, sig) buckets by their COMBINED
+    occupancy, same skew rationale as the self-join miner. Output:
+    (corpus_id, probe_id), distinct.
+    """
+
+    def banded_side(df: DataFrame, out: str) -> DataFrame:
+        sh = spread(df).select(
+            F.col(id_col).alias(out),
+            word_shingles(text_col, n).alias("grams"),
+        ).where(F.size("grams") > 0)
+        return scoped_persist(
+            sh.select(
+                out,
+                F.posexplode(
+                    minhash_band_sigs(F.col("grams"), bands, rows_per_band)
+                ).alias("band", "sig"),
+            ),
+            f"dedup.minhash_cross_{out}",
+            eager=max_bucket is not None,
+        )
+
+    left = banded_side(corpus, "corpus_id")
+    right = banded_side(probe, "probe_id")
+    if max_bucket is not None:
+        occ = (
+            left.select("band", "sig")
+            .unionByName(right.select("band", "sig"))
+            .groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("__bk"))
+            .where(F.col("__bk") <= max_bucket)
+            .select("band", "sig")
+        )
+        left = left.join(occ, ["band", "sig"])
+        right = right.join(occ, ["band", "sig"])
+    return (
+        left.join(right, ["band", "sig"])
+        .select("corpus_id", "probe_id")
+        .distinct()
+    )

@@ -344,3 +344,38 @@ class TestProfileDiff:
         assert r.n_b == 0
         assert r.null_rate_b is None and r.null_rate_delta is None
         assert r.distinct_ratio == 0.0
+
+
+class TestMinhashCross:
+    def test_no_within_side_pairs_and_subset_of_self_join(self, spark):
+        """Cross pairs = exactly the self-join pairs that straddle the
+        split (orientation corpus->probe), never within-side pairs."""
+        from seriesly_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            minhash_lsh_pairs_cross,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        corpus = docs.where(F.col("doc_id") % 7 != 0)
+        probe = docs.where(F.col("doc_id") % 7 == 0)
+        cross = {
+            (r.corpus_id, r.probe_id)
+            for r in minhash_lsh_pairs_cross(corpus, probe).collect()
+        }
+        full = {
+            (r.a, r.b) for r in minhash_lsh_pairs(docs).collect()
+        }
+        want = {
+            (a, b) if b % 7 == 0 else (b, a)
+            for a, b in full
+            if (a % 7 == 0) != (b % 7 == 0)
+        }
+        assert cross == want
+
+    def test_empty_probe(self, spark):
+        from seriesly_spark.operators.dedup import minhash_lsh_pairs_cross
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        empty = docs.where(F.lit(False))
+        assert minhash_lsh_pairs_cross(docs, empty).count() == 0
+        assert minhash_lsh_pairs_cross(empty, docs).count() == 0
