@@ -239,7 +239,7 @@ from seriesly_spark.plans.cache import QueryCache
 from seriesly_spark.plans.rollup import ContinuousRollup
 from seriesly_spark.plans.limits import QueryTimeout, run_with_timeout
 from seriesly_spark.plans.query import SerieslyQuery, seriesly_query
-from seriesly_spark.sources.tables import latest_by_key, load_table
+from seriesly_spark.sources.tables import latest_by_key, load_table, parse_json_quarantine
 from seriesly_spark.streaming.ingest import (
     streaming_bucket_counts,
     streaming_dedup_counts,
@@ -4831,6 +4831,32 @@ def q_dedup_minhash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE NDJSON intake with corrupt-line quarantine: each
+    document renders to a JSON line, every 13th line is truncated to
+    invalid JSON, and the parse must route exactly those to _corrupt
+    (verbatim) with NULL fields while every other line round-trips its
+    values. Row-level oracle — the %13 rule replays in SQL."""
+    docs = _table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.to_json(F.struct("lang", "n_chars")).alias("raw"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.substring("raw", 1, 8)
+        ).otherwise(F.col("raw")).alias("raw"),
+    )
+    out = parse_json_quarantine(raw, "lang string, n_chars bigint")
+    return out.select(
+        "doc_id",
+        F.col("_corrupt").isNull().alias("ok"),
+        "lang",
+        "n_chars",
+        "_corrupt",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -4857,6 +4883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "profile_diff": q_profile_diff,
         "dedup_minhash_cross": q_dedup_minhash_cross,
+        "json_quarantine": q_json_quarantine,
         "kmv_overlap": q_kmv_overlap,
         "kmv_rollup": q_kmv_rollup,
         "pagerank_docs": q_pagerank_docs,
@@ -4899,7 +4926,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "chunk_documents": q_chunk_documents,
         "cohort_retention": q_cohort_retention,
-        "collocation_pmi": q_collocation_pmi,
         # --- tail: certified; covered by the all-query
         # oracle replay in tests/test_entry_oracle.py ---
         "activity_concentration": q_concentration,
@@ -4924,6 +4950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chisq_type_hour": q_chisq_type_hour,
         "classifier_report": q_classifier_report,
         "clean_text": q_clean_text,
+        "collocation_pmi": q_collocation_pmi,
         "column_profile": q_column_profile,
         "compression_ratio": q_compression_ratio,
         "compression_screen": q_compression_screen,
@@ -8367,6 +8394,25 @@ SELECT pa."column", cast(n_a as bigint) AS n_a, cast(n_b as bigint) AS n_b,
        THEN round(cast(distinct_b as double) / distinct_a, 6)
   END AS distinct_ratio
 FROM pa JOIN pb USING ("column")
+""",
+        "json_quarantine": """
+WITH raw AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0
+         THEN substr(line, 1, 8) ELSE line END AS raw
+  FROM (SELECT doc_id,
+          '{"lang":"' || lang || '","n_chars":' || n_chars || '}' AS line
+        FROM documents))
+SELECT doc_id,
+  doc_id % 13 <> 0 AS ok,
+  CASE WHEN doc_id % 13 <> 0
+       THEN (SELECT lang FROM documents d WHERE d.doc_id = raw.doc_id)
+  END AS lang,
+  CASE WHEN doc_id % 13 <> 0
+       THEN (SELECT n_chars FROM documents d WHERE d.doc_id = raw.doc_id)
+  END AS n_chars,
+  CASE WHEN doc_id % 13 = 0 THEN raw END AS _corrupt
+FROM raw
 """,
         "column_profile": """
 SELECT 'event_id' AS "column", count(*) AS n_rows,

@@ -67,3 +67,33 @@ def latest_by_key(
         F.struct(*[F.col(c).alias(c) for c in others]), F.col(seq_col)
     ).alias("__r")
     return df.groupBy(*key_cols).agg(best).select(*key_cols, "__r.*")
+
+
+def parse_json_quarantine(
+    df: DataFrame, schema: str, raw_col: str = "raw"
+) -> DataFrame:
+    """PERMISSIVE JSON-line ingestion with corrupt-record quarantine —
+    the production NDJSON intake shape: never fail the job on a bad
+    line, never silently drop it either. Parses ``raw_col`` against
+    ``schema`` (a DDL string); unparseable lines land verbatim in the
+    ``_corrupt`` column (Spark's columnNameOfCorruptRecord channel)
+    with NULL data fields, parseable lines get NULL ``_corrupt``.
+    Splitting good/bad is then a filter; counting the quarantine is an
+    aggregate — both downstream of ONE narrow parse (no Python, no
+    second pass, codegen-friendly).
+
+    Note Spark's PERMISSIVE semantics: a line that IS valid JSON but
+    has a field that cannot be coerced to the schema type also lands
+    in ``_corrupt`` (with the coercible fields still populated) — this
+    is the engine's malformed-record definition, not just a JSON
+    validity test.
+    """
+    full = f"{schema}, _corrupt string"
+    parsed = F.from_json(
+        F.col(raw_col),
+        full,
+        {"columnNameOfCorruptRecord": "_corrupt", "mode": "PERMISSIVE"},
+    )
+    return df.withColumn("__p", parsed).select(
+        *[c for c in df.columns], F.col("__p.*")
+    )

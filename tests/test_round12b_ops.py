@@ -379,3 +379,40 @@ class TestMinhashCross:
         empty = docs.where(F.lit(False))
         assert minhash_lsh_pairs_cross(docs, empty).count() == 0
         assert minhash_lsh_pairs_cross(empty, docs).count() == 0
+
+
+class TestJsonQuarantine:
+    def test_routes_bad_lines(self, spark):
+        from seriesly_spark.sources.tables import parse_json_quarantine
+
+        df = spark.createDataFrame(
+            [
+                (1, '{"a": 5, "b": "x"}'),
+                (2, '{"a": 5, "b"'),
+                (3, "garbage"),
+                (4, '{"a": null, "b": "y"}'),
+            ],
+            "rid long, raw string",
+        )
+        out = {
+            r.rid: r
+            for r in parse_json_quarantine(
+                df, "a bigint, b string"
+            ).collect()
+        }
+        assert out[1]._corrupt is None and (out[1].a, out[1].b) == (5, "x")
+        assert out[2]._corrupt == '{"a": 5, "b"' and out[2].a is None
+        assert out[3]._corrupt == "garbage"
+        assert out[4]._corrupt is None and out[4].a is None
+        assert out[4].b == "y"
+
+    def test_type_mismatch_is_quarantined_with_partial_fields(self, spark):
+        """Spark PERMISSIVE semantics: valid JSON with an uncoercible
+        field also lands in _corrupt, with coercible fields kept."""
+        from seriesly_spark.sources.tables import parse_json_quarantine
+
+        df = spark.createDataFrame(
+            [(1, '{"a": "notint", "b": "y"}')], "rid long, raw string"
+        )
+        (r,) = parse_json_quarantine(df, "a bigint, b string").collect()
+        assert r._corrupt is not None and r.b == "y" and r.a is None
