@@ -234,6 +234,14 @@ BENCH_QUERIES = [
     "source_cap",
     "audio_fp_near_pairs",
     "video_phash_dedup",
+    "jaccard_prefix",
+    "dsir_scores",
+    "budget_select",
+    "ann_lsh_multiprobe",
+    "hits_docs",
+    "profile_diff",
+    "dedup_minhash_cross",
+    "json_quarantine",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)
