@@ -1902,15 +1902,18 @@ def minhash_lsh_pairs_cross(
             F.col(id_col).alias(out),
             word_shingles(text_col, n).alias("grams"),
         ).where(F.size("grams") > 0)
+        banded = sh.select(
+            out,
+            F.posexplode(
+                minhash_band_sigs(F.col("grams"), bands, rows_per_band)
+            ).alias("band", "sig"),
+        )
+        if max_bucket is None:
+            # unlike the self-join miner each side has ONE consumer —
+            # a persist would only add a memory copy
+            return banded
         return scoped_persist(
-            sh.select(
-                out,
-                F.posexplode(
-                    minhash_band_sigs(F.col("grams"), bands, rows_per_band)
-                ).alias("band", "sig"),
-            ),
-            f"dedup.minhash_cross_{out}",
-            eager=max_bucket is not None,
+            banded, f"dedup.minhash_cross_{out}", eager=True
         )
 
     left = banded_side(corpus, "corpus_id")
