@@ -44,6 +44,7 @@ from seriesly_spark.operators.dedup import (
     substring_dup_stats,
     dup_span_stats,
     dedup_exact,
+    dedup_spans,
     hamming_pairs,
     levenshtein_pairs,
     dedup_best,
@@ -4857,6 +4858,15 @@ def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL (Lee et al. ACL'22, the
+    rewrite step): every token covered by a word-3-gram whose first
+    corpus carrier is an earlier document is excised; first carriers
+    keep their copy, so each span survives exactly once corpus-wide.
+    Row-level oracle replays the stale-window coverage in SQL."""
+    return dedup_spans(_table(spark, sf_dir, "documents"), n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -4884,6 +4894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_diff": q_profile_diff,
         "dedup_minhash_cross": q_dedup_minhash_cross,
         "json_quarantine": q_json_quarantine,
+        "dedup_spans": q_dedup_spans,
         "kmv_overlap": q_kmv_overlap,
         "kmv_rollup": q_kmv_rollup,
         "pagerank_docs": q_pagerank_docs,
@@ -4925,7 +4936,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c01_cache_hit": q_c01_cache_hit,
         "char_entropy": q_char_entropy,
         "chunk_documents": q_chunk_documents,
-        "cohort_retention": q_cohort_retention,
         # --- tail: certified; covered by the all-query
         # oracle replay in tests/test_entry_oracle.py ---
         "activity_concentration": q_concentration,
@@ -4950,6 +4960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chisq_type_hour": q_chisq_type_hour,
         "classifier_report": q_classifier_report,
         "clean_text": q_clean_text,
+        "cohort_retention": q_cohort_retention,
         "collocation_pmi": q_collocation_pmi,
         "column_profile": q_column_profile,
         "compression_ratio": q_compression_ratio,
@@ -6615,6 +6626,31 @@ sig AS (
 SELECT DISTINCT c.doc_id AS corpus_id, p.doc_id AS probe_id
 FROM sig c JOIN sig p ON c.band = p.band AND c.sig = p.sig
 WHERE c.doc_id % 7 <> 0 AND p.doc_id % 7 = 0
+""",
+        "dedup_spans": """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+gp AS (SELECT doc_id, s, array_to_string(toks[s:s+2], ' ') AS g
+       FROM t, unnest(range(1, len(toks) - 1)) AS r(s)
+       WHERE len(toks) >= 3),
+fc AS (SELECT g, min(doc_id) AS first_id FROM gp GROUP BY g),
+stale AS (SELECT gp.doc_id, gp.s FROM gp JOIN fc USING (g)
+          WHERE fc.first_id < gp.doc_id),
+pos AS (SELECT t.doc_id, j, toks[j] AS tok
+        FROM t, unnest(range(1, len(toks) + 1)) AS r(j)),
+kept AS (SELECT p.doc_id, p.j, p.tok
+         FROM pos p
+         WHERE NOT EXISTS (SELECT 1 FROM stale st
+                           WHERE st.doc_id = p.doc_id
+                             AND p.j BETWEEN st.s AND st.s + 2)),
+kc AS (SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY j) AS text_clean
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+  cast(len(toks) as bigint) AS n_tokens,
+  cast(len(toks) - coalesce(kc.n_kept, 0) as bigint) AS n_removed,
+  coalesce(kc.text_clean, '') AS text_clean
+FROM t LEFT JOIN kc USING (doc_id)
 """,
         "dedup_minhash_lsh_r2": f"""
 WITH g AS ({_GRAMS_SQL}),

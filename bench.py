@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "profile_diff",
     "dedup_minhash_cross",
     "json_quarantine",
+    "dedup_spans",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

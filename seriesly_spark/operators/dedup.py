@@ -1934,3 +1934,80 @@ def minhash_lsh_pairs_cross(
         .select("corpus_id", "probe_id")
         .distinct()
     )
+
+
+def dedup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """REMOVE cross-document duplicated spans from the text — the
+    rewrite step of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL'22), at word-n-gram granularity:
+    a token is excised when some n-gram window covering it also occurs
+    in an EARLIER document (smaller id — ingest order), i.e. the span
+    is stale corpus text, not this document's contribution. The first
+    carrier keeps its copy, so corpus-wide each span survives exactly
+    once. Within-document repeats are NOT removed (the first carrier
+    of a gram is the document itself) — this is the cross-doc variant;
+    compose with ``paragraph_dedup`` for the intra-corpus line pass.
+
+    Dataflow: one positional gram explode (same token-hash identity as
+    ``_shingle_sets``), min-carrier per gram (map-side combined — the
+    ``ngram_novelty`` aggregate), an equi-join back on the gram keeping
+    only stale windows, and a per-doc fold of the stale START POSITIONS
+    into an array — token j is kept iff no stale start s satisfies
+    s <= j < s + n, evaluated as one JVM array lambda per doc (no
+    token-level shuffle: positions collapse to a per-doc array before
+    they ever leave the gram join). Output: (id, n_tokens, n_removed,
+    text_clean) — text_clean rejoins kept tokens with single spaces
+    (whitespace is not preserved; token identity is).
+    """
+    toks = tokens(text_col)
+    pre = spread(docs).select(
+        F.col(id_col).alias("id"),
+        toks.alias("__t"),
+        F.transform(toks, lambda x: F.xxhash64(x)).alias("__th"),
+        F.size(toks).alias("__nt"),
+    )
+    pre = scoped_persist(pre, "dedup.span_toks")
+    win = F.when(
+        F.col("__nt") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__nt") - n),
+            lambda i: F.xxhash64(
+                *[
+                    F.element_at(F.col("__th"), i + F.lit(j + 1))
+                    for j in range(n)
+                ]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    exploded = pre.select(
+        "id", F.posexplode(win).alias("pos", "g")
+    )
+    first = exploded.groupBy("g").agg(F.min("id").alias("first_id"))
+    stale = (
+        exploded.join(first, "g")
+        .where(F.col("first_id") < F.col("id"))
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("__starts"))
+    )
+    joined = pre.join(stale, "id", "left").withColumn(
+        "__starts",
+        F.coalesce("__starts", F.array().cast("array<int>")),
+    )
+    kept = F.filter(
+        F.col("__t"),
+        lambda x, j: ~F.exists(
+            F.col("__starts"),
+            lambda s: (s <= j) & (j < s + F.lit(n)),
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.col("__nt").alias("n_tokens"),
+        (F.col("__nt") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )

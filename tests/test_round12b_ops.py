@@ -416,3 +416,46 @@ class TestJsonQuarantine:
         )
         (r,) = parse_json_quarantine(df, "a bigint, b string").collect()
         assert r._corrupt is not None and r.b == "y" and r.a is None
+
+
+class TestDedupSpans:
+    FIX = [
+        (1, "a b c d e"),
+        (2, "x y a b c z"),  # "a b c" stale from doc 1
+        (3, "a b c d e"),  # exact dup of 1 -> fully excised
+        (4, "p q"),  # shorter than n -> untouched
+        (5, "k k k k"),  # within-doc repeat only -> kept
+    ]
+
+    def test_fixture_semantics(self, spark):
+        from seriesly_spark.operators.dedup import dedup_spans
+
+        docs = spark.createDataFrame(self.FIX, "doc_id long, text string")
+        out = {r.doc_id: r for r in dedup_spans(docs).collect()}
+        assert (out[1].n_removed, out[1].text_clean) == (0, "a b c d e")
+        assert (out[2].n_removed, out[2].text_clean) == (3, "x y z")
+        assert (out[3].n_removed, out[3].text_clean) == (5, "")
+        assert (out[4].n_removed, out[4].text_clean) == (0, "p q")
+        assert (out[5].n_removed, out[5].text_clean) == (0, "k k k k")
+
+    def test_first_doc_always_untouched(self, spark):
+        """The minimum-id document is the first carrier of every gram
+        it holds — nothing may be excised from it."""
+        from seriesly_spark.operators.dedup import dedup_spans
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        first_id = docs.agg(F.min("doc_id")).collect()[0][0]
+        r = (
+            dedup_spans(docs)
+            .where(F.col("doc_id") == first_id)
+            .collect()[0]
+        )
+        assert r.n_removed == 0
+
+    def test_partition_invariance(self, spark):
+        from seriesly_spark.operators.dedup import dedup_spans
+
+        docs = spark.createDataFrame(self.FIX, "doc_id long, text string")
+        a = sorted(map(tuple, dedup_spans(docs).collect()))
+        b = sorted(map(tuple, dedup_spans(docs.repartition(5)).collect()))
+        assert a == b
