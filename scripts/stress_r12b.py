@@ -218,6 +218,7 @@ if __name__ == "__main__":
     gate_budget(spark)
     gate_hits(spark)
     gate_profile_diff(spark)
+    gate_dedup_spans(spark)
     print("ALL GATES PASS")
 
 
@@ -305,4 +306,45 @@ def gate_profile_diff(spark) -> None:
         f"profile_diff: two 50M-row snapshots profiled+diffed in "
         f"{wall:.1f} s; drift values exact (0.1 distinct ratio, "
         f"0.25 null-rate jump)"
+    )
+
+
+def gate_dedup_spans(spark) -> None:
+    """Same 1.05M-doc corpus as the prefix-join gate (10 unique tokens
+    + a shared 4-token sentence per doc; 50k byte-identical twins).
+    Closed form: doc 0 is first carrier of everything it holds (0
+    removed); every other base doc loses exactly the 4 common-sentence
+    tokens (the two corpus-wide 3-grams cover positions T-4..T-1);
+    every twin is fully excised (14 tokens)."""
+    from seriesly_spark.operators.dedup import dedup_spans
+
+    n, twins = 1_000_000, 50_000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"u{j}_"), F.col("id").cast("string"))
+                for j in range(10)
+            ],
+            F.lit("the shared common sentence"),
+        ).alias("text"),
+    )
+    twin = base.where(F.col("doc_id") < twins).select(
+        (F.col("doc_id") + n).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(twin)
+    t0 = time.time()
+    got = (
+        dedup_spans(docs)
+        .groupBy("n_removed")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    wall = time.time() - t0
+    by = {r.n_removed: r.c for r in got}
+    assert by == {0: 1, 4: n - 1, 14: twins}, by
+    print(
+        f"dedup_spans: 1.05M docs span-cleaned in {wall:.1f} s; "
+        f"removal histogram exactly {{0:1, 4:{n - 1}, 14:{twins}}}"
     )
