@@ -211,16 +211,6 @@ def gate_budget(spark) -> None:
     )
 
 
-if __name__ == "__main__":
-    spark = get_spark("stress-r12b", cpus=32, shuffle_partitions=64)
-    gate_prefix_join(spark)
-    gate_dsir(spark)
-    gate_budget(spark)
-    gate_hits(spark)
-    gate_profile_diff(spark)
-    gate_dedup_spans(spark)
-    print("ALL GATES PASS")
-
 
 def gate_hits(spark) -> None:
     """5M hub nodes, each with ONE out-edge into one of 1000 authority
@@ -348,3 +338,13 @@ def gate_dedup_spans(spark) -> None:
         f"dedup_spans: 1.05M docs span-cleaned in {wall:.1f} s; "
         f"removal histogram exactly {{0:1, 4:{n - 1}, 14:{twins}}}"
     )
+
+if __name__ == "__main__":
+    spark = get_spark("stress-r12b", cpus=32, shuffle_partitions=64)
+    gate_prefix_join(spark)
+    gate_dsir(spark)
+    gate_budget(spark)
+    gate_hits(spark)
+    gate_profile_diff(spark)
+    gate_dedup_spans(spark)
+    print("ALL GATES PASS")

@@ -90,6 +90,34 @@ def word_shingles(text_col: str, n: int = 3) -> "F.Column":
     return F.array_distinct(F.when(k > 0, grams).otherwise(F.array()))
 
 
+def _window_hash_expr(n: int, otherwise: "F.Column | None" = None):
+    """Window-identity hashes over the materialized token-hash array:
+    the shared inner expression of every positional-gram operator
+    (``_shingle_sets``, ``substring_dup_stats``, ``dup_span_stats``,
+    ``dedup_spans``). Expects the frame to carry ``__th`` (per-token
+    xxhash64 array — hash each token ONCE; hashing window TEXT
+    re-touches every character n times, measured 2.5x slower) and
+    ``__nt`` (token count). CaseWhen evaluates only the matched
+    branch, so ``sequence()`` never sees a negative upper bound on
+    short documents; ``otherwise`` overrides the short-doc sentinel
+    (default: empty array — explode drops the doc)."""
+    w = F.when(
+        F.col("__nt") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__nt") - n),
+            lambda i: F.xxhash64(
+                *[
+                    F.element_at(F.col("__th"), i + F.lit(j + 1))
+                    for j in range(n)
+                ]
+            ),
+        ),
+    )
+    return w.otherwise(
+        F.array().cast("array<bigint>") if otherwise is None else otherwise
+    )
+
+
 def _shingle_sets(
     docs: DataFrame,
     text_col: str,
@@ -120,18 +148,7 @@ def _shingle_sets(
         F.transform(toks, lambda x: F.xxhash64(x)).alias("__th"),
         F.size(toks).alias("__nt"),
     )
-    win = F.when(
-        F.col("__nt") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.col("__nt") - n),
-            lambda i: F.xxhash64(
-                *[
-                    F.element_at(F.col("__th"), i + F.lit(j + 1))
-                    for j in range(n)
-                ]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    win = _window_hash_expr(n)
     gh = F.array_distinct(win)
     return scoped_persist(
         pre.select(
@@ -837,18 +854,7 @@ def substring_dup_stats(
     )
     # CaseWhen evaluates only the matched branch, so the sequence()
     # never sees a negative upper bound on short documents.
-    win = F.when(
-        F.col("__nt") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.col("__nt") - n),
-            lambda i: F.xxhash64(
-                *[
-                    F.element_at(F.col("__th"), i + F.lit(j + 1))
-                    for j in range(n)
-                ]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    win = _window_hash_expr(n)
     # ONE select around the explode: aliasing the window array as a
     # column and exploding it by name in a second select invites
     # CollapseProject to substitute the token-hash transform INTO the
@@ -1288,27 +1294,14 @@ def dup_span_stats(
     pre = spread(docs).select(
         F.col(id_col), th.alias("__th"), F.size(t).alias("__nt")
     )
-    win = F.when(
-        F.col("__nt") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.col("__nt") - n),
-            lambda i: F.xxhash64(
-                *[
-                    F.element_at(F.col("__th"), i + F.lit(j + 1))
-                    for j in range(n)
-                ]
-            ),
-        ),
-    ).otherwise(
-        # Sentinel one-NULL-window array for short docs (__nt < n):
-        # posexplode would DROP an empty array and lose the document,
-        # but the doc-spine below is derived from this same persisted
-        # frame (carrying __nt avoids re-tokenizing the corpus for the
-        # spine join — a whole second scan). NULL window hashes never
-        # match an inner join key and are filtered out of the corpus
-        # count, so they exist only to keep the doc's (id, __nt) row.
-        F.array(F.lit(None).cast("bigint"))
-    )
+    # Sentinel one-NULL-window array for short docs (__nt < n):
+    # posexplode would DROP an empty array and lose the document, but
+    # the doc-spine below is derived from this same persisted frame
+    # (carrying __nt avoids re-tokenizing the corpus for the spine
+    # join — a whole second scan). NULL window hashes never match an
+    # inner join key and are filtered out of the corpus count, so they
+    # exist only to keep the doc's (id, __nt) row.
+    win = _window_hash_expr(n, otherwise=F.array(F.lit(None).cast("bigint")))
     # ONE select around the posexplode, for the same CollapseProject
     # reason as substring_dup_stats (the token-hash transform must not
     # be substituted into the generator). EAGER persist: the corpus
@@ -1802,19 +1795,26 @@ def jaccard_prefix_pairs(
     (measured candidate-count A/B in PLANS.md). Verification joins
     move full gram arrays only for surviving candidates.
 
-    The prefix length uses ceil(t*|A| - 1e-9): the epsilon only ever
-    LENGTHENS a prefix at a float-representation boundary, so it can
-    add a candidate but never lose a true pair.
+    Candidate generation runs at the RELAXED threshold
+    t' = t - 1e-6: the accept predicate (shared with the naive join)
+    is round(J, 6) >= t, which admits true J as low as t - 5e-7
+    (HALF_UP), so the prefix length and the length filter must hold
+    for every such pair — bounds derived from t alone could drop a
+    pair the naive join emits when |A∪B| exceeds ~1e6 shingles. The
+    relaxation (and the extra 1e-9 representation epsilon inside the
+    ceil) only ever ADDS candidates; the exact verification still
+    filters on round(J, 6) >= t.
     """
     from pyspark.sql import Window
 
+    tg = threshold - 1e-6
     exploded = _shingle_sets(
         docs, text_col, id_col, n, "dedup.prefix_exploded", eager=True
     )
     dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     plen = (
         F.col("sz")
-        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+        - F.ceil(F.lit(tg) * F.col("sz") - F.lit(1e-9))
         + F.lit(1)
     )
     rn = F.row_number().over(
@@ -1834,7 +1834,7 @@ def jaccard_prefix_pairs(
             (F.col("a") < F.col("b"))
             & (
                 F.least("sza", "szb").cast("double")
-                >= F.lit(threshold) * F.greatest("sza", "szb")
+                >= F.lit(tg) * F.greatest("sza", "szb")
             )
         )
         .select("a", "b")
@@ -1972,18 +1972,7 @@ def dedup_spans(
         F.size(toks).alias("__nt"),
     )
     pre = scoped_persist(pre, "dedup.span_toks")
-    win = F.when(
-        F.col("__nt") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.col("__nt") - n),
-            lambda i: F.xxhash64(
-                *[
-                    F.element_at(F.col("__th"), i + F.lit(j + 1))
-                    for j in range(n)
-                ]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    win = _window_hash_expr(n)
     exploded = pre.select(
         "id", F.posexplode(win).alias("pos", "g")
     )

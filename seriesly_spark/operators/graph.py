@@ -198,6 +198,8 @@ def hits(
     ``CheckpointRotator`` bounds state to one live copy. Output:
     (node, hub, authority) rounded to 9.
     """
+    if iterations < 1:
+        raise ValueError("hits requires iterations >= 1")
     edges = scoped_persist(
         edges.select("src", "dst").distinct().repartition("src"),
         "graph.hits_edges",

@@ -754,7 +754,11 @@ def budget_select(
         eager=True,
     )
     plan = mixture_plan(
-        ranked, group_col, budget_tokens, size_col="n_tokens"
+        ranked,
+        group_col,
+        budget_tokens,
+        size_col="n_tokens",
+        temperature=temperature,
     ).select(group_col, "planned_tokens")
     w = (
         Window.partitionBy(group_col)
