@@ -47,9 +47,14 @@ class TestKmvExactProperty:
         assert r.est_a == float(len(a))
         assert r.est_b == float(len(b))
         assert r.est_union == float(len(a | b))
-        assert r.jaccard == pytest.approx(len(a & b) / len(a | b))
+        # the operator's contract is round(x, 6): its quantization
+        # error (<= 5e-7) exceeds pytest.approx's default rel=1e-6
+        # band for values < 1 (found by hypothesis on J = 1/6)
+        assert r.jaccard == pytest.approx(
+            len(a & b) / len(a | b), abs=5.1e-7
+        )
         assert r.est_intersect == pytest.approx(
-            round(len(a & b) / len(a | b) * len(a | b), 6)
+            len(a & b) / len(a | b) * len(a | b), abs=1.1e-6
         )
 
 
