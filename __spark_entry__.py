@@ -4837,11 +4837,17 @@ def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     document renders to a JSON line, every 13th line is truncated to
     invalid JSON, and the parse must route exactly those to _corrupt
     (verbatim) with NULL fields while every other line round-trips its
-    values. Row-level oracle — the %13 rule replays in SQL."""
+    values. Row-level oracle — the %13 rule replays in SQL; the line is
+    rendered with ignoreNullFields=false so a NULL lang serializes as
+    an explicit "lang":null exactly like DuckDB's to_json(struct_pack)
+    in the oracle (default to_json would DROP the field, shifting the
+    truncated-prefix bytes and silently de-syncing the two engines)."""
     docs = _table(spark, sf_dir, "documents")
     raw = docs.select(
         "doc_id",
-        F.to_json(F.struct("lang", "n_chars")).alias("raw"),
+        F.to_json(
+            F.struct("lang", "n_chars"), {"ignoreNullFields": "false"}
+        ).alias("raw"),
     ).select(
         "doc_id",
         F.when(
@@ -8437,7 +8443,8 @@ WITH raw AS (
     CASE WHEN doc_id % 13 = 0
          THEN substr(line, 1, 8) ELSE line END AS raw
   FROM (SELECT doc_id,
-          '{"lang":"' || lang || '","n_chars":' || n_chars || '}' AS line
+          cast(to_json(struct_pack(lang := lang, n_chars := n_chars))
+               as varchar) AS line
         FROM documents))
 SELECT doc_id,
   doc_id % 13 <> 0 AS ok,

@@ -1894,7 +1894,10 @@ def minhash_lsh_pairs_cross(
     bucket join linear in each side instead of quadratic in their
     union. ``max_bucket`` caps (band, sig) buckets by their COMBINED
     occupancy, same skew rationale as the self-join miner. Output:
-    (corpus_id, probe_id), distinct.
+    (corpus_id, probe_id), distinct. The two id spaces may overlap (a
+    shard being screened against a superset corpus): a document
+    carried by BOTH frames under one id never reports itself —
+    self-pairs are filtered on the banded join.
     """
 
     def banded_side(df: DataFrame, out: str) -> DataFrame:
@@ -1931,6 +1934,7 @@ def minhash_lsh_pairs_cross(
         right = right.join(occ, ["band", "sig"])
     return (
         left.join(right, ["band", "sig"])
+        .where(F.col("corpus_id") != F.col("probe_id"))
         .select("corpus_id", "probe_id")
         .distinct()
     )
@@ -1957,12 +1961,21 @@ def dedup_spans(
     ``_shingle_sets``), min-carrier per gram (map-side combined — the
     ``ngram_novelty`` aggregate), an equi-join back on the gram keeping
     only stale windows, and a per-doc fold of the stale START POSITIONS
-    into an array — token j is kept iff no stale start s satisfies
-    s <= j < s + n, evaluated as one JVM array lambda per doc (no
-    token-level shuffle: positions collapse to a per-doc array before
-    they ever leave the gram join). Output: (id, n_tokens, n_removed,
-    text_clean) — text_clean rejoins kept tokens with single spaces
-    (whitespace is not preserved; token identity is).
+    into an array. The starts are then merged into disjoint coverage
+    ISLANDS before the token filter: every stale window has fixed
+    length n, so after sorting, consecutive starts with gap <= n cover
+    a contiguous run [first, last+n) — a maximal such run is one
+    island, computed with two index-filter lambdas (island opens where
+    the gap from the previous start exceeds n; closes where the gap to
+    the next one does), O(S) per doc, no quadratic fold. Token j is
+    kept iff no island [lo, hi) contains it — O(T x islands) instead
+    of O(T x S): a fully-duplicated 100k-token document collapses to
+    ONE island, the exact case where filtering against raw starts was
+    O(T^2). No token-level shuffle anywhere: positions collapse to a
+    per-doc array before they ever leave the gram join. Output:
+    (id, n_tokens, n_removed, text_clean) — text_clean rejoins kept
+    tokens with single spaces (whitespace is not preserved; token
+    identity is).
     """
     toks = tokens(text_col)
     pre = spread(docs).select(
@@ -1984,14 +1997,36 @@ def dedup_spans(
         .agg(F.collect_set("pos").alias("__starts"))
     )
     joined = pre.join(stale, "id", "left").withColumn(
-        "__starts",
-        F.coalesce("__starts", F.array().cast("array<int>")),
+        "__ss",
+        F.array_sort(F.coalesce("__starts", F.array().cast("array<int>"))),
+    )
+    # Gap > n between sorted fixed-width starts <=> disjoint coverage:
+    # los keeps each start that opens an island, his each that closes
+    # one (shifted by +n to the exclusive end). when() guards the
+    # 1-based element_at from index 0 / past-the-end probes.
+    los = F.filter(
+        F.col("__ss"),
+        lambda s, i: F.when(i == 0, F.lit(True)).otherwise(
+            s - F.element_at(F.col("__ss"), i) > F.lit(n)
+        ),
+    )
+    his = F.transform(
+        F.filter(
+            F.col("__ss"),
+            lambda s, i: F.when(
+                i == F.size(F.col("__ss")) - 1, F.lit(True)
+            ).otherwise(F.element_at(F.col("__ss"), i + 2) - s > F.lit(n)),
+        ),
+        lambda s: s + F.lit(n),
+    )
+    joined = joined.withColumn(
+        "__isl", F.arrays_zip(los.alias("lo"), his.alias("hi"))
     )
     kept = F.filter(
         F.col("__t"),
         lambda x, j: ~F.exists(
-            F.col("__starts"),
-            lambda s: (s <= j) & (j < s + F.lit(n)),
+            F.col("__isl"),
+            lambda e: (e["lo"] <= j) & (j < e["hi"]),
         ),
     )
     return joined.select(

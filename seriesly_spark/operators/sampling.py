@@ -611,8 +611,13 @@ def dsir_scores(
         logratio(d) = sum_f m_f * (log2 p_target(f) - log2 p_raw(f))
 
     folded in decimal(38,18) (order-independent — the bigram_lm_score
-    convention) and rounded to 6. Output: (doc_id, n_feats, logratio),
-    logratio NULL for empty documents; higher = more target-like.
+    convention) and rounded to 6. Output: (doc_id, n_feats, logratio);
+    higher = more target-like. logratio is NULL only for docs that
+    yield NO features — NULL text (split of NULL drops at explode).
+    Empty/whitespace-only text is NOT that case: whitespace-split of
+    '' is [''], so such docs carry one empty-string unigram and score
+    like any other single-token doc (the '' bucket is a real feature
+    both corpora share).
 
     Scale shape: two hash aggregates collapse each corpus to at most
     ``buckets`` rows (map-side combine — Zipf skew lands on partial

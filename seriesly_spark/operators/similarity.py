@@ -1339,10 +1339,21 @@ def multiprobe_chunks(
     (perturbation depth 1 — the regime where multi-probe wins most per
     probe). Output: (query_id, band, chunk), distinct — |Q| x bands x
     nprobe rows, broadcast-scale.
+
+    A band of ``width = planes // bands`` bits has exactly ``width``
+    single-bit neighbors, so at depth 1 only ``width + 1`` distinct
+    probes exist per band — a larger ``nprobe`` cannot be honored and
+    raises rather than silently saturating.
     """
     from pyspark.sql import Window
 
     width = planes // bands
+    if not 1 <= nprobe <= width + 1:
+        raise ValueError(
+            f"nprobe must be in [1, planes // bands + 1] = [1, {width + 1}] "
+            f"(a {width}-bit band has only {width} single-bit flips); "
+            f"got {nprobe}"
+        )
     qp = _query_projections(
         vectors, query_ids, planes, dim, id_col, vec_col
     ).withColumn("band", (F.col("p") / width).cast("int"))

@@ -87,7 +87,33 @@ def parse_json_quarantine(
     in ``_corrupt`` (with the coercible fields still populated) — this
     is the engine's malformed-record definition, not just a JSON
     validity test.
+
+    The parsed field names must be disjoint from the input columns and
+    must not include ``_corrupt`` (it is claimed for the quarantine
+    channel) — the flattening ``__p.*`` select would otherwise emit
+    duplicate column names that fail only later, at first reference.
+    Checked eagerly here so the error names the collision.
     """
+    from pyspark.sql.types import StructType
+
+    parsed_names = {f.name for f in StructType.fromDDL(schema).fields}
+    if "_corrupt" in parsed_names:
+        raise ValueError(
+            "parse_json_quarantine: '_corrupt' is reserved for the "
+            "quarantine channel; rename that field in the schema"
+        )
+    clash = parsed_names & set(df.columns)
+    if clash:
+        raise ValueError(
+            "parse_json_quarantine: parsed field(s) "
+            f"{sorted(clash)} collide with input column(s); rename "
+            "one side or drop the input column before parsing"
+        )
+    if "_corrupt" in df.columns:
+        raise ValueError(
+            "parse_json_quarantine: input already has a '_corrupt' "
+            "column; drop or rename it before parsing"
+        )
     full = f"{schema}, _corrupt string"
     parsed = F.from_json(
         F.col(raw_col),

@@ -249,3 +249,15 @@ class TestRound12EmptyInputs:
         from seriesly_spark.operators.similarity import multiprobe_chunks
 
         assert multiprobe_chunks(empty_vecs, [0, 1], nprobe=3).count() == 0
+
+    def test_multiprobe_nprobe_out_of_range_raises(self, empty_vecs):
+        """Only width+1 distinct depth-1 probes exist per band; a
+        larger nprobe raises instead of silently saturating."""
+        import pytest
+
+        from seriesly_spark.operators.similarity import multiprobe_chunks
+
+        with pytest.raises(ValueError, match="nprobe"):
+            multiprobe_chunks(empty_vecs, [0], planes=32, bands=4, nprobe=10)
+        with pytest.raises(ValueError, match="nprobe"):
+            multiprobe_chunks(empty_vecs, [0], nprobe=0)

@@ -380,6 +380,15 @@ class TestMinhashCross:
         assert minhash_lsh_pairs_cross(docs, empty).count() == 0
         assert minhash_lsh_pairs_cross(empty, docs).count() == 0
 
+    def test_overlapping_id_spaces_emit_no_self_pairs(self, spark):
+        """A doc present in BOTH frames under one id (screening a
+        shard against a superset corpus) must not report itself."""
+        from seriesly_spark.operators.dedup import minhash_lsh_pairs_cross
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+        pairs = minhash_lsh_pairs_cross(docs, docs).collect()
+        assert all(r.corpus_id != r.probe_id for r in pairs)
+
 
 class TestJsonQuarantine:
     def test_routes_bad_lines(self, spark):
@@ -416,6 +425,24 @@ class TestJsonQuarantine:
         )
         (r,) = parse_json_quarantine(df, "a bigint, b string").collect()
         assert r._corrupt is not None and r.b == "y" and r.a is None
+
+    def test_name_collisions_raise_eagerly(self, spark):
+        """Parsed fields colliding with input columns, a schema that
+        claims _corrupt, or an input that already carries _corrupt
+        would all flatten into ambiguous duplicate column names; each
+        must raise immediately with the collision named."""
+        import pytest
+
+        from seriesly_spark.sources.tables import parse_json_quarantine
+
+        df = spark.createDataFrame([(1, "{}")], "rid long, raw string")
+        with pytest.raises(ValueError, match="reserved"):
+            parse_json_quarantine(df, "_corrupt string, a bigint")
+        with pytest.raises(ValueError, match="rid"):
+            parse_json_quarantine(df, "rid bigint, a bigint")
+        dirty = df.withColumn("_corrupt", F.lit("x"))
+        with pytest.raises(ValueError, match="already has"):
+            parse_json_quarantine(dirty, "a bigint")
 
 
 class TestDedupSpans:
@@ -459,3 +486,47 @@ class TestDedupSpans:
         a = sorted(map(tuple, dedup_spans(docs).collect()))
         b = sorted(map(tuple, dedup_spans(docs.repartition(5)).collect()))
         assert a == b
+
+    def test_multiple_islands(self, spark):
+        """Stale regions separated by fresh gaps > n stay disjoint
+        islands; only tokens inside an island are excised."""
+        from seriesly_spark.operators.dedup import dedup_spans
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c m n o"),
+                # stale "a b c" at 0 and "m n o" at 7; q-run fresh
+                (2, "a b c q1 q2 q3 q4 m n o q5 q6"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup_spans(docs).collect()}
+        assert out[1].n_removed == 0
+        assert (out[2].n_removed, out[2].text_clean) == (
+            6,
+            "q1 q2 q3 q4 q5 q6",
+        )
+
+    def test_long_heavily_duplicated_doc(self, spark):
+        """The r12 verdict's weak case: a 50k-token document that is
+        >90% stale. Raw-starts filtering is O(T x S) ~ 2.5e9 lambda
+        evaluations on ONE row; the islands fold collapses the stale
+        region to a single [lo, hi) interval, so this must finish in
+        seconds, with the exact removal count."""
+        import time
+
+        from seriesly_spark.operators.dedup import dedup_spans
+
+        base = " ".join(f"t{i}" for i in range(50_000))
+        docs = spark.createDataFrame(
+            [(1, base), (2, base + " u0 u1 u2 u3 u4")],
+            "doc_id long, text string",
+        )
+        t0 = time.monotonic()
+        out = {r.doc_id: r for r in dedup_spans(docs).collect()}
+        wall = time.monotonic() - t0
+        # stale starts 0..49997 cover [0, 50000): the whole base run
+        assert out[1].n_removed == 0
+        assert out[2].n_removed == 50_000
+        assert out[2].text_clean == "u0 u1 u2 u3 u4"
+        assert wall < 120, f"islands filter degraded: {wall:.1f}s"
