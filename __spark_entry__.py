@@ -22,11 +22,19 @@ import tempfile
 import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from seriesly_spark.functions.bucketing import bucket_ms_col
 from seriesly_spark.functions.timeparse import canonical_key, parse_any_ts_ns
+from seriesly_spark.operators.html import (
+    BLOCK_PAT,
+    COMMENT_PAT,
+    LINK_PAT,
+    SCRIPT_PAT,
+    STYLE_PAT,
+    html_extract,
+)
 from seriesly_spark.operators.dedup_index import (
     DedupIndex,
     MinhashIndex,
@@ -519,6 +527,45 @@ _GRAMS_SQL = """
         FROM documents)
   WHERE len(toks) >= 3
 """
+
+# DuckDB mirror of the synthetic crawl page built by _html_page_expr —
+# identical byte concatenation, so the html_extract rule set is
+# value-checked cross-engine.
+_HTML_PAGE_SQL = """
+  SELECT doc_id,
+    '<html><head><title>' || coalesce(source, '') ||
+    '</title><script type="text/javascript">var page="' ||
+    cast(doc_id as varchar) ||
+    '";</script><style>.nav{display:none}</style></head><body>' ||
+    '<div class="nav"><ul><li><a href="/">Home</a></li>' ||
+    '<li><a href="/c/' || coalesce(lang, '') ||
+    '">Category index</a></li></ul></div><h1>' || coalesce(lang, '') ||
+    '</h1><p>' || coalesce(text, '') ||
+    '</p><!-- crawl fixture <p>not content</p> -->' ||
+    '<div class="footer"><a href="/tos">Terms of service</a> ' ||
+    '<a href="/privacy">Privacy and cookies</a></div>' ||
+    '</body></html>' AS html
+  FROM documents
+"""
+
+
+def _html_norm_sql(expr: str) -> str:
+    """DuckDB mirror of operators.html._norm over an arbitrary string
+    expression: tag-strip, the SAME entity chain in the SAME order
+    (&amp; decoded last), whitespace collapse, trim."""
+    s = f"regexp_replace({expr}, '<[^>]+>', ' ', 'g')"
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&apos;", "''"),
+        ("&amp;", "&"),
+    ):
+        s = f"replace({s}, '{ent}', '{ch}')"
+    return f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+
 
 # 32-bit md5-nibble SimHash, the DuckDB mirror of
 # operators.dedup.simhash32_md5 (strict majority per bit).
@@ -4873,6 +4920,46 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_spans(_table(spark, sf_dir, "documents"), n=3)
 
 
+def _html_page_expr() -> Column:
+    """Deterministic synthetic crawl page per document: real content
+    inside <p>, framed by every boilerplate class the extractor must
+    reject — script (holding fake markup), style, an HTML comment, a
+    link-only nav, a short heading, and a link-only footer. The oracle
+    concatenates the IDENTICAL bytes, so the rule set itself is
+    value-checked cross-engine, not just the plumbing."""
+    return F.concat(
+        F.lit("<html><head><title>"),
+        F.coalesce("source", F.lit("")),
+        F.lit('</title><script type="text/javascript">var page="'),
+        F.col("doc_id").cast("string"),
+        F.lit('";</script><style>.nav{display:none}</style></head><body>'),
+        F.lit('<div class="nav"><ul><li><a href="/">Home</a></li>'),
+        F.lit('<li><a href="/c/'),
+        F.coalesce("lang", F.lit("")),
+        F.lit('">Category index</a></li></ul></div><h1>'),
+        F.coalesce("lang", F.lit("")),
+        F.lit("</h1><p>"),
+        F.coalesce("text", F.lit("")),
+        F.lit("</p><!-- crawl fixture <p>not content</p> -->"),
+        F.lit('<div class="footer"><a href="/tos">Terms of service</a> '),
+        F.lit('<a href="/privacy">Privacy and cookies</a></div>'),
+        F.lit("</body></html>"),
+    )
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> main-content extraction (jusText-shaped): block
+    segmentation at block-tag boundaries, then boilerplate drop by
+    link density and minimum length. Each document is wrapped in a
+    synthetic page (nav/footer/script/style/comment boilerplate); the
+    extractor must recover exactly the <p> content and count the
+    rejected blocks. Row-level oracle replays the full rule set
+    (same RE2-safe patterns, same entity chain) in DuckDB."""
+    docs = _table(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _html_page_expr().alias("html"))
+    return html_extract(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -4892,6 +4979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # certified entries first (registration order), then the
         # stalest-certified cohorts (CERTIFIED.json), alphabetical
         # within a cohort; alphabetical tail.
+        "html_extract": q_html_extract,
         "jaccard_prefix": q_jaccard_prefix,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "hits_docs": q_hits_docs,
@@ -8436,6 +8524,43 @@ SELECT pa."column", cast(n_a as bigint) AS n_a, cast(n_b as bigint) AS n_b,
        THEN round(cast(distinct_b as double) / distinct_a, 6)
   END AS distinct_ratio
 FROM pa JOIN pb USING ("column")
+""",
+        "html_extract": f"""
+WITH pages AS ({_HTML_PAGE_SQL}),
+cleaned AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+    '{SCRIPT_PAT}', ' ', 'g'),
+    '{STYLE_PAT}', ' ', 'g'),
+    '{COMMENT_PAT}', ' ', 'g') AS c
+  FROM pages),
+scored AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(c, '{BLOCK_PAT}'),
+      b -> struct_pack(
+        t := {_html_norm_sql("b")},
+        nl := length({_html_norm_sql(
+            "coalesce(array_to_string(regexp_extract_all(b, '"
+            + LINK_PAT
+            + "', 1), ' '), '')"
+        )})
+      )) AS blocks
+  FROM cleaned),
+sel AS (
+  SELECT doc_id, blocks,
+    list_filter(blocks, e -> length(e.t) >= 25
+      AND cast(e.nl as double) <= length(e.t) * cast(0.33 as double))
+      AS kept
+  FROM scored)
+SELECT doc_id,
+  cast(len(list_filter(blocks, e -> length(e.t) > 0)) as bigint)
+    AS n_blocks,
+  cast(len(kept) as bigint) AS n_kept,
+  cast(length(coalesce(
+    array_to_string(list_transform(kept, e -> e.t), chr(10)), ''))
+       as bigint) AS n_chars,
+  coalesce(array_to_string(list_transform(kept, e -> e.t), chr(10)), '')
+    AS text
+FROM sel
 """,
         "json_quarantine": """
 WITH raw AS (

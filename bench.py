@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "dedup_minhash_cross",
     "json_quarantine",
     "dedup_spans",
+    "html_extract",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)
