@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 
 from seriesly_spark.functions.bucketing import bucket_ms_col
 from seriesly_spark.functions.timeparse import canonical_key, parse_any_ts_ns
+from seriesly_spark.operators.quality import (
+    score_quality_lr,
+    train_quality_lr,
+)
 from seriesly_spark.operators.html import (
     BLOCK_PAT,
     COMMENT_PAT,
@@ -443,6 +447,59 @@ _MD5_U16_SQL = (
     " + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) * 16"
     " + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))"
 )
+
+
+def _qlr_sql(rounds: int = 5, lr: str = "8.0", buckets: int = 256) -> str:
+    """DuckDB replay of the hashed-ngram logistic-regression TRAINING
+    loop (operators.quality.train_quality_lr): the dsir-style uni+bi
+    feature explode (md5 'qlr' fold), then ``rounds`` unrolled
+    full-batch GD rounds. Per-round parity discipline mirrors the
+    operator exactly: round-6 terms into DECIMAL(28,6) folds for both
+    the per-doc logit and the per-bucket gradient, sigmoid re-rounded
+    to 6, weights re-rounded to 6 after each update — libm exp() ulp
+    drift is absorbed at every round boundary. Returns the CTE chain
+    up to ``w{rounds}``; callers append their own final SELECT."""
+    head = f"""
+WITH t AS (SELECT doc_id AS id,
+             CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS y,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+f AS (SELECT id, y, unnest(toks) AS f FROM t
+      UNION ALL
+      SELECT id, y, toks[i] || ' ' || toks[i + 1] FROM t,
+        unnest(range(1, len(toks))) AS r(i)),
+hb AS (SELECT id, y, md5('qlr' || f) AS h FROM f),
+cnt AS (SELECT id, y, {_MD5_U16_SQL} % {buckets} AS b, count(*) AS m
+        FROM hb GROUP BY 1, 2, 3),
+nf AS (SELECT id, y, sum(m) AS nf FROM cnt GROUP BY 1, 2),
+feats AS (SELECT cnt.id, cnt.y, cnt.b, cnt.m / nf.nf AS x
+          FROM cnt JOIN nf ON cnt.id = nf.id
+          UNION ALL
+          SELECT id, y, -1, CAST(1.0 AS DOUBLE) FROM nf),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nf),
+w0 AS (SELECT CAST(unnest(range(-1, {buckets})) AS INT) AS b,
+              CAST(0.0 AS DOUBLE) AS w)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(
+            f""",
+z{k} AS (SELECT f.id, f.y,
+  CAST(sum(CAST(round(w.w * f.x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS z
+  FROM feats f JOIN w{k - 1} w ON f.b = w.b GROUP BY 1, 2),
+e{k} AS (SELECT id,
+  round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-z)), 6) - y
+    AS e
+  FROM z{k}),
+g{k} AS (SELECT f.b,
+  CAST(sum(CAST(round(e.e * f.x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS g
+  FROM feats f JOIN e{k} e ON f.id = e.id GROUP BY 1),
+w{k} AS (SELECT w.b,
+  round(w.w - CAST({lr} AS DOUBLE) * coalesce(g.g, CAST(0.0 AS DOUBLE))
+              / n.n, 6) AS w
+  FROM w{k - 1} w LEFT JOIN g{k} g ON w.b = g.b CROSS JOIN nn n)"""
+        )
+    return head + "".join(steps)
 
 
 def _pagerank_sql(iters: int = 5) -> str:
@@ -4947,6 +5004,49 @@ def _html_page_expr() -> Column:
     )
 
 
+def _labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with the binary quality label the LR trains on:
+    y = 1 iff lang = 'en' — the same target distribution dsir_scores
+    uses, so the two selection signals are directly comparable."""
+    return _table(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("double")
+    )
+
+
+def q_train_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-ngrams logistic regression trained by full-batch
+    gradient descent, 5 unrolled rounds at lr=8: per-round round-6
+    decimal-exact logit and gradient folds (the bt_strength per-round
+    discipline), so the DuckDB oracle replays the entire training
+    trajectory bit-for-bit. Output: the learned weight vector."""
+    return train_quality_lr(
+        _labeled_docs(spark, sf_dir), rounds=5, lr=8.0
+    )
+
+
+def q_score_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train (same 5 unrolled rounds) then score every document with
+    the learned weights: score = round(sigmoid(w . x), 6)."""
+    docs = _labeled_docs(spark, sf_dir)
+    w = train_quality_lr(docs, rounds=5, lr=8.0)
+    return score_quality_lr(docs, w)
+
+
+def q_quality_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the train -> score -> evaluate loop: ROC-AUC of the
+    trained scorer against its own training labels through the
+    existing rank-sum evaluator (trains ~0.68 at sf0.001 — a real
+    learned signal over the shared-vocabulary corpus, where only
+    n-gram FREQUENCIES separate the classes)."""
+    docs = _labeled_docs(spark, sf_dir)
+    w = train_quality_lr(docs, rounds=5, lr=8.0)
+    scored = score_quality_lr(docs, w).join(
+        docs.select("doc_id", (F.col("label") == 1.0).alias("label")),
+        "doc_id",
+    )
+    return roc_auc(scored)
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> main-content extraction (jusText-shaped): block
     segmentation at block-tag boundaries, then boilerplate drop by
@@ -4980,6 +5080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stalest-certified cohorts (CERTIFIED.json), alphabetical
         # within a cohort; alphabetical tail.
         "html_extract": q_html_extract,
+        "train_quality_lr": q_train_quality_lr,
+        "score_quality_lr": q_score_quality_lr,
+        "quality_lr_auc": q_quality_lr_auc,
         "jaccard_prefix": q_jaccard_prefix,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "hits_docs": q_hits_docs,
@@ -5241,6 +5344,50 @@ _SCORED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
+    # Trainable quality scorer: the oracle replays the ENTIRE 5-round
+    # GD trajectory (unrolled CTEs from _qlr_sql), then reads weights,
+    # scores, or the rank-sum AUC off the final round.
+    d["train_quality_lr"] = (
+        _qlr_sql()
+        + "\nSELECT b AS bucket, w AS weight FROM w5 ORDER BY bucket"
+    )
+    _QLR_SCORE = """,
+sc AS (SELECT f.id,
+  CAST(sum(CAST(round(w.w * f.x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS z
+  FROM feats f JOIN w5 w ON f.b = w.b GROUP BY 1),
+scored AS (SELECT d.doc_id,
+  round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-sc.z)), 6)
+    AS score,
+  d.lang = 'en' AS label
+  FROM documents d LEFT JOIN sc ON d.doc_id = sc.id)"""
+    d["score_quality_lr"] = (
+        _qlr_sql() + _QLR_SCORE + "\nSELECT doc_id, score FROM scored"
+    )
+    d["quality_lr_auc"] = (
+        _qlr_sql()
+        + _QLR_SCORE
+        + """,
+ga AS (SELECT score,
+        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      FROM scored WHERE score IS NOT NULL AND label IS NOT NULL
+      GROUP BY score),
+ca AS (SELECT np, nn,
+        CAST(coalesce(sum(nn) OVER (ORDER BY score
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cum_neg
+      FROM ga)
+SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,
+       CAST(coalesce(sum(nn), 0) AS BIGINT) AS n_neg,
+       (SELECT CAST(count(*) AS BIGINT) FROM scored
+        WHERE score IS NULL OR label IS NULL) AS n_skipped,
+       CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+         round(CAST(sum(np * (2 * cum_neg + nn)) AS DOUBLE)
+               / (2.0 * sum(np) * sum(nn)), 6)
+       END AS auc
+FROM ca
+"""
+    )
     # Scorer-evaluation pair: both engines derive (score, label) from
     # the same rule, then AUC runs the identical grouped rank-sum with
     # exact BIGINT mass terms (one deterministic division at the end).

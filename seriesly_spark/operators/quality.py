@@ -1,0 +1,243 @@
+"""Trainable text-quality scorer: hashed bag-of-ngrams logistic
+regression trained by FULL-BATCH gradient descent with a fixed,
+unrolled number of rounds — closing the train -> score -> evaluate
+loop that the heuristic scorers (stopword ratio, Gopher rules, bigram
+LM perplexity) leave open. The fastText/CCNet-style quality classifier
+reduced to its distributable core: a linear model over hashed n-gram
+frequencies.
+
+Determinism contract (the kmeans_lloyd / bt_strength convention):
+``rounds`` is a fixed parameter so the plan unrolls deterministically
+and a DuckDB oracle replays every round. Per-round discipline: every
+cross-row sum (the per-doc logit fold and the per-bucket gradient
+fold) rounds its terms to 6 decimals, accumulates in decimal(28,6)
+(order-independent), and re-rounds the weights to 6 after the update —
+libm ulp drift in exp() is absorbed at each round boundary instead of
+compounding through the training trajectory.
+
+Scale shape: the corpus collapses ONCE to one row per document
+carrying its (bucket, frequency) array — the only exchanged rows are
+(id, bucket:int) with map-side-combined counts; text never shuffles —
+and the persisted table is the only corpus-sized state. Each round is a
+single narrow pass: the logit is an in-row array fold against the
+weight vector embedded as a LITERAL array (O(1) element_at per term —
+no join, no per-doc shuffle), and the gradient explode partial-
+aggregates to <= buckets+1 rows per partition before a tiny exchange.
+Weights live on the driver between rounds (<= buckets+1 doubles — the
+kmeans/BPE round-state boundary), so per round the cluster does
+exactly ONE scan of the persisted features. The literal-vector path
+assumes buckets is hash-scale (<= ~10^4); beyond that, swap the
+element_at for a broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from seriesly_spark.operators.textstats import tokens
+from seriesly_spark.operators.util import scoped_persist, spread
+
+_DEC6 = "decimal(28,6)"
+BIAS_BUCKET = -1
+
+
+def _md5_bucket(f: Column, buckets: int) -> Column:
+    """sampling._md5_u16 ('qlr' salt) % buckets, written as ONE md5
+    call: the first-4-hex-nibbles fold IS base-16 of the first 4 hex
+    chars, so conv(substr(md5, 1, 4), 16, 10) computes the identical
+    value (oracles keep the nibble formula; same arithmetic). Lambda
+    bodies evaluate interpreted — no codegen subexpression
+    elimination — so the 4-nibble form would run md5 four times per
+    feature (measured ~3x slower on the feature build)."""
+    h = F.md5(F.concat(F.lit("qlr"), f.cast("string")).cast("binary"))
+    return (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % buckets
+    ).cast("int")
+
+
+def _lr_doc_features(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str | None,
+    buckets: int,
+) -> DataFrame:
+    """One row per featured document: (id, y, fs) with fs an array of
+    (b, x) — unigram+bigram counts (the dsir_scores feature set)
+    md5-folded into ``buckets`` (salt 'qlr', engine-portable),
+    normalized by the doc's total feature count, bias term appended as
+    (b = -1, x = 1). Docs with NULL text yield no features and are
+    absent (excluded from training; scored NULL)."""
+    t = tokens(text_col)
+    y = (
+        F.col(label_col).cast("double")
+        if label_col is not None
+        else F.lit(0.0)
+    )
+    pre = spread(docs).select(
+        F.col(id_col).alias("id"), y.alias("y"), t.alias("__t")
+    )
+    uni = F.col("__t")
+    bi = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.slice("__t", 1, F.size("__t") - 1),
+            lambda x, i: F.concat_ws(" ", x, F.col("__t")[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # Feature strings are bucketed to an INT in the same narrow select
+    # as the explode, so the only shuffled rows are (id, y, b:int) with
+    # the (id, b) occurrence counts partially aggregated map-side —
+    # text-scale data never reaches an exchange. (An in-row
+    # sort+run-length build avoids the two keyed aggs entirely but
+    # measured ~1.9x SLOWER: higher-order-function lambdas evaluate
+    # interpreted, outside codegen, and lose to the tiny int shuffle.)
+    cnt = (
+        pre.select(
+            "id",
+            "y",
+            F.explode(F.concat(uni, bi)).alias("__f"),
+        )
+        .select("id", "y", _md5_bucket(F.col("__f"), buckets).alias("b"))
+        .groupBy("id", "y", "b")
+        .agg(F.count("*").alias("m"))
+    )
+    fs = F.concat(
+        F.transform(
+            F.col("__bm"),
+            lambda e: F.struct(
+                e["b"].alias("b"), (e["m"] / F.col("__nf")).alias("x")
+            ),
+        ),
+        F.array(
+            F.struct(F.lit(BIAS_BUCKET).alias("b"), F.lit(1.0).alias("x"))
+        ),
+    )
+    return (
+        cnt.groupBy("id", "y")
+        .agg(
+            F.sum("m").alias("__nf"),
+            F.collect_list(F.struct("b", "m")).alias("__bm"),
+        )
+        .select("id", "y", fs.alias("fs"))
+    )
+
+
+def _weight_vec(w: list[float]) -> Column:
+    """The weight vector as a literal array column, indexed by
+    bucket + 2 (1-based element_at; bucket -1 = bias sits first)."""
+    return F.array(*[F.lit(float(v)) for v in w])
+
+
+def _logit(fs: Column, wvec: Column) -> Column:
+    """In-row logit: round-6 terms, decimal(28,6) fold, double out —
+    the same fold the DuckDB oracle replays as a grouped sum."""
+    return F.aggregate(
+        fs,
+        F.lit(0).cast(_DEC6),
+        lambda acc, e: (
+            acc
+            + F.round(
+                F.element_at(wvec, e["b"] + F.lit(2)) * e["x"], 6
+            ).cast(_DEC6)
+        ).cast(_DEC6),
+    ).cast("double")
+
+
+def _sigmoid6(z) -> Column:
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def train_quality_lr(
+    docs: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    rounds: int = 3,
+    lr: float = 2.0,
+) -> DataFrame:
+    """Train the hashed-ngram logistic regression on binary labels.
+
+    Per round (full batch, N = number of featured docs):
+
+        z_d = sum_b w_b x_db          p_d = sigmoid(z_d)
+        g_b = sum_d (p_d - y_d) x_db  w_b <- round(w_b - lr g_b / N, 6)
+
+    Output: (bucket, weight) — ``buckets`` hashed features plus the
+    bias row at bucket -1, ordered by bucket. Weights start at 0 (the
+    symmetric init is exact, not a seed).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    feats = scoped_persist(
+        _lr_doc_features(docs, text_col, id_col, label_col, buckets),
+        "quality.lr_feats",
+        eager=True,
+    )
+    n = feats.count()
+    w = [0.0] * (buckets + 1)
+    for _ in range(rounds):
+        wvec = _weight_vec(w)
+        err = (_sigmoid6(_logit(F.col("fs"), wvec)) - F.col("y")).alias(
+            "e"
+        )
+        # e is computed in its OWN projection below the Generate — put
+        # in the same select as the explode, CollapseProject inlines
+        # the whole logit fold into the generator's project list and
+        # re-evaluates it per exploded element (measured ~6x here; the
+        # substring_dup projection-boundary lesson)
+        grad = (
+            feats.select("fs", err)
+            .select("e", F.explode("fs").alias("f"))
+            .select(
+                F.col("f.b").alias("b"),
+                F.round(F.col("e") * F.col("f.x"), 6)
+                .cast(_DEC6)
+                .alias("t"),
+            )
+            .groupBy("b")
+            .agg(F.sum("t").cast("double").alias("g"))
+            .collect()
+        )
+        g = {r.b: r.g for r in grad}
+        w = [
+            round(w[i] - lr * g.get(i + BIAS_BUCKET, 0.0) / n, 6)
+            for i in range(buckets + 1)
+        ]
+    spark = docs.sparkSession
+    rows = [(i + BIAS_BUCKET, w[i]) for i in range(buckets + 1)]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), "bucket int, weight double"
+    ).orderBy("bucket")
+
+
+def score_quality_lr(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+) -> DataFrame:
+    """Score every document with a trained weight table ((bucket,
+    weight) — ``train_quality_lr``'s output shape): score =
+    round(sigmoid(sum_b w_b x_db), 6), the same per-term round-6
+    decimal fold as training so any engine replays it. The weight
+    table collects to the driver (<= buckets+1 rows — metadata) and
+    scores as an in-row literal-array fold: no join, no shuffle, one
+    narrow pass. Docs with no features (NULL text) score NULL.
+    Output: (id_col, score)."""
+    wrows = weights.select("bucket", "weight").collect()
+    w = [0.0] * (buckets + 1)
+    for r in wrows:
+        w[int(r.bucket) - BIAS_BUCKET] = float(r.weight)
+    feats = _lr_doc_features(docs, text_col, id_col, None, buckets)
+    scores = feats.select(
+        "id", _sigmoid6(_logit(F.col("fs"), _weight_vec(w))).alias("score")
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scores, "id", "left")
+        .select(F.col("id").alias(id_col), "score")
+    )

@@ -716,6 +716,7 @@ def budget_select(
     id_col: str = "doc_id",
     temperature: float = 0.5,
     size_col: str | None = None,
+    max_rows_per_group: int | None = None,
 ) -> DataFrame:
     """Execute a :func:`mixture_plan` at document granularity: give
     each source its temperature-planned token allocation, then fill it
@@ -735,9 +736,24 @@ def budget_select(
     n_tokens) before the exchange (text never shuffles); the cumsum
     sorts per source — bounded by the per-group partition sort budget,
     the same contract as every sessionizer here. Sources-sized
-    allocation table joins as a broadcast. For a mega-source whose
-    (id, count) pairs overflow a partition's sort budget, pre-cap with
-    :func:`cap_per_group` at ~budget/min_doc_tokens rows first.
+    allocation table joins as a broadcast.
+
+    ``max_rows_per_group`` is the mega-source escape hatch, callable
+    instead of composed: when set, each group is truncated to its
+    ``max_rows_per_group`` highest-ranked rows in the SAME
+    (n_tokens DESC, id ASC) order the cumsum consumes — a rank filter
+    that compiles to WindowGroupLimit, so the mega-group shrinks
+    map-side BEFORE the exchange and the single-partition sort is
+    bounded by the cap. (Spark only rewrites rank filters whose limit
+    is <= spark.sql.optimizer.windowGroupLimitThreshold, default 1000
+    — raise that conf alongside a larger cap or the filter silently
+    degrades to a full per-group sort; still correct, just unbounded
+    again.) The selection is provably unchanged whenever
+    the capped prefix still covers the group's allocation (the cumsum
+    only ever keeps a prefix of that order) — size it at
+    ~planned_tokens / min_doc_tokens. The allocation itself is always
+    computed from the FULL group sizes, cap or no cap. Unset, the
+    plan is untouched.
     """
     from pyspark.sql import Window
 
@@ -765,13 +781,25 @@ def budget_select(
         size_col="n_tokens",
         temperature=temperature,
     ).select(group_col, "planned_tokens")
+    sel = ranked
+    if max_rows_per_group is not None:
+        if max_rows_per_group < 1:
+            raise ValueError("max_rows_per_group must be >= 1")
+        rw = Window.partitionBy(group_col).orderBy(
+            F.desc("n_tokens"), F.asc(id_col)
+        )
+        sel = (
+            ranked.withColumn("__rn", F.row_number().over(rw))
+            .where(F.col("__rn") <= max_rows_per_group)
+            .drop("__rn")
+        )
     w = (
         Window.partitionBy(group_col)
         .orderBy(F.desc("n_tokens"), F.asc(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        ranked.join(F.broadcast(plan), group_col)
+        sel.join(F.broadcast(plan), group_col)
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .where(F.col("cum_tokens") <= F.col("planned_tokens"))
         .select(id_col, group_col, "n_tokens", "cum_tokens")

@@ -1,10 +1,15 @@
 """Round-13 operator tests: HTML -> text main-content extraction (the
-first stage of the crawl intake ladder)."""
+first stage of the crawl intake ladder) and the trainable hashed-ngram
+logistic-regression quality scorer."""
 
 import pyspark.sql.functions as F
 import pytest
 
 from seriesly_spark.operators.html import html_extract
+from seriesly_spark.operators.quality import (
+    score_quality_lr,
+    train_quality_lr,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -115,3 +120,119 @@ class TestHtmlExtract:
             .count()
         )
         assert bad == 0
+
+
+def _labeled(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .withColumn("label", (F.col("lang") == "en").cast("double"))
+    )
+
+
+class TestQualityLR:
+    def test_partition_invariance(self, spark):
+        """Round-6 decimal folds make the trained weights a pure
+        function of the data — invariant to partitioning."""
+        docs = _labeled(spark)
+        a = sorted(map(tuple, train_quality_lr(docs, rounds=2).collect()))
+        b = sorted(
+            map(
+                tuple,
+                train_quality_lr(docs.repartition(7), rounds=2).collect(),
+            )
+        )
+        assert a == b
+
+    def test_learns_a_real_signal(self, spark):
+        """AUC of the trained scorer against its training labels must
+        beat chance decisively (the corpus shares one vocabulary, so
+        only n-gram frequencies separate the classes)."""
+        from seriesly_spark.operators.evaluation import roc_auc
+
+        docs = _labeled(spark)
+        w = train_quality_lr(docs, rounds=5, lr=8.0)
+        scored = score_quality_lr(docs, w).join(
+            docs.select("doc_id", (F.col("label") == 1.0).alias("label")),
+            "doc_id",
+        )
+        (r,) = roc_auc(scored).collect()
+        assert r.auc > 0.6
+        assert r.n_skipped == 0
+
+    def test_loss_direction_on_separable_toy(self, spark):
+        """On a trivially separable corpus the positive-class tokens
+        must end with positive weights and the scorer must rank every
+        positive above every negative."""
+        rows = [(i, "good solid prose", 1.0) for i in range(20)] + [
+            (i + 100, "spam junk noise", 0.0) for i in range(20)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, label double"
+        )
+        w = train_quality_lr(docs, rounds=5, lr=8.0, buckets=64)
+        s = {
+            r.doc_id: r.score
+            for r in score_quality_lr(docs, w, buckets=64).collect()
+        }
+        assert min(s[i] for i in range(20)) > max(
+            s[i + 100] for i in range(20)
+        )
+
+    def test_null_text_scores_null_and_is_excluded(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma", 1.0),
+                (2, "delta epsilon zeta", 0.0),
+                (3, None, 1.0),
+            ],
+            "doc_id long, text string, label double",
+        )
+        w = train_quality_lr(docs, rounds=1, buckets=16)
+        s = {
+            r.doc_id: r.score
+            for r in score_quality_lr(docs, w, buckets=16).collect()
+        }
+        assert s[3] is None
+        assert s[1] is not None and s[2] is not None
+
+    def test_rounds_guard(self, spark):
+        with pytest.raises(ValueError, match="rounds"):
+            train_quality_lr(_labeled(spark), rounds=0)
+
+
+class TestBudgetSelectCap:
+    def test_generous_cap_is_equivalent_and_plan_pinned(self, spark):
+        """A cap covering every group's full prefix leaves the
+        selection byte-identical, and the rank filter compiles to
+        WindowGroupLimit (map-side truncation before the exchange)."""
+        from seriesly_spark.operators.sampling import budget_select
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        base = sorted(
+            map(tuple, budget_select(docs, "source", 10_000).collect())
+        )
+        # cap must sit <= spark.sql.optimizer.windowGroupLimitThreshold
+        # (1000) for the WindowGroupLimit rewrite to fire
+        capped_df = budget_select(
+            docs, "source", 10_000, max_rows_per_group=1000
+        )
+        assert sorted(map(tuple, capped_df.collect())) == base
+        plan = capped_df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+    def test_tight_cap_bounds_rows(self, spark):
+        from seriesly_spark.operators.sampling import budget_select
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = budget_select(
+            docs, "source", 10_000_000, max_rows_per_group=3
+        )
+        per = out.groupBy("source").count().collect()
+        assert per and all(r["count"] <= 3 for r in per)
+
+    def test_cap_guard(self, spark):
+        from seriesly_spark.operators.sampling import budget_select
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        with pytest.raises(ValueError, match="max_rows_per_group"):
+            budget_select(docs, "source", 1000, max_rows_per_group=0)
