@@ -57,6 +57,7 @@ from seriesly_spark.operators.dedup import (
     dup_span_stats,
     dedup_exact,
     dedup_spans,
+    dedup_spans_cross,
     hamming_pairs,
     levenshtein_pairs,
     dedup_best,
@@ -4977,6 +4978,22 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_spans(_table(spark, sf_dir, "documents"), n=3)
 
 
+def q_dedup_spans_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination rewrite: excise from the training slice
+    (doc_id % 7 != 0) every token covered by a word-3-gram that occurs
+    anywhere in the held-out benchmark slice (doc_id % 7 == 0 — the
+    same split as dedup_minhash_cross, whose DETECTION this operator
+    turns into a REWRITE). No first-carrier exemption: every
+    contaminated span leaves the corpus. Row-level oracle replays the
+    benchmark-gram coverage in SQL."""
+    docs = _table(spark, sf_dir, "documents")
+    return dedup_spans_cross(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0),
+        n=3,
+    )
+
+
 def _html_page_expr() -> Column:
     """Deterministic synthetic crawl page per document: real content
     inside <p>, framed by every boilerplate class the extractor must
@@ -5092,6 +5109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_cross": q_dedup_minhash_cross,
         "json_quarantine": q_json_quarantine,
         "dedup_spans": q_dedup_spans,
+        "dedup_spans_cross": q_dedup_spans_cross,
         "kmv_overlap": q_kmv_overlap,
         "kmv_rollup": q_kmv_rollup,
         "pagerank_docs": q_pagerank_docs,
@@ -6877,6 +6895,35 @@ gp AS (SELECT doc_id, s, array_to_string(toks[s:s+2], ' ') AS g
 fc AS (SELECT g, min(doc_id) AS first_id FROM gp GROUP BY g),
 stale AS (SELECT gp.doc_id, gp.s FROM gp JOIN fc USING (g)
           WHERE fc.first_id < gp.doc_id),
+pos AS (SELECT t.doc_id, j, toks[j] AS tok
+        FROM t, unnest(range(1, len(toks) + 1)) AS r(j)),
+kept AS (SELECT p.doc_id, p.j, p.tok
+         FROM pos p
+         WHERE NOT EXISTS (SELECT 1 FROM stale st
+                           WHERE st.doc_id = p.doc_id
+                             AND p.j BETWEEN st.s AND st.s + 2)),
+kc AS (SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY j) AS text_clean
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+  cast(len(toks) as bigint) AS n_tokens,
+  cast(len(toks) - coalesce(kc.n_kept, 0) as bigint) AS n_removed,
+  coalesce(kc.text_clean, '') AS text_clean
+FROM t LEFT JOIN kc USING (doc_id)
+""",
+        "dedup_spans_cross": """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents WHERE doc_id % 7 <> 0),
+bg AS (SELECT DISTINCT array_to_string(toks[s:s+2], ' ') AS g
+       FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+             FROM documents WHERE doc_id % 7 = 0) b,
+            unnest(range(1, len(toks) - 1)) AS r(s)
+       WHERE len(toks) >= 3),
+stale AS (SELECT gp.doc_id, gp.s
+          FROM (SELECT doc_id, s, array_to_string(toks[s:s+2], ' ') AS g
+                FROM t, unnest(range(1, len(toks) - 1)) AS r(s)
+                WHERE len(toks) >= 3) gp
+          JOIN bg USING (g)),
 pos AS (SELECT t.doc_id, j, toks[j] AS tok
         FROM t, unnest(range(1, len(toks) + 1)) AS r(j)),
 kept AS (SELECT p.doc_id, p.j, p.tok

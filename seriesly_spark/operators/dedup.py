@@ -1977,17 +1977,11 @@ def dedup_spans(
     tokens with single spaces (whitespace is not preserved; token
     identity is).
     """
-    toks = tokens(text_col)
-    pre = spread(docs).select(
-        F.col(id_col).alias("id"),
-        toks.alias("__t"),
-        F.transform(toks, lambda x: F.xxhash64(x)).alias("__th"),
-        F.size(toks).alias("__nt"),
+    pre = scoped_persist(
+        _span_tokens(docs, text_col, id_col), "dedup.span_toks"
     )
-    pre = scoped_persist(pre, "dedup.span_toks")
-    win = _window_hash_expr(n)
     exploded = pre.select(
-        "id", F.posexplode(win).alias("pos", "g")
+        "id", F.posexplode(_window_hash_expr(n)).alias("pos", "g")
     )
     first = exploded.groupBy("g").agg(F.min("id").alias("first_id"))
     stale = (
@@ -1996,6 +1990,29 @@ def dedup_spans(
         .groupBy("id")
         .agg(F.collect_set("pos").alias("__starts"))
     )
+    return _excise_stale_spans(pre, stale, n, id_col)
+
+
+def _span_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The per-doc token projection every span excision starts from:
+    (id, __t tokens, __th xxhash64 token hashes, __nt count)."""
+    toks = tokens(text_col)
+    return spread(docs).select(
+        F.col(id_col).alias("id"),
+        toks.alias("__t"),
+        F.transform(toks, lambda x: F.xxhash64(x)).alias("__th"),
+        F.size(toks).alias("__nt"),
+    )
+
+
+def _excise_stale_spans(
+    pre: DataFrame, stale: DataFrame, n: int, id_col: str
+) -> DataFrame:
+    """Shared rewrite tail of :func:`dedup_spans` /
+    :func:`dedup_spans_cross`: fold each doc's stale window START
+    positions into disjoint coverage islands, excise covered tokens,
+    emit (id, n_tokens, n_removed, text_clean). ``stale`` is
+    (id, __starts array<int>); docs absent from it keep all tokens."""
     joined = pre.join(stale, "id", "left").withColumn(
         "__ss",
         F.array_sort(F.coalesce("__starts", F.array().cast("array<int>"))),
@@ -2035,3 +2052,54 @@ def dedup_spans(
         (F.col("__nt") - F.size(kept)).alias("n_removed"),
         F.array_join(kept, " ").alias("text_clean"),
     )
+
+
+def dedup_spans_cross(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Decontamination REWRITE: excise from a training ``corpus`` every
+    token covered by a word-n-gram window that occurs ANYWHERE in a
+    held-out ``benchmark`` corpus — :func:`dedup_spans`' stale-window
+    machinery composed with :func:`minhash_lsh_pairs_cross`'s two-frame
+    shape, except exact (gram equi-join, no banding) and rewriting
+    rather than flagging. Unlike the self variant there is no
+    first-carrier exemption: the benchmark is not being trained on, so
+    EVERY contaminated span is removed from every corpus document.
+    Within-corpus duplication is untouched — run :func:`dedup_spans`
+    for that pass.
+
+    Dataflow is linear in each side (the cross-miner contract): the
+    benchmark collapses to its DISTINCT gram hashes (map-side combined
+    — benchmark text never shuffles, only 8-byte hashes), the corpus
+    explodes positionally once, and a LEFT SEMI equi-join on the gram
+    marks contaminated starts — duplicate-insensitive, so no benchmark
+    dedup round-trip. Start positions fold per doc and the island
+    excision is the shared O(T x islands) tail. Output: (id_col,
+    n_tokens, n_removed, text_clean) — one row per corpus document,
+    benchmark rows never appear.
+
+    Gram identity is the xxhash64 token-window hash (the
+    ``minhash_dedup_auto`` hashed-shingle caveat applies: a 64-bit
+    collision could excise an innocent span; at corpus scale the
+    expected collision count is negligible and the failure mode is
+    over-removal, never leakage).
+    """
+    pre = scoped_persist(
+        _span_tokens(corpus, text_col, id_col), "dedup.span_toks_cross"
+    )
+    bench_grams = (
+        _span_tokens(benchmark, text_col, id_col)
+        .select(F.explode(_window_hash_expr(n)).alias("g"))
+        .distinct()
+    )
+    stale = (
+        pre.select("id", F.posexplode(_window_hash_expr(n)).alias("pos", "g"))
+        .join(bench_grams, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("__starts"))
+    )
+    return _excise_stale_spans(pre, stale, n, id_col)

@@ -236,3 +236,69 @@ class TestBudgetSelectCap:
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         with pytest.raises(ValueError, match="max_rows_per_group"):
             budget_select(docs, "source", 1000, max_rows_per_group=0)
+
+
+class TestDedupSpansCross:
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely original text here nothing shared at all"),
+                (3, "alpha beta the quick brown fox gamma delta"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [
+                (100, "someone wrote the quick brown fox jumps once"),
+                (101, "nothing shared at all obviously"),
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_every_contaminated_span_removed(self, spark):
+        """No first-carrier exemption: every corpus token covered by a
+        benchmark trigram window is excised, in every document."""
+        from seriesly_spark.operators.dedup import dedup_spans_cross
+
+        corpus, bench = self._frames(spark)
+        out = {
+            r.doc_id: r
+            for r in dedup_spans_cross(corpus, bench, n=3).collect()
+        }
+        assert out[1].text_clean == "over the lazy dog"
+        assert out[1].n_removed == 5
+        assert out[2].text_clean == "completely original text here"
+        assert out[3].text_clean == "alpha beta gamma delta"
+        assert set(out) == {1, 2, 3}  # benchmark rows never appear
+
+    def test_clean_corpus_untouched(self, spark):
+        from seriesly_spark.operators.dedup import dedup_spans_cross
+
+        corpus, _ = self._frames(spark)
+        bench = spark.createDataFrame(
+            [(100, "zero overlap with anything whatsoever")],
+            "doc_id long, text string",
+        )
+        out = dedup_spans_cross(corpus, bench, n=3)
+        assert out.where(F.col("n_removed") != 0).count() == 0
+
+    def test_differs_from_self_variant_on_first_carriers(self, spark):
+        """dedup_spans exempts the first corpus carrier; the cross
+        variant must not — a doc fully contained in the benchmark is
+        fully excised even when it is the corpus-internal first
+        carrier."""
+        from seriesly_spark.operators.dedup import dedup_spans_cross
+
+        corpus = spark.createDataFrame(
+            [(1, "held out evaluation prompt text")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(9, "held out evaluation prompt text")],
+            "doc_id long, text string",
+        )
+        (r,) = dedup_spans_cross(corpus, bench, n=3).collect()
+        assert r.n_removed == r.n_tokens == 5
+        assert r.text_clean == ""
