@@ -204,6 +204,14 @@ def hits(
         edges.select("src", "dst").distinct().repartition("src"),
         "graph.hits_edges",
     )
+    # Second persisted copy, pre-partitioned on dst, for the authority
+    # half-step: the hub join reuses the src layout, but joining the
+    # SAME cache on dst would re-exchange the full edge list every
+    # round. ~1x extra edge memory buys zero per-round edge movement
+    # (A/B at the 5M-edge stress shape: see PLANS.md round 13).
+    edges_dst = scoped_persist(
+        edges.repartition("dst"), "graph.hits_edges_dst"
+    )
     if nodes is None:
         nodes = (
             edges.select(F.col("src").alias("node"))
@@ -252,7 +260,7 @@ def hits(
             )
         )
         h_raw = (
-            edges.join(av.select(F.col("node").alias("dst"), "a"), "dst")
+            edges_dst.join(av.select(F.col("node").alias("dst"), "a"), "dst")
             .groupBy("src")
             .agg(dsum(F.col("a")).alias("h"))
         )
