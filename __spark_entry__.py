@@ -220,6 +220,7 @@ from seriesly_spark.operators.clustering import (
     pca_power_iteration,
     silhouette_report,
 )
+from seriesly_spark.operators.suffix import suffix_dup_stats
 from seriesly_spark.operators.urls import normalize_url, url_dedup_stats
 from seriesly_spark.operators.bpe import (
     bpe_encode,
@@ -4978,6 +4979,23 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_spans(_table(spark, sf_dir, "documents"), n=3)
 
 
+def q_suffix_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-length longest-duplicated-span stats via the
+    prefix-doubling generalized suffix array (operators/suffix.py):
+    per document, the longest token span occurring anywhere else in
+    the corpus — length-EXACT (rounds=7 -> cap 127 > the corpus's
+    100-token max doc, so the cap never binds), where the fixed-n gram
+    family only answers "has a dup of length exactly n". The oracle is
+    a genuinely INDEPENDENT algorithm: DuckDB builds the true
+    lexicographic suffix array by sorting the token-list suffixes
+    themselves and takes adjacent-pair common prefixes — hash order
+    and token order group equal prefixes identically, so the per-doc
+    maxima agree exactly (integer outputs, no float surface)."""
+    return suffix_dup_stats(
+        _table(spark, sf_dir, "documents"), rounds=7
+    )
+
+
 def q_dedup_spans_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination rewrite: excise from the training slice
     (doc_id % 7 != 0) every token covered by a word-3-gram that occurs
@@ -5110,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_quarantine": q_json_quarantine,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_cross": q_dedup_spans_cross,
+        "suffix_dup_stats": q_suffix_dup_stats,
         "kmv_overlap": q_kmv_overlap,
         "kmv_rollup": q_kmv_rollup,
         "pagerank_docs": q_pagerank_docs,
@@ -6910,6 +6929,30 @@ SELECT t.doc_id,
   cast(len(toks) - coalesce(kc.n_kept, 0) as bigint) AS n_removed,
   coalesce(kc.text_clean, '') AS text_clean
 FROM t LEFT JOIN kc USING (doc_id)
+""",
+        "suffix_dup_stats": """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+suf AS (SELECT doc_id, p, toks[p:] AS s
+        FROM t, unnest(range(1, len(toks) + 1)) AS r(p)),
+ord AS (SELECT doc_id, p, s, row_number() OVER (ORDER BY s) AS rn FROM suf),
+adj AS (SELECT a.doc_id AS d1, a.p AS p1, a.s AS s1,
+               b.doc_id AS d2, b.p AS p2, b.s AS s2
+        FROM ord a JOIN ord b ON b.rn = a.rn + 1),
+lc AS (SELECT d1, d2,
+         coalesce(
+           nullif(list_position(
+             list_transform(range(1, least(len(s1), len(s2)) + 1),
+                            i -> s1[i] = s2[i]),
+             false), 0) - 1,
+           least(len(s1), len(s2))) AS l
+       FROM adj),
+m AS (SELECT id, max(least(l, 127)) AS max_dup_len FROM (
+        SELECT d1 AS id, l FROM lc UNION ALL SELECT d2 AS id, l FROM lc)
+      GROUP BY id)
+SELECT t.doc_id, cast(coalesce(len(toks), 0) AS BIGINT) AS n_tokens,
+       cast(coalesce(m.max_dup_len, 0) AS BIGINT) AS max_dup_len
+FROM t LEFT JOIN m ON m.id = t.doc_id
 """,
         "dedup_spans_cross": """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks

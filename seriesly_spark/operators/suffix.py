@@ -1,0 +1,303 @@
+"""Suffix-order duplicated-substring statistics: a distributed
+generalized SUFFIX ARRAY over the corpus token stream via
+Manber-Myers prefix doubling (SICOMP'93), giving ARBITRARY-LENGTH
+longest-duplicated-span stats next to the fixed-n gram family
+(``dup_span_stats`` / ``substring_dup_stats`` / ``dedup_spans``) —
+the length-exact core of Lee et al., "Deduplicating Training Data
+Makes Language Models Better" (ACL'22), which the fixed-n operators
+approximate at one granularity.
+
+Algorithm, re-expressed as DataFrame rounds:
+
+1. Every (doc, pos) suffix starts with rank_0 = a dense rank of its
+   first token's xxhash64.
+2. Round k (shift 2^k): each suffix's key becomes the pair
+   (rank_k[pos], rank_k[pos + 2^k]) — the second component -1 when the
+   shifted position runs off the document (a suffix never crosses a
+   document boundary) — and rank_{k+1} is the dense rank of that pair.
+   After K rounds ranks order suffixes by their first 2^K tokens.
+3. Suffixes sort by (rank_K, doc, pos); each ADJACENT pair's longest
+   common prefix is recovered exactly from the retained per-round rank
+   tables by greedy binary decomposition (the sparse-table argument):
+   descending k, if both suffixes' rank_k at offset +lcp match, the
+   prefixes agree for 2^k more tokens. max-LCP-with-anyone is a
+   neighbor property in ANY injective-relabelled lexicographic order
+   (equal-prefix suffixes are contiguous), so per-doc maxima match a
+   true lexicographic suffix array's even though hash order differs.
+
+Exactness contract: values are exact up to the cap 2^rounds - 1;
+longer duplications report the cap (and order ties beyond 2^rounds
+tokens are broken arbitrarily, which the cap makes value-invisible).
+Token identity is xxhash64 (the ``minhash_dedup_auto`` hashed-shingle
+caveat: a 64-bit collision can overstate a span; never understates by
+more than a collision's reach).
+
+Scale shape: every round is sort/rank/join machinery over narrow
+(doc, pos, rank) rows — no token text survives past rank_0. The dense
+rank is the two-phase distributed pattern (range repartition, local
+row_number per partition, driver-side prefix offsets over the <=P
+partition totals — P rows on the driver, never data). Per-round state
+is one persisted rank table (kept through the LCP phase: rounds + 1
+tables of 12-byte rows, the operator's declared memory bill) and
+lineage is CheckpointRotator-bounded. The LCP phase is 2 equi-joins
+per round on the adjacent-pair table. Everything shuffles on ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from seriesly_spark.operators.textstats import tokens
+from seriesly_spark.operators.util import (
+    CheckpointRotator,
+    scoped_persist,
+    spread,
+)
+
+
+def _dense_rank_distinct(
+    df: DataFrame, cols: list[str], out_col: str = "r"
+) -> DataFrame:
+    """Dense rank (1-based, ties impossible — input is made distinct)
+    of ``cols`` tuples in ascending order, WITHOUT a global
+    single-partition window: range-repartition the distinct keys, rank
+    locally per partition, then offset each partition by the total of
+    its predecessors (RangePartitioner assigns ascending key ranges to
+    ascending partition ids). The partition sizes collect to the
+    driver — at most spark.sql.shuffle.partitions rows, never data.
+    The distinct frame is persisted around the two consumers (sizes +
+    ranks) because range boundaries are SAMPLED: a recompute could
+    repartition differently and de-sync offsets from local ranks.
+    Returns (cols..., r). Caller must unpersist via the handle in
+    ``df._drd_handle`` after its downstream consumer materializes.
+    """
+    d = (
+        df.select(*cols)
+        .distinct()
+        .repartitionByRange(*[F.col(c) for c in cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = sorted(
+        d.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
+    )
+    off, offsets = 0, []
+    for row in sizes:
+        offsets.append((row["__pid"], off))
+        off += row["count"]
+    spark = df.sparkSession
+    odf = F.broadcast(
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(offsets or [(0, 0)], 1),
+            "__pid int, __off long",
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
+    out = (
+        d.withColumn("__lr", F.row_number().over(w))
+        .join(odf, "__pid")
+        .select(*cols, (F.col("__off") + F.col("__lr")).alias(out_col))
+    )
+    out._drd_handle = d  # type: ignore[attr-defined]
+    out._drd_total = off  # type: ignore[attr-defined]
+    return out
+
+
+def suffix_dup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = 7,
+) -> DataFrame:
+    """Per-document ARBITRARY-LENGTH longest-duplicated-span length:
+    max_dup_len = the longest token span in the document that also
+    occurs somewhere else in the corpus (any other position — other
+    documents or elsewhere in the same one), exact up to the cap
+    2^rounds - 1. Output: (id_col, n_tokens, max_dup_len); documents
+    with NULL text report (0, 0).
+
+    ``rounds`` is a fixed parameter (the unrolled-training convention):
+    the plan is a pure function of (corpus, rounds) replayable by any
+    engine; pick rounds so 2^rounds - 1 >= the longest duplication you
+    care to measure (cap 127 at the default covers the driver corpus's
+    100-token documents entirely, i.e. the stat is fully exact there).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    toks = tokens(text_col)
+    pre = scoped_persist(
+        spread(docs).select(
+            F.col(id_col).alias("id"),
+            F.transform(toks, lambda x: F.xxhash64(x)).alias("__th"),
+        ),
+        "suffix.toks",
+    )
+    rot = CheckpointRotator()
+    rank_tables: list[DataFrame] = []
+
+    totals: list[int] = []
+
+    def _ranked(keyed: DataFrame, cols: list[str], scope: str) -> DataFrame:
+        """(doc,pos,keys) -> persisted (doc,pos,r) via distinct-key
+        dense rank; bounded per-scope lifecycle."""
+        rk = _dense_rank_distinct(keyed, cols)
+        out = scoped_persist(
+            keyed.join(rk, cols).select("id", "pos", "r"), scope, eager=True
+        )
+        rk._drd_handle.unpersist(blocking=False)  # type: ignore[attr-defined]
+        totals.append(rk._drd_total)  # type: ignore[attr-defined]
+        return out
+
+    # Level-0 "ranks" are the token hashes themselves: ANY injective
+    # relabeling of the alphabet yields the same groups and a valid
+    # lexicographic base order, so the first dense-rank pass (and its
+    # join-back) is skipped outright. -1 keeps the existing
+    # past-the-end sentinel — a real hash colliding with it is a
+    # 2^-64-per-position event, the same class as the token-hash
+    # collision caveat already accepted at every level.
+    ranks = scoped_persist(
+        pre.select("id", F.posexplode("__th").alias("pos", "r")),
+        "suffix.rank_0",
+        eager=True,
+    )
+    rank_tables.append(ranks)
+    totals.append(-1)
+    keyed = None
+    k_sat = rounds
+    for k in range(rounds):
+        shift = 1 << k
+        shifted = ranks.select(
+            "id", (F.col("pos") - shift).alias("pos"), F.col("r").alias("k2")
+        )
+        # The checkpoint both materializes keyed for its two consumers
+        # (the distinct-key ranking and the join-back) and TRUNCATES
+        # lineage: keyed references ranks twice, so without truncation
+        # the logical plan doubles per round (the connected_components
+        # lesson — planning itself OOMs).
+        keyed = rot.checkpoint(
+            ranks.withColumnRenamed("r", "k1")
+            .join(shifted, ["id", "pos"], "left")
+            .select(
+                "id", "pos", "k1", F.coalesce("k2", F.lit(-1)).alias("k2")
+            )
+        )
+        if k == rounds - 1:
+            break  # the last pairing feeds only the order index below
+        ranks = _ranked(keyed, ["k1", "k2"], f"suffix.rank_{k + 1}")
+        rank_tables.append(ranks)
+        # Early exit on STAGNATION: a doubling round that splits no
+        # group never will again (the partition is shift-closed), so
+        # from here equal-rank <=> identical suffixes. All remaining
+        # levels' equality probes collapse onto this table, and their
+        # greedy adds collapse into one (the final clamp caps exactly).
+        if totals[-1] == totals[-2]:
+            k_sat = len(rank_tables) - 1
+            keyed = None
+            break
+
+    # Suffix order: the final pairing already groups equal-(first
+    # 2^rounds)-prefix suffixes, and ordering by the rank PAIR is
+    # order-identical to ranking it first (dense rank is monotone);
+    # (id, pos) breaks the remaining ties deterministically. Under
+    # stagnation the last built table carries the identical partition.
+    idx = _dense_rank_distinct(
+        keyed if keyed is not None else rank_tables[-1],
+        ["k1", "k2", "id", "pos"] if keyed is not None else ["r", "id", "pos"],
+        out_col="__sidx",
+    )
+    pairs = rot.checkpoint(
+        idx.select(
+            F.col("__sidx").alias("__i"),
+            F.col("id").alias("d1"),
+            F.col("pos").alias("p1"),
+        ).join(
+            idx.select(
+                (F.col("__sidx") - 1).alias("__i"),
+                F.col("id").alias("d2"),
+                F.col("pos").alias("p2"),
+            ),
+            "__i",
+        ).select("d1", "p1", "d2", "p2", F.lit(0).alias("lcp"))
+    )
+    idx._drd_handle.unpersist(blocking=False)  # type: ignore[attr-defined]
+    # Probe sequence: (rank-table index, tokens granted on a match).
+    # Levels >= k_sat share the saturated table and collapse into one
+    # probe granting all their tokens at once.
+    if k_sat <= rounds - 1:
+        probes = [(k_sat, (1 << rounds) - (1 << k_sat))]
+        probes += [(k, 1 << k) for k in range(k_sat - 1, -1, -1)]
+    else:
+        probes = [(k, 1 << k) for k in range(rounds - 1, -1, -1)]
+    for k, grant in probes:
+        rk = rank_tables[k]
+        a = rk.select(
+            F.col("id").alias("d1"),
+            F.col("pos").alias("__q1"),
+            F.col("r").alias("__r1"),
+        )
+        b = rk.select(
+            F.col("id").alias("d2"),
+            F.col("pos").alias("__q2"),
+            F.col("r").alias("__r2"),
+        )
+        pairs = rot.checkpoint(
+            pairs.withColumn("__q1", F.col("p1") + F.col("lcp"))
+            .withColumn("__q2", F.col("p2") + F.col("lcp"))
+            .join(a, ["d1", "__q1"], "left")
+            .join(b, ["d2", "__q2"], "left")
+            .select(
+                "d1",
+                "p1",
+                "d2",
+                "p2",
+                (
+                    F.col("lcp")
+                    + F.when(
+                        F.col("__r1").isNotNull()
+                        & (F.col("__r1") == F.col("__r2")),
+                        F.lit(grant),
+                    ).otherwise(F.lit(0))
+                ).alias("lcp"),
+            )
+        )
+    # rank_k can match because BOTH suffixes END before 2^k tokens
+    # (truncated keys carry identical -1 sentinel patterns) — that
+    # forces the remaining contents AND lengths equal, so clamping the
+    # greedy sum to the suffix's own remaining length is exact: in the
+    # truncation case both remainders agree and equal the true LCP, in
+    # the non-truncated case the clamp never binds. The cap clamp
+    # handles the collapsed probe's deliberate over-grant on long
+    # identical suffixes (low-level probes can still match past it).
+    cap = (1 << rounds) - 1
+    lens = pre.select("id", F.size("__th").alias("__n"))
+    per_doc = (
+        pairs.select(F.col("d1").alias("id"), F.col("p1").alias("p"), "lcp")
+        .union(
+            pairs.select(
+                F.col("d2").alias("id"), F.col("p2").alias("p"), "lcp"
+            )
+        )
+        .join(lens, "id")
+        .select(
+            "id",
+            F.least(
+                "lcp", F.col("__n") - F.col("p"), F.lit(cap)
+            ).alias("lcp"),
+        )
+        .groupBy("id")
+        .agg(F.max("lcp").alias("max_dup_len"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.size("__t"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce("max_dup_len", F.lit(0))
+            .cast("bigint")
+            .alias("max_dup_len"),
+        )
+    )

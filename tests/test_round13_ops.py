@@ -302,3 +302,87 @@ class TestDedupSpansCross:
         (r,) = dedup_spans_cross(corpus, bench, n=3).collect()
         assert r.n_removed == r.n_tokens == 5
         assert r.text_clean == ""
+
+
+class TestSuffixDupStats:
+    def _brute(self, rows, cap):
+        toks = {i: t.split() if t else [] for i, t in rows}
+        def lcp(s1, s2):
+            n = 0
+            for x, y in zip(s1, s2):
+                if x != y:
+                    break
+                n += 1
+            return n
+        suf = [(d, p) for d, t in toks.items() for p in range(len(t))]
+        want = {}
+        for d, t in toks.items():
+            m = 0
+            for p in range(len(t)):
+                for o in suf:
+                    if o != (d, p):
+                        m = max(m, lcp(toks[d][p:], toks[o[0]][o[1]:]))
+            want[d] = (len(t), min(m, cap))
+        return want
+
+    def test_matches_brute_force(self, spark):
+        """Length-exact vs an O(n^2) python suffix comparison on a
+        corpus with heavy short- and long-span overlap."""
+        from seriesly_spark.operators.suffix import suffix_dup_stats
+
+        rows = [
+            (i, " ".join("t%d" % ((i * 7 + j * 3) % 23)
+                         for j in range(5 + i % 9)))
+            for i in range(40)
+        ] + [(100, "a a a a a a a a"), (101, None)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.max_dup_len)
+            for r in suffix_dup_stats(docs, rounds=5).collect()
+        }
+        assert got == self._brute(rows, cap=31)
+
+    def test_cap_binds_at_low_rounds(self, spark):
+        """Two identical 10-token docs under rounds=2 report the cap
+        2^2 - 1 = 3, never more — the documented saturation."""
+        from seriesly_spark.operators.suffix import suffix_dup_stats
+
+        text = " ".join(f"w{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.max_dup_len
+               for r in suffix_dup_stats(docs, rounds=2).collect()}
+        assert out == {1: 3, 2: 3}
+
+    def test_truncation_clamp(self, spark):
+        """Identical SHORT docs under generous rounds report their
+        true length, not an inflated power-of-two sum."""
+        from seriesly_spark.operators.suffix import suffix_dup_stats
+
+        docs = spark.createDataFrame(
+            [(1, "x y a b c d q"), (2, "x y a b c d q")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: (r.n_tokens, r.max_dup_len)
+               for r in suffix_dup_stats(docs, rounds=4).collect()}
+        assert out == {1: (7, 7), 2: (7, 7)}
+
+    def test_partition_invariance(self, spark):
+        from seriesly_spark.operators.suffix import suffix_dup_stats
+
+        rows = [(i, " ".join("t%d" % ((i + j) % 11) for j in range(8)))
+                for i in range(30)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, suffix_dup_stats(docs, rounds=4).collect()))
+        b = sorted(map(tuple,
+                       suffix_dup_stats(docs.repartition(7), rounds=4)
+                       .collect()))
+        assert a == b
+
+    def test_rounds_guard(self, spark):
+        from seriesly_spark.operators.suffix import suffix_dup_stats
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="rounds"):
+            suffix_dup_stats(docs, rounds=0)
