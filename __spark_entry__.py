@@ -220,7 +220,7 @@ from seriesly_spark.operators.clustering import (
     pca_power_iteration,
     silhouette_report,
 )
-from seriesly_spark.operators.suffix import suffix_dup_stats
+from seriesly_spark.operators.suffix import dedup_spans_exact, suffix_dup_stats
 from seriesly_spark.operators.urls import normalize_url, url_dedup_stats
 from seriesly_spark.operators.bpe import (
     bpe_encode,
@@ -4996,6 +4996,21 @@ def q_suffix_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-exact ExactSubstr rewrite: excise every token covered by
+    a duplicated span of >= 8 tokens, whatever its total length — the
+    suffix-array qualification feeding dedup_spans' island excision
+    (fixed min_len windows cover arbitrary-length spans exactly
+    because every suffix of a dup span is itself a dup span). No
+    first-carrier exemption: recurring >= 8-token text is boilerplate
+    and leaves every occurrence. Independent oracle: DuckDB sorts the
+    token-list suffixes directly, qualifies positions by true adjacent
+    LCP, and replays the window coverage."""
+    return dedup_spans_exact(
+        _table(spark, sf_dir, "documents"), min_len=8
+    )
+
+
 def q_dedup_spans_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination rewrite: excise from the training slice
     (doc_id % 7 != 0) every token covered by a word-3-gram that occurs
@@ -5120,6 +5135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr_auc": q_quality_lr_auc,
         "dedup_spans_cross": q_dedup_spans_cross,
         "suffix_dup_stats": q_suffix_dup_stats,
+        "dedup_spans_exact": q_dedup_spans_exact,
         "cohort_retention": q_cohort_retention,
         "collocation_pmi": q_collocation_pmi,
         "continuous_rollup": q_continuous_rollup,
@@ -6953,6 +6969,43 @@ m AS (SELECT id, max(least(l, 127)) AS max_dup_len FROM (
 SELECT t.doc_id, cast(coalesce(len(toks), 0) AS BIGINT) AS n_tokens,
        cast(coalesce(m.max_dup_len, 0) AS BIGINT) AS max_dup_len
 FROM t LEFT JOIN m ON m.id = t.doc_id
+""",
+        "dedup_spans_exact": """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+suf AS (SELECT doc_id, p, toks[p:] AS s
+        FROM t, unnest(range(1, len(toks) + 1)) AS r(p)),
+ord AS (SELECT doc_id, p, s, row_number() OVER (ORDER BY s) AS rn FROM suf),
+adj AS (SELECT a.doc_id AS d1, a.p AS p1, a.s AS s1,
+               b.doc_id AS d2, b.p AS p2, b.s AS s2
+        FROM ord a JOIN ord b ON b.rn = a.rn + 1),
+lc AS (SELECT d1, p1, d2, p2,
+         coalesce(
+           nullif(list_position(
+             list_transform(range(1, least(len(s1), len(s2)) + 1),
+                            i -> s1[i] = s2[i]),
+             false), 0) - 1,
+           least(len(s1), len(s2))) AS l
+       FROM adj),
+stale AS (SELECT doc_id, s FROM (
+            SELECT d1 AS doc_id, p1 AS s, l FROM lc
+            UNION ALL SELECT d2 AS doc_id, p2 AS s, l FROM lc)
+          GROUP BY doc_id, s HAVING max(l) >= 8),
+pos AS (SELECT t.doc_id, j, toks[j] AS tok
+        FROM t, unnest(range(1, len(toks) + 1)) AS r(j)),
+kept AS (SELECT p.doc_id, p.j, p.tok
+         FROM pos p
+         WHERE NOT EXISTS (SELECT 1 FROM stale st
+                           WHERE st.doc_id = p.doc_id
+                             AND p.j BETWEEN st.s AND st.s + 7)),
+kc AS (SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY j) AS text_clean
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+  cast(len(toks) as bigint) AS n_tokens,
+  cast(len(toks) - coalesce(kc.n_kept, 0) as bigint) AS n_removed,
+  coalesce(kc.text_clean, '') AS text_clean
+FROM t LEFT JOIN kc USING (doc_id)
 """,
         "dedup_spans_cross": """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks

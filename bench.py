@@ -244,6 +244,12 @@ BENCH_QUERIES = [
     "json_quarantine",
     "dedup_spans",
     "html_extract",
+    "train_quality_lr",
+    "score_quality_lr",
+    "quality_lr_auc",
+    "dedup_spans_cross",
+    "suffix_dup_stats",
+    "dedup_spans_exact",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -89,7 +89,33 @@ def gate_spans_cross(spark) -> None:
     )
 
 
+def gate_spans_exact(spark) -> None:
+    """min_len=4 on the same corpus: the shared 4-token sentence
+    qualifies and is excised from EVERY doc (no first-carrier
+    exemption); twinned docs are wholly duplicated -> fully excised."""
+    from seriesly_spark.operators.suffix import dedup_spans_exact
+
+    n, twins = 1_000_000, 50_000
+    docs = _corpus(spark, n, twins)
+    t0 = time.time()
+    got = (
+        dedup_spans_exact(docs, min_len=4)
+        .groupBy("n_removed")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    wall = time.time() - t0
+    by = {r.n_removed: r.c for r in got}
+    assert by == {14: 2 * twins, 4: n - twins}, by
+    print(
+        f"dedup_spans_exact: 1.05M docs length-exact span-cleaned in "
+        f"{wall:.1f} s; removal histogram exactly "
+        f"{{14:{2 * twins}, 4:{n - twins}}}"
+    )
+
+
 if __name__ == "__main__":
     spark = get_spark("stress-r13", cpus=32, shuffle_partitions=64)
     gate_suffix(spark)
     gate_spans_cross(spark)
+    gate_spans_exact(spark)

@@ -123,8 +123,6 @@ def suffix_dup_stats(
     care to measure (cap 127 at the default covers the driver corpus's
     100-token documents entirely, i.e. the stat is fully exact there).
     """
-    if rounds < 1:
-        raise ValueError("rounds must be >= 1")
     toks = tokens(text_col)
     pre = scoped_persist(
         spread(docs).select(
@@ -133,6 +131,33 @@ def suffix_dup_stats(
         ),
         "suffix.toks",
     )
+    per_side = _suffix_lcp(pre, rounds)
+    per_doc = per_side.groupBy("id").agg(F.max("lcp").alias("max_dup_len"))
+    return (
+        docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.size("__t"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce("max_dup_len", F.lit(0))
+            .cast("bigint")
+            .alias("max_dup_len"),
+        )
+    )
+
+
+def _suffix_lcp(pre: DataFrame, rounds: int) -> DataFrame:
+    """The shared suffix-array core: ``pre`` is a persisted frame
+    carrying (id, __th token-hash array, ...). Returns (id, pos, lcp)
+    with up to two rows per suffix position — its longest common
+    prefix with each suffix-order neighbor, clamped to the suffix's
+    remainder and the cap 2^rounds - 1. max(lcp) per (id, pos) is the
+    position's longest-duplicated-prefix length (exact below the cap);
+    consumers aggregate per position or per document as needed."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
     rot = CheckpointRotator()
     rank_tables: list[DataFrame] = []
 
@@ -271,33 +296,68 @@ def suffix_dup_stats(
     # identical suffixes (low-level probes can still match past it).
     cap = (1 << rounds) - 1
     lens = pre.select("id", F.size("__th").alias("__n"))
-    per_doc = (
-        pairs.select(F.col("d1").alias("id"), F.col("p1").alias("p"), "lcp")
+    return (
+        pairs.select(F.col("d1").alias("id"), F.col("p1").alias("pos"), "lcp")
         .union(
             pairs.select(
-                F.col("d2").alias("id"), F.col("p2").alias("p"), "lcp"
+                F.col("d2").alias("id"), F.col("p2").alias("pos"), "lcp"
             )
         )
         .join(lens, "id")
         .select(
             "id",
+            "pos",
             F.least(
-                "lcp", F.col("__n") - F.col("p"), F.lit(cap)
+                "lcp", F.col("__n") - F.col("pos"), F.lit(cap)
             ).alias("lcp"),
         )
+    )
+
+
+def dedup_spans_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+) -> DataFrame:
+    """ARBITRARY-LENGTH duplicated-span removal — the length-exact
+    form of Lee et al.'s ExactSubstr rewrite that :func:`dedup_spans`
+    approximates at one fixed n-gram width: excise every token covered
+    by a maximal duplicated span of AT LEAST ``min_len`` tokens (a
+    span occurring anywhere else in the corpus — another document or
+    another position of the same one). Unlike ``dedup_spans`` there is
+    no first-carrier exemption: recurring text of that length is
+    treated as boilerplate and removed from EVERY occurrence (the
+    conservative variant — the paper's keep-one bookkeeping needs an
+    earliest-occurrence tie-break the caller can layer on top via
+    ``suffix_dup_stats``-style inspection when provenance matters).
+
+    EXACTNESS with a small cap: a suffix of a duplicated span is
+    itself duplicated (it occurs inside the other copy), so every
+    position of a qualifying span — up to its last ``min_len`` - 1
+    tokens — starts its own duplicated run of >= min_len, and the
+    union of FIXED-width [p, p + min_len) windows over qualifying
+    positions covers qualifying spans of EVERY length exactly. The
+    suffix array therefore only needs cap >= min_len (rounds =
+    ceil(log2(min_len + 1))), and the excision tail is the island
+    machinery :func:`dedup_spans` already runs. Output:
+    (id_col, n_tokens, n_removed, text_clean).
+    """
+    if min_len < 1:
+        raise ValueError("min_len must be >= 1")
+    from seriesly_spark.operators.dedup import (
+        _excise_stale_spans,
+        _span_tokens,
+    )
+
+    rounds = min_len.bit_length()  # smallest with 2^rounds - 1 >= min_len
+    pre = scoped_persist(
+        _span_tokens(docs, text_col, id_col), "suffix.exact_toks"
+    )
+    per_side = _suffix_lcp(pre, rounds)
+    stale = (
+        per_side.where(F.col("lcp") >= min_len)
         .groupBy("id")
-        .agg(F.max("lcp").alias("max_dup_len"))
+        .agg(F.collect_set("pos").alias("__starts"))
     )
-    return (
-        docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
-        .join(per_doc, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce(F.size("__t"), F.lit(0))
-            .cast("bigint")
-            .alias("n_tokens"),
-            F.coalesce("max_dup_len", F.lit(0))
-            .cast("bigint")
-            .alias("max_dup_len"),
-        )
-    )
+    return _excise_stale_spans(pre, stale, min_len, id_col)

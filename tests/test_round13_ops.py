@@ -386,3 +386,68 @@ class TestSuffixDupStats:
         docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="rounds"):
             suffix_dup_stats(docs, rounds=0)
+
+
+class TestDedupSpansExact:
+    def test_arbitrary_length_coverage(self, spark):
+        """A 10-token span shared by two docs is fully excised from
+        BOTH (no first-carrier exemption), while a 3-token overlap
+        stays below min_len=8 and survives."""
+        from seriesly_spark.operators.suffix import dedup_spans_exact
+
+        docs = spark.createDataFrame(
+            [
+                (1, "u1 u2 u3 a b c d e f g h i j u4 u5"),
+                (2, "v1 a b c d e f g h i j v2 v3"),
+                (3, "w1 w2 a b c w3 w4 w5 w6 w7 w8 w9"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r for r in dedup_spans_exact(docs, min_len=8).collect()
+        }
+        assert out[1].text_clean == "u1 u2 u3 u4 u5"
+        assert out[2].text_clean == "v1 v2 v3"
+        assert out[3].n_removed == 0
+
+    def test_matches_brute_force(self, spark):
+        """Exact coverage semantics vs an O(n^4) python check on a
+        corpus with spans straddling the min_len boundary."""
+        from seriesly_spark.operators.suffix import dedup_spans_exact
+
+        rows = [
+            (i, " ".join("t%d" % ((i * 5 + j * 2) % 17)
+                         for j in range(6 + i % 7)))
+            for i in range(25)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        L = 4
+        got = {
+            r.doc_id: r.n_removed
+            for r in dedup_spans_exact(docs, min_len=L).collect()
+        }
+        toks = {i: t.split() for i, t in rows}
+
+        def covered(d, j):
+            t = toks[d]
+            for s in range(len(t)):
+                for e in range(s + L, len(t) + 1):
+                    if not (s <= j < e):
+                        continue
+                    sub = t[s:e]
+                    for d2, t2 in toks.items():
+                        for s2 in range(len(t2) - (e - s) + 1):
+                            if (d2, s2) != (d, s) and t2[s2:s2 + e - s] == sub:
+                                return True
+            return False
+
+        want = {d: sum(1 for j in range(len(t)) if covered(d, j))
+                for d, t in toks.items()}
+        assert got == want
+
+    def test_min_len_guard(self, spark):
+        from seriesly_spark.operators.suffix import dedup_spans_exact
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="min_len"):
+            dedup_spans_exact(docs, min_len=0)
