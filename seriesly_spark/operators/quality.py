@@ -177,6 +177,10 @@ def train_quality_lr(
         eager=True,
     )
     n = feats.count()
+    if n == 0:
+        raise ValueError(
+            "train_quality_lr: no featured documents (every text NULL)"
+        )
     w = [0.0] * (buckets + 1)
     for _ in range(rounds):
         wvec = _weight_vec(w)

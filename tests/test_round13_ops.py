@@ -451,3 +451,14 @@ class TestDedupSpansExact:
         docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="min_len"):
             dedup_spans_exact(docs, min_len=0)
+
+
+def test_quality_lr_all_null_text_raises(spark):
+    from seriesly_spark.operators.quality import train_quality_lr
+
+    docs = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 0.0)],
+        "doc_id long, text string, label double",
+    )
+    with pytest.raises(ValueError, match="no featured documents"):
+        train_quality_lr(docs, rounds=1, buckets=16)
