@@ -5057,9 +5057,12 @@ def _html_page_expr() -> Column:
 def _labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents with the binary quality label the LR trains on:
     y = 1 iff lang = 'en' — the same target distribution dsir_scores
-    uses, so the two selection signals are directly comparable."""
+    uses, so the two selection signals are directly comparable. The
+    when/otherwise mirrors the oracle's CASE exactly: a NULL lang is
+    labeled 0.0 (not NULL, which training would exclude)."""
     return _table(spark, sf_dir, "documents").withColumn(
-        "label", (F.col("lang") == "en").cast("double")
+        "label",
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)),
     )
 
 

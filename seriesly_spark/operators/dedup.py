@@ -1894,10 +1894,13 @@ def minhash_lsh_pairs_cross(
     bucket join linear in each side instead of quadratic in their
     union. ``max_bucket`` caps (band, sig) buckets by their COMBINED
     occupancy, same skew rationale as the self-join miner. Output:
-    (corpus_id, probe_id), distinct. The two id spaces may overlap (a
-    shard being screened against a superset corpus): a document
-    carried by BOTH frames under one id never reports itself —
-    self-pairs are filtered on the banded join.
+    (corpus_id, probe_id), distinct. PRECONDITION: the two frames must
+    share ONE id space — equal ids must mean the same document. Under
+    that contract a document carried by both frames never reports
+    itself (self-pairs are filtered on the banded join). Feeding two
+    INDEPENDENT id spaces that coincidentally collide (e.g. both
+    0-based sequential) silently suppresses the colliding true pairs —
+    remap one side (e.g. offset or salt its ids) first.
     """
 
     def banded_side(df: DataFrame, out: str) -> DataFrame:
@@ -2050,7 +2053,11 @@ def _excise_stale_spans(
         F.col("id").alias(id_col),
         F.col("__nt").alias("n_tokens"),
         (F.col("__nt") - F.size(kept)).alias("n_removed"),
-        F.array_join(kept, " ").alias("text_clean"),
+        # NULL-text docs keep NULL counts (matching the oracles' len()
+        # arithmetic) but an EMPTY clean text — SQL string_agg over no
+        # rows coalesces to '' on the oracle side, and array_join(NULL)
+        # must not disagree.
+        F.coalesce(F.array_join(kept, " "), F.lit("")).alias("text_clean"),
     )
 
 

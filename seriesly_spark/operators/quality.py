@@ -68,7 +68,11 @@ def _lr_doc_features(
     md5-folded into ``buckets`` (salt 'qlr', engine-portable),
     normalized by the doc's total feature count, bias term appended as
     (b = -1, x = 1). Docs with NULL text yield no features and are
-    absent (excluded from training; scored NULL)."""
+    absent (excluded from training; scored NULL). When labels are in
+    play (training), NULL-label docs are excluded too — a NULL label
+    is no supervision, and left in it would both poison the decimal
+    gradient folds (NULL-propagating sums) and inflate the batch
+    size."""
     t = tokens(text_col)
     y = (
         F.col(label_col).cast("double")
@@ -78,6 +82,8 @@ def _lr_doc_features(
     pre = spread(docs).select(
         F.col(id_col).alias("id"), y.alias("y"), t.alias("__t")
     )
+    if label_col is not None:
+        pre = pre.where(F.col("y").isNotNull())
     uni = F.col("__t")
     bi = F.when(
         F.size("__t") >= 2,
@@ -222,7 +228,7 @@ def score_quality_lr(
     weights: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    buckets: int = 256,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Score every document with a trained weight table ((bucket,
     weight) — ``train_quality_lr``'s output shape): score =
@@ -231,8 +237,21 @@ def score_quality_lr(
     table collects to the driver (<= buckets+1 rows — metadata) and
     scores as an in-row literal-array fold: no join, no shuffle, one
     narrow pass. Docs with no features (NULL text) score NULL.
-    Output: (id_col, score)."""
+    Output: (id_col, score).
+
+    ``buckets`` must equal the training-time hash width — scoring in a
+    different space silently misaligns every feature — so by default
+    it is DERIVED from the weight table itself (max bucket + 1); pass
+    it only as an assertion, where a mismatch raises."""
     wrows = weights.select("bucket", "weight").collect()
+    trained = max(int(r.bucket) for r in wrows) + 1 if wrows else 0
+    if buckets is None:
+        buckets = trained
+    elif buckets != trained:
+        raise ValueError(
+            f"buckets={buckets} does not match the weight table's "
+            f"trained hash width {trained}"
+        )
     w = [0.0] * (buckets + 1)
     for r in wrows:
         w[int(r.bucket) - BIAS_BUCKET] = float(r.weight)

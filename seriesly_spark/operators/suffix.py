@@ -133,12 +133,15 @@ def suffix_dup_stats(
     )
     per_side = _suffix_lcp(pre, rounds)
     per_doc = per_side.groupBy("id").agg(F.max("lcp").alias("max_dup_len"))
+    # The doc spine and token counts come from the persisted pre (size
+    # of the 8-byte hash array) — NOT a second tokens() pass over the
+    # raw text, which would re-scan and re-split the whole corpus.
     return (
-        docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+        pre.select("id", F.size("__th").alias("__nt"))
         .join(per_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce(F.size("__t"), F.lit(0))
+            F.coalesce(F.col("__nt"), F.lit(0))
             .cast("bigint")
             .alias("n_tokens"),
             F.coalesce("max_dup_len", F.lit(0))

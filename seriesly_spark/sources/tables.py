@@ -96,20 +96,27 @@ def parse_json_quarantine(
     """
     from pyspark.sql.types import StructType
 
+    # Collisions compare case-INSENSITIVELY: Spark resolves column
+    # names per spark.sql.caseSensitive (default false), so 'Lang' vs
+    # 'lang' is exactly the AMBIGUOUS_REFERENCE this guard exists to
+    # surface eagerly.
     parsed_names = {f.name for f in StructType.fromDDL(schema).fields}
-    if "_corrupt" in parsed_names:
+    parsed_folded = {n.casefold() for n in parsed_names}
+    input_folded = {c.casefold() for c in df.columns}
+    if "_corrupt" in parsed_folded:
         raise ValueError(
             "parse_json_quarantine: '_corrupt' is reserved for the "
             "quarantine channel; rename that field in the schema"
         )
-    clash = parsed_names & set(df.columns)
+    clash = parsed_folded & input_folded
     if clash:
         raise ValueError(
-            "parse_json_quarantine: parsed field(s) "
-            f"{sorted(clash)} collide with input column(s); rename "
+            "parsed field(s) "
+            f"{sorted(clash)} collide with input column(s) "
+            "(case-insensitively, matching Spark's resolution); rename "
             "one side or drop the input column before parsing"
         )
-    if "_corrupt" in df.columns:
+    if "_corrupt" in input_folded:
         raise ValueError(
             "parse_json_quarantine: input already has a '_corrupt' "
             "column; drop or rename it before parsing"

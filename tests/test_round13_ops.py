@@ -462,3 +462,82 @@ def test_quality_lr_all_null_text_raises(spark):
     )
     with pytest.raises(ValueError, match="no featured documents"):
         train_quality_lr(docs, rounds=1, buckets=16)
+
+
+class TestReviewFixesR13:
+    def test_lr_null_labels_excluded(self, spark):
+        """NULL-label docs must neither crash the gradient (TypeError
+        on a None bucket sum) nor dilute the batch size."""
+        from seriesly_spark.operators.quality import (
+            score_quality_lr,
+            train_quality_lr,
+        )
+
+        labeled = [(1, "alpha beta", 1.0), (2, "gamma delta", 0.0)]
+        docs = spark.createDataFrame(
+            labeled + [(3, "omega psi chi", None)],
+            "doc_id long, text string, label double",
+        )
+        w = train_quality_lr(docs, rounds=2, buckets=32)
+        w_clean = train_quality_lr(
+            spark.createDataFrame(
+                labeled, "doc_id long, text string, label double"
+            ),
+            rounds=2,
+            buckets=32,
+        )
+        assert sorted(map(tuple, w.collect())) == sorted(
+            map(tuple, w_clean.collect())
+        )
+        # the unlabeled doc still scores
+        s = {r.doc_id: r.score for r in score_quality_lr(docs, w).collect()}
+        assert s[3] is not None
+
+    def test_score_buckets_derived_and_validated(self, spark):
+        from seriesly_spark.operators.quality import (
+            score_quality_lr,
+            train_quality_lr,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c", 1.0), (2, "d e f", 0.0)],
+            "doc_id long, text string, label double",
+        )
+        w = train_quality_lr(docs, rounds=1, buckets=64)
+        derived = score_quality_lr(docs, w).collect()
+        explicit = score_quality_lr(docs, w, buckets=64).collect()
+        assert sorted(map(tuple, derived)) == sorted(map(tuple, explicit))
+        with pytest.raises(ValueError, match="does not match"):
+            score_quality_lr(docs, w, buckets=128)
+
+    def test_quarantine_casefold_collision(self, spark):
+        from seriesly_spark.sources.tables import parse_json_quarantine
+
+        df = spark.createDataFrame(
+            [(1, '{"lang":"en"}')], "Lang long, raw string"
+        )
+        with pytest.raises(ValueError, match="collide"):
+            parse_json_quarantine(df, "lang string")
+
+    def test_span_ops_null_text_text_clean_empty(self, spark):
+        """NULL-text docs keep NULL counts but '' text_clean — the
+        oracles' string_agg/len() convention, uniform across all three
+        span operators."""
+        from seriesly_spark.operators.dedup import (
+            dedup_spans,
+            dedup_spans_cross,
+        )
+        from seriesly_spark.operators.suffix import dedup_spans_exact
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"), (2, None)],
+            "doc_id long, text string",
+        )
+        for out in (
+            dedup_spans(docs, n=3),
+            dedup_spans_cross(docs, docs.limit(0), n=3),
+            dedup_spans_exact(docs, min_len=3),
+        ):
+            (r,) = [x for x in out.collect() if x.doc_id == 2]
+            assert r.text_clean == ""
+            assert r.n_tokens is None
