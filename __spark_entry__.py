@@ -5182,10 +5182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "zscore_outliers": q_zscore_outliers,
         "activity_concentration": q_concentration,
-        "ann_ivf": q_ann_ivf,
         # --- tail: certified; covered by the all-query
         # oracle replay in tests/test_entry_oracle.py ---
         "agreement_kappa": q_agreement_kappa,
+        "ann_ivf": q_ann_ivf,
         "ann_ivf_recall": q_ann_ivf_recall,
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
