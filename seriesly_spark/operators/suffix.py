@@ -257,6 +257,11 @@ def _suffix_lcp(pre: DataFrame, rounds: int) -> DataFrame:
         probes += [(k, 1 << k) for k in range(k_sat - 1, -1, -1)]
     else:
         probes = [(k, 1 << k) for k in range(rounds - 1, -1, -1)]
+    # No per-probe checkpoints: unlike the doubling loop, each probe
+    # references the previous pairs frame ONCE, so the plan grows
+    # LINEARLY (2 joins per level against cached rank tables) — the
+    # whole greedy chain plans fine and executes as one action in the
+    # consumer, saving a full materialization pass per level.
     for k, grant in probes:
         rk = rank_tables[k]
         a = rk.select(
@@ -269,7 +274,7 @@ def _suffix_lcp(pre: DataFrame, rounds: int) -> DataFrame:
             F.col("pos").alias("__q2"),
             F.col("r").alias("__r2"),
         )
-        pairs = rot.checkpoint(
+        pairs = (
             pairs.withColumn("__q1", F.col("p1") + F.col("lcp"))
             .withColumn("__q2", F.col("p2") + F.col("lcp"))
             .join(a, ["d1", "__q1"], "left")
@@ -289,6 +294,10 @@ def _suffix_lcp(pre: DataFrame, rounds: int) -> DataFrame:
                 ).alias("lcp"),
             )
         )
+    # The consumer union below references pairs TWICE (one leg per
+    # side), so the finished chain materializes ONCE here — without
+    # this the entire 2-joins-per-level chain executes twice.
+    pairs = rot.checkpoint(pairs)
     # rank_k can match because BOTH suffixes END before 2^k tokens
     # (truncated keys carry identical -1 sentinel patterns) — that
     # forces the remaining contents AND lengths equal, so clamping the
