@@ -183,12 +183,13 @@ def train_quality_lr(
         eager=True,
     )
     n = feats.count()
-    if n == 0:
-        raise ValueError(
-            "train_quality_lr: no featured documents (every text NULL)"
-        )
     w = [0.0] * (buckets + 1)
-    for _ in range(rounds):
+    # No featured docs (empty input / all-NULL text or labels): GD
+    # with an empty batch makes no update, so the symmetric init IS
+    # the trained model — return it rather than raising (the
+    # empty-input convention: an empty pruned subset is an everyday
+    # production shape, and every round would otherwise divide by 0).
+    for _ in range(rounds) if n > 0 else ():
         wvec = _weight_vec(w)
         err = (_sigmoid6(_logit(F.col("fs"), wvec)) - F.col("y")).alias(
             "e"

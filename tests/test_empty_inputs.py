@@ -261,3 +261,29 @@ class TestRound12EmptyInputs:
             multiprobe_chunks(empty_vecs, [0], planes=32, bands=4, nprobe=10)
         with pytest.raises(ValueError, match="nprobe"):
             multiprobe_chunks(empty_vecs, [0], nprobe=0)
+
+
+class TestEmptyRound13:
+    def test_round13_operators_empty_in_empty_out(self, spark, empty_docs):
+        from seriesly_spark.operators.dedup import dedup_spans_cross
+        from seriesly_spark.operators.html import html_extract
+        from seriesly_spark.operators.quality import (
+            score_quality_lr,
+            train_quality_lr,
+        )
+        from seriesly_spark.operators.suffix import (
+            dedup_spans_exact,
+            suffix_dup_stats,
+        )
+
+        assert suffix_dup_stats(empty_docs, rounds=3).count() == 0
+        assert dedup_spans_exact(empty_docs, min_len=3).count() == 0
+        assert dedup_spans_cross(empty_docs, empty_docs, n=3).count() == 0
+        pages = empty_docs.selectExpr("doc_id", "text AS html")
+        assert html_extract(pages).count() == 0
+        labeled = empty_docs.selectExpr(
+            "doc_id", "text", "CAST(0.0 AS DOUBLE) AS label"
+        )
+        w = train_quality_lr(labeled, rounds=2, buckets=16)
+        assert w.count() == 17  # zero-init weights, the no-update model
+        assert score_quality_lr(labeled, w).count() == 0

@@ -453,15 +453,20 @@ class TestDedupSpansExact:
             dedup_spans_exact(docs, min_len=0)
 
 
-def test_quality_lr_all_null_text_raises(spark):
+def test_quality_lr_all_null_text_returns_zero_weights(spark):
+    """Empty featured batch (all-NULL text) = no GD update: the
+    symmetric zero init comes back as the model — the empty-input
+    convention (never raise on an empty pruned subset)."""
     from seriesly_spark.operators.quality import train_quality_lr
 
     docs = spark.createDataFrame(
         [(1, None, 1.0), (2, None, 0.0)],
         "doc_id long, text string, label double",
     )
-    with pytest.raises(ValueError, match="no featured documents"):
-        train_quality_lr(docs, rounds=1, buckets=16)
+    w = train_quality_lr(docs, rounds=1, buckets=16)
+    rows = w.collect()
+    assert len(rows) == 17
+    assert all(r.weight == 0.0 for r in rows)
 
 
 class TestReviewFixesR13:
