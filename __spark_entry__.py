@@ -57,6 +57,7 @@ from seriesly_spark.operators.dedup import (
     dup_span_stats,
     dedup_exact,
     dedup_spans,
+    decontam_report,
     dedup_spans_cross,
     hamming_pairs,
     levenshtein_pairs,
@@ -4996,6 +4997,19 @@ def q_suffix_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-doc contamination triage over the %7 split: exact
+    distinct-3-gram containment vs the training slice, minhash-banded
+    near-dup counts (the dedup_minhash_cross machinery), and the
+    verbatim/partial/near_dup/clean severity class. The report that
+    decides what dedup_spans_cross then rewrites."""
+    docs = _table(spark, sf_dir, "documents")
+    return decontam_report(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0),
+    )
+
+
 def q_dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-exact ExactSubstr rewrite: excise every token covered by
     a duplicated span of >= 8 tokens, whatever its total length — the
@@ -5139,6 +5153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_cross": q_dedup_spans_cross,
         "suffix_dup_stats": q_suffix_dup_stats,
         "dedup_spans_exact": q_dedup_spans_exact,
+        "decontam_report": q_decontam_report,
         "cohort_retention": q_cohort_retention,
         "collocation_pmi": q_collocation_pmi,
         "continuous_rollup": q_continuous_rollup,
@@ -5181,9 +5196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "time_weighted_avg": q_time_weighted_avg,
         "zscore_outliers": q_zscore_outliers,
-        "activity_concentration": q_concentration,
         # --- tail: certified; covered by the all-query
         # oracle replay in tests/test_entry_oracle.py ---
+        "activity_concentration": q_concentration,
         "agreement_kappa": q_agreement_kappa,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -6972,6 +6987,66 @@ m AS (SELECT id, max(least(l, 127)) AS max_dup_len FROM (
 SELECT t.doc_id, cast(coalesce(len(toks), 0) AS BIGINT) AS n_tokens,
        cast(coalesce(m.max_dup_len, 0) AS BIGINT) AS max_dup_len
 FROM t LEFT JOIN m ON m.id = t.doc_id
+""",
+        "decontam_report": f"""
+WITH bg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS g
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id % 7 = 0)
+  WHERE len(toks) >= 3),
+cgs AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS g
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id % 7 <> 0)
+  WHERE len(toks) >= 3),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM bg GROUP BY doc_id),
+hit AS (SELECT doc_id, count(*) AS n_hits FROM bg
+        WHERE g IN (SELECT g FROM cgs) GROUP BY doc_id),
+g AS ({_GRAMS_SQL}),
+sig AS (
+  SELECT doc_id, band,
+    list_min(list_transform(grams, x ->
+      substr(md5((band // 4)::VARCHAR || '|' || x),
+             ((band % 4) * 8 + 1)::INT, 8))) AS sig
+  FROM g, unnest(range(0, 16)) AS u(band)
+),
+np AS (SELECT probe_id AS doc_id,
+         CAST(count(*) AS BIGINT) AS near_dup_corpus_docs
+       FROM (SELECT DISTINCT c.doc_id AS corpus_id, p.doc_id AS probe_id
+             FROM sig c JOIN sig p ON c.band = p.band AND c.sig = p.sig
+             WHERE c.doc_id % 7 <> 0 AND p.doc_id % 7 = 0
+               AND c.doc_id <> p.doc_id)
+       GROUP BY probe_id),
+base AS (
+  SELECT d.doc_id,
+    CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+    CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits,
+    CAST(coalesce(np.near_dup_corpus_docs, 0) AS BIGINT)
+      AS near_dup_corpus_docs
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+  LEFT JOIN tot USING (doc_id)
+  LEFT JOIN hit USING (doc_id)
+  LEFT JOIN np USING (doc_id))
+SELECT doc_id, n_grams, n_hits,
+  CASE WHEN n_grams > 0
+       THEN round(n_hits / CAST(n_grams AS DOUBLE), 6) END
+    AS gram_containment,
+  near_dup_corpus_docs,
+  CASE
+    WHEN n_grams > 0
+         AND round(n_hits / CAST(n_grams AS DOUBLE), 6) >= 0.8
+      THEN 'verbatim'
+    WHEN n_grams > 0
+         AND round(n_hits / CAST(n_grams AS DOUBLE), 6) >= 0.2
+      THEN 'partial'
+    WHEN near_dup_corpus_docs > 0 THEN 'near_dup'
+    ELSE 'clean'
+  END AS severity
+FROM base
 """,
         "dedup_spans_exact": """
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks

@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "dedup_spans_cross",
     "suffix_dup_stats",
     "dedup_spans_exact",
+    "decontam_report",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -2110,3 +2110,93 @@ def dedup_spans_cross(
         .agg(F.collect_set("pos").alias("__starts"))
     )
     return _excise_stale_spans(pre, stale, n, id_col)
+
+
+def decontam_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    verbatim: float = 0.8,
+    partial: float = 0.2,
+) -> DataFrame:
+    """Per-benchmark-document contamination SEVERITY report — the
+    analyst-facing composite over the cross-corpus family, answering
+    the decontamination triage question per eval document: how much of
+    it leaked into training, and how should the hit be classed?
+
+    - ``gram_containment`` = fraction of the document's distinct word
+      n-grams that occur ANYWHERE in the corpus (exact; the benchmark
+      side keeps per-doc distinct grams, the corpus side collapses to
+      ONE distinct gram set, and a LEFT SEMI join marks hits — linear
+      in each side, duplicate-insensitive).
+    - ``near_dup_corpus_docs`` = how many corpus documents share a
+      minhash band with it (:func:`minhash_lsh_pairs_cross`, same
+      banding as the dedup ladder; its shared-id-space precondition
+      applies here too).
+    - ``severity``: 'verbatim' when containment >= ``verbatim``,
+      else 'partial' when >= ``partial``, else 'near_dup' when any
+      banded corpus doc exists, else 'clean' — thresholds are
+      parameters because the right triage line is corpus-specific.
+
+    Output: (id_col, n_grams, n_hits, gram_containment — round-6,
+    NULL when the doc has no grams —, near_dup_corpus_docs, severity),
+    one row per benchmark document. Compose with
+    :func:`dedup_spans_cross` to REWRITE whatever this report flags.
+    """
+    bg = spread(benchmark).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("g"),
+    )
+    cg = (
+        spread(corpus)
+        .select(F.explode(word_shingles(text_col, n)).alias("g"))
+        .distinct()
+    )
+    per_doc = (
+        bg.join(cg, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = bg.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    near = (
+        minhash_lsh_pairs_cross(
+            corpus, benchmark, text_col=text_col, id_col=id_col, n=n
+        )
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("near_dup_corpus_docs"))
+    )
+    base = (
+        benchmark.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(per_doc, "id", "left")
+        .join(near.withColumnRenamed("probe_id", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce("near_dup_corpus_docs", F.lit(0))
+            .cast("bigint")
+            .alias("near_dup_corpus_docs"),
+        )
+    )
+    cont = F.round(F.col("n_hits") / F.col("n_grams"), 6)
+    return base.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        "n_hits",
+        F.when(F.col("n_grams") > 0, cont).alias("gram_containment"),
+        "near_dup_corpus_docs",
+        F.when(
+            (F.col("n_grams") > 0) & (cont >= F.lit(verbatim)),
+            F.lit("verbatim"),
+        )
+        .when(
+            (F.col("n_grams") > 0) & (cont >= F.lit(partial)),
+            F.lit("partial"),
+        )
+        .when(F.col("near_dup_corpus_docs") > 0, F.lit("near_dup"))
+        .otherwise(F.lit("clean"))
+        .alias("severity"),
+    )

@@ -546,3 +546,51 @@ class TestReviewFixesR13:
             (r,) = [x for x in out.collect() if x.doc_id == 2]
             assert r.text_clean == ""
             assert r.n_tokens is None
+
+
+class TestDecontamReport:
+    def test_severity_classes(self, spark):
+        from seriesly_spark.operators.dedup import decontam_report
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "completely unrelated training text goes here now ok"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [
+                (100, "the quick brown fox jumps over the lazy dog today"),
+                (101, "the quick brown fox went elsewhere entirely today"),
+                (102, "nothing here matches anything in training at all"),
+                (103, "xy"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r for r in decontam_report(corpus, bench).collect()
+        }
+        assert out[100].severity == "verbatim"
+        assert out[100].gram_containment == 1.0
+        assert out[100].near_dup_corpus_docs == 1
+        assert out[101].severity == "partial"
+        assert out[102].severity == "clean"
+        assert out[102].gram_containment == 0.0  # grams, zero hits
+        assert out[103].severity == "clean"
+        assert out[103].gram_containment is None  # too short for grams
+        assert set(out) == {100, 101, 102, 103}
+
+    def test_thresholds_are_parameters(self, spark):
+        from seriesly_spark.operators.dedup import decontam_report
+
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(100, "a b c d x y")], "doc_id long, text string"
+        )
+        (r,) = decontam_report(
+            corpus, bench, verbatim=0.5, partial=0.1
+        ).collect()
+        assert r.gram_containment == 0.5 and r.severity == "verbatim"
