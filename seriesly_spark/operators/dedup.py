@@ -2094,6 +2094,14 @@ def dedup_spans_cross(
     collision could excise an innocent span; at corpus scale the
     expected collision count is negligible and the failure mode is
     over-removal, never leakage).
+
+    Despite the fixed window width, the removal is LENGTH-EXACT for
+    contaminated spans of ANY length >= n (the
+    :func:`~seriesly_spark.operators.suffix.dedup_spans_exact`
+    covering argument: every n-window inside a shared span is itself
+    shared, so the window union covers the whole span); only spans
+    shorter than n escape — ``n`` IS the minimum span length, not an
+    approximation granularity.
     """
     pre = scoped_persist(
         _span_tokens(corpus, text_col, id_col), "dedup.span_toks_cross"

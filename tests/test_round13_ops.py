@@ -594,3 +594,21 @@ class TestDecontamReport:
             corpus, bench, verbatim=0.5, partial=0.1
         ).collect()
         assert r.gram_containment == 0.5 and r.severity == "verbatim"
+
+
+def test_dedup_spans_cross_is_length_exact_above_n(spark):
+    """The fixed-n cross rewrite covers contaminated spans of ANY
+    length >= n exactly (every n-window inside a shared span is itself
+    shared) — a 10-token benchmark span is fully excised with n=3."""
+    from seriesly_spark.operators.dedup import dedup_spans_cross
+
+    corpus = spark.createDataFrame(
+        [(1, "pre1 pre2 a b c d e f g h i j post1 post2")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "x a b c d e f g h i j y")], "doc_id long, text string"
+    )
+    (r,) = dedup_spans_cross(corpus, bench, n=3).collect()
+    assert r.n_removed == 10
+    assert r.text_clean == "pre1 pre2 post1 post2"
