@@ -2137,8 +2137,10 @@ def decontam_report(
     - ``gram_containment`` = fraction of the document's distinct word
       n-grams that occur ANYWHERE in the corpus (exact; the benchmark
       side keeps per-doc distinct grams, the corpus side collapses to
-      ONE distinct gram set, and a LEFT SEMI join marks hits — linear
-      in each side, duplicate-insensitive).
+      ONE distinct gram set, and a hit-flag left join feeds a single
+      per-doc aggregate — linear in each side, duplicate-insensitive,
+      and the join key is the long-space hashed shingle identity from
+      ``_shingle_sets``, never gram text).
     - ``near_dup_corpus_docs`` = how many corpus documents share a
       minhash band with it (:func:`minhash_lsh_pairs_cross`, same
       banding as the dedup ladder; its shared-id-space precondition
@@ -2153,21 +2155,27 @@ def decontam_report(
     one row per benchmark document. Compose with
     :func:`dedup_spans_cross` to REWRITE whatever this report flags.
     """
-    bg = spread(benchmark).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("g"),
-    )
+    if not (0.0 <= partial <= verbatim <= 1.0):
+        raise ValueError(
+            "decontam_report thresholds must satisfy "
+            f"0 <= partial <= verbatim <= 1 (got partial={partial}, "
+            f"verbatim={verbatim})"
+        )
+    bg = _shingle_sets(benchmark, text_col, id_col, n, "dedup.decontam_bg")
     cg = (
-        spread(corpus)
-        .select(F.explode(word_shingles(text_col, n)).alias("g"))
+        _shingle_sets(corpus, text_col, id_col, n, "dedup.decontam_cg")
+        .select("g")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    per_doc = (
-        bg.join(cg, "g", "left_semi")
+    stats = (
+        bg.join(cg, "g", "left")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        )
     )
-    totals = bg.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     near = (
         minhash_lsh_pairs_cross(
             corpus, benchmark, text_col=text_col, id_col=id_col, n=n
@@ -2177,8 +2185,7 @@ def decontam_report(
     )
     base = (
         benchmark.select(F.col(id_col).alias("id"))
-        .join(totals, "id", "left")
-        .join(per_doc, "id", "left")
+        .join(stats, "id", "left")
         .join(near.withColumnRenamed("probe_id", "id"), "id", "left")
         .select(
             "id",

@@ -189,7 +189,8 @@ def train_quality_lr(
     # the trained model — return it rather than raising (the
     # empty-input convention: an empty pruned subset is an everyday
     # production shape, and every round would otherwise divide by 0).
-    for _ in range(rounds) if n > 0 else ():
+    training_rounds = range(rounds) if n > 0 else ()
+    for _ in training_rounds:
         wvec = _weight_vec(w)
         err = (_sigmoid6(_logit(F.col("fs"), wvec)) - F.col("y")).alias(
             "e"
