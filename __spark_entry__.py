@@ -5429,7 +5429,7 @@ sc AS (SELECT f.id,
 scored AS (SELECT d.doc_id,
   round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-sc.z)), 6)
     AS score,
-  d.lang = 'en' AS label
+  CASE WHEN d.lang = 'en' THEN true ELSE false END AS label
   FROM documents d LEFT JOIN sc ON d.doc_id = sc.id)"""
     d["score_quality_lr"] = (
         _qlr_sql() + _QLR_SCORE + "\nSELECT doc_id, score FROM scored"

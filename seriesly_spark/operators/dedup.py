@@ -1876,6 +1876,7 @@ def minhash_lsh_pairs_cross(
     bands: int = 16,
     max_bucket: int | None = None,
     rows_per_band: int = 1,
+    shared_id_space: bool = True,
 ) -> DataFrame:
     """CROSS-corpus minhash candidate pairs — near-dup decontamination
     of one corpus against another WITHOUT a persistent index: which
@@ -1894,13 +1895,15 @@ def minhash_lsh_pairs_cross(
     bucket join linear in each side instead of quadratic in their
     union. ``max_bucket`` caps (band, sig) buckets by their COMBINED
     occupancy, same skew rationale as the self-join miner. Output:
-    (corpus_id, probe_id), distinct. PRECONDITION: the two frames must
-    share ONE id space — equal ids must mean the same document. Under
-    that contract a document carried by both frames never reports
-    itself (self-pairs are filtered on the banded join). Feeding two
-    INDEPENDENT id spaces that coincidentally collide (e.g. both
-    0-based sequential) silently suppresses the colliding true pairs —
-    remap one side (e.g. offset or salt its ids) first.
+    (corpus_id, probe_id), distinct.
+
+    ``shared_id_space`` declares whether equal ids mean the same
+    document. True (default): a document carried by both frames never
+    reports itself — self-pairs are filtered on the banded join. Pass
+    False when the two frames use INDEPENDENT id spaces (e.g. both
+    0-based sequential): the filter is skipped, so coincidental id
+    collisions no longer silently suppress true pairs. Alternatively
+    remap one side (offset or salt its ids) and keep the default.
     """
 
     def banded_side(df: DataFrame, out: str) -> DataFrame:
@@ -1935,12 +1938,10 @@ def minhash_lsh_pairs_cross(
         )
         left = left.join(occ, ["band", "sig"])
         right = right.join(occ, ["band", "sig"])
-    return (
-        left.join(right, ["band", "sig"])
-        .where(F.col("corpus_id") != F.col("probe_id"))
-        .select("corpus_id", "probe_id")
-        .distinct()
-    )
+    out = left.join(right, ["band", "sig"])
+    if shared_id_space:
+        out = out.where(F.col("corpus_id") != F.col("probe_id"))
+    return out.select("corpus_id", "probe_id").distinct()
 
 
 def dedup_spans(

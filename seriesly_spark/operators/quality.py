@@ -244,9 +244,22 @@ def score_quality_lr(
     ``buckets`` must equal the training-time hash width — scoring in a
     different space silently misaligns every feature — so by default
     it is DERIVED from the weight table itself (max bucket + 1); pass
-    it only as an assertion, where a mismatch raises."""
+    it only as an assertion, where a mismatch raises. The derivation
+    is only sound on a DENSE table (``train_quality_lr`` emits one row
+    per bucket from -1..buckets-1, zero-weight rows included), so
+    density is VALIDATED: a sparse table — e.g. zero-weight rows
+    pruned by a storage step — would silently shrink the derived width
+    and misalign every feature, so it raises instead."""
     wrows = weights.select("bucket", "weight").collect()
     trained = max(int(r.bucket) for r in wrows) + 1 if wrows else 0
+    got = sorted(int(r.bucket) for r in wrows)
+    if got != list(range(BIAS_BUCKET, trained)):
+        raise ValueError(
+            "weight table is not dense over buckets "
+            f"{BIAS_BUCKET}..{trained - 1} (got {len(got)} rows); "
+            "a pruned/sparse table misaligns the hash space — "
+            "re-materialize zero-weight rows before scoring"
+        )
     if buckets is None:
         buckets = trained
     elif buckets != trained:
