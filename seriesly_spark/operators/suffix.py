@@ -108,7 +108,7 @@ def suffix_dup_stats(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    rounds: int = 7,
+    rounds: int | str = 7,
 ) -> DataFrame:
     """Per-document ARBITRARY-LENGTH longest-duplicated-span length:
     max_dup_len = the longest token span in the document that also
@@ -122,6 +122,15 @@ def suffix_dup_stats(
     engine; pick rounds so 2^rounds - 1 >= the longest duplication you
     care to measure (cap 127 at the default covers the driver corpus's
     100-token documents entirely, i.e. the stat is fully exact there).
+    On a longer-doc corpus a fixed cap SATURATES silently (max_dup_len
+    reports the cap), and on a short-doc corpus rounds are wasted
+    (each is ~3 jobs) — pass ``rounds="auto"`` to derive the smallest
+    exact cap from one cheap aggregate over the already-persisted
+    token-hash table: rounds = bit_length(max doc tokens), so
+    2^rounds - 1 >= every possible span length and the stat is exact
+    on ANY corpus. "auto" is still a pure function of the corpus (the
+    max is deterministic), so oracle replayability survives — and the
+    independent suffix-sort oracle never needed the cap anyway.
     """
     toks = tokens(text_col)
     pre = scoped_persist(
@@ -131,6 +140,11 @@ def suffix_dup_stats(
         ),
         "suffix.toks",
     )
+    if rounds == "auto":
+        mx = pre.agg(F.max(F.size("__th"))).collect()[0][0] or 0
+        rounds = max(1, int(mx).bit_length())
+    elif not isinstance(rounds, int):
+        raise ValueError('rounds must be an int or "auto"')
     per_side = _suffix_lcp(pre, rounds)
     per_doc = per_side.groupBy("id").agg(F.max("lcp").alias("max_dup_len"))
     # The doc spine and token counts come from the persisted pre (size

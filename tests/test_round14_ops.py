@@ -10,6 +10,70 @@ from seriesly_spark.operators.quality import (
     score_quality_lr,
     train_quality_lr,
 )
+from seriesly_spark.operators.suffix import suffix_dup_stats
+
+
+class TestSuffixRoundsAuto:
+    def test_fixed_rounds_saturate_at_cap(self, spark):
+        """A duplicated span longer than 2^rounds - 1 reports the cap
+        (the documented saturation), not the true length."""
+        span = " ".join(f"t{i}" for i in range(10))  # 10 tokens > cap 7
+        docs = spark.createDataFrame(
+            [(1, span), (2, span + " unique tail here")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r.max_dup_len
+            for r in suffix_dup_stats(docs, rounds=3).collect()
+        }
+        assert rows == {1: 7, 2: 7}  # cap 2^3 - 1 binds on a 10-dup
+
+    def test_auto_derives_exact_cap(self, spark):
+        """rounds='auto' sizes the cap from max(doc tokens): the same
+        >cap-127-style corpus is exact, and a short corpus is too."""
+        span = " ".join(f"t{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [(1, span), (2, span + " unique tail here")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r.max_dup_len
+            for r in suffix_dup_stats(docs, rounds="auto").collect()
+        }
+        assert rows == {1: 10, 2: 10}
+
+    def test_auto_on_long_duplicated_doc(self, spark):
+        """The verdict's exact ask: a >127-token duplicated doc. auto
+        must report the true length where the default-7 cap saturates
+        at 127."""
+        span = " ".join(f"w{i}" for i in range(150))
+        docs = spark.createDataFrame(
+            [(1, span), (2, span)], "doc_id long, text string"
+        )
+        fixed = {
+            r.doc_id: r.max_dup_len
+            for r in suffix_dup_stats(docs, rounds=7).collect()
+        }
+        auto = {
+            r.doc_id: r.max_dup_len
+            for r in suffix_dup_stats(docs, rounds="auto").collect()
+        }
+        assert fixed == {1: 127, 2: 127}
+        assert auto == {1: 150, 2: 150}
+
+    def test_auto_all_null_text(self, spark):
+        docs = spark.createDataFrame(
+            [(1, None)], "doc_id long, text string"
+        )
+        rows = suffix_dup_stats(docs, rounds="auto").collect()
+        assert [(r.doc_id, r.n_tokens, r.max_dup_len) for r in rows] == [
+            (1, 0, 0)
+        ]
+
+    def test_bad_rounds_type(self, spark):
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="int or"):
+            suffix_dup_stats(docs, rounds="fast")
 
 
 class TestScoreQualityLrDensity:
