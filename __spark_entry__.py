@@ -59,6 +59,7 @@ from seriesly_spark.operators.dedup import (
     dedup_spans,
     decontam_report,
     dedup_spans_cross,
+    dedup_spans_exact_keep1,
     hamming_pairs,
     levenshtein_pairs,
     dedup_best,
@@ -5025,6 +5026,22 @@ def q_dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_spans_exact_keep1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one length-exact ExactSubstr rewrite (Lee et al.'s actual
+    bookkeeping): the corpus-global earliest (doc_id, pos) occurrence
+    of each duplicated >= 8-token span keeps its copy; every later
+    occurrence is excised — corpus content is never lost, unlike
+    dedup_spans_exact's remove-all. Computed without sort rounds: the
+    suffix-order run minimum equals the per-window-class minimum, so
+    one hashed-window explode + min(struct(id, pos)) + join marks the
+    stale starts (operators/dedup.py). Oracle groups the actual
+    8-token window TEXT (independent identity — no xxhash64) and
+    exempts row_number() == 1 ordered by (doc_id, s)."""
+    return dedup_spans_exact_keep1(
+        _table(spark, sf_dir, "documents"), min_len=8
+    )
+
+
 def q_dedup_spans_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination rewrite: excise from the training slice
     (doc_id % 7 != 0) every token covered by a word-3-gram that occurs
@@ -5146,6 +5163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # certified entries first (registration order), then the
         # stalest-certified cohorts (CERTIFIED.json), alphabetical
         # within a cohort; alphabetical tail.
+        "dedup_spans_exact_keep1": q_dedup_spans_exact_keep1,
         "html_extract": q_html_extract,
         "train_quality_lr": q_train_quality_lr,
         "score_quality_lr": q_score_quality_lr,
@@ -7069,6 +7087,32 @@ stale AS (SELECT doc_id, s FROM (
             SELECT d1 AS doc_id, p1 AS s, l FROM lc
             UNION ALL SELECT d2 AS doc_id, p2 AS s, l FROM lc)
           GROUP BY doc_id, s HAVING max(l) >= 8),
+pos AS (SELECT t.doc_id, j, toks[j] AS tok
+        FROM t, unnest(range(1, len(toks) + 1)) AS r(j)),
+kept AS (SELECT p.doc_id, p.j, p.tok
+         FROM pos p
+         WHERE NOT EXISTS (SELECT 1 FROM stale st
+                           WHERE st.doc_id = p.doc_id
+                             AND p.j BETWEEN st.s AND st.s + 7)),
+kc AS (SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY j) AS text_clean
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+  cast(len(toks) as bigint) AS n_tokens,
+  cast(len(toks) - coalesce(kc.n_kept, 0) as bigint) AS n_removed,
+  coalesce(kc.text_clean, '') AS text_clean
+FROM t LEFT JOIN kc USING (doc_id)
+""",
+        "dedup_spans_exact_keep1": """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+gp AS (SELECT doc_id, s,
+         row_number() OVER (
+           PARTITION BY array_to_string(toks[s:s+7], ' ')
+           ORDER BY doc_id, s) AS rn
+       FROM t, unnest(range(1, len(toks) - 6)) AS r(s)
+       WHERE len(toks) >= 8),
+stale AS (SELECT doc_id, s FROM gp WHERE rn > 1),
 pos AS (SELECT t.doc_id, j, toks[j] AS tok
         FROM t, unnest(range(1, len(toks) + 1)) AS r(j)),
 kept AS (SELECT p.doc_id, p.j, p.tok

@@ -251,6 +251,8 @@ BENCH_QUERIES = [
     "suffix_dup_stats",
     "dedup_spans_exact",
     "decontam_report",
+    # round 14
+    "dedup_spans_exact_keep1",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -1,0 +1,78 @@
+"""Round-14 production-shape stress gates (local[32]): the keep-one
+length-exact span rewrite at the 1.05M-doc corpus shape of
+scripts/stress_r13.py, checked EXACTLY against a closed form.
+
+Run: python scripts/stress_r14.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from seriesly_spark.session import get_spark
+
+
+def _corpus(spark, n=1_000_000, twins=50_000):
+    """10 unique tokens per doc + a shared 4-token sentence; the first
+    ``twins`` docs get a byte-identical twin (the r12b/r13 geometry)."""
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"u{j}_"), F.col("id").cast("string"))
+                for j in range(10)
+            ],
+            F.lit("the shared common sentence"),
+        ).alias("text"),
+    )
+    twin = base.where(F.col("doc_id") < twins).select(
+        (F.col("doc_id") + n).alias("doc_id"), "text"
+    )
+    return base.unionByName(twin)
+
+
+def gate_spans_exact_keep1(spark) -> None:
+    """min_len=4, keep-one: every window class exempts its earliest
+    (doc_id, pos). Closed form on the twin geometry:
+
+    - doc 0 is the earliest carrier of EVERY one of its windows,
+      including the corpus-wide shared-sentence window -> n_removed 0;
+    - every other base doc (twinned or not) keeps its unique content
+      (it is the earliest carrier of its own prefix windows) and loses
+      exactly the 4 shared-sentence tokens -> n_removed 4;
+    - every twin loses everything (each of its windows occurs at the
+      same position of its lower-id base doc) -> n_removed 14.
+
+    The r13 remove-all variant strips BOTH copies of a twin (histogram
+    {14: 2*twins, 4: n - twins}); keep-one provably keeps one full
+    copy per twin pair — the r13 verdict's missing capability.
+    """
+    from seriesly_spark.operators.dedup import dedup_spans_exact_keep1
+
+    n, twins = 1_000_000, 50_000
+    docs = _corpus(spark, n, twins)
+    t0 = time.time()
+    got = (
+        dedup_spans_exact_keep1(docs, min_len=4)
+        .groupBy("n_removed")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    wall = time.time() - t0
+    by = {r.n_removed: r.c for r in got}
+    assert by == {0: 1, 4: n - 1, 14: twins}, by
+    print(
+        f"dedup_spans_exact_keep1: 1.05M docs keep-one span-cleaned in "
+        f"{wall:.1f} s; removal histogram exactly "
+        f"{{0: 1, 4: {n - 1}, 14: {twins}}} — one full copy survives "
+        f"per twin pair"
+    )
+
+
+if __name__ == "__main__":
+    spark = get_spark("stress-r14", cpus=32, shuffle_partitions=64)
+    gate_spans_exact_keep1(spark)

@@ -2121,6 +2121,67 @@ def dedup_spans_cross(
     return _excise_stale_spans(pre, stale, n, id_col)
 
 
+def dedup_spans_exact_keep1(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+) -> DataFrame:
+    """KEEP-ONE length-exact duplicated-span removal — Lee et al.'s
+    actual ExactSubstr bookkeeping (ACL'22): the corpus-global EARLIEST
+    occurrence of each duplicated span keeps its copy; every later
+    occurrence of a span >= ``min_len`` tokens is excised. The
+    remove-all variant (:func:`~seriesly_spark.operators.suffix.
+    dedup_spans_exact`) treats recurring text as boilerplate and keeps
+    nothing; this one never loses corpus content.
+
+    Semantics and why no suffix array is needed: in suffix order,
+    the suffixes sharing a >= min_len common prefix form one
+    contiguous RUN, and keep-one exempts the run's minimal (id, pos).
+    But a run IS exactly the class of positions whose fixed min_len-
+    token window has identical content — so the run minimum equals the
+    per-window-class minimum, which the positional-gram machinery
+    computes directly: one explode of hashed min_len-windows, a
+    min(struct(id, pos)) per window class (map-side combined), and an
+    equi-join back marking every NON-minimal occurrence stale. Length-
+    exactness for spans >= min_len is the shared covering argument (a
+    suffix of a duplicated span is itself duplicated, so the union of
+    fixed windows over stale starts covers stale spans of EVERY length
+    exactly) — same contract as ``dedup_spans_exact``, same
+    ``_excise_stale_spans`` island tail. No sort rounds, no rank
+    tables: strictly fewer shuffles than the suffix-array route for
+    identical output.
+
+    Granularity note: keep-one exempts each window CLASS's earliest
+    occurrence, so a twin pair keeps exactly one intact copy; a span
+    that is internally repetitive at min_len granularity keeps one
+    copy of each distinct window (the periodic-text edge: "x x x x"
+    collapses to its first unit), matching the window-level reading of
+    ExactSubstr. Output: (id_col, n_tokens, n_removed, text_clean);
+    ids must be orderable — "earliest" is min (id, pos).
+    """
+    if min_len < 1:
+        raise ValueError("min_len must be >= 1")
+    pre = scoped_persist(
+        _span_tokens(docs, text_col, id_col), "dedup.keep1_toks"
+    )
+    exploded = pre.select(
+        "id", F.posexplode(_window_hash_expr(min_len)).alias("pos", "g")
+    )
+    keeper = exploded.groupBy("g").agg(
+        F.min(F.struct("id", "pos")).alias("k")
+    )
+    stale = (
+        exploded.join(keeper, "g")
+        .where(
+            (F.col("id") != F.col("k.id")) | (F.col("pos") != F.col("k.pos"))
+        )
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("__starts"))
+    )
+    return _excise_stale_spans(pre, stale, min_len, id_col)
+
+
 def decontam_report(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -101,6 +101,136 @@ class TestScoreQualityLrDensity:
         assert len(out) == 2 and all(r.score is not None for r in out)
 
 
+class TestDedupSpansExactKeep1:
+    def test_twins_keep_exactly_one_full_copy(self, spark):
+        """The r13 verdict's missing capability: the earliest carrier
+        keeps its span intact, every later occurrence is excised —
+        where remove-all strips both."""
+        from seriesly_spark.operators.dedup import dedup_spans_exact_keep1
+        from seriesly_spark.operators.suffix import dedup_spans_exact
+
+        span = "a b c d e f g h i j"
+        docs = spark.createDataFrame(
+            [
+                (1, f"u1 u2 {span} u3"),
+                (2, f"v1 {span} v2 v3"),
+                (3, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            ],
+            "doc_id long, text string",
+        )
+        keep1 = {
+            r.doc_id: r
+            for r in dedup_spans_exact_keep1(docs, min_len=8).collect()
+        }
+        assert keep1[1].text_clean == f"u1 u2 {span} u3"  # first carrier
+        assert keep1[2].text_clean == "v1 v2 v3"
+        assert keep1[3].n_removed == 0
+        removeall = {
+            r.doc_id: r for r in dedup_spans_exact(docs, min_len=8).collect()
+        }
+        assert removeall[1].text_clean == "u1 u2 u3"  # both copies gone
+        assert removeall[2].text_clean == "v1 v2 v3"
+
+    def test_within_doc_repeat_keeps_first(self, spark):
+        from seriesly_spark.operators.dedup import dedup_spans_exact_keep1
+
+        span = "p q r s"
+        docs = spark.createDataFrame(
+            [(1, f"{span} mid1 mid2 {span}")], "doc_id long, text string"
+        )
+        out = dedup_spans_exact_keep1(docs, min_len=4).collect()[0]
+        assert out.text_clean == f"{span} mid1 mid2"
+
+    def test_removal_is_subset_of_remove_all(self, spark):
+        from seriesly_spark.operators.dedup import dedup_spans_exact_keep1
+        from seriesly_spark.operators.suffix import dedup_spans_exact
+
+        rows = [
+            (i, " ".join("t%d" % ((i * 5 + j * 2) % 17)
+                         for j in range(6 + i % 7)))
+            for i in range(25)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        k1 = {
+            r.doc_id: r.n_removed
+            for r in dedup_spans_exact_keep1(docs, min_len=4).collect()
+        }
+        ra = {
+            r.doc_id: r.n_removed
+            for r in dedup_spans_exact(docs, min_len=4).collect()
+        }
+        assert all(k1[d] <= ra[d] for d in k1)
+        assert sum(k1.values()) < sum(ra.values())  # exemption is real
+
+    def test_matches_brute_force(self, spark):
+        """Keep-one coverage semantics vs an O(n^4) python check:
+        token (d, j) removed iff covered by a min_len-window whose
+        content occurs at a strictly earlier (doc, pos)."""
+        from seriesly_spark.operators.dedup import dedup_spans_exact_keep1
+
+        rows = [
+            (i, " ".join("t%d" % ((i * 5 + j * 2) % 17)
+                         for j in range(6 + i % 7)))
+            for i in range(25)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        L = 4
+        got = {
+            r.doc_id: r.n_removed
+            for r in dedup_spans_exact_keep1(docs, min_len=L).collect()
+        }
+        toks = {i: t.split() for i, t in rows}
+
+        def stale(d, s):
+            sub = toks[d][s:s + L]
+            for d2, t2 in toks.items():
+                for s2 in range(len(t2) - L + 1):
+                    if (d2, s2) < (d, s) and t2[s2:s2 + L] == sub:
+                        return True
+            return False
+
+        def removed(d, j):
+            t = toks[d]
+            lo, hi = max(0, j - L + 1), min(j, len(t) - L)
+            return any(stale(d, s) for s in range(lo, hi + 1))
+
+        want = {d: sum(1 for j in range(len(t)) if removed(d, j))
+                for d, t in toks.items()}
+        assert got == want
+
+    def test_periodic_text_edge(self, spark):
+        """Internally repetitive span: each distinct window class
+        keeps its earliest occurrence (documented granularity)."""
+        from seriesly_spark.operators.dedup import dedup_spans_exact_keep1
+
+        docs = spark.createDataFrame(
+            [(1, "x y x y x y x y")], "doc_id long, text string"
+        )
+        out = dedup_spans_exact_keep1(docs, min_len=2).collect()[0]
+        # windows: 'x y'@0 keeper, 'y x'@1 keeper; stale starts 2..6
+        # cover tokens [2, 8) -> first unit survives
+        assert out.text_clean == "x y"
+
+    def test_null_and_short_docs(self, spark):
+        from seriesly_spark.operators.dedup import dedup_spans_exact_keep1
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, "a b")], "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup_spans_exact_keep1(docs, min_len=8).collect()
+        }
+        assert out[1].text_clean == "" and out[2].n_removed == 0
+
+    def test_min_len_guard(self, spark):
+        from seriesly_spark.operators.dedup import dedup_spans_exact_keep1
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="min_len"):
+            dedup_spans_exact_keep1(docs, min_len=0)
+
+
 class TestCrossMinerIdSpaces:
     DOCS = [
         (0, "alpha beta gamma delta epsilon zeta"),
