@@ -253,6 +253,9 @@ BENCH_QUERIES = [
     "decontam_report",
     # round 14
     "dedup_spans_exact_keep1",
+    "train_lang_lr",
+    "score_lang_lr",
+    "lang_lr_confusion",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

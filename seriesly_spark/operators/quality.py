@@ -62,6 +62,7 @@ def _lr_doc_features(
     id_col: str,
     label_col: str | None,
     buckets: int,
+    label_type: str = "double",
 ) -> DataFrame:
     """One row per featured document: (id, y, fs) with fs an array of
     (b, x) — unigram+bigram counts (the dsir_scores feature set)
@@ -75,7 +76,7 @@ def _lr_doc_features(
     size."""
     t = tokens(text_col)
     y = (
-        F.col(label_col).cast("double")
+        F.col(label_col).cast(label_type)
         if label_col is not None
         else F.lit(0.0)
     )
@@ -278,4 +279,177 @@ def score_quality_lr(
         docs.select(F.col(id_col).alias("id"))
         .join(scores, "id", "left")
         .select(F.col("id").alias(id_col), "score")
+    )
+
+
+def train_lang_lr(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+    rounds: int = 3,
+    lr: float = 2.0,
+) -> DataFrame:
+    """Multi-class TRAINED language ID: softmax (multinomial) logistic
+    regression over the same hashed uni+bigram features as
+    :func:`train_quality_lr`, full-batch GD with a fixed unrolled
+    round count — upgrading the intake ladder's weakest stage (the
+    ``textstats.lang_id`` stopword heuristic) to a trained model the
+    existing ``lang_confusion`` machinery can grade.
+
+    Classes are the sorted distinct non-NULL labels (collected once —
+    metadata, <= #languages rows). Per round, with K classes and
+    N featured docs:
+
+        z_dc  = sum_b w_cb x_db                       (decimal fold)
+        ez_dc = round(exp(z_dc), 6)
+        p_dc  = round(ez_dc / sum_c' ez_dc', 6)
+        g_cb  = sum_d (p_dc - [y_d = c]) x_db         (decimal fold)
+        w_cb <- round(w_cb - lr g_cb / N, 6)
+
+    Softmax parity discipline: each exp term is rounded to 6 BEFORE
+    the denominator fold, and the denominator accumulates in
+    decimal(28,6) — so it is order-independent and any engine replays
+    p_dc exactly (a double sum of raw exp() terms would depend on
+    class addition order). Weights re-round to 6 per update, the
+    ``train_quality_lr`` trajectory convention. Driver boundary per
+    round: one K x (buckets+1) gradient collect (the kmeans/BPE round
+    state). Scale shape is the binary trainer's: text collapses once
+    to the persisted per-doc feature arrays; each round is ONE narrow
+    scan (K in-row logit folds against literal weight vectors, then a
+    features x K explode partially aggregated map-side).
+
+    Output: (lang, bucket, weight) — dense over bucket -1..buckets-1
+    per class, ordered by (lang, bucket).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    feats = scoped_persist(
+        _lr_doc_features(
+            docs, text_col, id_col, label_col, buckets, label_type="string"
+        ),
+        "quality.lang_feats",
+        eager=True,
+    )
+    n = feats.count()
+    classes = sorted(
+        r[0] for r in feats.select("y").distinct().collect()
+    )
+    w = {c: [0.0] * (buckets + 1) for c in classes}
+    training_rounds = range(rounds) if n > 0 and classes else ()
+    for _ in training_rounds:
+        zs = [_logit(F.col("fs"), _weight_vec(w[c])) for c in classes]
+        ezs = [F.round(F.exp(z), 6) for z in zs]
+        den = F.aggregate(
+            F.array(*ezs),
+            F.lit(0).cast(_DEC6),
+            lambda acc, e: (acc + e.cast(_DEC6)).cast(_DEC6),
+        ).cast("double")
+        errs = F.array(
+            *[
+                F.round(ez / den, 6)
+                - F.when(F.col("y") == c, F.lit(1.0)).otherwise(F.lit(0.0))
+                for c, ez in zip(classes, ezs)
+            ]
+        )
+        # errs is computed in its OWN projection below each Generate
+        # (the train_quality_lr CollapseProject lesson): inlined into a
+        # generator's project list, the K softmax folds re-evaluate per
+        # exploded element.
+        grad = (
+            feats.select("fs", errs.alias("es"))
+            .select("es", F.explode("fs").alias("f"))
+            .select(
+                F.col("f.b").alias("b"),
+                F.col("f.x").alias("x"),
+                F.posexplode("es").alias("ci", "e"),
+            )
+            .select(
+                "ci",
+                "b",
+                F.round(F.col("e") * F.col("x"), 6).cast(_DEC6).alias("t"),
+            )
+            .groupBy("ci", "b")
+            .agg(F.sum("t").cast("double").alias("g"))
+            .collect()
+        )
+        g = {(classes[r.ci], r.b): r.g for r in grad}
+        w = {
+            c: [
+                round(
+                    w[c][i] - lr * g.get((c, i + BIAS_BUCKET), 0.0) / n, 6
+                )
+                for i in range(buckets + 1)
+            ]
+            for c in classes
+        }
+    spark = docs.sparkSession
+    rows = [
+        (c, i + BIAS_BUCKET, w[c][i])
+        for c in classes
+        for i in range(buckets + 1)
+    ]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows or [("", -2, 0.0)], 1),
+        "lang string, bucket int, weight double",
+    ).where(F.col("bucket") >= BIAS_BUCKET).orderBy("lang", "bucket")
+
+
+def score_lang_lr(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Predict each document's language with a trained softmax weight
+    table (``train_lang_lr``'s (lang, bucket, weight) shape): argmax
+    over the per-class decimal logit folds — softmax is monotone in z,
+    so scoring needs NO exp() at all and the argmax compares exact
+    decimal-fold doubles (deterministic cross-engine; ties break to
+    the smallest language code). The weight table collects to the
+    driver (K x (buckets+1) rows — metadata; density per class
+    validated like ``score_quality_lr``) and scores as K in-row
+    literal-vector folds: no join, no shuffle, one narrow pass. Docs
+    with no features (NULL text) predict NULL.
+    Output: (id_col, lang_pred).
+    """
+    wrows = weights.select("lang", "bucket", "weight").collect()
+    classes = sorted({r.lang for r in wrows})
+    if not classes:
+        raise ValueError("empty weight table")
+    trained = max(int(r.bucket) for r in wrows) + 1
+    by_class: dict[str, list[float]] = {
+        c: [0.0] * (trained + 1) for c in classes
+    }
+    seen: dict[str, list[int]] = {c: [] for c in classes}
+    for r in wrows:
+        by_class[r.lang][int(r.bucket) - BIAS_BUCKET] = float(r.weight)
+        seen[r.lang].append(int(r.bucket))
+    for c in classes:
+        if sorted(seen[c]) != list(range(BIAS_BUCKET, trained)):
+            raise ValueError(
+                f"weight table is not dense for class {c!r} over "
+                f"buckets {BIAS_BUCKET}..{trained - 1}; a pruned/sparse "
+                "table misaligns the hash space"
+            )
+    feats = _lr_doc_features(docs, text_col, id_col, None, trained)
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-_logit(F.col("fs"), _weight_vec(by_class[c]))).alias(
+                        "nz"
+                    ),
+                    F.lit(c).alias("lang"),
+                )
+                for c in classes
+            ]
+        )
+    )
+    scores = feats.select("id", best["lang"].alias("lang_pred"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scores, "id", "left")
+        .select(F.col("id").alias(id_col), "lang_pred")
     )

@@ -231,6 +231,111 @@ class TestDedupSpansExactKeep1:
             dedup_spans_exact_keep1(docs, min_len=0)
 
 
+class TestLangLr:
+    def test_learns_separable_vocab(self, spark):
+        """Two languages with disjoint vocabularies: 3 GD rounds must
+        classify every doc correctly — the separable-toy gate the
+        binary trainer also passes."""
+        from seriesly_spark.operators.quality import (
+            score_lang_lr,
+            train_lang_lr,
+        )
+
+        rows = [(i, "aa bb cc dd ee", "xx") for i in range(10)] + [
+            (i + 10, "pp qq rr ss tt", "yy") for i in range(10)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+        w = train_lang_lr(docs, buckets=32, rounds=3, lr=4.0)
+        pred = {
+            r.doc_id: r.lang_pred
+            for r in score_lang_lr(docs, w).collect()
+        }
+        want = {i: ("xx" if i < 10 else "yy") for i in range(20)}
+        assert pred == want
+
+    def test_weight_table_shape_dense(self, spark):
+        from seriesly_spark.operators.quality import train_lang_lr
+
+        docs = spark.createDataFrame(
+            [(1, "a b c", "en"), (2, "d e f", "fr")],
+            "doc_id long, text string, lang string",
+        )
+        w = train_lang_lr(docs, buckets=8, rounds=1).collect()
+        assert len(w) == 2 * 9  # 2 classes x (8 buckets + bias)
+        assert {r.lang for r in w} == {"en", "fr"}
+        assert sorted({r.bucket for r in w}) == list(range(-1, 8))
+
+    def test_null_text_predicts_null_and_null_label_excluded(self, spark):
+        from seriesly_spark.operators.quality import (
+            score_lang_lr,
+            train_lang_lr,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "aa bb cc", "xx"),
+                (2, "pp qq rr", "yy"),
+                (3, None, "xx"),  # no features -> NULL pred
+                (4, "aa bb cc", None),  # no supervision -> excluded
+            ],
+            "doc_id long, text string, lang string",
+        )
+        w = train_lang_lr(docs, buckets=16, rounds=2, lr=4.0)
+        assert {r.lang for r in w.collect()} == {"xx", "yy"}  # no NULL class
+        pred = {
+            r.doc_id: r.lang_pred
+            for r in score_lang_lr(docs, w).collect()
+        }
+        assert pred[3] is None
+        assert pred[1] == "xx" and pred[4] == "xx"
+
+    def test_sparse_weight_table_raises(self, spark):
+        from seriesly_spark.operators.quality import (
+            score_lang_lr,
+            train_lang_lr,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b", "en"), (2, "c d", "fr")],
+            "doc_id long, text string, lang string",
+        )
+        w = train_lang_lr(docs, buckets=8, rounds=1)
+        sparse = w.where(F.col("weight") != 0.0)
+        with pytest.raises(ValueError, match="not dense"):
+            score_lang_lr(docs, sparse).collect()
+
+    def test_empty_weight_table_raises(self, spark):
+        from seriesly_spark.operators.quality import score_lang_lr
+
+        docs = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string"
+        )
+        empty = spark.createDataFrame(
+            [], "lang string, bucket int, weight double"
+        )
+        with pytest.raises(ValueError, match="empty"):
+            score_lang_lr(docs, empty).collect()
+
+    def test_all_null_labels_returns_empty_model(self, spark):
+        from seriesly_spark.operators.quality import train_lang_lr
+
+        docs = spark.createDataFrame(
+            [(1, "a b", None)], "doc_id long, text string, lang string"
+        )
+        assert train_lang_lr(docs, buckets=8, rounds=2).count() == 0
+
+    def test_rounds_guard(self, spark):
+        from seriesly_spark.operators.quality import train_lang_lr
+
+        docs = spark.createDataFrame(
+            [(1, "a", "en")], "doc_id long, text string, lang string"
+        )
+        with pytest.raises(ValueError, match="rounds"):
+            train_lang_lr(docs, rounds=0)
+
+
 class TestCrossMinerIdSpaces:
     DOCS = [
         (0, "alpha beta gamma delta epsilon zeta"),
