@@ -33,6 +33,7 @@ from seriesly_spark.operators.quality import (
     train_lang_lr,
     train_quality_lr,
 )
+from seriesly_spark.operators.unigram import unigram_encode, unigram_train
 from seriesly_spark.operators.html import (
     BLOCK_PAT,
     COMMENT_PAT,
@@ -591,6 +592,127 @@ pred AS (SELECT id, lang AS lang_pred FROM (
   SELECT id, lang, row_number() OVER (
     PARTITION BY id ORDER BY z DESC, lang ASC) AS rn FROM sz)
   WHERE rn = 1)"""
+
+
+def _unigram_sql(
+    rounds: int = 2, vocab_size: int = 48, plen: int = 4, maxw: int = 10
+) -> str:
+    """DuckDB replay of the unigram-LM tokenizer trainer
+    (operators.unigram.unigram_train): substring-frequency seeding
+    (top ``vocab_size`` by (cnt desc, piece asc) + all single chars),
+    then ``rounds`` Viterbi hard-EM rounds. The in-row DP fold becomes
+    ``maxw`` unrolled per-position CTE steps (d{r}_j = best score over
+    segmentations of w[1..j], ties to the longer piece — the same
+    (score, len) comparison as Spark's struct array_max) and the
+    traceback ``maxw`` more; counts and the round-6 ln() re-estimate
+    mirror the driver's M-step. PRECONDITION: maxw >= the corpus's
+    longest word (10 > the generator's 8) — the operator itself has
+    no such bound. Returns the CTE chain up to ``l{rounds}`` (piece,
+    cnt, lp) plus an encode-ready dp/traceback of the FINAL model
+    (``se_{maxw}``); callers append their final SELECT."""
+
+    def dp_steps(r: str, vocab: str) -> str:
+        """One Viterbi pass (DP + traceback) tagged ``r`` against
+        piece table ``vocab``."""
+        out = [
+            f""",
+d{r}_0 AS MATERIALIZED (SELECT w, 0 AS j, CAST(0.0 AS DOUBLE) AS s, 0 AS l FROM wd)"""
+        ]
+        for j in range(1, maxw + 1):
+            branches = []
+            for pl in range(1, min(j, plen) + 1):
+                sub = f"substr(p.w, {j - pl + 1}, {pl})"
+                if pl == 1:
+                    branches.append(
+                        f"""
+      SELECT p.w, p.s + coalesce(v.lp, CAST(-20.0 AS DOUBLE)) AS s,
+             {pl} AS l
+      FROM d{r}_{j - pl} p LEFT JOIN {vocab} v ON v.piece = {sub}
+      WHERE len(p.w) >= {j}"""
+                    )
+                else:
+                    branches.append(
+                        f"""
+      SELECT p.w, p.s + v.lp AS s, {pl} AS l
+      FROM d{r}_{j - pl} p JOIN {vocab} v ON v.piece = {sub}
+      WHERE len(p.w) >= {j}"""
+                    )
+            out.append(
+                f""",
+d{r}_{j} AS MATERIALIZED (
+  SELECT w, {j} AS j, s, l FROM (
+    SELECT w, s, l, row_number() OVER (
+      PARTITION BY w ORDER BY s DESC, l DESC) AS rn
+    FROM ({" UNION ALL ".join(branches)})
+  ) WHERE rn = 1)"""
+            )
+        out.append(
+            f""",
+dp{r} AS MATERIALIZED ({" UNION ALL ".join(f"SELECT * FROM d{r}_{j}" for j in range(1, maxw + 1))}),
+t{r}_0 AS MATERIALIZED (SELECT w, freq, len(w) AS pos,
+             CAST([] AS VARCHAR[]) AS ps FROM wd)"""
+        )
+        for k in range(1, maxw + 1):
+            out.append(
+                f""",
+t{r}_{k} AS MATERIALIZED (
+  SELECT t.w, t.freq,
+    CASE WHEN t.pos > 0 THEN t.pos - d.l ELSE 0 END AS pos,
+    CASE WHEN t.pos > 0
+         THEN list_prepend(substr(t.w, t.pos - d.l + 1, d.l), t.ps)
+         ELSE t.ps END AS ps
+  FROM t{r}_{k - 1} t LEFT JOIN dp{r} d ON d.w = t.w AND d.j = t.pos)"""
+            )
+        return "".join(out)
+
+    head = f"""
+WITH dt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents),
+wd AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         SELECT unnest(toks) AS w FROM dt) GROUP BY w),
+sub AS (SELECT substr(w, i, l) AS piece, freq
+        FROM wd,
+             unnest(range(1, len(w) + 1)) AS a(i),
+             unnest(range(1, least({plen}, len(w) - i + 1) + 1)) AS b(l)),
+sc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+       FROM sub GROUP BY piece),
+topv AS (SELECT piece, cnt FROM sc ORDER BY cnt DESC, piece ASC
+         LIMIT {vocab_size}),
+sel0 AS MATERIALIZED (SELECT piece, max(cnt) AS cnt FROM (
+           SELECT * FROM topv
+           UNION ALL SELECT piece, cnt FROM sc WHERE len(piece) = 1)
+         GROUP BY piece),
+v0 AS MATERIALIZED (SELECT piece,
+         CAST(CASE WHEN len(piece) = 1 THEN greatest(cnt, 1)
+              ELSE cnt END AS BIGINT) AS cnt
+       FROM sel0
+       WHERE (CASE WHEN len(piece) = 1 THEN greatest(cnt, 1)
+              ELSE cnt END) > 0),
+l0 AS MATERIALIZED (SELECT piece, cnt,
+         round(ln(cnt / CAST((SELECT sum(cnt) FROM v0) AS DOUBLE)), 6)
+           AS lp
+       FROM v0)"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(dp_steps(str(r), f"l{r - 1}"))
+        steps.append(
+            f""",
+u{r} AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           SELECT unnest(ps) AS piece, freq FROM t{r}_{maxw})
+         GROUP BY piece),
+v{r} AS MATERIALIZED (SELECT p.piece,
+           CAST(CASE WHEN len(p.piece) = 1
+                THEN greatest(coalesce(u.cnt, 0), 1)
+                ELSE coalesce(u.cnt, 0) END AS BIGINT) AS cnt
+         FROM l{r - 1} p LEFT JOIN u{r} u USING (piece)),
+vv{r} AS MATERIALIZED (SELECT piece, cnt FROM v{r} WHERE cnt > 0),
+l{r} AS MATERIALIZED (SELECT piece, cnt,
+           round(ln(cnt / CAST((SELECT sum(cnt) FROM vv{r}) AS DOUBLE)),
+                 6) AS lp
+         FROM vv{r})"""
+        )
+    steps.append(dp_steps("e", f"l{rounds}"))
+    return head + "".join(steps)
 
 
 def _pagerank_sql(iters: int = 5) -> str:
@@ -5272,6 +5394,34 @@ def q_lang_lr_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer trainer — the other
+    tokenizer family next to bpe_train: substring-frequency seeding
+    (top 48 + all single chars), 2 Viterbi hard-EM rounds; per round
+    ONE narrow in-row DP pass over the DISTINCT-WORD table (the
+    corpus collapses once to word frequencies). The oracle replays
+    the full trajectory with the DP unrolled as per-position CTE
+    steps — identical (score, piece-length) tie-breaks, round-6 ln()
+    re-estimates. Output: (piece, cnt, logp)."""
+    return unigram_train(
+        _table(spark, sf_dir, "documents"),
+        vocab_size=48,
+        max_piece_len=4,
+        rounds=2,
+    )
+
+
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train (same 2 unrolled rounds) then Viterbi-encode every
+    document: each DISTINCT word segments once and documents join
+    back by word — encode cost is |vocabulary| DP folds plus one
+    corpus-scale join, not a per-token DP. Output: (doc_id, n_pieces,
+    encoded)."""
+    docs = _table(spark, sf_dir, "documents")
+    m = unigram_train(docs, vocab_size=48, max_piece_len=4, rounds=2)
+    return unigram_encode(docs, m, max_piece_len=4)
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> main-content extraction (jusText-shaped): block
     segmentation at block-tag boundaries, then boilerplate drop by
@@ -5308,6 +5458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_lang_lr": q_train_lang_lr,
         "score_lang_lr": q_score_lang_lr,
         "lang_lr_confusion": q_lang_lr_confusion,
+        "unigram_train": q_unigram_train,
+        "unigram_encode": q_unigram_encode,
         "html_extract": q_html_extract,
         "train_quality_lr": q_train_quality_lr,
         "score_quality_lr": q_score_quality_lr,
@@ -5609,6 +5761,29 @@ scored AS (SELECT d.doc_id,
         + _LANG_LR_PRED
         + "\nSELECT d.doc_id, p.lang_pred FROM documents d "
         + "LEFT JOIN pred p ON d.doc_id = p.id"
+    )
+    # Unigram-LM tokenizer: the oracle replays seeding + both EM
+    # rounds with the Viterbi DP unrolled per position, then reads the
+    # final piece table or the encode traceback.
+    d["unigram_train"] = (
+        _unigram_sql()
+        + "\nSELECT piece, cnt, lp AS logp FROM l2 ORDER BY piece"
+    )
+    d["unigram_encode"] = (
+        _unigram_sql()
+        + """,
+tok AS (SELECT doc_id, i, toks[i] AS w
+        FROM dt, unnest(range(1, len(toks) + 1)) AS r(i)),
+enc AS (SELECT tok.doc_id,
+          CAST(sum(len(s.ps)) AS BIGINT) AS n_pieces,
+          string_agg(array_to_string(s.ps, ' '), ' ' ORDER BY tok.i)
+            AS encoded
+        FROM tok JOIN te_10 s ON s.w = tok.w GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(e.n_pieces, 0) AS n_pieces,
+       coalesce(e.encoded, '') AS encoded
+FROM documents d LEFT JOIN enc e USING (doc_id)
+"""
     )
     d["lang_lr_confusion"] = (
         _lang_lr_sql()

@@ -256,6 +256,8 @@ BENCH_QUERIES = [
     "train_lang_lr",
     "score_lang_lr",
     "lang_lr_confusion",
+    "unigram_train",
+    "unigram_encode",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -336,6 +336,109 @@ class TestLangLr:
             train_lang_lr(docs, rounds=0)
 
 
+class TestUnigramLm:
+    DOCS = [
+        (1, "hello hello world"),
+        (2, "hello word world"),
+        (3, None),
+    ]
+
+    def test_model_shape_and_coverage(self, spark):
+        from seriesly_spark.operators.unigram import unigram_train
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        m = unigram_train(
+            docs, vocab_size=12, max_piece_len=3, rounds=2
+        ).collect()
+        pieces = {r.piece for r in m}
+        # every corpus character survives (singles are never pruned)
+        assert set("helowrd") <= pieces
+        assert all(r.cnt >= 1 and r.logp < 0 for r in m)
+        # probabilities normalize: counts over total
+        tot = sum(r.cnt for r in m)
+        import math
+
+        for r in m:
+            assert r.logp == round(math.log(r.cnt / tot), 6)
+
+    def test_encode_reconstructs_text(self, spark):
+        """The segmentation invariant: concatenating a doc's pieces
+        (spaces dropped) reproduces its original characters."""
+        from seriesly_spark.operators.unigram import (
+            unigram_encode,
+            unigram_train,
+        )
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        m = unigram_train(docs, vocab_size=12, max_piece_len=3, rounds=2)
+        enc = {
+            r.doc_id: r for r in unigram_encode(docs, m, max_piece_len=3).collect()
+        }
+        for i, text in self.DOCS:
+            want = "".join((text or "").split())
+            assert enc[i].encoded.replace(" ", "") == want
+            if text is None:
+                assert enc[i].n_pieces == 0
+
+    def test_em_merges_frequent_substrings(self, spark):
+        """'hello' dominates the toy corpus: after EM its pieces are
+        multi-char (the DP prefers fewer, higher-probability pieces),
+        not 5 singles."""
+        from seriesly_spark.operators.unigram import (
+            unigram_encode,
+            unigram_train,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "hello hello hello") for i in range(5)],
+            "doc_id long, text string",
+        )
+        m = unigram_train(docs, vocab_size=8, max_piece_len=3, rounds=2)
+        enc = unigram_encode(docs, m, max_piece_len=3).collect()[0]
+        assert enc.n_pieces < 15  # 3 words x < 5 pieces each
+
+    def test_unknown_chars_pass_through(self, spark):
+        from seriesly_spark.operators.unigram import (
+            unigram_encode,
+            unigram_train,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "aa bb aa")], "doc_id long, text string"
+        )
+        m = unigram_train(train, vocab_size=8, max_piece_len=2, rounds=1)
+        new = spark.createDataFrame(
+            [(9, "aa zz")], "doc_id long, text string"
+        )
+        enc = unigram_encode(new, m, max_piece_len=2).collect()[0]
+        assert enc.encoded.replace(" ", "") == "aazz"
+
+    def test_guards(self, spark):
+        from seriesly_spark.operators.unigram import (
+            unigram_encode,
+            unigram_train,
+        )
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="rounds"):
+            unigram_train(docs, rounds=0)
+        with pytest.raises(ValueError, match="max_piece_len"):
+            unigram_train(docs, max_piece_len=0)
+        empty = spark.createDataFrame(
+            [], "piece string, cnt bigint, logp double"
+        )
+        with pytest.raises(ValueError, match="empty"):
+            unigram_encode(docs, empty)
+
+    def test_all_null_corpus_empty_model(self, spark):
+        from seriesly_spark.operators.unigram import unigram_train
+
+        docs = spark.createDataFrame(
+            [(1, None)], "doc_id long, text string"
+        )
+        assert unigram_train(docs).count() == 0
+
+
 class TestCrossMinerIdSpaces:
     DOCS = [
         (0, "alpha beta gamma delta epsilon zeta"),
