@@ -43,6 +43,7 @@ from seriesly_spark.operators.html import (
     html_extract,
 )
 from seriesly_spark.operators.dedup_index import (
+    DecontamIndex,
     DedupIndex,
     MinhashIndex,
     SimhashIndex,
@@ -5394,6 +5395,26 @@ def q_lang_lr_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental decontamination: benchmark gram hashes persist ONCE
+    in a DecontamIndex (two overlapping adds exercise the novel-only
+    growth; compact() folds delta into the bucketed base through the
+    shared crash-safe swap), then the training slice probes the index
+    — the dedup_spans_cross rewrite WITHOUT re-hashing the benchmark,
+    and bit-identical to it: the oracle is the one-shot operator's
+    SQL verbatim."""
+    import tempfile as _tf
+
+    docs = _table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    root = _tf.mkdtemp(prefix="seriesly-decontamidx-")
+    idx = DecontamIndex(spark, f"{root}/idx", n=3)
+    idx.add_benchmark(bench.where(F.col("doc_id") % 14 == 0))
+    idx.add_benchmark(bench)  # overlap: only novel grams append
+    idx.compact()
+    return idx.probe_clean(docs.where(F.col("doc_id") % 7 != 0))
+
+
 def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) tokenizer trainer — the other
     tokenizer family next to bpe_train: substring-frequency seeding
@@ -5460,6 +5481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_lr_confusion": q_lang_lr_confusion,
         "unigram_train": q_unigram_train,
         "unigram_encode": q_unigram_encode,
+        "decontam_index_probe": q_decontam_index_probe,
         "html_extract": q_html_extract,
         "train_quality_lr": q_train_quality_lr,
         "score_quality_lr": q_score_quality_lr,
@@ -5762,6 +5784,9 @@ scored AS (SELECT d.doc_id,
         + "\nSELECT d.doc_id, p.lang_pred FROM documents d "
         + "LEFT JOIN pred p ON d.doc_id = p.id"
     )
+    # Incremental decontamination: the index probe is bit-identical to
+    # the one-shot cross rewrite, so the oracle IS that operator's SQL.
+    d["decontam_index_probe"] = d["dedup_spans_cross"]
     # Unigram-LM tokenizer: the oracle replays seeding + both EM
     # rounds with the Viterbi DP unrolled per position, then reads the
     # final piece table or the encode traceback.

@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "lang_lr_confusion",
     "unigram_train",
     "unigram_encode",
+    "decontam_index_probe",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

@@ -1133,3 +1133,215 @@ class SimhashIndex:
             "files_after": _nfiles(self._data),
             "staging_removed": removed,
         }
+
+
+class DecontamIndex:
+    """Frozen benchmark GRAM-HASH index for INCREMENTAL
+    decontamination: persist each eval benchmark's distinct word-n-gram
+    hashes once, so every daily training shard runs the
+    ``dedup_spans_cross`` rewrite against the index WITHOUT re-hashing
+    the benchmarks — and multiple benchmarks COMPOSE (each
+    ``add_benchmark`` appends only its novel grams; the probe is
+    contamination against the union).
+
+    Same LSM layout and crash story as :class:`DedupIndex` — bucketed
+    ``data/`` base + flat ``delta/`` appends, compact() folding via
+    the shared ``_swap_in_compacted`` / ``_recover_compact`` protocol
+    (crash-atomic, repaired on open) — but the stored unit is the
+    8-byte xxhash64 window hash (``g bigint``), the exact identity
+    ``dedup_spans_cross`` joins on, so probe results are
+    bit-identical to the one-shot operator's. The gram width ``n`` is
+    part of the index identity: it is pinned in ``meta.json`` at
+    creation and re-opening with a different ``n`` raises (probing
+    with a mismatched width would silently miss every span).
+
+    Scale shape: benchmarks are small by construction (eval sets), so
+    the index stays broadcast-sized even with many benchmarks; the
+    probe is the dedup_spans_cross dataflow with the hash side read
+    from parquet instead of recomputed — a LEFT SEMI join, duplicate-
+    insensitive, so probes never need a distinct over the index.
+    SINGLE WRITER per index path (the DedupIndex contract).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n: int = 3,
+        n_buckets: int = 64,
+    ):
+        import json
+
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        self.spark = spark
+        self.path = path
+        self.n = n
+        self.n_buckets = n_buckets
+        self._data = os.path.join(path, "data")
+        self._delta = os.path.join(path, "delta")
+        self._meta = os.path.join(path, "meta.json")
+        recovered = _recover_compact(self._data, self._delta)
+        if recovered:
+            logger.warning(
+                "DecontamIndex at %s: repaired interrupted compact (%s)",
+                path, recovered,
+            )
+        if os.path.isfile(self._meta):
+            meta = json.load(open(self._meta))
+            if meta.get("n") != n:
+                raise ValueError(
+                    f"DecontamIndex at {path} was built with n="
+                    f"{meta.get('n')}; opening with n={n} would "
+                    "silently miss every span — use the pinned width"
+                )
+        else:
+            os.makedirs(path, exist_ok=True)
+            tmp = self._meta + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"n": n, "n_buckets": n_buckets}, f)
+            os.replace(tmp, self._meta)
+
+    def _bucket(self, g):
+        # xxhash64 is already uniform; pmod keeps negatives in range
+        return F.pmod(g, F.lit(self.n_buckets)).cast("int")
+
+    def _index_df(self) -> DataFrame:
+        parts = []
+        if _has_parquet(self._data):
+            parts.append(
+                self.spark.read.option("basePath", self._data)
+                .schema("g bigint, bucket int")
+                .parquet(self._data)
+                .select("g")
+            )
+        if _has_parquet(self._delta):
+            parts.append(
+                self.spark.read.schema("g bigint").parquet(self._delta)
+            )
+        if not parts:
+            return self.spark.createDataFrame([], "g bigint")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def size(self) -> int:
+        """Distinct indexed gram hashes."""
+        return self._index_df().distinct().count()
+
+    def _grams(
+        self, docs: DataFrame, text_col: str, id_col: str
+    ) -> DataFrame:
+        from seriesly_spark.operators.dedup import (
+            _span_tokens,
+            _window_hash_expr,
+        )
+
+        return (
+            _span_tokens(docs, text_col, id_col)
+            .select(F.explode(_window_hash_expr(self.n)).alias("g"))
+            .distinct()
+        )
+
+    def add_benchmark(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> int:
+        """Register a benchmark: its distinct gram hashes NOT already
+        indexed append to delta (exactly-once growth — overlapping
+        benchmarks don't bloat the index). Returns the number of novel
+        grams added. Benchmarks are eval-set sized, so the novel frame
+        is materialized once (persist) for the count + the append."""
+        novel = self._grams(docs, text_col, id_col).join(
+            self._index_df(), "g", "left_anti"
+        ).persist()
+        try:
+            added = novel.count()
+            if added:
+                # one flat delta file: eval benchmarks are small, and
+                # O(1) files per add keeps probe file counts flat
+                novel.coalesce(1).write.mode("append").parquet(self._delta)
+        finally:
+            novel.unpersist(blocking=False)
+        return added
+
+    def probe_clean(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """The ``dedup_spans_cross`` rewrite against the index: excise
+        from ``docs`` every token covered by an n-gram window whose
+        hash is indexed (so every shared span of length >= n, by the
+        covering argument). Output: (id_col, n_tokens, n_removed,
+        text_clean) — bit-identical to running dedup_spans_cross
+        against the union of all added benchmarks."""
+        from seriesly_spark.operators.dedup import (
+            _excise_stale_spans,
+            _span_tokens,
+            _window_hash_expr,
+        )
+        from seriesly_spark.operators.util import scoped_persist
+
+        pre = scoped_persist(
+            _span_tokens(docs, text_col, id_col), "decontam.probe_toks"
+        )
+        stale = (
+            pre.select(
+                "id",
+                F.posexplode(_window_hash_expr(self.n)).alias("pos", "g"),
+            )
+            .join(self._index_df(), "g", "left_semi")
+            .groupBy("id")
+            .agg(F.collect_set("pos").alias("__starts"))
+        )
+        return _excise_stale_spans(pre, stale, self.n, id_col)
+
+    def to_bucketed_table(
+        self, table: str, path: str | None = None
+    ) -> None:
+        """Export the distinct grams as a catalog-registered table
+        hash-bucketed by ``g`` — the Exchange-free probe layout, same
+        convention as DedupIndex.to_bucketed_table."""
+        from seriesly_spark.sources.bucketed import write_bucketed
+
+        write_bucketed(
+            self._index_df().distinct(),
+            table,
+            "g",
+            self.n_buckets,
+            sort_cols=["g"],
+            path=path,
+        )
+
+    def compact(self) -> dict:
+        """Fold delta into the bucketed base: one sorted, deduplicated
+        file per bucket, installed via the shared crash-safe swap.
+        Returns {"files_before", "files_after"}."""
+
+        def _nfiles(d: str) -> int:
+            return sum(
+                sum(1 for f in files if f.endswith(".parquet"))
+                for _r, _d, files in os.walk(d)
+            )
+
+        before = _nfiles(self._data) + _nfiles(self._delta)
+        if before:
+            tmp = self._data + ".compact-tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                self._index_df()
+                .distinct()
+                .withColumn("bucket", self._bucket(F.col("g")))
+                .repartition(self.n_buckets, "bucket")
+                .sortWithinPartitions("g")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(tmp)
+            )
+            _swap_in_compacted(self._data, self._delta)
+        return {"files_before": before, "files_after": _nfiles(self._data)}

@@ -439,6 +439,99 @@ class TestUnigramLm:
         assert unigram_train(docs).count() == 0
 
 
+class TestDecontamIndex:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "totally unrelated text with fresh content here"),
+                (3, "the quick brown fox appears again in training"),
+                (4, "benchmark only sentence nothing shared at all"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_probe_matches_one_shot_cross(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup import dedup_spans_cross
+        from seriesly_spark.operators.dedup_index import DecontamIndex
+
+        docs = self._docs(spark)
+        bench = docs.where(F.col("doc_id") >= 3)
+        corpus = docs.where(F.col("doc_id") < 3)
+        idx = DecontamIndex(spark, str(tmp_path / "idx"), n=3)
+        idx.add_benchmark(bench)
+        got = sorted(
+            tuple(r) for r in idx.probe_clean(corpus).collect()
+        )
+        want = sorted(
+            tuple(r) for r in dedup_spans_cross(corpus, bench, n=3).collect()
+        )
+        assert got == want
+
+    def test_incremental_adds_compose_and_grow_by_novelty(
+        self, spark, tmp_path
+    ):
+        from seriesly_spark.operators.dedup_index import DecontamIndex
+
+        docs = self._docs(spark)
+        idx = DecontamIndex(spark, str(tmp_path / "idx"), n=3)
+        a1 = idx.add_benchmark(docs.where(F.col("doc_id") == 3))
+        size1 = idx.size()
+        a2 = idx.add_benchmark(docs.where(F.col("doc_id") >= 3))  # overlap
+        assert a1 == size1
+        assert a2 < a1 + 7  # doc 3's grams did not re-append
+        assert idx.size() == a1 + a2
+        # composition: probe now sees BOTH benchmarks' grams — doc 1
+        # shares "the quick brown fox" with benchmark doc 3, doc 2
+        # shares nothing
+        hit = idx.probe_clean(docs.where(F.col("doc_id") < 3)).collect()
+        assert {r.doc_id: r.n_removed > 0 for r in hit} == {
+            1: True,
+            2: False,
+        }
+
+    def test_compact_preserves_probe_and_survives_crash(
+        self, spark, tmp_path
+    ):
+        import os
+        import shutil
+
+        from seriesly_spark.operators.dedup_index import DecontamIndex
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "idx")
+        idx = DecontamIndex(spark, path, n=3)
+        idx.add_benchmark(docs.where(F.col("doc_id") >= 3))
+        before = sorted(
+            tuple(r)
+            for r in idx.probe_clean(
+                docs.where(F.col("doc_id") < 3)
+            ).collect()
+        )
+        st = idx.compact()
+        assert st["files_after"] >= 1
+        # stranded compact-tmp from a pretend crash: repaired on open
+        shutil.copytree(
+            os.path.join(path, "data"), os.path.join(path, "data.compact-tmp")
+        )
+        idx2 = DecontamIndex(spark, path, n=3)
+        after = sorted(
+            tuple(r)
+            for r in idx2.probe_clean(
+                docs.where(F.col("doc_id") < 3)
+            ).collect()
+        )
+        assert before == after
+        assert not os.path.isdir(os.path.join(path, "data.compact-tmp"))
+
+    def test_n_is_pinned(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import DecontamIndex
+
+        DecontamIndex(spark, str(tmp_path / "idx"), n=3)
+        with pytest.raises(ValueError, match="n=3"):
+            DecontamIndex(spark, str(tmp_path / "idx"), n=4)
+
+
 class TestCrossMinerIdSpaces:
     DOCS = [
         (0, "alpha beta gamma delta epsilon zeta"),
