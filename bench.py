@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "unigram_train",
     "unigram_encode",
     "decontam_index_probe",
+    "bpe_train_batch",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)

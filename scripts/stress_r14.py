@@ -73,6 +73,52 @@ def gate_spans_exact_keep1(spark) -> None:
     )
 
 
+def gate_bpe_batch(spark) -> None:
+    """3-way merge-loop A/B at the r11 vocabulary-bound shape (2M
+    distinct 8-hex-char words, 16 merges): naive per-merge rounds vs
+    incremental counts (bpe_train_fast) vs batched selection
+    (bpe_train_batch, batch=4 -> 4 driver rounds instead of 16).
+    Equivalence: all three merge tables must be IDENTICAL here."""
+    import os
+    import tempfile
+    import time
+
+    from seriesly_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_batch,
+        bpe_train_fast,
+    )
+
+    docs = spark.range(2_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.substring(F.md5(F.col("id").cast("string")), 1, 8).alias("text"),
+    )
+    path = os.path.join(tempfile.gettempdir(), "r14_bpe_vocab")
+    docs.write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    out = {}
+    for name, fn in [
+        ("naive", lambda: bpe_train(docs, merges=16)),
+        ("fast", lambda: bpe_train_fast(docs, merges=16)),
+        ("batch4", lambda: bpe_train_batch(docs, merges=16, batch=4)),
+        ("fast+batch4",
+         lambda: bpe_train_fast(docs, merges=16, batch=4)),
+    ]:
+        t0 = time.time()
+        table = [(r.lhs, r.rhs, r.pair_count) for r in fn().collect()]
+        out[name] = (time.time() - t0, table)
+    tables = [v[1] for v in out.values()]
+    same = all(t == tables[0] for t in tables)
+    assert same, {k: v[1][:4] for k, v in out.items()}
+    print(
+        "bpe merge-loop A/B (2M distinct words, 16 merges): naive "
+        f"{out['naive'][0]:.1f} s, fast {out['fast'][0]:.1f} s, "
+        f"batch4 {out['batch4'][0]:.1f} s, fast+batch4 "
+        f"{out['fast+batch4'][0]:.1f} s; merge tables IDENTICAL"
+    )
+
+
 if __name__ == "__main__":
     spark = get_spark("stress-r14", cpus=32, shuffle_partitions=64)
     gate_spans_exact_keep1(spark)
+    gate_bpe_batch(spark)

@@ -284,11 +284,43 @@ def bpe_encode(
     )
 
 
+def _batch_conflicts(a1: str, b1: str, a2: str, b2: str) -> bool:
+    """Can fusing (a1, b1) change the count of (a2, b2)? Only when
+    their occurrences overlap in the symbol stream (b1 == a2 or
+    a1 == b2) or the created symbol a1||b1 collides with a symbol
+    either side mentions — the bpe_train_batch exactness argument."""
+    return (
+        b1 == a2
+        or a1 == b2
+        or a2 == a1 + b1
+        or b2 == a1 + b1
+        or a2 + b2 in (a1, b1, a1 + b1)
+    )
+
+
+def _select_batch(top, k: int) -> list[tuple[str, str, int]]:
+    """Up to ``k`` merges from the (cnt desc, a, b)-ordered candidate
+    rows, mutually non-conflicting in both directions."""
+    selected: list[tuple[str, str, int]] = []
+    for row in top:
+        if len(selected) == k:
+            break
+        if any(
+            _batch_conflicts(a, b, row.a, row.b)
+            or _batch_conflicts(row.a, row.b, a, b)
+            for a, b, _ in selected
+        ):
+            continue
+        selected.append((row.a, row.b, int(row.cnt)))
+    return selected
+
+
 def bpe_train_fast(
     docs: DataFrame,
     text_col: str = "text",
     merges: int = 8,
     max_word_len: int | None = None,
+    batch: int = 1,
 ) -> DataFrame:
     """:func:`bpe_train` with INCREMENTAL pair-count maintenance — the
     HF-tokenizers training shape: instead of re-aggregating every
@@ -312,6 +344,14 @@ def bpe_train_fast(
     per-round full-vocabulary rewrite measured WORSE (46.2 s): early
     merges affect 30%+ of the vocabulary, so the overlay anti-join
     costs more than the rewrite it saves; rejected.
+
+    ``batch`` > 1 composes BATCHED selection on top (round 14): each
+    driver round selects up to ``batch`` mutually non-conflicting
+    merges from the maintained count table under bpe_train_batch's
+    overlap rule and swaps all their contributions in ONE pass —
+    17.7 s at the 2M-word/16-merge stress vs 32.1 s at batch=1 (and
+    80.9 s naive). Same exactness contract and divergence window as
+    bpe_train_batch; batch=1 is the original sequential behavior.
     """
     if merges < 1:
         raise ValueError("merges must be >= 1")
@@ -343,25 +383,33 @@ def bpe_train_fast(
 
     counts = crot.checkpoint(_pair_counts(vocab, 1))
     rows = []
-    for r in range(1, merges + 1):
-        best = (
+    while len(rows) < merges:
+        k = min(max(1, batch), merges - len(rows))
+        top = (
             counts.where(F.col("cnt") > 0)
             .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
+            .limit(4 * k)
             .collect()
         )
-        if not best:
+        selected = _select_batch(top, k)
+        if not selected:
             break
-        a, b, cnt = best[0].a, best[0].b, int(best[0].cnt)
-        rows.append((r, a, b, cnt))
+        for a, b, cnt in selected:
+            rows.append((len(rows) + 1, a, b, cnt))
         has_pair = F.expr(
             "size(syms) >= 2 AND exists(sequence(0, size(syms) - 2), "
-            f"i -> syms[i] = {_lit(a)} AND syms[i + 1] = {_lit(b)})"
+            "i -> "
+            + " OR ".join(
+                f"(syms[i] = {_lit(a)} AND syms[i + 1] = {_lit(b)})"
+                for a, b, _ in selected
+            )
+            + ")"
         )
         affected = vocab.where(has_pair)
-        fused = affected.select(
-            "n", _fuse(F.col("syms"), a, b).alias("syms")
-        )
+        col = F.col("syms")
+        for a, b, _ in selected:
+            col = _fuse(col, a, b)
+        fused = affected.select("n", col.alias("syms"))
         # swap the affected words' contributions: -old +new, folded
         # into the running table; zero-sum pairs are dropped lazily by
         # the argmax's cnt > 0 guard (exact integer bookkeeping).
@@ -392,3 +440,104 @@ def _lit(s: str) -> str:
     """SQL single-quoted string literal (symbols come from corpus text,
     so quotes/backslashes must be escaped for the expr() predicate)."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def bpe_train_batch(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: int = 8,
+    batch: int = 4,
+    max_word_len: int | None = None,
+) -> DataFrame:
+    """:func:`bpe_train` with BATCHED merge rounds — the driver-bound
+    cut for production merge counts (K ~ 30k): each driver round
+    aggregates pair counts ONCE, then selects up to ``batch`` merges
+    in argmax order under the NON-OVERLAPPING constraint (a candidate
+    is skipped if it shares a symbol with an already-selected pair of
+    this round) and applies them in one vocabulary rewrite. K merges
+    take ceil(K / batch)-ish driver round-trips instead of K.
+
+    Exactness contract, stated precisely. Fusing (a1, b1) changes the
+    count of another pair (a2, b2) ONLY when their occurrences can
+    overlap in the symbol stream — i.e. b1 == a2 (the stream
+    "a1 b1 b2" loses an (a2, b2)) or a1 == b2 ("a2 a1 b1" likewise) —
+    or when the created symbol a1||b1 collides with a symbol either
+    pair mentions (possible once earlier merges exist: fusing can then
+    mint MORE of an existing symbol). The non-overlapping filter skips
+    a candidate exactly on those conditions, so every selected pair's
+    count is provably invariant under its batch-mates' fusions and
+    the recorded counts equal sequential training's. The ONE remaining
+    divergence window is the classic parallel-BPE one: a pair CREATED
+    by an in-batch fusion (x, a1||b1) could, under sequential
+    training, outrank a later in-batch selection — created pairs are
+    bounded by the creating merge's count, so this needs a sharply
+    skewed distribution (natural-language "t h" -> "th e" chains);
+    on such corpora the batched table is a valid BPE table for a
+    slightly different selection order, not sequential's. ``batch=1``
+    IS bpe_train. The registry corpus is equivalence-gated (tests +
+    the driver oracle replaying SEQUENTIAL training — a divergence
+    would fail the gate loudly, which is the point).
+
+    Measured at the r11 stress shape (2M distinct words, 16 merges,
+    one session, PLANS.md round 14): naive 80.9 s, this 56.7 s at
+    batch=4 (1.4x — each batched round still re-aggregates the whole
+    vocabulary, so the win is only the skipped rounds), incremental
+    (bpe_train_fast) 32.1 s, and the COMPOSITION
+    ``bpe_train_fast(batch=4)`` 17.7 s (4.6x naive): batching cuts
+    driver ROUNDS, incremental maintenance cuts per-round WORK, and
+    they multiply — the configuration a K~30k production run wants.
+    All four merge tables IDENTICAL on the gate corpus. Output:
+    (rank, lhs, rhs, pair_count), identical schema/order semantics to
+    bpe_train.
+    """
+    if merges < 1:
+        raise ValueError("merges must be >= 1")
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
+    spark = docs.sparkSession
+    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+    w = docs.select(tok).where(F.col("word") != "")
+    if max_word_len is not None:
+        w = w.where(F.length("word") <= max_word_len)
+    rot = CheckpointRotator()
+    vocab = rot.checkpoint(
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+    )
+    rows: list[tuple] = []
+    while len(rows) < merges:
+        k = min(batch, merges - len(rows))
+        # 4k candidates cover the skips the disjointness filter makes;
+        # a pathological all-overlapping head just yields a short batch
+        # (correctness never depends on the candidate window).
+        top = (
+            vocab.select("n", F.explode(F.expr(_PAIRS)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(4 * k)
+            .collect()
+        )
+        if not top:
+            break
+        selected = _select_batch(top, k)
+        if not selected:
+            break
+        for a, b, cnt in selected:
+            rows.append((len(rows) + 1, a, b, cnt))
+        col = F.col("syms")
+        for a, b, _ in selected:
+            col = _fuse(col, a, b)
+        vocab = rot.checkpoint(vocab.select("n", col.alias("syms")))
+    rot.close(spark.sparkContext)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "rank int, lhs string, rhs string, pair_count long",
+    )

@@ -532,6 +532,75 @@ class TestDecontamIndex:
             DecontamIndex(spark, str(tmp_path / "idx"), n=4)
 
 
+class TestBpeBatch:
+    def _docs(self, spark):
+        """Hex-word corpus (the 2M-word stress shape scaled down):
+        flat pair distribution, no heavy merge chains — the regime
+        where batched selection is exactly sequential."""
+        import hashlib
+
+        words = [
+            hashlib.md5(str(i).encode()).hexdigest()[:8]
+            for i in range(400)
+        ]
+        return spark.createDataFrame(
+            [(i, " ".join(words[i * 40:(i + 1) * 40])) for i in range(10)],
+            "doc_id long, text string",
+        )
+
+    def test_batched_equals_sequential(self, spark):
+        from seriesly_spark.operators.bpe import bpe_train, bpe_train_fast
+
+        docs = self._docs(spark)
+        seq = [tuple(r) for r in bpe_train(docs, merges=10).collect()]
+        for batch in (1, 3, 4):
+            got = [
+                tuple(r)
+                for r in bpe_train_fast(
+                    docs, merges=10, batch=batch
+                ).collect()
+            ]
+            assert got == seq, batch
+
+    def test_overlap_rule_forces_sequential(self, spark):
+        """'the'-style chain: (h, e) and (t, h) overlap, so the batch
+        collapses to one merge and the created (t, he) pair is picked
+        next — identical to sequential."""
+        from seriesly_spark.operators.bpe import bpe_train, bpe_train_fast
+
+        docs = spark.createDataFrame(
+            [(i, "the the the") for i in range(3)],
+            "doc_id long, text string",
+        )
+        seq = [tuple(r) for r in bpe_train(docs, merges=2).collect()]
+        got = [
+            tuple(r)
+            for r in bpe_train_fast(docs, merges=2, batch=2).collect()
+        ]
+        assert got == seq
+        assert [r[1] + r[2] for r in seq] == ["he", "the"]
+
+    def test_documented_divergence_window(self, spark):
+        """The ONE case batching admits (and the docstring documents):
+        a pair CREATED by an in-batch fusion — (x, ab) here — outranks
+        the batch's second pick under sequential training. Pinned so
+        the contract stays honest; the driver oracle gate would fail
+        loudly if the registry corpus ever hit this shape."""
+        from seriesly_spark.operators.bpe import bpe_train, bpe_train_fast
+
+        text = " ".join(["ab"] * 100 + ["xab"] * 90 + ["cd"] * 60)
+        docs = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        seq = [(r.lhs, r.rhs) for r in bpe_train(docs, merges=2).collect()]
+        bat = [
+            (r.lhs, r.rhs)
+            for r in bpe_train_fast(docs, merges=2, batch=2).collect()
+        ]
+        assert seq == [("a", "b"), ("x", "ab")]
+        assert bat == [("a", "b"), ("c", "d")]  # the documented window
+
+
 class TestCrossMinerIdSpaces:
     DOCS = [
         (0, "alpha beta gamma delta epsilon zeta"),
