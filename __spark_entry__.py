@@ -670,7 +670,7 @@ t{r}_{k} AS MATERIALIZED (
 WITH dt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
             FROM documents),
 wd AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-         SELECT unnest(toks) AS w FROM dt) GROUP BY w),
+         SELECT unnest(toks) AS w FROM dt) WHERE w <> '' GROUP BY w),
 sub AS (SELECT substr(w, i, l) AS piece, freq
         FROM wd,
              unnest(range(1, len(w) + 1)) AS a(i),

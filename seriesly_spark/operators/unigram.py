@@ -62,6 +62,7 @@ def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
     return (
         spread(docs)
         .select(F.explode(tokens(text_col)).alias("w"))
+        .where(F.col("w") != "")  # all-whitespace text splits to ['']
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -287,13 +288,18 @@ def unigram_encode(
     pre = spread(docs).select(
         F.col(id_col).alias("id"), tokens(text_col).alias("__t")
     )
-    words = pre.select(F.explode("__t").alias("w")).distinct().withColumn(
-        "freq", F.lit(1)
+    words = (
+        pre.select(F.explode("__t").alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+        .withColumn("freq", F.lit(1))
     )
     seg = _segment_words(words, vocab, max_piece_len).select(
         "w", "ps"
     )
-    tok = pre.select("id", F.posexplode("__t").alias("pos", "w"))
+    tok = pre.select("id", F.posexplode("__t").alias("pos", "w")).where(
+        F.col("w") != ""
+    )
     enc = (
         tok.join(seg, "w")
         .groupBy("id")

@@ -438,6 +438,26 @@ class TestUnigramLm:
         )
         assert unigram_train(docs).count() == 0
 
+    def test_whitespace_only_text(self, spark):
+        """'' splits to [''] — the empty pseudo-word must not enter
+        the vocabulary or the encode stream (both engines guard it)."""
+        from seriesly_spark.operators.unigram import (
+            unigram_encode,
+            unigram_train,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "aa bb"), (2, "   "), (3, "")],
+            "doc_id long, text string",
+        )
+        m = unigram_train(docs, vocab_size=8, max_piece_len=2, rounds=1)
+        assert "" not in {r.piece for r in m.collect()}
+        out = sorted(
+            tuple(r)
+            for r in unigram_encode(docs, m, max_piece_len=2).collect()
+        )
+        assert out == [(1, 2, "aa bb"), (2, 0, ""), (3, 0, "")]
+
 
 class TestDecontamIndex:
     def _docs(self, spark):
