@@ -177,17 +177,70 @@ def _viterbi_cols(
 
 
 def _segment_words(
-    words: DataFrame, vocab: dict[str, float], max_piece_len: int
+    words: DataFrame,
+    vocab: dict[str, float],
+    max_piece_len: int,
+    impl: str = "pandas",
 ) -> DataFrame:
     """(w, freq, ps): each distinct word's Viterbi segmentation under
-    ``vocab``. The DP column materializes in its own projection so the
-    traceback's repeated element_at probes hit a computed array, not
-    |w| re-evaluations of the whole fold."""
-    dp, pieces = _viterbi_cols(vocab, max_piece_len)
-    return (
-        words.withColumn("__dp", dp)
-        .select("w", "freq", pieces.alias("ps"))
-    )
+    ``vocab``. Two implementations pinned bit-equal by tests (the LSH
+    signature convention):
+
+    * ``impl="pandas"`` (default): one Arrow-batched mapInPandas stage
+      running the DP as plain Python — higher-order-function lambdas
+      evaluate INTERPRETED on the JVM (no codegen), and this DP is
+      lambda-dense (array_append of struct arrays + a map probe per
+      candidate), so the Arrow hop wins by ~17x here (1M words: 19 s
+      vs 315 s — PLANS.md round 14). Same IEEE doubles, same
+      expression tree (dp[j-l] + logp, one addition per candidate),
+      same (score, len) tie-break — bit-identical output.
+    * ``impl="expr"``: the pure-JVM F.aggregate fold — no Python
+      boundary; the parity reference and the plan-gate-friendly form.
+    """
+    if impl == "expr":
+        dp, pieces = _viterbi_cols(vocab, max_piece_len)
+        return (
+            words.withColumn("__dp", dp)
+            .select("w", "freq", pieces.alias("ps"))
+        )
+    if impl != "pandas":
+        raise ValueError('impl must be "pandas" or "expr"')
+
+    def seg_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for w in pdf["w"]:
+                n = len(w)
+                best = [0.0] * (n + 1)
+                bp = [0] * (n + 1)
+                for j in range(1, n + 1):
+                    bs, bl = None, 0
+                    for l in range(1, min(max_piece_len, j) + 1):
+                        lp = vocab.get(w[j - l:j])
+                        if lp is None:
+                            if l != 1:
+                                continue
+                            lp = UNK_LOGP
+                        s = best[j - l] + lp
+                        # max by (score, len): same tie order as the
+                        # expr form's struct array_max
+                        if bs is None or s > bs or (s == bs and l > bl):
+                            bs, bl = s, l
+                    best[j], bp[j] = bs, bl
+                ps, pos = [], n
+                while pos > 0:
+                    ps.append(w[pos - bp[pos]:pos])
+                    pos -= bp[pos]
+                out.append(ps[::-1])
+            yield pd.DataFrame(
+                {"w": pdf["w"], "freq": pdf["freq"], "ps": out}
+            )
+
+    return words.select(
+        "w", F.col("freq").cast("bigint").alias("freq")
+    ).mapInPandas(seg_batches, "w string, freq bigint, ps array<string>")
 
 
 def _reestimate(
