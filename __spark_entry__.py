@@ -33,7 +33,11 @@ from seriesly_spark.operators.quality import (
     train_lang_lr,
     train_quality_lr,
 )
-from seriesly_spark.operators.unigram import unigram_encode, unigram_train
+from seriesly_spark.operators.unigram import (
+    unigram_encode,
+    unigram_stats,
+    unigram_train,
+)
 from seriesly_spark.operators.html import (
     BLOCK_PAT,
     COMMENT_PAT,
@@ -5414,6 +5418,20 @@ def q_lang_lr_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the unigram model (same 2 unrolled EM rounds) and score
+    its fertility/compression on the corpus — the tokenizer-budget
+    gate, symmetric with bpe_stats: BIGINT piece masses over the
+    distinct-word table, two IEEE divisions. Oracle replays training
+    and aggregates the final traceback."""
+    return unigram_stats(
+        _table(spark, sf_dir, "documents"),
+        vocab_size=48,
+        max_piece_len=4,
+        rounds=2,
+    )
+
+
 def q_decontam_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental decontamination: benchmark gram hashes persist ONCE
     in a DecontamIndex (two overlapping adds exercise the novel-only
@@ -5500,6 +5518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_lr_confusion": q_lang_lr_confusion,
         "unigram_train": q_unigram_train,
         "unigram_encode": q_unigram_encode,
+        "unigram_stats": q_unigram_stats,
         "decontam_index_probe": q_decontam_index_probe,
         "bpe_train_batch": q_bpe_train_batch,
         "activity_concentration": q_concentration,
@@ -5543,7 +5562,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "tpch_q21_fast": q_tpch_q21_fast,
         "tpch_q22": q_tpch_q22,
-        "tpch_q4": q_tpch_q4,
         # --- tail: certified; covered by the all-query
         # oracle replay in tests/test_entry_oracle.py ---
         "agreement_kappa": q_agreement_kappa,
@@ -5733,6 +5751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q12": q_tpch_q12,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
@@ -5828,6 +5847,20 @@ SELECT d.doc_id,
        coalesce(e.n_pieces, 0) AS n_pieces,
        coalesce(e.encoded, '') AS encoded
 FROM documents d LEFT JOIN enc e USING (doc_id)
+"""
+    )
+    d["unigram_stats"] = (
+        _unigram_sql()
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(freq) AS BIGINT) AS n_word_instances,
+       CAST(sum(freq * len(w)) AS BIGINT) AS pieces_before,
+       CAST(sum(freq * len(ps)) AS BIGINT) AS pieces_after,
+       round(CAST(sum(freq * len(ps)) AS DOUBLE)
+             / CAST(sum(freq) AS DOUBLE), 6) AS pieces_per_word,
+       round(CAST(sum(freq * len(ps)) AS DOUBLE)
+             / CAST(sum(freq * len(w)) AS DOUBLE), 6) AS compression
+FROM te_10
 """
     )
     d["lang_lr_confusion"] = (

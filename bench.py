@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "lang_lr_confusion",
     "unigram_train",
     "unigram_encode",
+    "unigram_stats",
     "decontam_index_probe",
     "bpe_train_batch",
 ]

@@ -382,3 +382,54 @@ def unigram_encode(
             F.coalesce("encoded", F.lit("")).alias("encoded"),
         )
     )
+
+
+def unigram_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 48,
+    max_piece_len: int = 4,
+    rounds: int = 2,
+) -> DataFrame:
+    """Train the unigram model (exactly :func:`unigram_train`'s loop)
+    and score what the learned pieces buy on the SAME corpus — the
+    fertility/compression gate a tokenizer-budget decision reads,
+    symmetric with ``bpe_stats``: pieces per word instance before
+    (= characters) and after, and their ratio.
+
+    Every mass is a BIGINT sum over the distinct-word table weighted
+    by corpus counts, so the two ratios are single IEEE divisions —
+    engine-exact. Output one row: (n_words, n_word_instances,
+    pieces_before, pieces_after, pieces_per_word, compression);
+    n_words is distinct vocabulary size. An empty corpus reports a
+    zero row with NULL ratios."""
+    model = unigram_train(
+        docs, text_col, id_col, vocab_size, max_piece_len, rounds
+    )
+    vocab = {r.piece: float(r.logp) for r in model.collect()}
+    spark = docs.sparkSession
+    if not vocab:
+        return spark.createDataFrame(
+            [(0, 0, 0, 0, None, None)],
+            "n_words bigint, n_word_instances bigint, "
+            "pieces_before bigint, pieces_after bigint, "
+            "pieces_per_word double, compression double",
+        )
+    words = _word_counts(docs, text_col)
+    seg = _segment_words(words, vocab, max_piece_len)
+    before = F.sum(F.col("freq") * F.length("w")).cast("bigint")
+    after = F.sum(F.col("freq") * F.size("ps")).cast("bigint")
+    inst = F.sum("freq").cast("bigint")
+    return seg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        inst.alias("n_word_instances"),
+        before.alias("pieces_before"),
+        after.alias("pieces_after"),
+        F.round(after.cast("double") / inst.cast("double"), 6).alias(
+            "pieces_per_word"
+        ),
+        F.round(after.cast("double") / before.cast("double"), 6).alias(
+            "compression"
+        ),
+    )

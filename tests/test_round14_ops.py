@@ -438,6 +438,36 @@ class TestUnigramLm:
         )
         assert unigram_train(docs).count() == 0
 
+    def test_stats_masses_consistent(self, spark):
+        """bpe_stats symmetry: pieces_before = corpus chars,
+        pieces_after matches the encode piece total, ratios are the
+        two divisions."""
+        from seriesly_spark.operators.unigram import (
+            unigram_encode,
+            unigram_stats,
+            unigram_train,
+        )
+
+        docs = spark.createDataFrame(
+            self.DOCS, "doc_id long, text string"
+        )
+        st = unigram_stats(
+            docs, vocab_size=12, max_piece_len=3, rounds=2
+        ).collect()[0]
+        chars = sum(
+            len(w) for _, t in self.DOCS if t for w in t.split()
+        )
+        assert st.pieces_before == chars
+        m = unigram_train(docs, vocab_size=12, max_piece_len=3, rounds=2)
+        total_pieces = sum(
+            r.n_pieces
+            for r in unigram_encode(docs, m, max_piece_len=3).collect()
+        )
+        assert st.pieces_after == total_pieces
+        assert st.pieces_per_word == round(
+            st.pieces_after / st.n_word_instances, 6
+        )
+
     def test_whitespace_only_text(self, spark):
         """'' splits to [''] — the empty pseudo-word must not enter
         the vocabulary or the encode stream (both engines guard it)."""
