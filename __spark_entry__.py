@@ -558,7 +558,7 @@ sfeats AS (SELECT scnt.id, scnt.b, scnt.m / snf.nf AS x
            UNION ALL
            SELECT id, -1, CAST(1.0 AS DOUBLE) FROM snf),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nf),
-cls AS (SELECT DISTINCT y AS lang FROM t),
+cls AS (SELECT DISTINCT y AS lang FROM nf),
 w0 AS (SELECT c.lang, CAST(b.b AS INT) AS b, CAST(0.0 AS DOUBLE) AS w
        FROM cls c, (SELECT unnest(range(-1, {buckets})) AS b) b)"""
     steps = []
@@ -571,7 +571,9 @@ z{k} AS (SELECT f.id, w.lang,
 p{k} AS (SELECT id, lang, ez,
   CAST(sum(CAST(ez AS DECIMAL(28,6))) OVER (PARTITION BY id)
        AS DOUBLE) AS den
-  FROM (SELECT id, lang, round(exp(z), 6) AS ez FROM z{k})),
+  FROM (SELECT id, lang,
+          round(exp(z - max(z) OVER (PARTITION BY id)), 6) AS ez
+        FROM z{k})),
 e{k} AS (SELECT p.id, p.lang,
   round(p.ez / p.den, 6)
     - CASE WHEN fy.y = p.lang THEN CAST(1.0 AS DOUBLE)
@@ -5853,13 +5855,15 @@ FROM documents d LEFT JOIN enc e USING (doc_id)
         _unigram_sql()
         + """
 SELECT CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(freq) AS BIGINT) AS n_word_instances,
-       CAST(sum(freq * len(w)) AS BIGINT) AS pieces_before,
-       CAST(sum(freq * len(ps)) AS BIGINT) AS pieces_after,
-       round(CAST(sum(freq * len(ps)) AS DOUBLE)
-             / CAST(sum(freq) AS DOUBLE), 6) AS pieces_per_word,
-       round(CAST(sum(freq * len(ps)) AS DOUBLE)
-             / CAST(sum(freq * len(w)) AS DOUBLE), 6) AS compression
+       CAST(coalesce(sum(freq), 0) AS BIGINT) AS n_word_instances,
+       CAST(coalesce(sum(freq * len(w)), 0) AS BIGINT) AS pieces_before,
+       CAST(coalesce(sum(freq * len(ps)), 0) AS BIGINT) AS pieces_after,
+       CASE WHEN coalesce(sum(freq), 0) > 0 THEN
+         round(CAST(sum(freq * len(ps)) AS DOUBLE)
+               / CAST(sum(freq) AS DOUBLE), 6) END AS pieces_per_word,
+       CASE WHEN coalesce(sum(freq * len(w)), 0) > 0 THEN
+         round(CAST(sum(freq * len(ps)) AS DOUBLE)
+               / CAST(sum(freq * len(w)) AS DOUBLE), 6) END AS compression
 FROM te_10
 """
     )

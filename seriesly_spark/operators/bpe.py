@@ -56,6 +56,35 @@ def _fuse(syms, a: str, b: str):
     )
 
 
+
+def _word_vocab(
+    docs: DataFrame,
+    text_col: str,
+    max_word_len: "int | None",
+    with_len0: bool = False,
+):
+    """The shared trainer prologue: whitespace words (empty filtered,
+    optional junk-length guard) aggregated to the (n, syms[, len0])
+    vocabulary frame every merge loop starts from — ONE definition so
+    the trainers cannot silently diverge on tokenization."""
+    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+    w = docs.select(tok).where(F.col("word") != "")
+    if max_word_len is not None:
+        w = w.where(F.length("word") <= max_word_len)
+    cols = [F.count(F.lit(1)).alias("n")]
+    out = w.groupBy("word").agg(*cols)
+    sel = [
+        "n",
+        F.expr(
+            "transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ]
+    if with_len0:
+        sel.insert(1, F.length("word").alias("len0"))
+    return out.select(*sel)
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
@@ -76,26 +105,12 @@ def bpe_train(
     if merges < 1:
         raise ValueError("merges must be >= 1")
     spark = docs.sparkSession
-    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
-    w = docs.select(tok).where(F.col("word") != "")
-    if max_word_len is not None:
-        w = w.where(F.length("word") <= max_word_len)
     # Each round's vocabulary is eagerly checkpointed (lineage would
     # otherwise nest one fold per merge); the rotator unpersists the
     # PREVIOUS round's blocks so the loop holds one live vocabulary
     # copy, not merges+1.
     rot = CheckpointRotator()
-    vocab = rot.checkpoint(
-        w.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "n",
-            F.expr(
-                "transform(sequence(1, length(word)), "
-                "i -> substring(word, i, 1))"
-            ).alias("syms"),
-        )
-    )
+    vocab = rot.checkpoint(_word_vocab(docs, text_col, max_word_len))
     rows = []
     for r in range(1, merges + 1):
         best = (
@@ -142,25 +157,12 @@ def bpe_stats(
     """
     if merges < 1:
         raise ValueError("merges must be >= 1")
-    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
-    w = docs.select(tok).where(F.col("word") != "")
-    if max_word_len is not None:
-        w = w.where(F.length("word") <= max_word_len)
     # One-live-copy checkpoint lifecycle, exactly as in bpe_train. The
     # FINAL round's checkpoint stays alive — the returned aggregate
     # reads it — which is the same one-copy budget as scoped_persist.
     rot = CheckpointRotator()
     vocab = rot.checkpoint(
-        w.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "n",
-            F.length("word").alias("len0"),
-            F.expr(
-                "transform(sequence(1, length(word)), "
-                "i -> substring(word, i, 1))"
-            ).alias("syms"),
-        )
+        _word_vocab(docs, text_col, max_word_len, with_len0=True)
     )
     for _ in range(merges):
         best = (
@@ -355,23 +357,11 @@ def bpe_train_fast(
     """
     if merges < 1:
         raise ValueError("merges must be >= 1")
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
     spark = docs.sparkSession
-    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
-    w = docs.select(tok).where(F.col("word") != "")
-    if max_word_len is not None:
-        w = w.where(F.length("word") <= max_word_len)
     vrot, crot = CheckpointRotator(), CheckpointRotator()
-    vocab = vrot.checkpoint(
-        w.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "n",
-            F.expr(
-                "transform(sequence(1, length(word)), "
-                "i -> substring(word, i, 1))"
-            ).alias("syms"),
-        )
-    )
+    vocab = vrot.checkpoint(_word_vocab(docs, text_col, max_word_len))
 
     def _pair_counts(v: DataFrame, sign: int) -> DataFrame:
         return (
@@ -384,7 +374,7 @@ def bpe_train_fast(
     counts = crot.checkpoint(_pair_counts(vocab, 1))
     rows = []
     while len(rows) < merges:
-        k = min(max(1, batch), merges - len(rows))
+        k = min(batch, merges - len(rows))
         top = (
             counts.where(F.col("cnt") > 0)
             .orderBy(F.col("cnt").desc(), "a", "b")
@@ -466,14 +456,18 @@ def bpe_train_batch(
     mint MORE of an existing symbol). The non-overlapping filter skips
     a candidate exactly on those conditions, so every selected pair's
     count is provably invariant under its batch-mates' fusions and
-    the recorded counts equal sequential training's. The ONE remaining
-    divergence window is the classic parallel-BPE one: a pair CREATED
-    by an in-batch fusion (x, a1||b1) could, under sequential
-    training, outrank a later in-batch selection — created pairs are
+    the recorded counts equal sequential training's. TWO divergence
+    windows remain, both the classic parallel-BPE ones: (a) a pair
+    CREATED by an in-batch fusion (x, a1||b1) could, under sequential
+    training, outrank a later in-batch selection (created pairs are
     bounded by the creating merge's count, so this needs a sharply
-    skewed distribution (natural-language "t h" -> "th e" chains);
-    on such corpora the batched table is a valid BPE table for a
-    slightly different selection order, not sequential's. ``batch=1``
+    skewed distribution — natural-language "t h" -> "th e" chains);
+    (b) a CONFLICTING pair skipped in-batch whose occurrences only
+    PARTIALLY overlap the batch-mate's fusions can survive with a
+    count that still outranks the batch's later picks (sequential
+    training would merge the survivor next). On such corpora the
+    batched table is a valid BPE table for a slightly different
+    selection order, not sequential's; both windows are test-pinned. ``batch=1``
     IS bpe_train. The registry corpus is equivalence-gated (tests +
     the driver oracle replaying SEQUENTIAL training — a divergence
     would fail the gate loudly, which is the point).
@@ -495,22 +489,8 @@ def bpe_train_batch(
     if batch < 1:
         raise ValueError("batch must be >= 1")
     spark = docs.sparkSession
-    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
-    w = docs.select(tok).where(F.col("word") != "")
-    if max_word_len is not None:
-        w = w.where(F.length("word") <= max_word_len)
     rot = CheckpointRotator()
-    vocab = rot.checkpoint(
-        w.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "n",
-            F.expr(
-                "transform(sequence(1, length(word)), "
-                "i -> substring(word, i, 1))"
-            ).alias("syms"),
-        )
-    )
+    vocab = rot.checkpoint(_word_vocab(docs, text_col, max_word_len))
     rows: list[tuple] = []
     while len(rows) < merges:
         k = min(batch, merges - len(rows))

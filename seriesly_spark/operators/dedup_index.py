@@ -1195,6 +1195,14 @@ class DecontamIndex:
                     f"{meta.get('n')}; opening with n={n} would "
                     "silently miss every span — use the pinned width"
                 )
+            if meta.get("n_buckets") != n_buckets:
+                raise ValueError(
+                    f"DecontamIndex at {path} was built with "
+                    f"n_buckets={meta.get('n_buckets')}; opening with "
+                    f"n_buckets={n_buckets} would silently re-bucket "
+                    "the base on the next compact and break any "
+                    "co-partitioned probe layout — use the pinned value"
+                )
         else:
             os.makedirs(path, exist_ok=True)
             tmp = self._meta + ".tmp"

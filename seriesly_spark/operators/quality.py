@@ -303,16 +303,19 @@ def train_lang_lr(
     N featured docs:
 
         z_dc  = sum_b w_cb x_db                       (decimal fold)
-        ez_dc = round(exp(z_dc), 6)
+        ez_dc = round(exp(z_dc - max_c' z_dc'), 6)    (max-stabilized)
         p_dc  = round(ez_dc / sum_c' ez_dc', 6)
         g_cb  = sum_d (p_dc - [y_d = c]) x_db         (decimal fold)
         w_cb <- round(w_cb - lr g_cb / N, 6)
 
-    Softmax parity discipline: each exp term is rounded to 6 BEFORE
-    the denominator fold, and the denominator accumulates in
-    decimal(28,6) — so it is order-independent and any engine replays
-    p_dc exactly (a double sum of raw exp() terms would depend on
-    class addition order). Weights re-round to 6 per update, the
+    Softmax parity discipline: the per-doc max logit is subtracted
+    before exp (the largest term is exactly 1.0, so the decimal cast
+    can never overflow to NULL and the denominator can never round to
+    0 — without it a z > ~51 would silently drop the doc from the
+    gradient), each exp term is rounded to 6 BEFORE the denominator
+    fold, and the denominator accumulates in decimal(28,6) — so it is
+    order-independent and any engine replays p_dc exactly (a double
+    sum of raw exp() terms would depend on class addition order). Weights re-round to 6 per update, the
     ``train_quality_lr`` trajectory convention. Driver boundary per
     round: one K x (buckets+1) gradient collect (the kmeans/BPE round
     state). Scale shape is the binary trainer's: text collapses once
@@ -339,8 +342,28 @@ def train_lang_lr(
     w = {c: [0.0] * (buckets + 1) for c in classes}
     training_rounds = range(rounds) if n > 0 and classes else ()
     for _ in training_rounds:
-        zs = [_logit(F.col("fs"), _weight_vec(w[c])) for c in classes]
-        ezs = [F.round(F.exp(z), 6) for z in zs]
+        # The K logit folds land in their OWN projection as named
+        # columns: zmax and every ez reference each z column twice+,
+        # and duplicated non-cheap expressions must not re-inline
+        # (the train_quality_lr CollapseProject lesson, squared —
+        # K x K fold copies otherwise).
+        zcols = feats.select(
+            "y",
+            "fs",
+            *[
+                _logit(F.col("fs"), _weight_vec(w[c])).alias(f"__z{i}")
+                for i, c in enumerate(classes)
+            ],
+        )
+        zrefs = [F.col(f"__z{i}") for i in range(len(classes))]
+        # Max-stabilized softmax: exp(z - zmax) keeps the largest term
+        # at exactly 1.0, so the denominator can neither overflow the
+        # decimal cast (exp(z) > 1e22 would cast to NULL and silently
+        # DROP the doc from the gradient while n still counts it) nor
+        # round to 0 (den >= 1 always). zmax is an exact double max of
+        # identical values on every engine, so parity survives.
+        zmax = F.greatest(*zrefs) if len(zrefs) > 1 else zrefs[0]
+        ezs = [F.round(F.exp(z - zmax), 6) for z in zrefs]
         den = F.aggregate(
             F.array(*ezs),
             F.lit(0).cast(_DEC6),
@@ -353,12 +376,11 @@ def train_lang_lr(
                 for c, ez in zip(classes, ezs)
             ]
         )
-        # errs is computed in its OWN projection below each Generate
-        # (the train_quality_lr CollapseProject lesson): inlined into a
-        # generator's project list, the K softmax folds re-evaluate per
-        # exploded element.
+        # errs is computed in its OWN projection below each Generate:
+        # inlined into a generator's project list, the softmax would
+        # re-evaluate per exploded element.
         grad = (
-            feats.select("fs", errs.alias("es"))
+            zcols.select("fs", errs.alias("es"))
             .select("es", F.explode("fs").alias("f"))
             .select(
                 F.col("f.b").alias("b"),

@@ -468,6 +468,33 @@ class TestUnigramLm:
             st.pieces_after / st.n_word_instances, 6
         )
 
+    def test_impl_parity_pandas_vs_expr(self, spark):
+        """The two Viterbi implementations are pinned bit-equal (the
+        LSH impl convention) — including unknown single chars and the
+        (score, len) tie-break."""
+        from seriesly_spark.operators.unigram import _segment_words
+
+        vocab = {
+            "a": -1.2, "b": -2.345678, "ab": -1.9, "ba": -1.9,
+            "abc": -3.5, "c": -4.0, "x": -0.5,
+        }
+        words = spark.createDataFrame(
+            [("abcabz", 3), ("xxx", 1), ("ababab", 2), ("q", 1),
+             ("abcba", 4), ("zzzz", 1)],
+            "w string, freq long",
+        )
+        pd_rows = sorted(
+            tuple(r)
+            for r in _segment_words(words, vocab, 3, impl="pandas").collect()
+        )
+        ex_rows = sorted(
+            tuple(r)
+            for r in _segment_words(words, vocab, 3, impl="expr").collect()
+        )
+        assert pd_rows == ex_rows
+        with pytest.raises(ValueError, match="impl"):
+            _segment_words(words, vocab, 3, impl="numpy")
+
     def test_whitespace_only_text(self, spark):
         """'' splits to [''] — the empty pseudo-word must not enter
         the vocabulary or the encode stream (both engines guard it)."""
@@ -629,6 +656,40 @@ class TestBpeBatch:
         ]
         assert got == seq
         assert [r[1] + r[2] for r in seq] == ["he", "the"]
+
+    def test_documented_divergence_window_b(self, spark):
+        """Window (b): a conflicting pair skipped in-batch whose
+        occurrences only PARTIALLY overlap the batch-mate's fusion —
+        (b, c) survives with count 70 after (a, b) fuses, which
+        sequential training merges next, while the batch picked
+        (z, b) instead."""
+        from seriesly_spark.operators.bpe import bpe_train, bpe_train_fast
+
+        text = " ".join(
+            ["abc"] * 30 + ["ab"] * 80 + ["zbc"] * 70 + ["de"] * 60
+        )
+        docs = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        seq = [(r.lhs, r.rhs) for r in bpe_train(docs, merges=2).collect()]
+        bat = [
+            (r.lhs, r.rhs)
+            for r in bpe_train_fast(docs, merges=2, batch=2).collect()
+        ]
+        assert seq == [("a", "b"), ("b", "c")]
+        assert bat == [("a", "b"), ("z", "b")]
+
+    def test_batch_guard(self, spark):
+        from seriesly_spark.operators.bpe import (
+            bpe_train_batch,
+            bpe_train_fast,
+        )
+
+        docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="batch"):
+            bpe_train_fast(docs, merges=1, batch=0)
+        with pytest.raises(ValueError, match="batch"):
+            bpe_train_batch(docs, merges=1, batch=0)
 
     def test_documented_divergence_window(self, spark):
         """The ONE case batching admits (and the docstring documents):
