@@ -5434,6 +5434,38 @@ def q_unigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination verdicts: the benchmark slice
+    (doc_id % 7 == 0) freezes into a DecontamIndex; the training slice
+    arrives as a 4-micro-batch stream and every document is verdicted
+    against the frozen gram set via a stream-static join (state = one
+    counter row per doc). Final table equals batch positional-gram
+    containment — FULL DuckDB oracle on window TEXT (independent of
+    xxhash64, the dedup_spans_cross convention)."""
+    import tempfile as _tf
+    import uuid as _uuid_mod
+
+    from seriesly_spark.streaming.ingest import streaming_decontam
+
+    docs = _table(spark, sf_dir, "documents")
+    root = _tf.mkdtemp(prefix="seriesly-sdecontam-")
+    idx = DecontamIndex(spark, f"{root}/idx", n=3)
+    idx.add_benchmark(docs.where(F.col("doc_id") % 7 == 0))
+    idx.compact()
+    stream_dir = f"{root}/stream"
+    (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .select("doc_id", "text")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(stream_dir)
+    )
+    return streaming_decontam(
+        spark, stream_dir, idx._index_df(), n=3,
+        query_name=f"sdecontam_{_uuid_mod.uuid4().hex[:8]}",
+    )
+
+
 def q_decontam_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental decontamination: benchmark gram hashes persist ONCE
     in a DecontamIndex (two overlapping adds exercise the novel-only
@@ -5522,6 +5554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_encode": q_unigram_encode,
         "unigram_stats": q_unigram_stats,
         "decontam_index_probe": q_decontam_index_probe,
+        "streaming_decontam": q_streaming_decontam,
         "bpe_train_batch": q_bpe_train_batch,
         "activity_concentration": q_concentration,
         "ann_ivf": q_ann_ivf,
@@ -5563,7 +5596,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,
         "tpch_q21_fast": q_tpch_q21_fast,
-        "tpch_q22": q_tpch_q22,
         # --- tail: certified; covered by the all-query
         # oracle replay in tests/test_entry_oracle.py ---
         "agreement_kappa": q_agreement_kappa,
@@ -5752,6 +5784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events_per_type": q_topk_events_per_type,
         "tpch_q1": q_tpch_q1,
         "tpch_q12": q_tpch_q12,
+        "tpch_q22": q_tpch_q22,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
@@ -5828,6 +5861,33 @@ scored AS (SELECT d.doc_id,
     # Incremental decontamination: the index probe is bit-identical to
     # the one-shot cross rewrite, so the oracle IS that operator's SQL.
     d["decontam_index_probe"] = d["dedup_spans_cross"]
+    # Streaming decontamination: final table = batch positional-gram
+    # containment; oracle joins window TEXT (xxhash64-independent).
+    d["streaming_decontam"] = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents WHERE doc_id % 7 <> 0),
+bg AS (SELECT DISTINCT array_to_string(toks[s:s+2], ' ') AS g
+       FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+             FROM documents WHERE doc_id % 7 = 0) b,
+            unnest(range(1, len(toks) - 1)) AS r(s)
+       WHERE len(toks) >= 3),
+gp AS (SELECT doc_id, array_to_string(toks[s:s+2], ' ') AS g
+       FROM t, unnest(range(1, len(toks) - 1)) AS r(s)
+       WHERE len(toks) >= 3),
+pc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+       FROM gp GROUP BY doc_id)
+SELECT t.doc_id,
+  CAST(coalesce(pc.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(pc.n_hits, 0) AS BIGINT) AS n_hits,
+  CASE WHEN coalesce(pc.n_grams, 0) > 0
+       THEN round(pc.n_hits / CAST(pc.n_grams AS DOUBLE), 6)
+  END AS gram_containment,
+  coalesce(pc.n_hits, 0) > 0 AS contaminated
+FROM t LEFT JOIN pc USING (doc_id)
+ORDER BY doc_id
+"""
     # Unigram-LM tokenizer: the oracle replays seeding + both EM
     # rounds with the Viterbi DP unrolled per position, then reads the
     # final piece table or the encode traceback.

@@ -662,3 +662,87 @@ def streaming_phash_dedup(
         return _run_to_memory(agg, query_name, "complete", spark)
     finally:
         _rm_staging(stream_dir)
+
+
+def streaming_decontam(
+    spark: SparkSession,
+    stream_dir: str,
+    grams: DataFrame,
+    n: int = 3,
+    query_name: str = "stream_decontam",
+) -> DataFrame:
+    """Streaming DECONTAMINATION verdicts: a document stream (a daily
+    crawl arriving in micro-batches — ``stream_dir`` holds the chunked
+    parquet files, one micro-batch each) is probed against a FROZEN
+    benchmark gram-hash set (``grams``: (g bigint) — typically
+    ``DecontamIndex._index_df()`` or any static frame of window
+    hashes — rows must be DISTINCT, which DecontamIndex's exactly-once
+    growth invariant guarantees; duplicate g rows would fan the join
+    out and double-count hits) and every document gets a contamination
+    verdict as it arrives. The streaming member of the decontamination family: the
+    one-shot operators (``dedup_spans_cross`` / ``decontam_report``)
+    audit a corpus at rest; the index (``DecontamIndex``) makes the
+    benchmark side incremental; this closes the loop for the ARRIVING
+    side, the shape a live intake pipeline actually runs.
+
+    Dataflow: per micro-batch, each document's positional n-gram
+    window hashes are computed in-row (the ``_window_hash_expr``
+    identity the whole span family joins on) and stream-static LEFT
+    joined against ``grams`` — no state beyond the per-doc counters
+    (each doc arrives once; the aggregate is keyed by doc_id, the
+    streaming_bucket_counts state class). Post-drain, the staged doc
+    spine rejoins so gram-less documents (short/NULL text) report
+    (0, 0) instead of vanishing. The final table equals the batch
+    positional-gram containment, which is what the DuckDB oracle
+    replays (window TEXT identity — independent of xxhash64, the
+    dedup_spans_cross oracle convention). Output: (doc_id, n_grams,
+    n_hits, gram_containment round-6 or NULL when gram-less,
+    contaminated = n_hits > 0), ordered by doc_id.
+    """
+    from seriesly_spark.operators.dedup import _window_hash_expr
+    from seriesly_spark.operators.textstats import tokens
+
+    schema = spark.read.parquet(stream_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    # _span_tokens' projection, minus its spread(): .rdd-based
+    # partition introspection is illegal on a streaming frame (and a
+    # micro-batch is already partitioned by the file source)
+    toks = tokens("text")
+    pre = src.select(
+        F.col("doc_id").alias("id"),
+        F.transform(toks, lambda x: F.xxhash64(x)).alias("__th"),
+        F.size(toks).alias("__nt"),
+    )
+    exploded = pre.select(
+        "id", F.explode(_window_hash_expr(n)).alias("g")
+    )
+    marked = exploded.join(
+        grams.select("g").withColumn("__hit", F.lit(1)), "g", "left"
+    )
+    agg = marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+    )
+    tbl = _run_to_memory(agg, query_name, "complete", spark)
+    spine = spark.read.parquet(stream_dir).select(
+        F.col("doc_id").alias("id")
+    )
+    out = spine.join(tbl, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_hits") / F.col("n_grams"), 6),
+        ).alias("gram_containment"),
+        (F.col("n_hits") > 0).alias("contaminated"),
+    ).orderBy("doc_id")

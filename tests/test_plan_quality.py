@@ -31,6 +31,7 @@ SKIP = {
     "streaming_watermarked_agg",
     "streaming_sessionize",
     "streaming_dedup",
+    "streaming_decontam",
     "streaming_distinct",
     "streaming_join",
     "continuous_rollup",

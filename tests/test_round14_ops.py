@@ -712,6 +712,44 @@ class TestBpeBatch:
         assert bat == [("a", "b"), ("c", "d")]  # the documented window
 
 
+class TestStreamingDecontam:
+    def test_verdicts_across_micro_batches(self, spark, tmp_path):
+        """Two chunk files = two micro-batches; contaminated, clean,
+        and gram-less docs all report correctly after the drain."""
+        from seriesly_spark.operators.dedup_index import DecontamIndex
+        from seriesly_spark.streaming.ingest import streaming_decontam
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps")],
+            "doc_id long, text string",
+        )
+        idx = DecontamIndex(spark, str(tmp_path / "idx"), n=3)
+        idx.add_benchmark(bench)
+        sdir = str(tmp_path / "stream")
+        spark.createDataFrame(
+            [(1, "intro the quick brown fox outro")],
+            "doc_id long, text string",
+        ).write.parquet(sdir)
+        spark.createDataFrame(
+            [(2, "completely clean other words here"), (3, "too short")],
+            "doc_id long, text string",
+        ).write.mode("append").parquet(sdir)
+        out = {
+            r.doc_id: r
+            for r in streaming_decontam(
+                spark, sdir, idx._index_df(), n=3,
+                query_name="t_sdecontam",
+            ).collect()
+        }
+        # windows of doc 1: (intro,the,quick) (the,quick,brown)
+        # (quick,brown,fox) (brown,fox,outro) — the middle two appear
+        # in the benchmark
+        assert out[1].n_grams == 4 and out[1].n_hits == 2
+        assert out[1].contaminated and out[1].gram_containment == 0.5
+        assert out[2].n_hits == 0 and not out[2].contaminated
+        assert out[3].n_grams == 0 and out[3].gram_containment is None
+
+
 class TestCrossMinerIdSpaces:
     DOCS = [
         (0, "alpha beta gamma delta epsilon zeta"),
