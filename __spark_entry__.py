@@ -5442,6 +5442,7 @@ def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter row per doc). Final table equals batch positional-gram
     containment — FULL DuckDB oracle on window TEXT (independent of
     xxhash64, the dedup_spans_cross convention)."""
+    import shutil as _sh
     import tempfile as _tf
     import uuid as _uuid_mod
 
@@ -5449,21 +5450,27 @@ def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _table(spark, sf_dir, "documents")
     root = _tf.mkdtemp(prefix="seriesly-sdecontam-")
-    idx = DecontamIndex(spark, f"{root}/idx", n=3)
-    idx.add_benchmark(docs.where(F.col("doc_id") % 7 == 0))
-    idx.compact()
-    stream_dir = f"{root}/stream"
-    (
-        docs.where(F.col("doc_id") % 7 != 0)
-        .select("doc_id", "text")
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(stream_dir)
-    )
-    return streaming_decontam(
-        spark, stream_dir, idx._index_df(), n=3,
-        query_name=f"sdecontam_{_uuid_mod.uuid4().hex[:8]}",
-    )
+    try:
+        idx = DecontamIndex(spark, f"{root}/idx", n=3)
+        idx.add_benchmark(docs.where(F.col("doc_id") % 7 == 0))
+        idx.compact()
+        stream_dir = f"{root}/stream"
+        (
+            docs.where(F.col("doc_id") % 7 != 0)
+            .select("doc_id", "text")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(stream_dir)
+        )
+        out = streaming_decontam(
+            spark, stream_dir, idx._index_df(), n=3,
+            query_name=f"sdecontam_{_uuid_mod.uuid4().hex[:8]}",
+        )
+        # The returned frame re-reads stream_dir lazily (the doc
+        # spine), so materialize before the staging root is removed.
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
 
 
 def q_decontam_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,10 +23,14 @@ driver boundary per merge, the rate.py class.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from seriesly_spark.operators.util import CheckpointRotator
+
+_LOG = logging.getLogger(__name__)
 
 
 _PAIRS = (
@@ -302,8 +306,16 @@ def _batch_conflicts(a1: str, b1: str, a2: str, b2: str) -> bool:
 
 def _select_batch(top, k: int) -> list[tuple[str, str, int]]:
     """Up to ``k`` merges from the (cnt desc, a, b)-ordered candidate
-    rows, mutually non-conflicting in both directions."""
+    rows, mutually non-conflicting in both directions.
+
+    When a skipped CONFLICTING candidate's count strictly exceeds a
+    later in-batch pick's, this round has entered divergence window
+    (b) of :func:`bpe_train_batch`'s contract (sequential training
+    might have merged the survivor first) — logged as a warning so
+    production runs can detect the window without an oracle replay.
+    """
     selected: list[tuple[str, str, int]] = []
+    skipped: list[tuple[str, str, int, int]] = []
     for row in top:
         if len(selected) == k:
             break
@@ -312,8 +324,20 @@ def _select_batch(top, k: int) -> list[tuple[str, str, int]]:
             or _batch_conflicts(row.a, row.b, a, b)
             for a, b, _ in selected
         ):
+            skipped.append((row.a, row.b, int(row.cnt), len(selected)))
             continue
         selected.append((row.a, row.b, int(row.cnt)))
+    for a, b, cnt, at in skipped:
+        if any(cnt > selected[i][2] for i in range(at, len(selected))):
+            _LOG.warning(
+                "bpe batch round skipped conflicting pair (%r, %r) "
+                "count=%d above a later in-batch pick — possible "
+                "divergence from sequential merge order (window b)",
+                a,
+                b,
+                cnt,
+            )
+            break
     return selected
 
 

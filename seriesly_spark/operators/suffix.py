@@ -143,7 +143,9 @@ def suffix_dup_stats(
     if rounds == "auto":
         mx = pre.agg(F.max(F.size("__th"))).collect()[0][0] or 0
         rounds = max(1, int(mx).bit_length())
-    elif not isinstance(rounds, int):
+    elif type(rounds) is not int:
+        # bool is an int subclass: rounds=True would silently train
+        # with 1 round instead of failing like other malformed values
         raise ValueError('rounds must be an int or "auto"')
     per_side = _suffix_lcp(pre, rounds)
     per_doc = per_side.groupBy("id").agg(F.max("lcp").alias("max_dup_len"))

@@ -676,9 +676,9 @@ def streaming_decontam(
     parquet files, one micro-batch each) is probed against a FROZEN
     benchmark gram-hash set (``grams``: (g bigint) — typically
     ``DecontamIndex._index_df()`` or any static frame of window
-    hashes — rows must be DISTINCT, which DecontamIndex's exactly-once
-    growth invariant guarantees; duplicate g rows would fan the join
-    out and double-count hits) and every document gets a contamination
+    hashes — rows are de-duplicated here before the join, so a
+    duplicate-bearing frame cannot fan the join out and double-count
+    hits) and every document gets a contamination
     verdict as it arrives. The streaming member of the decontamination family: the
     one-shot operators (``dedup_spans_cross`` / ``decontam_report``)
     audit a corpus at rest; the index (``DecontamIndex``) makes the
@@ -720,8 +720,13 @@ def streaming_decontam(
     exploded = pre.select(
         "id", F.explode(_window_hash_expr(n)).alias("g")
     )
+    # grams is static, so enforcing the distinct-rows precondition
+    # costs one agg up front; a duplicate-bearing frame would fan the
+    # stream-static join out and double-count n_hits silently.
     marked = exploded.join(
-        grams.select("g").withColumn("__hit", F.lit(1)), "g", "left"
+        grams.select("g").distinct().withColumn("__hit", F.lit(1)),
+        "g",
+        "left",
     )
     agg = marked.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_grams"),
