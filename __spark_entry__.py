@@ -805,6 +805,10 @@ _GRAMS_SQL = """
   WHERE len(toks) >= 3
 """
 
+# DuckDB list literal of operators.textstats.STOPWORDS — derived from
+# the Spark-side constant so the two engines cannot drift.
+_STOPWORDS_SQL = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
+
 # DuckDB mirror of the synthetic crawl page built by _html_page_expr —
 # identical byte concatenation, so the html_extract rule set is
 # value-checked cross-engine.
@@ -5534,6 +5538,219 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract(pages)
 
 
+_LADDER_BOILER = (
+    " shared footer boilerplate sentence repeated across mirrored"
+    " crawl snapshots"
+)
+
+
+def _ladder_raw(docs: DataFrame) -> DataFrame:
+    """Seeded intake corpus for the full-ladder gate: the train slice
+    (doc_id % 7 != 0) plus three deterministic re-crawl families —
+    byte-identical mirrors (exact-dedup prey), one-token mutations
+    (near-dup prey: Jaccard ~(n-2)/(n-1) on 3-gram shingles), and
+    shared-boilerplate-suffix snapshots (keep-one span prey: every
+    snapshot carries the same 9-token footer, so all but its earliest
+    occurrence is excised) — so EVERY ladder stage provably fires on
+    the gate corpus instead of passing clean data through."""
+    base = docs.where((F.col("doc_id") % 7) != 0).select(
+        "doc_id", "source", "lang", "text"
+    )
+
+    def clone(mod: int, off: int, text: Column) -> DataFrame:
+        return base.where(F.col("doc_id") % 13 == mod).select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            "source",
+            "lang",
+            text.alias("text"),
+        )
+
+    return (
+        base.unionByName(clone(1, 10_000_000, F.col("text")))
+        .unionByName(clone(2, 20_000_000, F.concat("text", F.lit(" extra"))))
+        .unionByName(
+            clone(3, 30_000_000, F.concat("text", F.lit(_LADDER_BOILER)))
+        )
+    )
+
+
+def q_pipeline_full_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern intake ladder, end-to-end on one seeded crawl
+    corpus — the integration proof that the individually certified
+    stages compose: synthetic crawl pages -> html_extract ->
+    quality_filter gate -> dedup ladder (exact -> minhash-LSH
+    candidates confirmed by exact 3-gram Jaccard >= 0.8 -> connected
+    components keep cluster-min -> keep-one ExactSubstr span excision)
+    -> DecontamIndex.probe_clean vs the held-out benchmark slice ->
+    budget_select (sqrt-temperature mixture, 6000-token budget) ->
+    pack_sequences (seq_len=48, 2 shards). Output: one row per source
+    with every stage's survivor/removal counters, all oracle-checked
+    by the same ladder recomposed from the proven component SQLs.
+
+    Scale shape: each stage is the certified operator unchanged — text
+    reduces to digests/grams before every exchange, LSH candidates are
+    banded (never all-pairs) and the exact-Jaccard confirm touches
+    candidate pairs only, CC is the bounded iterative min-label loop,
+    and the final counters are sources-sized. Stage boundaries are
+    eager localCheckpoints, NOT persists: ten chained stages re-print
+    every upstream cached subtree at each InMemoryRelation reference
+    and the AQE plan string alone OOMs the driver (the iterative-
+    lineage convention; stage frames here are corpus-row-sized)."""
+    docs = _table(spark, sf_dir, "documents")
+    raw = (_ladder_raw(docs)).localCheckpoint(eager=True)
+    src_map = raw.select("doc_id", "source")
+    ext = html_extract(raw.select("doc_id", _html_page_expr().alias("html")))
+    corpus0 = (ext.where(F.col("text") != "")
+        .select("doc_id", "text")
+        .join(src_map, "doc_id")).localCheckpoint(eager=True)
+    qk = quality_filter(corpus0).where("keep").select("doc_id")
+    corpus1 = (corpus0.join(qk, "doc_id")).localCheckpoint(eager=True)
+    corpus2 = (corpus1.join(dedup_exact(corpus1), "doc_id")).localCheckpoint(eager=True)
+    cand = minhash_lsh_pairs(corpus2, n=3, bands=16)
+    g = (corpus2.select(
+            F.col("doc_id").alias("gid"),
+            word_shingles("text", 3).alias("grams"),
+        ).where(F.size("grams") > 0)).localCheckpoint(eager=True)
+    inter = F.size(F.array_intersect("ga", "gb"))
+    conf = (
+        cand.join(
+            g.select(F.col("gid").alias("a"), F.col("grams").alias("ga")),
+            "a",
+        )
+        .join(
+            g.select(F.col("gid").alias("b"), F.col("grams").alias("gb")),
+            "b",
+        )
+        .where(
+            F.round(inter / (F.size("ga") + F.size("gb") - inter), 6)
+            >= 0.8
+        )
+        .select("a", "b")
+    )
+    cc = connected_components(
+        g.select(F.col("gid").alias("doc_id")), conf, id_col="doc_id"
+    )
+    near_drop = cc.where(F.col("cluster_id") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    corpus3 = corpus2.join(near_drop, "doc_id", "left_anti")
+    span = (dedup_spans_exact_keep1(corpus3, min_len=8)).localCheckpoint(eager=True)
+    corpus4 = span.where(F.col("text_clean") != "").select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    root = tempfile.mkdtemp(prefix="seriesly-ladder-")
+    try:
+        idx = DecontamIndex(spark, os.path.join(root, "idx"), n=3)
+        idx.add_benchmark(docs.where(F.col("doc_id") % 7 == 0))
+        decon = (idx.probe_clean(corpus4)).localCheckpoint(eager=True)
+        corpus5 = (decon.where(F.col("text_clean") != "")
+            .select("doc_id", F.col("text_clean").alias("text"))
+            .join(src_map, "doc_id")
+            .withColumn(
+                "n_tokens",
+                F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long"),
+            )).localCheckpoint(eager=True)
+        selected = (budget_select(corpus5, "source", 6000, size_col="n_tokens")).localCheckpoint(eager=True)
+        packed = pack_sequences(
+            selected.select("doc_id", "source").join(
+                corpus5.select("doc_id", "text"), "doc_id"
+            ),
+            seq_len=48,
+            part_col="source",
+            shards=2,
+        )
+
+        def _cnt(df: DataFrame, name: str) -> DataFrame:
+            return df.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias(name)
+            )
+
+        summary = (
+            _cnt(raw, "n_raw")
+            .join(_cnt(corpus0, "n_extracted"), "source", "left")
+            .join(_cnt(corpus1, "n_quality"), "source", "left")
+            .join(_cnt(corpus2, "n_exact"), "source", "left")
+            .join(_cnt(corpus3, "n_near"), "source", "left")
+            .join(
+                span.join(src_map, "doc_id")
+                .groupBy("source")
+                .agg(
+                    F.sum("n_removed")
+                    .cast("long")
+                    .alias("span_removed_tokens")
+                ),
+                "source",
+                "left",
+            )
+            .join(
+                decon.join(src_map, "doc_id")
+                .groupBy("source")
+                .agg(
+                    F.sum("n_removed")
+                    .cast("long")
+                    .alias("decontam_removed_tokens")
+                ),
+                "source",
+                "left",
+            )
+            .join(
+                corpus5.groupBy("source").agg(
+                    F.count(F.lit(1)).cast("long").alias("clean_docs"),
+                    F.sum("n_tokens").cast("long").alias("clean_tokens"),
+                ),
+                "source",
+                "left",
+            )
+            .join(
+                selected.groupBy("source").agg(
+                    F.count(F.lit(1)).cast("long").alias("sel_docs"),
+                    F.sum("n_tokens").cast("long").alias("sel_tokens"),
+                ),
+                "source",
+                "left",
+            )
+            .join(
+                packed.groupBy("part")
+                .agg(
+                    F.countDistinct("shard", "seq_id")
+                    .cast("long")
+                    .alias("pack_seqs"),
+                    F.sum("n_tok_in_seq").cast("long").alias("pack_tokens"),
+                )
+                .withColumnRenamed("part", "source"),
+                "source",
+                "left",
+            )
+        )
+        zero = [
+            "n_extracted",
+            "n_quality",
+            "n_exact",
+            "n_near",
+            "span_removed_tokens",
+            "decontam_removed_tokens",
+            "clean_docs",
+            "clean_tokens",
+            "sel_docs",
+            "sel_tokens",
+            "pack_seqs",
+            "pack_tokens",
+        ]
+        out = summary.select(
+            "source",
+            "n_raw",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in zero
+            ],
+        ).orderBy("source")
+        # The probe subtree reads the index parquet lazily; materialize
+        # the sources-sized summary before the staging root is removed.
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate
     certifies the FIRST 50 entries in registration order (observed in
@@ -5553,6 +5770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # certified entries first (registration order), then the
         # stalest-certified cohorts (CERTIFIED.json), alphabetical
         # within a cohort; alphabetical tail.
+        "pipeline_full_ladder": q_pipeline_full_ladder,
         "tpch_q22": q_tpch_q22,
         "tpch_q4": q_tpch_q4,
         "tpch_q7": q_tpch_q7,
@@ -5602,7 +5820,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "minhash_index_incremental": q_minhash_index_incremental,
         "p01_multi_pointer": q_p01_multi_pointer,
-        "pii_redact": q_pii_redact,
         # --- tail: certified; covered by the all-query
         # oracle replay in tests/test_entry_oracle.py ---
         "activity_concentration": q_concentration,
@@ -5707,6 +5924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_certify": q_pca_certify,
         "pct_change_series": q_pct_change,
         "percentiles": q_percentiles,
+        "pii_redact": q_pii_redact,
         "pii_screen": q_pii_screen,
         "pipeline_e2e": q_pipeline_e2e,
         "png_decode_stats": q_png_decode_stats,
@@ -5868,6 +6086,260 @@ scored AS (SELECT d.doc_id,
     # Incremental decontamination: the index probe is bit-identical to
     # the one-shot cross rewrite, so the oracle IS that operator's SQL.
     d["decontam_index_probe"] = d["dedup_spans_cross"]
+    # The full intake ladder, recomposed stage-by-stage from the proven
+    # component SQLs (the pipeline_e2e convention, at full depth).
+    # Every chained stage CTE is AS MATERIALIZED — DuckDB otherwise
+    # re-inlines the whole upstream ladder at each reference and the
+    # plan blows up exponentially (the unrolled-DP lesson).
+    d["pipeline_full_ladder"] = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, lang, text FROM documents WHERE doc_id % 7 <> 0
+),
+raw AS MATERIALIZED (
+  SELECT * FROM base
+  UNION ALL
+  SELECT doc_id + 10000000, source, lang, text
+  FROM base WHERE doc_id % 13 = 1
+  UNION ALL
+  SELECT doc_id + 20000000, source, lang, text || ' extra'
+  FROM base WHERE doc_id % 13 = 2
+  UNION ALL
+  SELECT doc_id + 30000000, source, lang, text || '{_LADDER_BOILER}'
+  FROM base WHERE doc_id % 13 = 3
+),
+pages AS ({_HTML_PAGE_SQL.replace("FROM documents", "FROM raw")}),
+cleaned AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+    '{SCRIPT_PAT}', ' ', 'g'),
+    '{STYLE_PAT}', ' ', 'g'),
+    '{COMMENT_PAT}', ' ', 'g') AS c
+  FROM pages),
+scored AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(c, '{BLOCK_PAT}'),
+      b -> struct_pack(
+        t := {_html_norm_sql("b")},
+        nl := length({_html_norm_sql(
+            "coalesce(array_to_string(regexp_extract_all(b, '"
+            + LINK_PAT
+            + "', 1), ' '), '')"
+        )})
+      )) AS blocks
+  FROM cleaned),
+ext AS MATERIALIZED (
+  SELECT doc_id,
+    coalesce(array_to_string(list_transform(
+      list_filter(blocks, e -> length(e.t) >= 25
+        AND cast(e.nl as double) <= length(e.t) * cast(0.33 as double)),
+      e -> e.t), chr(10)), '') AS text
+  FROM scored),
+corpus0 AS MATERIALIZED (
+  SELECT e.doc_id, r.source, e.text FROM ext e JOIN raw r USING (doc_id)
+  WHERE e.text <> ''),
+qts AS (
+  SELECT doc_id, source, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         length(text) AS char_len
+  FROM corpus0),
+qs AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    round(len(list_filter(toks, x -> list_contains(
+      {_STOPWORDS_SQL},
+      x))) / len(toks), 6) AS stop_ratio,
+    list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+    round(list_max(list_transform(list_distinct(toks),
+            d -> len(list_filter(toks, x -> x = d)))) / len(toks), 6)
+      AS top_token_ratio
+  FROM qts),
+qkeep AS MATERIALIZED (
+  SELECT doc_id FROM qs
+  WHERE n_tokens BETWEEN 20 AND 200 AND stop_ratio < 0.10
+    AND coalesce(CASE WHEN len(g2) > 0
+          THEN round(1 - len(list_distinct(g2)) / len(g2), 6) END < 0.10,
+        false)
+    AND top_token_ratio < 0.12),
+corpus1 AS MATERIALIZED (
+  SELECT c.* FROM corpus0 c JOIN qkeep USING (doc_id)),
+exact_surv AS MATERIALIZED (
+  SELECT min(doc_id) AS doc_id FROM corpus1 GROUP BY md5(text)),
+corpus2 AS MATERIALIZED (
+  SELECT c.* FROM corpus1 c JOIN exact_surv USING (doc_id)),
+mg AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM corpus2)
+  WHERE len(toks) >= 3),
+msig AS MATERIALIZED (
+  SELECT doc_id, band,
+    list_min(list_transform(grams, x ->
+      substr(md5((band // 4)::VARCHAR || '|' || x),
+             ((band % 4) * 8 + 1)::INT, 8))) AS sig
+  FROM mg, unnest(range(0, 16)) AS u(band)),
+mcand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM msig a JOIN msig b ON a.band = b.band AND a.sig = b.sig
+    AND a.doc_id < b.doc_id),
+mconf AS MATERIALIZED (
+  SELECT c.a, c.b
+  FROM mcand c
+  JOIN mg ga ON ga.doc_id = c.a
+  JOIN mg gb ON gb.doc_id = c.b
+  WHERE round(cast(len(list_intersect(ga.grams, gb.grams)) as double)
+        / (len(ga.grams) + len(gb.grams)
+           - len(list_intersect(ga.grams, gb.grams))), 6) >= 0.8),
+medge AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM mconf
+  UNION ALL
+  SELECT b AS u, a AS v FROM mconf),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM mg
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN medge e ON r.v = e.u),
+clusters AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+near_drop AS MATERIALIZED (
+  SELECT doc_id FROM clusters WHERE cluster_id <> doc_id),
+corpus3 AS MATERIALIZED (
+  SELECT c.* FROM corpus2 c
+  WHERE NOT EXISTS (SELECT 1 FROM near_drop d WHERE d.doc_id = c.doc_id)),
+kt AS MATERIALIZED (SELECT doc_id, source,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+       FROM corpus3),
+kgp AS (SELECT doc_id, s,
+          row_number() OVER (
+            PARTITION BY array_to_string(toks[s:s+7], ' ')
+            ORDER BY doc_id, s) AS rn
+        FROM kt, unnest(range(1, len(toks) - 6)) AS r(s)
+        WHERE len(toks) >= 8),
+kstale AS MATERIALIZED (SELECT doc_id, s FROM kgp WHERE rn > 1),
+kpos AS (SELECT kt.doc_id, j, toks[j] AS tok
+         FROM kt, unnest(range(1, len(toks) + 1)) AS r(j)),
+kkept AS (SELECT p.doc_id, p.j, p.tok
+          FROM kpos p
+          WHERE NOT EXISTS (SELECT 1 FROM kstale st
+                            WHERE st.doc_id = p.doc_id
+                              AND p.j BETWEEN st.s AND st.s + 7)),
+kc AS MATERIALIZED (SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY j) AS text_clean
+       FROM kkept GROUP BY doc_id),
+span AS MATERIALIZED (
+  SELECT kt.doc_id, kt.source,
+    cast(len(toks) - coalesce(kc.n_kept, 0) as bigint) AS n_removed,
+    coalesce(kc.text_clean, '') AS text_clean
+  FROM kt LEFT JOIN kc USING (doc_id)),
+corpus4 AS MATERIALIZED (
+  SELECT doc_id, source, text_clean AS text FROM span
+  WHERE text_clean <> ''),
+dt AS MATERIALIZED (SELECT doc_id, source,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+       FROM corpus4),
+bg AS MATERIALIZED (
+  SELECT DISTINCT array_to_string(toks[s:s+2], ' ') AS g
+  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id % 7 = 0) b,
+       unnest(range(1, len(toks) - 1)) AS r(s)
+  WHERE len(toks) >= 3),
+dstale AS MATERIALIZED (SELECT gp.doc_id, gp.s
+           FROM (SELECT doc_id, s, array_to_string(toks[s:s+2], ' ') AS g
+                 FROM dt, unnest(range(1, len(toks) - 1)) AS r(s)
+                 WHERE len(toks) >= 3) gp
+           JOIN bg USING (g)),
+dpos AS (SELECT dt.doc_id, j, toks[j] AS tok
+         FROM dt, unnest(range(1, len(toks) + 1)) AS r(j)),
+dkept AS (SELECT p.doc_id, p.j, p.tok
+          FROM dpos p
+          WHERE NOT EXISTS (SELECT 1 FROM dstale st
+                            WHERE st.doc_id = p.doc_id
+                              AND p.j BETWEEN st.s AND st.s + 2)),
+dc AS MATERIALIZED (SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY j) AS text_clean
+       FROM dkept GROUP BY doc_id),
+decon AS MATERIALIZED (
+  SELECT dt.doc_id, dt.source,
+    cast(len(toks) - coalesce(dc.n_kept, 0) as bigint) AS n_removed,
+    coalesce(dc.text_clean, '') AS text_clean
+  FROM dt LEFT JOIN dc USING (doc_id)),
+corpus5 AS MATERIALIZED (
+  SELECT doc_id, source, text_clean AS text,
+         cast(len(regexp_split_to_array(trim(text_clean), '\\s+'))
+              as bigint) AS n_tokens
+  FROM decon WHERE text_clean <> ''),
+bsg AS (SELECT source, sum(n_tokens) AS n_tokens FROM corpus5 GROUP BY 1),
+bsp AS (SELECT source, sqrt(cast(n_tokens as double)) AS pw FROM bsg),
+bstot AS (SELECT cast(sum(cast(pw as decimal(38,18))) as double) AS tp
+          FROM bsp),
+alloc AS MATERIALIZED (
+  SELECT source, cast(round(6000.0 * pw / tp, 0) as bigint) AS planned
+  FROM bsp CROSS JOIN bstot),
+bsc AS (SELECT doc_id, source, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY n_tokens DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM corpus5),
+selected AS MATERIALIZED (
+  SELECT c.doc_id, c.source, c.n_tokens
+  FROM bsc c JOIN alloc USING (source) WHERE c.cum <= alloc.planned),
+pc AS (SELECT source AS part, cast(doc_id % 2 as BIGINT) AS shard,
+         doc_id, n_tokens AS n,
+         cast(sum(n_tokens) OVER (
+           PARTITION BY source, doc_id % 2 ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as BIGINT)
+           AS gend
+       FROM selected),
+ps AS (SELECT part, shard, doc_id, n, gend, gend - n AS gs,
+         unnest(range((gend - n) // 48, (gend - 1) // 48 + 1)) AS seq_id
+       FROM pc),
+packed AS MATERIALIZED (
+  SELECT part, shard, cast(seq_id as BIGINT) AS seq_id, doc_id,
+    cast(least(gend, seq_id * 48 + 48) - greatest(gs, seq_id * 48)
+         as BIGINT) AS n_tok_in_seq
+  FROM ps),
+c_raw AS (SELECT source, count(*) AS n_raw FROM raw GROUP BY 1),
+c_ext AS (SELECT source, count(*) AS n_extracted FROM corpus0 GROUP BY 1),
+c_q AS (SELECT source, count(*) AS n_quality FROM corpus1 GROUP BY 1),
+c_e AS (SELECT source, count(*) AS n_exact FROM corpus2 GROUP BY 1),
+c_n AS (SELECT source, count(*) AS n_near FROM corpus3 GROUP BY 1),
+c_s AS (SELECT source, sum(n_removed) AS span_removed_tokens
+        FROM span GROUP BY 1),
+c_d AS (SELECT source, sum(n_removed) AS decontam_removed_tokens
+        FROM decon GROUP BY 1),
+c_c AS (SELECT source, count(*) AS clean_docs, sum(n_tokens) AS clean_tokens
+        FROM corpus5 GROUP BY 1),
+c_sel AS (SELECT source, count(*) AS sel_docs, sum(n_tokens) AS sel_tokens
+          FROM selected GROUP BY 1),
+c_p AS (SELECT part AS source, count(DISTINCT (shard, seq_id)) AS pack_seqs,
+          sum(n_tok_in_seq) AS pack_tokens
+        FROM packed GROUP BY 1)
+SELECT r.source,
+  cast(r.n_raw as bigint) AS n_raw,
+  cast(coalesce(e.n_extracted, 0) as bigint) AS n_extracted,
+  cast(coalesce(q.n_quality, 0) as bigint) AS n_quality,
+  cast(coalesce(x.n_exact, 0) as bigint) AS n_exact,
+  cast(coalesce(n.n_near, 0) as bigint) AS n_near,
+  cast(coalesce(s.span_removed_tokens, 0) as bigint)
+    AS span_removed_tokens,
+  cast(coalesce(d.decontam_removed_tokens, 0) as bigint)
+    AS decontam_removed_tokens,
+  cast(coalesce(c.clean_docs, 0) as bigint) AS clean_docs,
+  cast(coalesce(c.clean_tokens, 0) as bigint) AS clean_tokens,
+  cast(coalesce(sel.sel_docs, 0) as bigint) AS sel_docs,
+  cast(coalesce(sel.sel_tokens, 0) as bigint) AS sel_tokens,
+  cast(coalesce(p.pack_seqs, 0) as bigint) AS pack_seqs,
+  cast(coalesce(p.pack_tokens, 0) as bigint) AS pack_tokens
+FROM c_raw r
+LEFT JOIN c_ext e USING (source)
+LEFT JOIN c_q q USING (source)
+LEFT JOIN c_e x USING (source)
+LEFT JOIN c_n n USING (source)
+LEFT JOIN c_s s USING (source)
+LEFT JOIN c_d d USING (source)
+LEFT JOIN c_c c USING (source)
+LEFT JOIN c_sel sel USING (source)
+LEFT JOIN c_p p USING (source)
+ORDER BY r.source
+"""
     # Streaming decontamination: final table = batch positional-gram
     # containment; oracle joins window TEXT (xxhash64-independent).
     d["streaming_decontam"] = """
