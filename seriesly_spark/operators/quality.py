@@ -25,9 +25,22 @@ no join, no per-doc shuffle), and the gradient explode partial-
 aggregates to <= buckets+1 rows per partition before a tiny exchange.
 Weights live on the driver between rounds (<= buckets+1 doubles — the
 kmeans/BPE round-state boundary), so per round the cluster does
-exactly ONE scan of the persisted features. The literal-vector path
-assumes buckets is hash-scale (<= ~10^4); beyond that, swap the
-element_at for a broadcast join.
+exactly ONE scan of the persisted features.
+
+The literal-vector path assumes buckets is hash-scale (<=
+LITERAL_MAX_BUCKETS = 10^4); beyond that the plan itself carries the
+weight vector and planning blows up before any data moves. Both
+trainer and scorer therefore take ``impl``: "literal" (above),
+"join" — the weight table stays a DataFrame and rides every round as
+a BROADCAST hash join against the exploded features, which are
+persisted pre-partitioned by doc id ONCE so the per-doc logit fold
+and the error join both reuse that partitioning (no per-round
+exchange of corpus-sized rows; the only per-round shuffle is the
+<= buckets+1-row gradient) — or "auto" (default), which picks by
+``buckets``. The two paths are BIT-IDENTICAL by construction: every
+cross-row sum is the same round-6 decimal fold, order-independent,
+so join-order vs array-order cannot diverge (equivalence-gated in
+tests, the impl="pandas"/"expr" convention).
 """
 
 from __future__ import annotations
@@ -40,6 +53,9 @@ from seriesly_spark.operators.util import scoped_persist, spread
 
 _DEC6 = "decimal(28,6)"
 BIAS_BUCKET = -1
+# Widest hash space the literal-array logit may carry in the plan;
+# beyond this, impl="auto" switches to the broadcast-join path.
+LITERAL_MAX_BUCKETS = 10_000
 
 
 def _md5_bucket(f: Column, buckets: int) -> Column:
@@ -156,6 +172,50 @@ def _sigmoid6(z) -> Column:
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
 
 
+def _resolve_impl(impl: str, buckets: int) -> str:
+    if impl == "auto":
+        return "literal" if buckets <= LITERAL_MAX_BUCKETS else "join"
+    if impl not in ("literal", "join"):
+        raise ValueError('impl must be "auto", "literal" or "join"')
+    return impl
+
+
+def _weight_df(spark, w: list[float]) -> DataFrame:
+    """(b, w) weight table for the join path, built as ONE partition
+    (driver-sized rows; createDataFrame(list) would spray 32 tasks)."""
+    rows = [(i + BIAS_BUCKET, float(w[i])) for i in range(len(w))]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), "b int, w double"
+    )
+
+
+def _exploded_features(feats: DataFrame, scope: str) -> DataFrame:
+    """(id, y, b, x) exploded feature rows persisted PRE-PARTITIONED
+    by doc id — paid once, so every join-path round's per-doc logit
+    aggregate and error join reuse the partitioning instead of
+    exchanging corpus-sized rows per round."""
+    ex = feats.select("id", "y", F.explode("fs").alias("f")).select(
+        "id", "y", F.col("f.b").alias("b"), F.col("f.x").alias("x")
+    )
+    return scoped_persist(ex.repartition("id"), scope, eager=True)
+
+
+def _join_z(ex: DataFrame, wdf: DataFrame) -> Column:
+    """(id, y, z): the per-doc logit via a BROADCAST join against the
+    weight table — the same round-6 terms folded in decimal(28,6) as
+    :func:`_logit`'s in-row array fold, order-independent, so the two
+    paths are bit-identical."""
+    return (
+        ex.join(F.broadcast(wdf), "b")
+        .groupBy("id", "y")
+        .agg(
+            F.sum(F.round(F.col("w") * F.col("x"), 6).cast(_DEC6))
+            .cast("double")
+            .alias("z")
+        )
+    )
+
+
 def train_quality_lr(
     docs: DataFrame,
     label_col: str = "label",
@@ -164,6 +224,7 @@ def train_quality_lr(
     buckets: int = 256,
     rounds: int = 3,
     lr: float = 2.0,
+    impl: str = "auto",
 ) -> DataFrame:
     """Train the hashed-ngram logistic regression on binary labels.
 
@@ -175,15 +236,28 @@ def train_quality_lr(
     Output: (bucket, weight) — ``buckets`` hashed features plus the
     bias row at bucket -1, ordered by bucket. Weights start at 0 (the
     symmetric init is exact, not a seed).
+
+    ``impl``: "literal" rides the weights as an in-plan literal array
+    (hash-scale buckets), "join" as a broadcast-joined weight table
+    over id-prepartitioned exploded features (the > 10^4-bucket scale
+    path; bit-identical — module docstring), "auto" picks by
+    ``buckets`` vs LITERAL_MAX_BUCKETS.
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    mode = _resolve_impl(impl, buckets)
+    spark = docs.sparkSession
     feats = scoped_persist(
         _lr_doc_features(docs, text_col, id_col, label_col, buckets),
         "quality.lr_feats",
         eager=True,
     )
     n = feats.count()
+    ex = (
+        _exploded_features(feats, "quality.lr_feats_ex")
+        if mode == "join" and n > 0
+        else None
+    )
     w = [0.0] * (buckets + 1)
     # No featured docs (empty input / all-NULL text or labels): GD
     # with an empty batch makes no update, so the symmetric init IS
@@ -192,34 +266,51 @@ def train_quality_lr(
     # production shape, and every round would otherwise divide by 0).
     training_rounds = range(rounds) if n > 0 else ()
     for _ in training_rounds:
-        wvec = _weight_vec(w)
-        err = (_sigmoid6(_logit(F.col("fs"), wvec)) - F.col("y")).alias(
-            "e"
-        )
-        # e is computed in its OWN projection below the Generate — put
-        # in the same select as the explode, CollapseProject inlines
-        # the whole logit fold into the generator's project list and
-        # re-evaluates it per exploded element (measured ~6x here; the
-        # substring_dup projection-boundary lesson)
-        grad = (
-            feats.select("fs", err)
-            .select("e", F.explode("fs").alias("f"))
-            .select(
-                F.col("f.b").alias("b"),
-                F.round(F.col("e") * F.col("f.x"), 6)
-                .cast(_DEC6)
-                .alias("t"),
+        if mode == "literal":
+            wvec = _weight_vec(w)
+            err = (
+                _sigmoid6(_logit(F.col("fs"), wvec)) - F.col("y")
+            ).alias("e")
+            # e is computed in its OWN projection below the Generate —
+            # put in the same select as the explode, CollapseProject
+            # inlines the whole logit fold into the generator's
+            # project list and re-evaluates it per exploded element
+            # (measured ~6x here; the substring_dup projection-
+            # boundary lesson)
+            grad = (
+                feats.select("fs", err)
+                .select("e", F.explode("fs").alias("f"))
+                .select(
+                    F.col("f.b").alias("b"),
+                    F.round(F.col("e") * F.col("f.x"), 6)
+                    .cast(_DEC6)
+                    .alias("t"),
+                )
+                .groupBy("b")
+                .agg(F.sum("t").cast("double").alias("g"))
+                .collect()
             )
-            .groupBy("b")
-            .agg(F.sum("t").cast("double").alias("g"))
-            .collect()
-        )
+        else:
+            errf = _join_z(ex, _weight_df(spark, w)).select(
+                "id", (_sigmoid6(F.col("z")) - F.col("y")).alias("e")
+            )
+            grad = (
+                ex.join(errf, "id")
+                .select(
+                    "b",
+                    F.round(F.col("e") * F.col("x"), 6)
+                    .cast(_DEC6)
+                    .alias("t"),
+                )
+                .groupBy("b")
+                .agg(F.sum("t").cast("double").alias("g"))
+                .collect()
+            )
         g = {r.b: r.g for r in grad}
         w = [
             round(w[i] - lr * g.get(i + BIAS_BUCKET, 0.0) / n, 6)
             for i in range(buckets + 1)
         ]
-    spark = docs.sparkSession
     rows = [(i + BIAS_BUCKET, w[i]) for i in range(buckets + 1)]
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), "bucket int, weight double"
@@ -232,15 +323,20 @@ def score_quality_lr(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """Score every document with a trained weight table ((bucket,
     weight) — ``train_quality_lr``'s output shape): score =
     round(sigmoid(sum_b w_b x_db), 6), the same per-term round-6
-    decimal fold as training so any engine replays it. The weight
-    table collects to the driver (<= buckets+1 rows — metadata) and
-    scores as an in-row literal-array fold: no join, no shuffle, one
-    narrow pass. Docs with no features (NULL text) score NULL.
-    Output: (id_col, score).
+    decimal fold as training so any engine replays it. On the
+    "literal" path the weight table collects to the driver (<=
+    buckets+1 rows — metadata) and scores as an in-row literal-array
+    fold: no join, no shuffle, one narrow pass. On the "join" path
+    (``impl`` — "auto" picks by trained width vs LITERAL_MAX_BUCKETS)
+    the weight table NEVER touches the driver: exploded features
+    broadcast-join it and fold per doc — the > 10^4-bucket scale
+    path, bit-identical (module docstring). Docs with no features
+    (NULL text) score NULL. Output: (id_col, score).
 
     ``buckets`` must equal the training-time hash width — scoring in a
     different space silently misaligns every feature — so by default
@@ -248,16 +344,29 @@ def score_quality_lr(
     it only as an assertion, where a mismatch raises. The derivation
     is only sound on a DENSE table (``train_quality_lr`` emits one row
     per bucket from -1..buckets-1, zero-weight rows included), so
-    density is VALIDATED: a sparse table — e.g. zero-weight rows
+    density is VALIDATED — as one aggregate, not a collect, so the
+    check itself scales: a sparse table — e.g. zero-weight rows
     pruned by a storage step — would silently shrink the derived width
     and misalign every feature, so it raises instead."""
-    wrows = weights.select("bucket", "weight").collect()
-    trained = max(int(r.bucket) for r in wrows) + 1 if wrows else 0
-    got = sorted(int(r.bucket) for r in wrows)
-    if got != list(range(BIAS_BUCKET, trained)):
+    stat = weights.agg(
+        F.min("bucket").alias("lo"),
+        F.max("bucket").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("bucket").alias("nd"),
+    ).collect()[0]
+    n_rows = int(stat.n)
+    trained = int(stat.hi) + 1 if n_rows else 0
+    # dense over -1..trained-1 <=> min is the bias bucket, every value
+    # distinct, and the count fills the range exactly
+    if (
+        n_rows == 0
+        or int(stat.lo) != BIAS_BUCKET
+        or int(stat.nd) != n_rows
+        or n_rows != trained + 1
+    ):
         raise ValueError(
             "weight table is not dense over buckets "
-            f"{BIAS_BUCKET}..{trained - 1} (got {len(got)} rows); "
+            f"{BIAS_BUCKET}..{trained - 1} (got {n_rows} rows); "
             "a pruned/sparse table misaligns the hash space — "
             "re-materialize zero-weight rows before scoring"
         )
@@ -268,13 +377,26 @@ def score_quality_lr(
             f"buckets={buckets} does not match the weight table's "
             f"trained hash width {trained}"
         )
-    w = [0.0] * (buckets + 1)
-    for r in wrows:
-        w[int(r.bucket) - BIAS_BUCKET] = float(r.weight)
+    mode = _resolve_impl(impl, buckets)
     feats = _lr_doc_features(docs, text_col, id_col, None, buckets)
-    scores = feats.select(
-        "id", _sigmoid6(_logit(F.col("fs"), _weight_vec(w))).alias("score")
-    )
+    if mode == "literal":
+        w = [0.0] * (buckets + 1)
+        for r in weights.select("bucket", "weight").collect():
+            w[int(r.bucket) - BIAS_BUCKET] = float(r.weight)
+        scores = feats.select(
+            "id",
+            _sigmoid6(_logit(F.col("fs"), _weight_vec(w))).alias("score"),
+        )
+    else:
+        ex = feats.select("id", "y", F.explode("fs").alias("f")).select(
+            "id", "y", F.col("f.b").alias("b"), F.col("f.x").alias("x")
+        )
+        wdf = weights.select(
+            F.col("bucket").alias("b"), F.col("weight").alias("w")
+        )
+        scores = _join_z(ex, wdf).select(
+            "id", _sigmoid6(F.col("z")).alias("score")
+        )
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(scores, "id", "left")

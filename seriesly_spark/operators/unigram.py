@@ -53,6 +53,9 @@ from seriesly_spark.operators.textstats import tokens
 from seriesly_spark.operators.util import scoped_persist, spread
 
 UNK_LOGP = -20.0
+# Widest piece table the impl="expr" literal map may carry in the
+# plan; beyond this only the broadcast-backed pandas path runs.
+LITERAL_MAX_PIECES = 10_000
 
 
 def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
@@ -196,8 +199,25 @@ def _segment_words(
       same (score, len) tie-break — bit-identical output.
     * ``impl="expr"``: the pure-JVM F.aggregate fold — no Python
       boundary; the parity reference and the plan-gate-friendly form.
+      The piece table rides the PLAN as a literal map, so this path is
+      capped at LITERAL_MAX_PIECES — beyond it planning itself blows
+      up, and it raises instead of thrashing.
+
+    Vocabulary transport on the pandas path is a Spark BROADCAST
+    variable, not a closure capture: a closure pickles the full piece
+    table into every serialized task, a broadcast ships it once per
+    executor — the difference between O(tasks) and O(executors)
+    transfers at production piece counts (the promised broadcast
+    fallback for the literal-map ceiling; equivalence is the existing
+    pandas/expr bit-equality gate).
     """
     if impl == "expr":
+        if len(vocab) > LITERAL_MAX_PIECES:
+            raise ValueError(
+                f"impl='expr' carries the {len(vocab)}-piece table as "
+                f"a plan literal (cap {LITERAL_MAX_PIECES}); use "
+                "impl='pandas' (broadcast) at this vocabulary size"
+            )
         dp, pieces = _viterbi_cols(vocab, max_piece_len)
         return (
             words.withColumn("__dp", dp)
@@ -206,9 +226,12 @@ def _segment_words(
     if impl != "pandas":
         raise ValueError('impl must be "pandas" or "expr"')
 
+    bc = words.sparkSession.sparkContext.broadcast(vocab)
+
     def seg_batches(batches):
         import pandas as pd
 
+        vocab = bc.value
         for pdf in batches:
             out = []
             for w in pdf["w"]:

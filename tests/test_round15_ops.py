@@ -1,0 +1,174 @@
+"""Round-15 operator tests: the r14 ADVICE fixes first (bool rounds
+rejection, streaming-decontam gram dedup is covered by the streaming
+gates), then the round's large-vocabulary broadcast fallbacks for the
+trained families — the impl="literal"/"join" equivalence gates and
+the >= 10^5-bucket/piece runs the literal paths cannot carry."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seriesly_spark.operators.quality import (
+    LITERAL_MAX_BUCKETS,
+    score_quality_lr,
+    train_quality_lr,
+)
+from seriesly_spark.operators.suffix import suffix_dup_stats
+from seriesly_spark.operators.unigram import (
+    LITERAL_MAX_PIECES,
+    _segment_words,
+    unigram_encode,
+    unigram_train,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _labeled_docs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .withColumn(
+            "label",
+            F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    )
+
+
+class TestSuffixRoundsBool:
+    def test_bool_rounds_rejected(self, spark):
+        """rounds=True is an int subclass and used to silently train
+        with 1 round; it must raise like other malformed values."""
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="rounds"):
+            suffix_dup_stats(docs, rounds=True)
+
+
+class TestQualityLrJoinImpl:
+    """The broadcast-join weight path vs the literal-array path —
+    bit-identical by the shared round-6 decimal fold discipline."""
+
+    def test_train_join_equals_literal(self, spark):
+        docs = _labeled_docs(spark)
+        lit = train_quality_lr(
+            docs, rounds=3, lr=8.0, buckets=64, impl="literal"
+        ).collect()
+        join = train_quality_lr(
+            docs, rounds=3, lr=8.0, buckets=64, impl="join"
+        ).collect()
+        assert [tuple(r) for r in lit] == [tuple(r) for r in join]
+
+    def test_score_join_equals_literal(self, spark):
+        docs = _labeled_docs(spark)
+        w = train_quality_lr(docs, rounds=2, lr=8.0, buckets=64)
+        lit = {
+            r.doc_id: r.score
+            for r in score_quality_lr(docs, w, impl="literal").collect()
+        }
+        join = {
+            r.doc_id: r.score
+            for r in score_quality_lr(docs, w, impl="join").collect()
+        }
+        assert lit == join
+        assert any(v is not None for v in lit.values())
+
+    def test_auto_picks_by_width(self):
+        from seriesly_spark.operators.quality import _resolve_impl
+
+        assert _resolve_impl("auto", LITERAL_MAX_BUCKETS) == "literal"
+        assert _resolve_impl("auto", LITERAL_MAX_BUCKETS + 1) == "join"
+        with pytest.raises(ValueError, match="impl"):
+            _resolve_impl("vector", 10)
+
+    def test_train_and_score_above_literal_ceiling(self, spark):
+        """The verdict's gate: a hash width the literal path cannot
+        carry as a plan array (120k buckets) trains and scores through
+        the join path — dense output over the full width, real scores."""
+        docs = _labeled_docs(spark).limit(60)
+        buckets = 120_000
+        w = train_quality_lr(
+            docs, rounds=1, lr=8.0, buckets=buckets, impl="auto"
+        )
+        assert w.count() == buckets + 1
+        nonzero = w.where(F.col("weight") != 0.0).count()
+        assert nonzero > 0
+        scored = score_quality_lr(docs, w, impl="auto")
+        got = {r.doc_id: r.score for r in scored.collect()}
+        assert len(got) == 60
+        assert any(v is not None for v in got.values())
+
+    def test_sparse_table_still_rejected(self, spark):
+        """The aggregate-based density check keeps the r13 contract:
+        a pruned weight table raises instead of misaligning."""
+        docs = _labeled_docs(spark).limit(10)
+        w = train_quality_lr(docs, rounds=1, buckets=16)
+        pruned = w.where(F.col("bucket") != 3)
+        with pytest.raises(ValueError, match="dense"):
+            score_quality_lr(docs, pruned)
+        with pytest.raises(ValueError, match="dense"):
+            score_quality_lr(docs, w.limit(0))
+
+
+class TestUnigramBroadcastVocab:
+    def test_expr_rejects_oversized_literal_map(self, spark):
+        words = spark.createDataFrame(
+            [("abc", 1)], "w string, freq long"
+        )
+        vocab = {f"p{i}": -1.0 for i in range(LITERAL_MAX_PIECES + 1)}
+        with pytest.raises(ValueError, match="literal"):
+            _segment_words(words, vocab, 4, impl="expr")
+
+    def test_pandas_broadcast_runs_at_1e5_pieces(self, spark):
+        """The >= 10^5-piece gate the literal map cannot run: the
+        broadcast-backed Arrow path segments correctly with a 100k+1
+        piece table (the planted long piece must win over singles)."""
+        vocab = {f"zz{i:05d}": -3.0 for i in range(100_000)}
+        vocab.update({c: -4.0 for c in "abcdef"})
+        vocab["abcd"] = -1.0
+        words = spark.createDataFrame(
+            [("abcdef", 2), ("fee", 1)], "w string, freq long"
+        )
+        rows = {
+            r.w: (r.freq, r.ps)
+            for r in _segment_words(words, vocab, 4).collect()
+        }
+        assert rows["abcdef"] == (2, ["abcd", "e", "f"])
+        assert rows["fee"][1] == ["f", "e", "e"]
+
+    def test_pandas_expr_parity_unchanged(self, spark):
+        """The broadcast refactor must not move the pandas path off
+        the expr reference: same corpus, bit-equal segmentations."""
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(
+            40
+        )
+        model = unigram_train(
+            docs, vocab_size=32, max_piece_len=3, rounds=1
+        )
+        vocab = {r.piece: float(r.logp) for r in model.collect()}
+        from seriesly_spark.operators.unigram import _word_counts
+
+        words = _word_counts(docs, "text")
+        a = {
+            r.w: r.ps
+            for r in _segment_words(words, vocab, 3, impl="pandas").collect()
+        }
+        b = {
+            r.w: r.ps
+            for r in _segment_words(words, vocab, 3, impl="expr").collect()
+        }
+        assert a == b
+
+    def test_encode_roundtrip_still_green(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "aab aab"), (2, None)], "doc_id long, text string"
+        )
+        model = unigram_train(docs, vocab_size=8, max_piece_len=2, rounds=1)
+        enc = {
+            r.doc_id: (r.n_pieces, r.encoded)
+            for r in unigram_encode(docs, model).collect()
+        }
+        assert enc[2] == (0, "")
+        assert enc[1][0] > 0
