@@ -5538,6 +5538,45 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract(pages)
 
 
+def q_decontam_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust decontamination — the trivial-evasion
+    class: the training slice is seeded with RE-CASED + RE-PUNCTUATED
+    copies of every benchmark document (upper-cased, '!' attached to
+    each token — raw-gram identity sees entirely new bytes, so the
+    plain dedup_spans_cross would pass them through untouched), then
+    probed against a normalize=True DecontamIndex of the benchmark.
+    The planted variants are excised via the casefold/punct-normalized
+    gram identity while the rewrite emits their ORIGINAL bytes; the
+    normalize flag is pinned in the index meta. Oracle replays the
+    normalized gram coverage on window TEXT (lower + strip
+    non-alphanumerics per token — xxhash64-independent, the
+    dedup_spans_cross convention)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    docs = _table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    planted = bench.select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"),
+        F.regexp_replace(F.upper("text"), " ", "! ").alias("text"),
+    )
+    train = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    root = _tf.mkdtemp(prefix="seriesly-decnorm-")
+    try:
+        idx = DecontamIndex(spark, os.path.join(root, "idx"), n=3,
+                            normalize=True)
+        idx.add_benchmark(bench)
+        # probe reads the index parquet lazily; materialize before the
+        # staging root is removed
+        return idx.probe_clean(train).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 _LADDER_BOILER = (
     " shared footer boilerplate sentence repeated across mirrored"
     " crawl snapshots"
@@ -5771,6 +5810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stalest-certified cohorts (CERTIFIED.json), alphabetical
         # within a cohort; alphabetical tail.
         "pipeline_full_ladder": q_pipeline_full_ladder,
+        "decontam_normalized": q_decontam_normalized,
         "tpch_q22": q_tpch_q22,
         "tpch_q4": q_tpch_q4,
         "tpch_q7": q_tpch_q7,
@@ -6339,6 +6379,51 @@ LEFT JOIN c_c c USING (source)
 LEFT JOIN c_sel sel USING (source)
 LEFT JOIN c_p p USING (source)
 ORDER BY r.source
+"""
+    # Normalization-robust decontamination: planted re-cased/
+    # re-punctuated benchmark copies in the training slice; gram
+    # identity = casefold/punct-normalized token text.
+    d["decontam_normalized"] = """
+WITH bench AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+train AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 40000000, regexp_replace(upper(text), ' ', '! ', 'g')
+  FROM bench),
+t AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM train),
+bg AS MATERIALIZED (
+  SELECT DISTINCT array_to_string(list_transform(toks[s:s+2],
+           x -> regexp_replace(lower(x), '[^a-z0-9]', '', 'g')), ' ') AS g
+  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM bench) b,
+       unnest(range(1, len(toks) - 1)) AS r(s)
+  WHERE len(toks) >= 3),
+stale AS MATERIALIZED (
+  SELECT gp.doc_id, gp.s
+  FROM (SELECT doc_id, s, array_to_string(list_transform(toks[s:s+2],
+          x -> regexp_replace(lower(x), '[^a-z0-9]', '', 'g')), ' ') AS g
+        FROM t, unnest(range(1, len(toks) - 1)) AS r(s)
+        WHERE len(toks) >= 3) gp
+  JOIN bg USING (g)),
+pos AS (SELECT t.doc_id, j, toks[j] AS tok
+        FROM t, unnest(range(1, len(toks) + 1)) AS r(j)),
+kept AS (SELECT p.doc_id, p.j, p.tok
+         FROM pos p
+         WHERE NOT EXISTS (SELECT 1 FROM stale st
+                           WHERE st.doc_id = p.doc_id
+                             AND p.j BETWEEN st.s AND st.s + 2)),
+kc AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY j) AS text_clean
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+  cast(len(toks) as bigint) AS n_tokens,
+  cast(len(toks) - coalesce(kc.n_kept, 0) as bigint) AS n_removed,
+  coalesce(kc.text_clean, '') AS text_clean
+FROM t LEFT JOIN kc USING (doc_id)
 """
     # Streaming decontamination: final table = batch positional-gram
     # containment; oracle joins window TEXT (xxhash64-independent).

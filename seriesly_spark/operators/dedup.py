@@ -1997,14 +1997,36 @@ def dedup_spans(
     return _excise_stale_spans(pre, stale, n, id_col)
 
 
-def _span_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _norm_token(c: "F.Column") -> "F.Column":
+    """Casefold/punct-normalized token identity — the
+    ``normalized_dedup`` convention at token granularity: lowercase,
+    strip every non-alphanumeric character. Used only for gram JOIN
+    identity; positions and the rewrite keep the ORIGINAL tokens, so
+    'Hello,' matches 'hello' without the cleaned output mutating."""
+    return F.regexp_replace(F.lower(c), "[^a-z0-9]", "")
+
+
+def _span_tokens(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    normalize: bool = False,
+) -> DataFrame:
     """The per-doc token projection every span excision starts from:
-    (id, __t tokens, __th xxhash64 token hashes, __nt count)."""
+    (id, __t tokens, __th xxhash64 token hashes, __nt count).
+    ``normalize=True`` hashes the casefold/punct-normalized token
+    (:func:`_norm_token`) instead of the raw bytes — the
+    trivial-evasion screen (re-cased / re-punctuated benchmark text
+    still collides) — while ``__t`` stays raw so any excision rewrite
+    emits the original corpus bytes."""
     toks = tokens(text_col)
+    ident = (lambda x: F.xxhash64(_norm_token(x))) if normalize else (
+        lambda x: F.xxhash64(x)
+    )
     return spread(docs).select(
         F.col(id_col).alias("id"),
         toks.alias("__t"),
-        F.transform(toks, lambda x: F.xxhash64(x)).alias("__th"),
+        F.transform(toks, ident).alias("__th"),
         F.size(toks).alias("__nt"),
     )
 
@@ -2068,6 +2090,7 @@ def dedup_spans_cross(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    normalize: bool = False,
 ) -> DataFrame:
     """Decontamination REWRITE: excise from a training ``corpus`` every
     token covered by a word-n-gram window that occurs ANYWHERE in a
@@ -2103,12 +2126,21 @@ def dedup_spans_cross(
     shared, so the window union covers the whole span); only spans
     shorter than n escape — ``n`` IS the minimum span length, not an
     approximation granularity.
+
+    ``normalize=True`` switches BOTH sides' gram identity to the
+    casefold/punct-normalized token (:func:`_norm_token`): benchmark
+    text that was trivially re-cased or re-punctuated in the corpus
+    still matches, while the excised output keeps the corpus's raw
+    bytes. Token INSERTIONS still evade (they shift window
+    positions) — that's the similarity miners' territory, not exact
+    gram matching.
     """
     pre = scoped_persist(
-        _span_tokens(corpus, text_col, id_col), "dedup.span_toks_cross"
+        _span_tokens(corpus, text_col, id_col, normalize=normalize),
+        "dedup.span_toks_cross",
     )
     bench_grams = (
-        _span_tokens(benchmark, text_col, id_col)
+        _span_tokens(benchmark, text_col, id_col, normalize=normalize)
         .select(F.explode(_window_hash_expr(n)).alias("g"))
         .distinct()
     )

@@ -1150,10 +1150,13 @@ class DecontamIndex:
     (crash-atomic, repaired on open) — but the stored unit is the
     8-byte xxhash64 window hash (``g bigint``), the exact identity
     ``dedup_spans_cross`` joins on, so probe results are
-    bit-identical to the one-shot operator's. The gram width ``n`` is
-    part of the index identity: it is pinned in ``meta.json`` at
-    creation and re-opening with a different ``n`` raises (probing
-    with a mismatched width would silently miss every span).
+    bit-identical to the one-shot operator's. The gram width ``n``
+    AND the gram identity mode ``normalize`` (casefold/punct-
+    normalized token hashing — the trivial-evasion screen; see
+    ``dedup_spans_cross``) are part of the index identity: both are
+    pinned in ``meta.json`` at creation and re-opening with different
+    values raises (probing across identity spaces would silently miss
+    every span).
 
     Scale shape: benchmarks are small by construction (eval sets), so
     the index stays broadcast-sized even with many benchmarks; the
@@ -1169,6 +1172,7 @@ class DecontamIndex:
         path: str,
         n: int = 3,
         n_buckets: int = 64,
+        normalize: bool = False,
     ):
         import json
 
@@ -1178,6 +1182,7 @@ class DecontamIndex:
         self.path = path
         self.n = n
         self.n_buckets = n_buckets
+        self.normalize = bool(normalize)
         self._data = os.path.join(path, "data")
         self._delta = os.path.join(path, "delta")
         self._meta = os.path.join(path, "meta.json")
@@ -1203,11 +1208,28 @@ class DecontamIndex:
                     "the base on the next compact and break any "
                     "co-partitioned probe layout — use the pinned value"
                 )
+            # pre-normalize indexes carry no key: they hashed raw
+            # tokens, which is exactly normalize=False
+            if bool(meta.get("normalize", False)) != self.normalize:
+                raise ValueError(
+                    f"DecontamIndex at {path} was built with "
+                    f"normalize={bool(meta.get('normalize', False))}; "
+                    f"opening with normalize={self.normalize} would "
+                    "hash grams in a different identity space and "
+                    "silently miss every span — use the pinned value"
+                )
         else:
             os.makedirs(path, exist_ok=True)
             tmp = self._meta + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"n": n, "n_buckets": n_buckets}, f)
+                json.dump(
+                    {
+                        "n": n,
+                        "n_buckets": n_buckets,
+                        "normalize": self.normalize,
+                    },
+                    f,
+                )
             os.replace(tmp, self._meta)
 
     def _bucket(self, g):
@@ -1247,7 +1269,7 @@ class DecontamIndex:
         )
 
         return (
-            _span_tokens(docs, text_col, id_col)
+            _span_tokens(docs, text_col, id_col, normalize=self.normalize)
             .select(F.explode(_window_hash_expr(self.n)).alias("g"))
             .distinct()
         )
@@ -1296,7 +1318,8 @@ class DecontamIndex:
         from seriesly_spark.operators.util import scoped_persist
 
         pre = scoped_persist(
-            _span_tokens(docs, text_col, id_col), "decontam.probe_toks"
+            _span_tokens(docs, text_col, id_col, normalize=self.normalize),
+            "decontam.probe_toks",
         )
         stale = (
             pre.select(

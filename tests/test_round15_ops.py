@@ -172,3 +172,81 @@ class TestUnigramBroadcastVocab:
         }
         assert enc[2] == (0, "")
         assert enc[1][0] > 0
+
+
+class TestNormalizedDecontam:
+    """normalize= on the span-gram spine: re-cased/re-punctuated
+    benchmark text is caught, clean text behaves exactly as raw mode."""
+
+    def _frames(self, spark):
+        bench = spark.createDataFrame(
+            [(7, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [
+                # trivially evaded copy: re-cased, '!' attached
+                (1, "ALPHA! BETA! GAMMA! DELTA!"),
+                # clean doc sharing no benchmark 3-gram
+                (2, "epsilon zeta eta theta iota"),
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_raw_mode_misses_the_variant(self, spark):
+        from seriesly_spark.operators.dedup import dedup_spans_cross
+
+        corpus, bench = self._frames(spark)
+        out = {
+            r.doc_id: r.n_removed
+            for r in dedup_spans_cross(corpus, bench, n=3).collect()
+        }
+        assert out == {1: 0, 2: 0}
+
+    def test_normalized_mode_catches_it(self, spark):
+        from seriesly_spark.operators.dedup import dedup_spans_cross
+
+        corpus, bench = self._frames(spark)
+        rows = {
+            r.doc_id: r for r in dedup_spans_cross(
+                corpus, bench, n=3, normalize=True
+            ).collect()
+        }
+        # the full 4-token span is covered; the clean doc untouched
+        assert rows[1].n_removed == 4 and rows[1].text_clean == ""
+        assert rows[2].n_removed == 0
+        assert rows[2].text_clean == "epsilon zeta eta theta iota"
+
+    def test_index_pins_normalize_in_meta(self, spark, tmp_path):
+        from seriesly_spark.operators.dedup_index import DecontamIndex
+
+        corpus, bench = self._frames(spark)
+        p = str(tmp_path / "idx")
+        idx = DecontamIndex(spark, p, n=3, normalize=True)
+        idx.add_benchmark(bench)
+        with pytest.raises(ValueError, match="normalize"):
+            DecontamIndex(spark, p, n=3, normalize=False)
+        out = {
+            r.doc_id: r.n_removed
+            for r in DecontamIndex(spark, p, n=3, normalize=True)
+            .probe_clean(corpus)
+            .collect()
+        }
+        assert out == {1: 4, 2: 0}
+
+    def test_legacy_meta_means_raw(self, spark, tmp_path):
+        """Indexes written before the flag existed hashed raw tokens —
+        exactly normalize=False; reopening must accept that and refuse
+        normalize=True."""
+        import json
+
+        from seriesly_spark.operators.dedup_index import DecontamIndex
+
+        p = str(tmp_path / "old")
+        DecontamIndex(spark, p, n=3)
+        meta = json.load(open(f"{p}/meta.json"))
+        del meta["normalize"]
+        json.dump(meta, open(f"{p}/meta.json", "w"))
+        DecontamIndex(spark, p, n=3)  # raw reopen fine
+        with pytest.raises(ValueError, match="normalize"):
+            DecontamIndex(spark, p, n=3, normalize=True)
