@@ -5538,6 +5538,47 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract(pages)
 
 
+def q_streaming_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trained-scorer path — the last batch-only gap in the
+    trained family closed: train_quality_lr's weights freeze (the same
+    5-round trajectory as score_quality_lr), the corpus arrives as a
+    4-micro-batch stream, and every document scores per-row against
+    the literal frozen weights — STATELESS append mode, no aggregation
+    state at all. The drained table equals the batch scorer by the
+    in-row feature identity + order-independent decimal logit fold, so
+    the oracle IS score_quality_lr's SQL verbatim (the
+    decontam_index_probe convention)."""
+    import shutil as _sh
+    import tempfile as _tf
+    import uuid as _uuid_mod
+
+    from seriesly_spark.streaming.ingest import streaming_quality_score
+
+    docs = _table(spark, sf_dir, "documents")
+    w = train_quality_lr(_labeled_docs(spark, sf_dir), rounds=5, lr=8.0)
+    root = _tf.mkdtemp(prefix="seriesly-sqscore-")
+    try:
+        stream_dir = os.path.join(root, "stream")
+        (
+            docs.select("doc_id", "text")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(stream_dir)
+        )
+        out = streaming_quality_score(
+            spark,
+            stream_dir,
+            w,
+            query_name=f"sqscore_{_uuid_mod.uuid4().hex[:8]}",
+        )
+        # memory-sink rows live in the driver, but materialize before
+        # the staging root goes away (the streaming_decontam cleanup
+        # convention)
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 def q_decontam_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-robust decontamination — the trivial-evasion
     class: the training slice is seeded with RE-CASED + RE-PUNCTUATED
@@ -5811,6 +5852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within a cohort; alphabetical tail.
         "pipeline_full_ladder": q_pipeline_full_ladder,
         "decontam_normalized": q_decontam_normalized,
+        "streaming_quality_score": q_streaming_quality_score,
         "tpch_q22": q_tpch_q22,
         "tpch_q4": q_tpch_q4,
         "tpch_q7": q_tpch_q7,
@@ -6126,6 +6168,8 @@ scored AS (SELECT d.doc_id,
     # Incremental decontamination: the index probe is bit-identical to
     # the one-shot cross rewrite, so the oracle IS that operator's SQL.
     d["decontam_index_probe"] = d["dedup_spans_cross"]
+    # Streaming trained scorer: drained table = batch scorer output.
+    d["streaming_quality_score"] = d["score_quality_lr"]
     # The full intake ladder, recomposed stage-by-stage from the proven
     # component SQLs (the pipeline_e2e convention, at full depth).
     # Every chained stage CTE is AS MATERIALIZED — DuckDB otherwise

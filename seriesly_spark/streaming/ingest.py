@@ -751,3 +751,100 @@ def streaming_decontam(
         ).alias("gram_containment"),
         (F.col("n_hits") > 0).alias("contaminated"),
     ).orderBy("doc_id")
+
+
+def streaming_quality_score(
+    spark: SparkSession,
+    stream_dir: str,
+    weights: DataFrame,
+    query_name: str = "stream_qscore",
+) -> DataFrame:
+    """Score an ARRIVING document stream with a FROZEN trained
+    quality-LR weight table (``train_quality_lr``'s (bucket, weight)
+    shape) — the last batch-only gap in the trained family closed:
+    train offline, score the live intake. The ``streaming_decontam``
+    shape taken one step further: the model is literal weights in the
+    plan (frozen = collected once, driver metadata), scoring is a
+    PER-ROW projection, so the stream runs STATELESS in append mode —
+    no aggregation state at all, each micro-batch scores and emits.
+
+    Bit-parity with the batch scorer: the per-doc feature vector is
+    built IN-ROW (distinct hashed buckets of the same uni+bigram set,
+    x = occurrences / total — the identical IEEE division), folded by
+    the same round-6 decimal ``_logit`` against the same literal
+    weight vector, so the drained table EQUALS
+    ``score_quality_lr(docs, weights)`` and the DuckDB oracle is that
+    operator's SQL verbatim (the decontam_index_probe convention).
+    Featureless docs (NULL text) score NULL. Output: (doc_id, score),
+    ordered by doc_id.
+    """
+    from seriesly_spark.operators.quality import (
+        BIAS_BUCKET,
+        _logit,
+        _md5_bucket,
+        _sigmoid6,
+        _weight_vec,
+    )
+    from seriesly_spark.operators.textstats import tokens
+
+    wrows = weights.select("bucket", "weight").collect()
+    trained = max(int(r.bucket) for r in wrows) + 1 if wrows else 0
+    got = sorted(int(r.bucket) for r in wrows)
+    if got != list(range(BIAS_BUCKET, trained)):
+        raise ValueError(
+            "weight table is not dense over buckets "
+            f"{BIAS_BUCKET}..{trained - 1} (got {len(got)} rows) — "
+            "re-materialize zero-weight rows before scoring"
+        )
+    buckets = trained
+    w = [0.0] * (buckets + 1)
+    for r in wrows:
+        w[int(r.bucket) - BIAS_BUCKET] = float(r.weight)
+    wvec = _weight_vec(w)
+
+    schema = spark.read.parquet(stream_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    t = tokens("text")
+    pre = src.select(F.col("doc_id"), t.alias("__t"))
+    uni = F.col("__t")
+    bi = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.slice("__t", 1, F.size("__t") - 1),
+            lambda x, i: F.concat_ws(" ", x, F.col("__t")[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gs = F.transform(F.concat(uni, bi), lambda f: _md5_bucket(f, buckets))
+    nf = F.size(gs)
+    # distinct-bucket (b, x) pairs built in-row: same value set as the
+    # batch path's groupBy counts, and the decimal logit fold is
+    # order-independent, so array order vs aggregation order is moot
+    fs = F.when(
+        nf > 0,
+        F.concat(
+            F.transform(
+                F.array_distinct(gs),
+                lambda b: F.struct(
+                    b.alias("b"),
+                    (
+                        F.size(F.filter(gs, lambda g: g == b)) / nf
+                    ).alias("x"),
+                ),
+            ),
+            F.array(
+                F.struct(
+                    F.lit(BIAS_BUCKET).alias("b"), F.lit(1.0).alias("x")
+                )
+            ),
+        ),
+    )
+    scored = pre.select(
+        "doc_id", _sigmoid6(_logit(fs, wvec)).alias("score")
+    )
+    return _run_to_memory(scored, query_name, "append", spark).orderBy(
+        "doc_id"
+    )

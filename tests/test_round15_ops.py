@@ -250,3 +250,39 @@ class TestNormalizedDecontam:
         DecontamIndex(spark, p, n=3)  # raw reopen fine
         with pytest.raises(ValueError, match="normalize"):
             DecontamIndex(spark, p, n=3, normalize=True)
+
+
+class TestStreamingQualityScore:
+    def test_stream_equals_batch_scorer(self, spark, tmp_path):
+        """Stateless append-mode stream scoring == batch scorer,
+        including the NULL-text -> NULL score contract."""
+        from seriesly_spark.operators.quality import (
+            score_quality_lr,
+            train_quality_lr,
+        )
+        from seriesly_spark.streaming.ingest import streaming_quality_score
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat", 1.0),
+                (2, "wholly unrelated terms here", 0.0),
+                (3, None, 0.0),
+                (4, "the cat sat on the hat", 1.0),
+            ],
+            "doc_id long, text string, label double",
+        )
+        w = train_quality_lr(docs, rounds=2, lr=4.0, buckets=32)
+        batch = {
+            r.doc_id: r.score
+            for r in score_quality_lr(docs, w).collect()
+        }
+        sd = str(tmp_path / "stream")
+        docs.select("doc_id", "text").repartition(2).write.parquet(sd)
+        stream = {
+            r.doc_id: r.score
+            for r in streaming_quality_score(
+                spark, sd, w, query_name="t15_sqs"
+            ).collect()
+        }
+        assert stream == batch
+        assert stream[3] is None
