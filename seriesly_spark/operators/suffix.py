@@ -104,6 +104,78 @@ def _dense_rank_distinct(
     return out
 
 
+def _dense_rank_direct(
+    keyed: DataFrame,
+    cols: list[str],
+    out_col: str = "r",
+    unique: bool = False,
+) -> DataFrame:
+    """Dense rank of ``cols`` over (id, pos, cols...) rows WITHOUT the
+    distinct pass or the join-back ``_dense_rank_distinct`` pays:
+    range-repartition the FULL table on ``cols`` (a RangePartitioner
+    places equal keys in one partition), rank locally via a
+    lag-changed flag prefix sum, and offset each partition by the
+    cumulative per-partition DISTINCT-key counts (<= P driver rows).
+    One shuffle + one driver action per level, vs three shuffles
+    (distinct, range, join-back) + the same action — the suffix
+    family's per-round cost cut. Rank VALUES are identical: same
+    ascending dense rank over the same key tuples.
+
+    The repartitioned table persists (range boundaries are SAMPLED —
+    a recompute could repartition differently and de-sync offsets from
+    local ranks); the returned frame is a narrow two-Window projection
+    over it, so downstream re-references re-run a local sort over
+    cached partitions instead of a shuffle. ``unique=True`` asserts
+    the tuples are already unique (row_number local rank, sizes =
+    partition counts). Returns (id, pos, out_col) plus the
+    ``_drd_handle`` / ``_drd_total`` attrs of the distinct variant."""
+    d = (
+        keyed.repartitionByRange(*[F.col(c) for c in cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    wo = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if unique:
+        ranked = d.withColumn("__lr", F.row_number().over(wo))
+        per = F.count(F.lit(1))
+    else:
+        same = F.lit(True)
+        for c in cols:
+            same = same & (F.lag(c).over(wo) == F.col(c))
+        # new key run <=> NOT every col equals the previous row's;
+        # first row of a partition: lag is NULL -> same NULL ->
+        # coalesce opens a new run
+        flag = F.coalesce((~same).cast("int"), F.lit(1))
+        # nested window functions are illegal in one expression: the
+        # flag projects first, the running sum reads the column
+        ranked = d.withColumn("__flag", flag).withColumn(
+            "__lr", F.sum("__flag").over(wrun)
+        )
+        per = F.countDistinct(*cols)
+    sizes = sorted(
+        d.groupBy("__pid").agg(per.alias("c")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    off, offsets = 0, []
+    for row in sizes:
+        offsets.append((row["__pid"], off))
+        off += row["c"]
+    spark = keyed.sparkSession
+    odf = F.broadcast(
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(offsets or [(0, 0)], 1),
+            "__pid int, __off long",
+        )
+    )
+    out = ranked.join(odf, "__pid").select(
+        "id", "pos", (F.col("__off") + F.col("__lr")).alias(out_col)
+    )
+    out._drd_handle = d  # type: ignore[attr-defined]
+    out._drd_total = off  # type: ignore[attr-defined]
+    return out
+
+
 def suffix_dup_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -179,19 +251,21 @@ def _suffix_lcp(pre: DataFrame, rounds: int) -> DataFrame:
         raise ValueError("rounds must be >= 1")
     rot = CheckpointRotator()
     rank_tables: list[DataFrame] = []
+    handles: list[DataFrame] = []
 
     totals: list[int] = []
 
     def _ranked(keyed: DataFrame, cols: list[str], scope: str) -> DataFrame:
-        """(doc,pos,keys) -> persisted (doc,pos,r) via distinct-key
-        dense rank; bounded per-scope lifecycle."""
-        rk = _dense_rank_distinct(keyed, cols)
-        out = scoped_persist(
-            keyed.join(rk, cols).select("id", "pos", "r"), scope, eager=True
-        )
-        rk._drd_handle.unpersist(blocking=False)  # type: ignore[attr-defined]
+        """(doc,pos,keys) -> (doc,pos,r) via the direct dense rank —
+        ONE shuffle + one driver action per level (no distinct pass,
+        no join-back; see _dense_rank_direct). The returned frame is
+        a projection over the level's persisted range-partitioned
+        table; its handle is freed after the probe chain
+        materializes (probes re-reference every level's table)."""
+        rk = _dense_rank_direct(keyed, cols)
+        handles.append(rk._drd_handle)  # type: ignore[attr-defined]
         totals.append(rk._drd_total)  # type: ignore[attr-defined]
-        return out
+        return rk
 
     # Level-0 "ranks" are the token hashes themselves: ANY injective
     # relabeling of the alphabet yields the same groups and a valid
@@ -219,12 +293,19 @@ def _suffix_lcp(pre: DataFrame, rounds: int) -> DataFrame:
         # lineage: keyed references ranks twice, so without truncation
         # the logical plan doubles per round (the connected_components
         # lesson — planning itself OOMs).
+        # eager=False: the very next driver job (the ranking's
+        # distinct-key sizes collect, or the final order index's for
+        # the last round) materializes this checkpoint as its input —
+        # a dedicated materialization job per round bought nothing but
+        # the ~0.8 s local scheduling floor (rotator contract holds:
+        # that job always runs before the next checkpoint call).
         keyed = rot.checkpoint(
             ranks.withColumnRenamed("r", "k1")
             .join(shifted, ["id", "pos"], "left")
             .select(
                 "id", "pos", "k1", F.coalesce("k2", F.lit(-1)).alias("k2")
-            )
+            ),
+            eager=False,
         )
         if k == rounds - 1:
             break  # the last pairing feeds only the order index below
@@ -245,11 +326,16 @@ def _suffix_lcp(pre: DataFrame, rounds: int) -> DataFrame:
     # order-identical to ranking it first (dense rank is monotone);
     # (id, pos) breaks the remaining ties deterministically. Under
     # stagnation the last built table carries the identical partition.
-    idx = _dense_rank_distinct(
+    idx = _dense_rank_direct(
         keyed if keyed is not None else rank_tables[-1],
         ["k1", "k2", "id", "pos"] if keyed is not None else ["r", "id", "pos"],
         out_col="__sidx",
+        unique=True,
     )
+    # eager=False: the finished probe chain's checkpoint below runs
+    # the whole thing in ONE job; a separate materialization here only
+    # re-paid the scheduling floor. idx's sampled distinct frame must
+    # stay persisted until that job runs (rank/offset coherence).
     pairs = rot.checkpoint(
         idx.select(
             F.col("__sidx").alias("__i"),
@@ -262,9 +348,9 @@ def _suffix_lcp(pre: DataFrame, rounds: int) -> DataFrame:
                 F.col("pos").alias("p2"),
             ),
             "__i",
-        ).select("d1", "p1", "d2", "p2", F.lit(0).alias("lcp"))
+        ).select("d1", "p1", "d2", "p2", F.lit(0).alias("lcp")),
+        eager=False,
     )
-    idx._drd_handle.unpersist(blocking=False)  # type: ignore[attr-defined]
     # Probe sequence: (rank-table index, tokens granted on a match).
     # Levels >= k_sat share the saturated table and collapse into one
     # probe granting all their tokens at once.
@@ -314,6 +400,12 @@ def _suffix_lcp(pre: DataFrame, rounds: int) -> DataFrame:
     # side), so the finished chain materializes ONCE here — without
     # this the entire 2-joins-per-level chain executes twice.
     pairs = rot.checkpoint(pairs)
+    # the chain is materialized: every level's range-partitioned rank
+    # table (probes re-ran their Window projections over these) and
+    # the order index's can go
+    idx._drd_handle.unpersist(blocking=False)  # type: ignore[attr-defined]
+    for h in handles:
+        h.unpersist(blocking=False)
     # rank_k can match because BOTH suffixes END before 2^k tokens
     # (truncated keys carry identical -1 sentinel patterns) — that
     # forces the remaining contents AND lengths equal, so clamping the

@@ -106,6 +106,7 @@ class CheckpointRotator:
 
     def __init__(self) -> None:
         self._ids: set[int] = set()
+        self._pending: set[int] = set()
 
     @staticmethod
     def _persistent_ids(sc) -> set[int]:
@@ -124,20 +125,41 @@ class CheckpointRotator:
         except Exception:
             pass  # freeing is best-effort (e.g. session already stopped)
 
-    def checkpoint(self, df: DataFrame) -> DataFrame:
-        """Eagerly checkpoint ``df`` and free the rotator's previous
-        checkpoint (safe: the new frame no longer references it)."""
+    def checkpoint(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        """Checkpoint ``df`` and free superseded rounds.
+
+        ``eager=True`` (default): materialize now and free everything
+        older — the new frame no longer references it.
+
+        ``eager=False``: register the checkpoint WITHOUT spending a
+        driver job; the next action over the returned frame
+        materializes it (localCheckpoint persists its RDD at call
+        time, so the block ids are trackable immediately). Freeing is
+        deferred one generation: the PREVIOUS round's blocks stay live
+        because the new frame's lineage still reads them until it
+        materializes. CONTRACT: a lazy checkpoint may only be taken
+        after the previous one has materialized (run an action in
+        between) — the rotator frees two-generations-back on that
+        assumption."""
         sc = df.sparkSession.sparkContext
         with _ROTATOR_LOCK:
             before = self._persistent_ids(sc)
-            cp = df.localCheckpoint(eager=True)
+            cp = df.localCheckpoint(eager=eager)
             new_ids = self._persistent_ids(sc) - before
-        prev, self._ids = self._ids, new_ids
-        self._unpersist(sc, prev)
+        if eager:
+            prev = self._pending | self._ids
+            self._pending = set()
+            self._ids = new_ids
+            self._unpersist(sc, prev)
+        else:
+            prev, self._pending = self._pending, self._ids
+            self._ids = new_ids
+            self._unpersist(sc, prev)
         return cp
 
     def close(self, sc) -> None:
         """Free the final round's blocks once the loop's RESULT no
         longer depends on them (e.g. after it was collected)."""
-        ids, self._ids = self._ids, set()
+        ids = self._pending | self._ids
+        self._pending, self._ids = set(), set()
         self._unpersist(sc, ids)
