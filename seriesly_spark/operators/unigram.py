@@ -53,9 +53,40 @@ from seriesly_spark.operators.textstats import tokens
 from seriesly_spark.operators.util import scoped_persist, spread
 
 UNK_LOGP = -20.0
+# Per-BYTE score of a byte-fallback piece (SentencePiece's
+# byte_fallback, public spec): an unknown character costs
+# BYTE_LOGP x its UTF-8 byte count and emits one <0xXX> piece per
+# byte, so encode is TOTAL on any UTF-8 input instead of leaking
+# out-of-vocabulary characters as unencodable pseudo-pieces.
+BYTE_LOGP = -20.0
 # Widest piece table the impl="expr" literal map may carry in the
 # plan; beyond this only the broadcast-backed pandas path runs.
 LITERAL_MAX_PIECES = 10_000
+
+
+def byte_pieces(word_piece: str) -> list[str]:
+    """The byte-fallback expansion of an out-of-vocabulary character:
+    one ``<0xXX>`` piece per UTF-8 byte (SentencePiece's notation)."""
+    return [f"<0x{b:02X}>" for b in word_piece.encode("utf-8")]
+
+
+def decode_pieces(ps: list[str]) -> str:
+    """Reconstruct a word from its segmentation — the inverse proving
+    byte-fallback encode is lossless: maximal ``<0xXX>`` runs decode
+    as UTF-8 byte sequences, every other piece concatenates as-is."""
+    out: list[str] = []
+    buf = bytearray()
+    for p in ps:
+        if len(p) == 6 and p.startswith("<0x") and p.endswith(">"):
+            buf.append(int(p[3:5], 16))
+            continue
+        if buf:
+            out.append(buf.decode("utf-8"))
+            buf = bytearray()
+        out.append(p)
+    if buf:
+        out.append(buf.decode("utf-8"))
+    return "".join(out)
 
 
 def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
@@ -184,9 +215,15 @@ def _segment_words(
     vocab: dict[str, float],
     max_piece_len: int,
     impl: str = "pandas",
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """(w, freq, ps): each distinct word's Viterbi segmentation under
-    ``vocab``. Two implementations pinned bit-equal by tests (the LSH
+    ``vocab``. ``byte_fallback=True`` (pandas path only — the expr
+    form is the raw-mode parity reference) makes segmentation TOTAL:
+    an out-of-vocabulary character costs BYTE_LOGP per UTF-8 byte and
+    emits ``<0xXX>`` byte pieces instead of leaking itself as an
+    unencodable pseudo-piece; ``decode_pieces`` inverts exactly.
+    Two implementations pinned bit-equal by tests (the LSH
     signature convention):
 
     * ``impl="pandas"`` (default): one Arrow-batched mapInPandas stage
@@ -212,6 +249,11 @@ def _segment_words(
     pandas/expr bit-equality gate).
     """
     if impl == "expr":
+        if byte_fallback:
+            raise ValueError(
+                "byte_fallback is implemented on the pandas path; "
+                "impl='expr' is the raw-mode parity reference"
+            )
         if len(vocab) > LITERAL_MAX_PIECES:
             raise ValueError(
                 f"impl='expr' carries the {len(vocab)}-piece table as "
@@ -245,7 +287,12 @@ def _segment_words(
                         if lp is None:
                             if l != 1:
                                 continue
-                            lp = UNK_LOGP
+                            lp = (
+                                BYTE_LOGP
+                                * len(w[j - 1].encode("utf-8"))
+                                if byte_fallback
+                                else UNK_LOGP
+                            )
                         s = best[j - l] + lp
                         # max by (score, len): same tie order as the
                         # expr form's struct array_max
@@ -254,7 +301,11 @@ def _segment_words(
                     best[j], bp[j] = bs, bl
                 ps, pos = [], n
                 while pos > 0:
-                    ps.append(w[pos - bp[pos]:pos])
+                    p = w[pos - bp[pos]:pos]
+                    if byte_fallback and len(p) == 1 and p not in vocab:
+                        ps.extend(reversed(byte_pieces(p)))
+                    else:
+                        ps.append(p)
                     pos -= bp[pos]
                 out.append(ps[::-1])
             yield pd.DataFrame(
@@ -348,15 +399,21 @@ def unigram_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_piece_len: int = 4,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Viterbi-encode every document with a trained piece table
     (``unigram_train``'s (piece, cnt, logp) shape): segment each
     DISTINCT word once (the model collects to the driver — metadata —
-    and rides the DP as a literal map), then join documents back by
+    and rides the DP via broadcast), then join documents back by
     word and stitch in token order. Unknown single characters score
-    UNK_LOGP and pass through as themselves. Output: (id_col,
-    n_pieces, encoded) — encoded is the piece stream joined with
-    single spaces; NULL-text docs report (0, '')."""
+    UNK_LOGP and pass through as themselves — fine for scoring,
+    lossy for a downstream piece->id mapping; pass
+    ``byte_fallback=True`` for SentencePiece's byte_fallback instead:
+    they cost BYTE_LOGP per UTF-8 byte and emit ``<0xXX>`` byte
+    pieces, making encode TOTAL on any UTF-8 input
+    (``decode_pieces`` inverts the segmentation exactly). Output:
+    (id_col, n_pieces, encoded) — encoded is the piece stream joined
+    with single spaces; NULL-text docs report (0, '')."""
     vrows = model.select("piece", "logp").collect()
     vocab = {r.piece: float(r.logp) for r in vrows}
     if not vocab:
@@ -370,9 +427,9 @@ def unigram_encode(
         .distinct()
         .withColumn("freq", F.lit(1))
     )
-    seg = _segment_words(words, vocab, max_piece_len).select(
-        "w", "ps"
-    )
+    seg = _segment_words(
+        words, vocab, max_piece_len, byte_fallback=byte_fallback
+    ).select("w", "ps")
     tok = pre.select("id", F.posexplode("__t").alias("pos", "w")).where(
         F.col("w") != ""
     )
