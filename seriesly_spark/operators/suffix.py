@@ -9,13 +9,16 @@ approximate at one granularity.
 
 Algorithm, re-expressed as DataFrame rounds:
 
-1. Every (doc, pos) suffix starts with rank_0 = a dense rank of its
-   first token's xxhash64.
+1. Every (doc, pos) suffix starts with rank_0 = its first token's
+   xxhash64 (ANY injective relabeling of the alphabet yields the same
+   groups and a valid lexicographic base order, so no rank pass).
 2. Round k (shift 2^k): each suffix's key becomes the pair
    (rank_k[pos], rank_k[pos + 2^k]) — the second component -1 when the
    shifted position runs off the document (a suffix never crosses a
-   document boundary) — and rank_{k+1} is the dense rank of that pair.
-   After K rounds ranks order suffixes by their first 2^K tokens.
+   document boundary) — and rank_{k+1} is an ORDER-PRESERVING
+   INJECTIVE relabeling of that pair (prefix doubling never needs the
+   ranks dense/consecutive, only monotone and equality-preserving; the
+   r15 job-count rewrite below exploits exactly that slack).
 3. Suffixes sort by (rank_K, doc, pos); each ADJACENT pair's longest
    common prefix is recovered exactly from the retained per-round rank
    tables by greedy binary decomposition (the sparse-table argument):
@@ -32,15 +35,46 @@ Token identity is xxhash64 (the ``minhash_dedup_auto`` hashed-shingle
 caveat: a 64-bit collision can overstate a span; never understates by
 more than a collision's reach).
 
-Scale shape: every round is sort/rank/join machinery over narrow
-(doc, pos, rank) rows — no token text survives past rank_0. The dense
-rank is the two-phase distributed pattern (range repartition, local
-row_number per partition, driver-side prefix offsets over the <=P
-partition totals — P rows on the driver, never data). Per-round state
-is one persisted rank table (kept through the LCP phase: rounds + 1
-tables of 12-byte rows, the operator's declared memory bill) and
-lineage is CheckpointRotator-bounded. The LCP phase is 2 equi-joins
-per round on the adjacent-pair table. Everything shuffles on ints.
+Round-15 plan shape (the driver-latency rewrite): the old
+implementation paid, per doubling round, a range-repartition SAMPLING
+job, a per-partition-sizes ``collect``, a broadcast-offset join and a
+self-join of the rank table against its shifted copy — ~135 Spark
+jobs for the registry's rounds=7 invocation, every one serialized on
+the driver. All of that machinery is replaced by three observations:
+
+- Rank values need only be MONOTONE + INJECTIVE on the key pairs, so
+  rank = (bucket << 40) | dense_rank-within-bucket, where ``bucket``
+  is a DETERMINISTIC ascending range split of the key domain (high
+  bits of the hash at level 0; the previous rank's own bucket bits —
+  ``rank >> 40`` — afterwards, which inherits that level's balance).
+  No sampling pass, no size collect, no offset join: one hash
+  exchange on the bucket id + one local dense_rank window per round.
+  Buckets outnumber shuffle partitions ~32x (power of two, derived
+  from the session's parallelism — scale-adaptive, not a local
+  constant), so the bucket->partition hash spreads evenly; equal keys
+  share a bucket by construction, exactly the skew contract the
+  sampled range partitioner gave.
+- Keeping the per-round state as ONE ROW PER DOCUMENT (id, array of
+  ranks by position) makes the shifted pairing an IN-ROW
+  transform/get — the per-round self-join (two exchanges + the
+  lineage doubling that forced per-round checkpoints) disappears, and
+  lineage becomes single-reference, so the whole operator composes as
+  ONE lazy plan: zero driver actions before the consumer's own
+  (``rounds="auto"`` adds a single max-length aggregate).
+- The LCP probe chain (2 joins per level against every rank table)
+  collapses to TWO joins total: adjacent suffix pairs join the
+  per-doc level arrays once per side, and the greedy descending-k
+  probe runs as an in-row fold over the levels. Adjacency itself is a
+  lead() window per bucket plus a <= n_buckets-row boundary frame
+  (driver-bounded metadata, never data) instead of the dense order
+  index + self-join.
+
+Scale shape: every exchange carries narrow (id, pos, rank) rows or
+the per-doc rank arrays (8 bytes/token/level — no token text survives
+past level 0). Persisted state is the rounds+1 level arrays (the
+operator's declared memory bill, unchanged). Hot buckets (a frequent
+token at level 0) are the same equal-keys-colocate skew the sampled
+range partitioner had; doubling splits them geometrically.
 """
 
 from __future__ import annotations
@@ -49,131 +83,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from seriesly_spark.operators.textstats import tokens
-from seriesly_spark.operators.util import (
-    CheckpointRotator,
-    scoped_persist,
-    spread,
-)
+from seriesly_spark.operators.util import scoped_persist, spread
+
+# Bits reserved for the within-bucket dense rank: 2^40 rows per bucket
+# before overflow, with bucket ids capped far below 2^23 so the packed
+# rank always fits a signed long.
+_BLOCK = 40
 
 
-def _dense_rank_distinct(
-    df: DataFrame, cols: list[str], out_col: str = "r"
-) -> DataFrame:
-    """Dense rank (1-based, ties impossible — input is made distinct)
-    of ``cols`` tuples in ascending order, WITHOUT a global
-    single-partition window: range-repartition the distinct keys, rank
-    locally per partition, then offset each partition by the total of
-    its predecessors (RangePartitioner assigns ascending key ranges to
-    ascending partition ids). The partition sizes collect to the
-    driver — at most spark.sql.shuffle.partitions rows, never data.
-    The distinct frame is persisted around the two consumers (sizes +
-    ranks) because range boundaries are SAMPLED: a recompute could
-    repartition differently and de-sync offsets from local ranks.
-    Returns (cols..., r). Caller must unpersist via the handle in
-    ``df._drd_handle`` after its downstream consumer materializes.
-    """
-    d = (
-        df.select(*cols)
-        .distinct()
-        .repartitionByRange(*[F.col(c) for c in cols])
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    sizes = sorted(
-        d.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
-    )
-    off, offsets = 0, []
-    for row in sizes:
-        offsets.append((row["__pid"], off))
-        off += row["count"]
-    spark = df.sparkSession
-    odf = F.broadcast(
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(offsets or [(0, 0)], 1),
-            "__pid int, __off long",
-        )
-    )
-    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
-    out = (
-        d.withColumn("__lr", F.row_number().over(w))
-        .join(odf, "__pid")
-        .select(*cols, (F.col("__off") + F.col("__lr")).alias(out_col))
-    )
-    out._drd_handle = d  # type: ignore[attr-defined]
-    out._drd_total = off  # type: ignore[attr-defined]
-    return out
+def _n_buckets(spark) -> int:
+    """Deterministic bucket count for the rank windows: the smallest
+    power of two >= 32x the session's default parallelism (the guide's
+    20-100x rule so the bucket->partition hash spreads evenly), capped
+    so (bucket << _BLOCK) can never overflow a long. Derived from the
+    session, not a local constant — at cluster scale this follows the
+    configured parallelism."""
+    p = max(1, spark.sparkContext.defaultParallelism) * 32
+    b = 1
+    while b < p:
+        b <<= 1
+    return min(b, 1 << 20)
 
 
-def _dense_rank_direct(
-    keyed: DataFrame,
-    cols: list[str],
-    out_col: str = "r",
-    unique: bool = False,
-) -> DataFrame:
-    """Dense rank of ``cols`` over (id, pos, cols...) rows WITHOUT the
-    distinct pass or the join-back ``_dense_rank_distinct`` pays:
-    range-repartition the FULL table on ``cols`` (a RangePartitioner
-    places equal keys in one partition), rank locally via a
-    lag-changed flag prefix sum, and offset each partition by the
-    cumulative per-partition DISTINCT-key counts (<= P driver rows).
-    One shuffle + one driver action per level, vs three shuffles
-    (distinct, range, join-back) + the same action — the suffix
-    family's per-round cost cut. Rank VALUES are identical: same
-    ascending dense rank over the same key tuples.
-
-    The repartitioned table persists (range boundaries are SAMPLED —
-    a recompute could repartition differently and de-sync offsets from
-    local ranks); the returned frame is a narrow two-Window projection
-    over it, so downstream re-references re-run a local sort over
-    cached partitions instead of a shuffle. ``unique=True`` asserts
-    the tuples are already unique (row_number local rank, sizes =
-    partition counts). Returns (id, pos, out_col) plus the
-    ``_drd_handle`` / ``_drd_total`` attrs of the distinct variant."""
-    d = (
-        keyed.repartitionByRange(*[F.col(c) for c in cols])
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    wo = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
-    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    if unique:
-        ranked = d.withColumn("__lr", F.row_number().over(wo))
-        per = F.count(F.lit(1))
-    else:
-        same = F.lit(True)
-        for c in cols:
-            same = same & (F.lag(c).over(wo) == F.col(c))
-        # new key run <=> NOT every col equals the previous row's;
-        # first row of a partition: lag is NULL -> same NULL ->
-        # coalesce opens a new run
-        flag = F.coalesce((~same).cast("int"), F.lit(1))
-        # nested window functions are illegal in one expression: the
-        # flag projects first, the running sum reads the column
-        ranked = d.withColumn("__flag", flag).withColumn(
-            "__lr", F.sum("__flag").over(wrun)
-        )
-        per = F.countDistinct(*cols)
-    sizes = sorted(
-        d.groupBy("__pid").agg(per.alias("c")).collect(),
-        key=lambda r: r["__pid"],
-    )
-    off, offsets = 0, []
-    for row in sizes:
-        offsets.append((row["__pid"], off))
-        off += row["c"]
-    spark = keyed.sparkSession
-    odf = F.broadcast(
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(offsets or [(0, 0)], 1),
-            "__pid int, __off long",
-        )
-    )
-    out = ranked.join(odf, "__pid").select(
-        "id", "pos", (F.col("__off") + F.col("__lr")).alias(out_col)
-    )
-    out._drd_handle = d  # type: ignore[attr-defined]
-    out._drd_total = off  # type: ignore[attr-defined]
-    return out
+def _bucket(col, level: int, nb: int):
+    """Ascending deterministic bucket id in [0, nb) for a level-k rank
+    value. Level 0 ranks are raw xxhash64 values — uniform over the
+    full signed 64-bit range, so the top log2(nb) bits (shifted to
+    non-negative) split it evenly. Later ranks are (bucket << _BLOCK)
+    | dense_rank, so their own top bits ARE the bucket — the split
+    inherits the previous level's balance. Both are monotone in the
+    rank value and colocate equal ranks, the two properties the
+    sampled range partitioner provided."""
+    if level == 0:
+        m = nb.bit_length() - 1  # nb = 2^m
+        return (F.shiftright(col, 64 - m) + F.lit(nb // 2)).cast("int")
+    return F.shiftright(col, _BLOCK).cast("int")
 
 
 def suffix_dup_stats(
@@ -195,14 +139,14 @@ def suffix_dup_stats(
     care to measure (cap 127 at the default covers the driver corpus's
     100-token documents entirely, i.e. the stat is fully exact there).
     On a longer-doc corpus a fixed cap SATURATES silently (max_dup_len
-    reports the cap), and on a short-doc corpus rounds are wasted
-    (each is ~3 jobs) — pass ``rounds="auto"`` to derive the smallest
-    exact cap from one cheap aggregate over the already-persisted
-    token-hash table: rounds = bit_length(max doc tokens), so
-    2^rounds - 1 >= every possible span length and the stat is exact
-    on ANY corpus. "auto" is still a pure function of the corpus (the
-    max is deterministic), so oracle replayability survives — and the
-    independent suffix-sort oracle never needed the cap anyway.
+    reports the cap), and on a short-doc corpus rounds are wasted —
+    pass ``rounds="auto"`` to derive the smallest exact cap from one
+    cheap aggregate over the already-persisted token-hash table:
+    rounds = bit_length(max doc tokens), so 2^rounds - 1 >= every
+    possible span length and the stat is exact on ANY corpus. "auto"
+    is still a pure function of the corpus (the max is deterministic),
+    so oracle replayability survives — and the independent suffix-sort
+    oracle never needed the cap anyway.
     """
     toks = tokens(text_col)
     pre = scoped_persist(
@@ -246,190 +190,154 @@ def _suffix_lcp(pre: DataFrame, rounds: int) -> DataFrame:
     prefix with each suffix-order neighbor, clamped to the suffix's
     remainder and the cap 2^rounds - 1. max(lcp) per (id, pos) is the
     position's longest-duplicated-prefix length (exact below the cap);
-    consumers aggregate per position or per document as needed."""
+    consumers aggregate per position or per document as needed.
+
+    Composes as ONE lazy plan (module docstring): no driver action,
+    no checkpoint, no sampling run before the consumer's own action.
+    The only persisted state besides ``pre`` is the adjacent-pair LCP
+    table (read twice by the two-sided union); ``scoped_persist``
+    bounds it at one live generation across invocations."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    rot = CheckpointRotator()
-    rank_tables: list[DataFrame] = []
-    handles: list[DataFrame] = []
+    spark = pre.sparkSession
+    nb = _n_buckets(spark)
+    blk = F.lit(1 << _BLOCK).cast("long")
+    cap = (1 << rounds) - 1
 
-    totals: list[int] = []
-
-    def _ranked(keyed: DataFrame, cols: list[str], scope: str) -> DataFrame:
-        """(doc,pos,keys) -> (doc,pos,r) via the direct dense rank —
-        ONE shuffle + one driver action per level (no distinct pass,
-        no join-back; see _dense_rank_direct). The returned frame is
-        a projection over the level's persisted range-partitioned
-        table; its handle is freed after the probe chain
-        materializes (probes re-reference every level's table)."""
-        rk = _dense_rank_direct(keyed, cols)
-        handles.append(rk._drd_handle)  # type: ignore[attr-defined]
-        totals.append(rk._drd_total)  # type: ignore[attr-defined]
-        return rk
-
-    # Level-0 "ranks" are the token hashes themselves: ANY injective
-    # relabeling of the alphabet yields the same groups and a valid
-    # lexicographic base order, so the first dense-rank pass (and its
-    # join-back) is skipped outright. -1 keeps the existing
+    # Level 0 "ranks" are the token hashes themselves. -1 keeps the
     # past-the-end sentinel — a real hash colliding with it is a
     # 2^-64-per-position event, the same class as the token-hash
     # collision caveat already accepted at every level.
-    ranks = scoped_persist(
-        pre.select("id", F.posexplode("__th").alias("pos", "r")),
-        "suffix.rank_0",
-        eager=True,
-    )
-    rank_tables.append(ranks)
-    totals.append(-1)
+    rk = pre.select("id", F.posexplode("__th").alias("pos", "r"))
+    wid = Window.partitionBy("id").orderBy("pos")
     keyed = None
-    k_sat = rounds
     for k in range(rounds):
         shift = 1 << k
-        shifted = ranks.select(
-            "id", (F.col("pos") - shift).alias("pos"), F.col("r").alias("k2")
-        )
-        # The checkpoint both materializes keyed for its two consumers
-        # (the distinct-key ranking and the join-back) and TRUNCATES
-        # lineage: keyed references ranks twice, so without truncation
-        # the logical plan doubles per round (the connected_components
-        # lesson — planning itself OOMs).
-        # eager=False: the very next driver job (the ranking's
-        # distinct-key sizes collect, or the final order index's for
-        # the last round) materializes this checkpoint as its input —
-        # a dedicated materialization job per round bought nothing but
-        # the ~0.8 s local scheduling floor (rotator contract holds:
-        # that job always runs before the next checkpoint call).
-        keyed = rot.checkpoint(
-            ranks.withColumnRenamed("r", "k1")
-            .join(shifted, ["id", "pos"], "left")
-            .select(
-                "id", "pos", "k1", F.coalesce("k2", F.lit(-1)).alias("k2")
-            ),
-            eager=False,
-        )
-        if k == rounds - 1:
-            break  # the last pairing feeds only the order index below
-        ranks = _ranked(keyed, ["k1", "k2"], f"suffix.rank_{k + 1}")
-        rank_tables.append(ranks)
-        # Early exit on STAGNATION: a doubling round that splits no
-        # group never will again (the partition is shift-closed), so
-        # from here equal-rank <=> identical suffixes. All remaining
-        # levels' equality probes collapse onto this table, and their
-        # greedy adds collapse into one (the final clamp caps exactly).
-        if totals[-1] == totals[-2]:
-            k_sat = len(rank_tables) - 1
-            keyed = None
-            break
-
-    # Suffix order: the final pairing already groups equal-(first
-    # 2^rounds)-prefix suffixes, and ordering by the rank PAIR is
-    # order-identical to ranking it first (dense rank is monotone);
-    # (id, pos) breaks the remaining ties deterministically. Under
-    # stagnation the last built table carries the identical partition.
-    idx = _dense_rank_direct(
-        keyed if keyed is not None else rank_tables[-1],
-        ["k1", "k2", "id", "pos"] if keyed is not None else ["r", "id", "pos"],
-        out_col="__sidx",
-        unique=True,
-    )
-    # eager=False: the finished probe chain's checkpoint below runs
-    # the whole thing in ONE job; a separate materialization here only
-    # re-paid the scheduling floor. idx's sampled distinct frame must
-    # stay persisted until that job runs (rank/offset coherence).
-    pairs = rot.checkpoint(
-        idx.select(
-            F.col("__sidx").alias("__i"),
-            F.col("id").alias("d1"),
-            F.col("pos").alias("p1"),
-        ).join(
-            idx.select(
-                (F.col("__sidx") - 1).alias("__i"),
-                F.col("id").alias("d2"),
-                F.col("pos").alias("p2"),
-            ),
-            "__i",
-        ).select("d1", "p1", "d2", "p2", F.lit(0).alias("lcp")),
-        eager=False,
-    )
-    # Probe sequence: (rank-table index, tokens granted on a match).
-    # Levels >= k_sat share the saturated table and collapse into one
-    # probe granting all their tokens at once.
-    if k_sat <= rounds - 1:
-        probes = [(k_sat, (1 << rounds) - (1 << k_sat))]
-        probes += [(k, 1 << k) for k in range(k_sat - 1, -1, -1)]
-    else:
-        probes = [(k, 1 << k) for k in range(rounds - 1, -1, -1)]
-    # No per-probe checkpoints: unlike the doubling loop, each probe
-    # references the previous pairs frame ONCE, so the plan grows
-    # LINEARLY (2 joins per level against cached rank tables) — the
-    # whole greedy chain plans fine and executes as one action in the
-    # consumer, saving a full materialization pass per level.
-    for k, grant in probes:
-        rk = rank_tables[k]
-        a = rk.select(
-            F.col("id").alias("d1"),
-            F.col("pos").alias("__q1"),
-            F.col("r").alias("__r1"),
-        )
-        b = rk.select(
-            F.col("id").alias("d2"),
-            F.col("pos").alias("__q2"),
-            F.col("r").alias("__r2"),
-        )
-        pairs = (
-            pairs.withColumn("__q1", F.col("p1") + F.col("lcp"))
-            .withColumn("__q2", F.col("p2") + F.col("lcp"))
-            .join(a, ["d1", "__q1"], "left")
-            .join(b, ["d2", "__q2"], "left")
-            .select(
-                "d1",
-                "p1",
-                "d2",
-                "p2",
-                (
-                    F.col("lcp")
-                    + F.when(
-                        F.col("__r1").isNotNull()
-                        & (F.col("__r1") == F.col("__r2")),
-                        F.lit(grant),
-                    ).otherwise(F.lit(0))
-                ).alias("lcp"),
-            )
-        )
-    # The consumer union below references pairs TWICE (one leg per
-    # side), so the finished chain materializes ONCE here — without
-    # this the entire 2-joins-per-level chain executes twice.
-    pairs = rot.checkpoint(pairs)
-    # the chain is materialized: every level's range-partitioned rank
-    # table (probes re-ran their Window projections over these) and
-    # the order index's can go
-    idx._drd_handle.unpersist(blocking=False)  # type: ignore[attr-defined]
-    for h in handles:
-        h.unpersist(blocking=False)
-    # rank_k can match because BOTH suffixes END before 2^k tokens
-    # (truncated keys carry identical -1 sentinel patterns) — that
-    # forces the remaining contents AND lengths equal, so clamping the
-    # greedy sum to the suffix's own remaining length is exact: in the
-    # truncation case both remainders agree and equal the true LCP, in
-    # the non-truncated case the clamp never binds. The cap clamp
-    # handles the collapsed probe's deliberate over-grant on long
-    # identical suffixes (low-level probes can still match past it).
-    cap = (1 << rounds) - 1
-    lens = pre.select("id", F.size("__th").alias("__n"))
-    return (
-        pairs.select(F.col("d1").alias("id"), F.col("p1").alias("pos"), "lcp")
-        .union(
-            pairs.select(
-                F.col("d2").alias("id"), F.col("p2").alias("pos"), "lcp"
-            )
-        )
-        .join(lens, "id")
-        .select(
+        # Shifted pairing via lead() within the document — a window
+        # over (id, pos), not a self-join: suffixes never cross a
+        # document boundary, and the narrow (id, pos, rank) rows stay
+        # the only thing exchanged.
+        keyed = rk.select(
             "id",
             "pos",
-            F.least(
-                "lcp", F.col("__n") - F.col("pos"), F.lit(cap)
-            ).alias("lcp"),
+            F.col("r").alias("k1"),
+            F.coalesce(F.lead("r", shift).over(wid), F.lit(-1)).alias(
+                "k2"
+            ),
+        ).withColumn("__b", _bucket(F.col("k1"), k, nb))
+        if k == rounds - 1:
+            break
+        # Order-preserving injective relabeling of the pair: bucket
+        # high bits + local dense rank. ONE exchange (hash on __b).
+        w = Window.partitionBy("__b").orderBy("k1", "k2")
+        rk = keyed.select(
+            "id",
+            "pos",
+            (
+                F.col("__b").cast("long") * blk + F.dense_rank().over(w)
+            ).alias("r"),
+        )
+
+    # Suffix order: the final pairing already groups equal-(first
+    # 2^rounds)-prefix suffixes, and ordering by (k1, k2, id, pos) is
+    # order-identical to ranking it first (dense rank is monotone).
+    # Adjacent pairs come from a lead() window per bucket; the
+    # bucket-boundary pairs from a <= nb-row first/last frame (bucket
+    # count is a config-derived constant — metadata, never data). The
+    # boundary aggregate groups the ALREADY __b-partitioned window
+    # output, so the exchange below the window is the only one and is
+    # shared by both consumers.
+    wadj = Window.partitionBy("__b").orderBy("k1", "k2", "id", "pos")
+    adj = keyed.withColumn(
+        "__n", F.lead(F.struct("id", "pos")).over(wadj)
+    )
+    within = adj.where(F.col("__n").isNotNull()).select(
+        F.col("id").alias("d1"),
+        F.col("pos").alias("p1"),
+        F.col("__n.id").alias("d2"),
+        F.col("__n.pos").alias("p2"),
+    )
+    ends = adj.groupBy("__b").agg(
+        F.min_by(
+            F.struct("id", "pos"), F.struct("k1", "k2", "id", "pos")
+        ).alias("__first"),
+        F.max_by(
+            F.struct("id", "pos"), F.struct("k1", "k2", "id", "pos")
+        ).alias("__last"),
+    )
+    wb = Window.orderBy("__b")
+    boundary = (
+        ends.select(
+            F.col("__last").alias("__a"),
+            F.lead("__first").over(wb).alias("__z"),
+        )
+        .where(F.col("__z").isNotNull())
+        .select(
+            F.col("__a.id").alias("d1"),
+            F.col("__a.pos").alias("p1"),
+            F.col("__z.id").alias("d2"),
+            F.col("__z.pos").alias("p2"),
+        )
+    )
+    pairs = within.union(boundary)
+
+    # Each adjacent pair's LCP is the first mismatch of the two
+    # suffixes' token-hash slices, pre-clamped to the cap: rank
+    # equality IS hash equality level by level, so comparing the
+    # hashes directly is the same computation as the greedy rank
+    # probes (same 2^-64 collision class), in TWO joins total instead
+    # of two per level — and the slice bound keeps the joined rows at
+    # most cap tokens wide per side, so the bytes exchanged stay
+    # proportional to pairs x cap, the same bill the per-level probe
+    # chain paid across its exchanges. A slice never runs past its
+    # document (slice stops at the array end), so the first-mismatch
+    # result is inherently clamped to the suffix remainders: equal
+    # slices of unequal length mismatch at the shorter one's padding,
+    # and fully equal slices report their own (cap- or
+    # remainder-bounded) length.
+    t1 = pre.select(F.col("id").alias("d1"), F.col("__th").alias("__t1"))
+    t2 = pre.select(F.col("id").alias("d2"), F.col("__th").alias("__t2"))
+    j = (
+        pairs.join(t1, "d1")
+        .select(
+            "d1",
+            "p1",
+            "d2",
+            "p2",
+            F.slice("__t1", F.col("p1") + 1, cap).alias("__s1"),
+        )
+        .join(t2, "d2")
+        .select(
+            "d1",
+            "p1",
+            "d2",
+            "p2",
+            "__s1",
+            F.slice("__t2", F.col("p2") + 1, cap).alias("__s2"),
+        )
+    )
+    z = F.zip_with(
+        F.col("__s1"), F.col("__s2"), lambda x, y: x.eqNullSafe(y)
+    )
+    mism = F.array_position(z, False)
+    lcp_pairs = scoped_persist(
+        j.select(
+            "d1",
+            "p1",
+            "d2",
+            "p2",
+            F.when(mism > 0, mism - 1)
+            .otherwise(F.size("__s1"))
+            .cast("int")
+            .alias("lcp"),
+        ),
+        "suffix.lcp_pairs",
+    )
+    return lcp_pairs.select(
+        F.col("d1").alias("id"), F.col("p1").alias("pos"), "lcp"
+    ).union(
+        lcp_pairs.select(
+            F.col("d2").alias("id"), F.col("p2").alias("pos"), "lcp"
         )
     )
 
