@@ -1,80 +1,68 @@
 """Suffix-order duplicated-substring statistics: a distributed
-generalized SUFFIX ARRAY over the corpus token stream via
-Manber-Myers prefix doubling (SICOMP'93), giving ARBITRARY-LENGTH
-longest-duplicated-span stats next to the fixed-n gram family
-(``dup_span_stats`` / ``substring_dup_stats`` / ``dedup_spans``) —
-the length-exact core of Lee et al., "Deduplicating Training Data
-Makes Language Models Better" (ACL'22), which the fixed-n operators
-approximate at one granularity.
+generalized SUFFIX ARRAY over the corpus token stream, giving
+ARBITRARY-LENGTH longest-duplicated-span stats next to the fixed-n
+gram family (``dup_span_stats`` / ``substring_dup_stats`` /
+``dedup_spans``) — the length-exact core of Lee et al.,
+"Deduplicating Training Data Makes Language Models Better" (ACL'22),
+which the fixed-n operators approximate at one granularity.
 
-Algorithm, re-expressed as DataFrame rounds:
+The r13 implementation was full Manber-Myers prefix doubling
+(SICOMP'93) as DataFrame rounds: per round a sampled range
+repartition, a partition-sizes collect, a broadcast offset join and a
+self-join of the rank table against its shifted copy, then a greedy
+2-joins-per-level LCP probe chain — ~135 serialized Spark jobs for
+the registry's rounds=7 invocation, all driver latency. The r15
+rewrite uses the cap to collapse the whole thing into ONE sort:
 
-1. Every (doc, pos) suffix starts with rank_0 = its first token's
-   xxhash64 (ANY injective relabeling of the alphabet yields the same
-   groups and a valid lexicographic base order, so no rank pass).
-2. Round k (shift 2^k): each suffix's key becomes the pair
-   (rank_k[pos], rank_k[pos + 2^k]) — the second component -1 when the
-   shifted position runs off the document (a suffix never crosses a
-   document boundary) — and rank_{k+1} is an ORDER-PRESERVING
-   INJECTIVE relabeling of that pair (prefix doubling never needs the
-   ranks dense/consecutive, only monotone and equality-preserving; the
-   r15 job-count rewrite below exploits exactly that slack).
-3. Suffixes sort by (rank_K, doc, pos); each ADJACENT pair's longest
-   common prefix is recovered exactly from the retained per-round rank
-   tables by greedy binary decomposition (the sparse-table argument):
-   descending k, if both suffixes' rank_k at offset +lcp match, the
-   prefixes agree for 2^k more tokens. max-LCP-with-anyone is a
-   neighbor property in ANY injective-relabelled lexicographic order
-   (equal-prefix suffixes are contiguous), so per-doc maxima match a
-   true lexicographic suffix array's even though hash order differs.
+1. The stat is only needed exact up to cap = 2^rounds - 1 tokens, so
+   each suffix is REPRESENTED by its cap-bounded token-hash slice.
+   Ordering suffixes by (slice, doc, pos) is a true lexicographic
+   suffix order through the cap (any injective relabeling of the
+   alphabet — here xxhash64 — yields the same equal-prefix groups),
+   so equal-prefix classes of every length <= cap are contiguous and
+   max-LCP-with-anyone is a neighbor property.
+2. One skew-spreading 8-prefix rank level (Manber-Myers reduced to a
+   single round): each suffix's first-8-token slice gets
+   rank = (bucket << 40) | dense_rank-within-bucket, where bucket is
+   a deterministic high-bits split of the first token's hash — an
+   order-preserving injective relabeling with NO sampling pass, NO
+   size collect, NO offset join. The rank's upper bits (bucket plus
+   the dense rank's high bits, ``>> _SUBSPLIT``) form the final
+   sort's partitioning key: suffixes only colocate when they share
+   their first token AND fall in the same ~2^_SUBSPLIT-wide band of
+   8-prefix classes, so a hot head token spreads over many partitions
+   instead of one.
+3. The final sort by (rank, slice, id, pos) computes each adjacent
+   pair's LCP INLINE — the first mismatch of the two slices via
+   lead() — and emits both sides' (id, pos, lcp) rows in one explode.
+   No probe chain, no rank-table lookups, no order-index self-join.
+4. Partition-boundary adjacency needs only two tiny follow-ups:
+   suffixes in different sub-buckets of the same head-token bucket
+   share at most their first 8 tokens (their 8-prefix ranks differ),
+   so a per-sub-bucket first/last frame (two rows per populated
+   sub-bucket, 8-token slices riding) linked by a lead() window per
+   head bucket recovers those LCPs; and suffixes in DIFFERENT head
+   buckets differ in their first token's high bits, i.e. share no
+   prefix at all — those pairs have LCP 0 and are simply omitted.
 
 Exactness contract: values are exact up to the cap 2^rounds - 1;
-longer duplications report the cap (and order ties beyond 2^rounds
-tokens are broken arbitrarily, which the cap makes value-invisible).
-Token identity is xxhash64 (the ``minhash_dedup_auto`` hashed-shingle
+longer duplications report the cap (and order ties beyond the cap are
+broken arbitrarily, which the cap makes value-invisible). Token
+identity is xxhash64 (the ``minhash_dedup_auto`` hashed-shingle
 caveat: a 64-bit collision can overstate a span; never understates by
 more than a collision's reach).
 
-Round-15 plan shape (the driver-latency rewrite): the old
-implementation paid, per doubling round, a range-repartition SAMPLING
-job, a per-partition-sizes ``collect``, a broadcast-offset join and a
-self-join of the rank table against its shifted copy — ~135 Spark
-jobs for the registry's rounds=7 invocation, every one serialized on
-the driver. All of that machinery is replaced by three observations:
-
-- Rank values need only be MONOTONE + INJECTIVE on the key pairs, so
-  rank = (bucket << 40) | dense_rank-within-bucket, where ``bucket``
-  is a DETERMINISTIC ascending range split of the key domain (high
-  bits of the hash at level 0; the previous rank's own bucket bits —
-  ``rank >> 40`` — afterwards, which inherits that level's balance).
-  No sampling pass, no size collect, no offset join: one hash
-  exchange on the bucket id + one local dense_rank window per round.
-  Buckets outnumber shuffle partitions ~32x (power of two, derived
-  from the session's parallelism — scale-adaptive, not a local
-  constant), so the bucket->partition hash spreads evenly; equal keys
-  share a bucket by construction, exactly the skew contract the
-  sampled range partitioner gave.
-- Keeping the per-round state as ONE ROW PER DOCUMENT (id, array of
-  ranks by position) makes the shifted pairing an IN-ROW
-  transform/get — the per-round self-join (two exchanges + the
-  lineage doubling that forced per-round checkpoints) disappears, and
-  lineage becomes single-reference, so the whole operator composes as
-  ONE lazy plan: zero driver actions before the consumer's own
-  (``rounds="auto"`` adds a single max-length aggregate).
-- The LCP probe chain (2 joins per level against every rank table)
-  collapses to TWO joins total: adjacent suffix pairs join the
-  per-doc level arrays once per side, and the greedy descending-k
-  probe runs as an in-row fold over the levels. Adjacency itself is a
-  lead() window per bucket plus a <= n_buckets-row boundary frame
-  (driver-bounded metadata, never data) instead of the dense order
-  index + self-join.
-
-Scale shape: every exchange carries narrow (id, pos, rank) rows or
-the per-doc rank arrays (8 bytes/token/level — no token text survives
-past level 0). Persisted state is the rounds+1 level arrays (the
-operator's declared memory bill, unchanged). Hot buckets (a frequent
-token at level 0) are the same equal-keys-colocate skew the sampled
-range partitioner had; doubling splits them geometrically.
+Scale shape: the plan is ONE lazy composition — no driver action, no
+checkpoint, no mid-build job. The cap-bounded slices are the only
+payload-weight column and cross exactly one exchange (the final
+sort); everything else exchanges narrow (id, pos, rank) rows or
+per-doc rank arrays. The byte bill is O(corpus tokens x cap x 8B)
+through that one exchange — the probe-chain design moved the same
+order of bytes, spread over 2 x rounds exchanges with a driver
+barrier between each. Residual skew: suffixes sharing one entire
+8-token prefix class band colocate (the same equal-keys-colocate
+contract every rank round of the doubling design had); dense_rank
+sub-banding spreads everything coarser than that.
 """
 
 from __future__ import annotations
@@ -85,17 +73,23 @@ from pyspark.sql import functions as F
 from seriesly_spark.operators.textstats import tokens
 from seriesly_spark.operators.util import scoped_persist, spread
 
-# Bits reserved for the within-bucket dense rank: 2^40 rows per bucket
-# before overflow, with bucket ids capped far below 2^23 so the packed
-# rank always fits a signed long.
+# Bits reserved for the within-bucket dense rank: 2^40 distinct
+# 8-prefix classes per head bucket before overflow, with bucket ids
+# capped far below 2^23 so the packed rank always fits a signed long.
 _BLOCK = 40
+# The final sort partitions by rank >> _SUBSPLIT: bands of 2^12
+# consecutive 8-prefix classes share a partition key, anything coarser
+# spreads. Head-token buckets split into up to 2^(40-12) bands.
+_SUBSPLIT = 12
+# Rank tuple width: the one rank level covers an 8-token prefix.
+_PREF = 8
 
 
 def _n_buckets(spark) -> int:
-    """Deterministic bucket count for the rank windows: the smallest
-    power of two >= 32x the session's default parallelism (the guide's
-    20-100x rule so the bucket->partition hash spreads evenly), capped
-    so (bucket << _BLOCK) can never overflow a long. Derived from the
+    """Deterministic head-bucket count: the smallest power of two >=
+    32x the session's default parallelism (the guide's 20-100x rule so
+    the bucket->partition hash spreads evenly), capped so
+    (bucket << _BLOCK) can never overflow a long. Derived from the
     session, not a local constant — at cluster scale this follows the
     configured parallelism."""
     p = max(1, spark.sparkContext.defaultParallelism) * 32
@@ -105,19 +99,14 @@ def _n_buckets(spark) -> int:
     return min(b, 1 << 20)
 
 
-def _bucket(col, level: int, nb: int):
-    """Ascending deterministic bucket id in [0, nb) for a level-k rank
-    value. Level 0 ranks are raw xxhash64 values — uniform over the
-    full signed 64-bit range, so the top log2(nb) bits (shifted to
-    non-negative) split it evenly. Later ranks are (bucket << _BLOCK)
-    | dense_rank, so their own top bits ARE the bucket — the split
-    inherits the previous level's balance. Both are monotone in the
-    rank value and colocate equal ranks, the two properties the
-    sampled range partitioner provided."""
-    if level == 0:
-        m = nb.bit_length() - 1  # nb = 2^m
-        return (F.shiftright(col, 64 - m) + F.lit(nb // 2)).cast("int")
-    return F.shiftright(col, _BLOCK).cast("int")
+def _head_bucket(col, nb: int):
+    """Ascending deterministic bucket id in [0, nb) for a raw xxhash64
+    token hash — uniform over the full signed 64-bit range, so the top
+    log2(nb) bits (shifted to non-negative) split it evenly. Monotone
+    in the hash and colocates equal hashes, the two properties the
+    sampled range partitioner used to provide."""
+    m = nb.bit_length() - 1  # nb = 2^m
+    return (F.shiftright(col, 64 - m) + F.lit(nb // 2)).cast("long")
 
 
 def suffix_dup_stats(
@@ -139,14 +128,14 @@ def suffix_dup_stats(
     care to measure (cap 127 at the default covers the driver corpus's
     100-token documents entirely, i.e. the stat is fully exact there).
     On a longer-doc corpus a fixed cap SATURATES silently (max_dup_len
-    reports the cap), and on a short-doc corpus rounds are wasted —
-    pass ``rounds="auto"`` to derive the smallest exact cap from one
-    cheap aggregate over the already-persisted token-hash table:
-    rounds = bit_length(max doc tokens), so 2^rounds - 1 >= every
-    possible span length and the stat is exact on ANY corpus. "auto"
-    is still a pure function of the corpus (the max is deterministic),
-    so oracle replayability survives — and the independent suffix-sort
-    oracle never needed the cap anyway.
+    reports the cap), and on a short-doc corpus a large cap widens the
+    suffix slices for nothing — pass ``rounds="auto"`` to derive the
+    smallest exact cap from one cheap aggregate over the already-
+    persisted token-hash table: rounds = bit_length(max doc tokens),
+    so 2^rounds - 1 >= every possible span length and the stat is
+    exact on ANY corpus. "auto" is still a pure function of the corpus
+    (the max is deterministic), so oracle replayability survives — and
+    the independent suffix-sort oracle never needed the cap anyway.
     """
     toks = tokens(text_col)
     pre = scoped_persist(
@@ -183,20 +172,44 @@ def suffix_dup_stats(
     )
 
 
+def _first_mismatch_lcp(s1, s2):
+    """First mismatch index of two hash slices = their LCP. zip_with
+    pads the shorter side with NULL and eqNullSafe turns the padding
+    into a mismatch, so equal slices of unequal length report the
+    shorter length and fully equal slices their own (cap- or
+    remainder-bounded) length — inherently clamped, no separate
+    remainder/cap arithmetic."""
+    z = F.zip_with(s1, s2, lambda x, y: x.eqNullSafe(y))
+    mism = F.array_position(z, False)
+    return F.when(mism > 0, mism - 1).otherwise(F.size(s1)).cast("int")
+
+
+def _pair_rows(s1, s2, id1, p1, id2, p2):
+    """Both sides' (id, pos, lcp) rows for one adjacent suffix pair,
+    emitted through a single explode so the pair table is read once."""
+    lcp = _first_mismatch_lcp(s1, s2)
+    return F.explode(
+        F.array(
+            F.struct(id1.alias("id"), p1.alias("pos"), lcp.alias("lcp")),
+            F.struct(id2.alias("id"), p2.alias("pos"), lcp.alias("lcp")),
+        )
+    )
+
+
 def _suffix_lcp(pre: DataFrame, rounds: int) -> DataFrame:
     """The shared suffix-array core: ``pre`` is a persisted frame
     carrying (id, __th token-hash array, ...). Returns (id, pos, lcp)
     with up to two rows per suffix position — its longest common
     prefix with each suffix-order neighbor, clamped to the suffix's
-    remainder and the cap 2^rounds - 1. max(lcp) per (id, pos) is the
-    position's longest-duplicated-prefix length (exact below the cap);
-    consumers aggregate per position or per document as needed.
+    remainder and the cap 2^rounds - 1 (neighbors whose LCP is
+    provably 0 — different head-bucket — are omitted; consumers treat
+    missing positions as 0). max(lcp) per (id, pos) is the position's
+    longest-duplicated-prefix length (exact below the cap); consumers
+    aggregate per position or per document as needed.
 
     Composes as ONE lazy plan (module docstring): no driver action,
-    no checkpoint, no sampling run before the consumer's own action.
-    The only persisted state besides ``pre`` is the adjacent-pair LCP
-    table (read twice by the two-sided union); ``scoped_persist``
-    bounds it at one live generation across invocations."""
+    no checkpoint, no sampling run, no persisted state besides
+    ``pre`` itself."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     spark = pre.sparkSession
@@ -204,142 +217,125 @@ def _suffix_lcp(pre: DataFrame, rounds: int) -> DataFrame:
     blk = F.lit(1 << _BLOCK).cast("long")
     cap = (1 << rounds) - 1
 
-    # Level 0 "ranks" are the token hashes themselves. -1 keeps the
-    # past-the-end sentinel — a real hash colliding with it is a
-    # 2^-64-per-position event, the same class as the token-hash
-    # collision caveat already accepted at every level.
-    rk = pre.select("id", F.posexplode("__th").alias("pos", "r"))
-    wid = Window.partitionBy("id").orderBy("pos")
-    keyed = None
-    for k in range(rounds):
-        shift = 1 << k
-        # Shifted pairing via lead() within the document — a window
-        # over (id, pos), not a self-join: suffixes never cross a
-        # document boundary, and the narrow (id, pos, rank) rows stay
-        # the only thing exchanged.
-        keyed = rk.select(
-            "id",
-            "pos",
-            F.col("r").alias("k1"),
-            F.coalesce(F.lead("r", shift).over(wid), F.lit(-1)).alias(
-                "k2"
-            ),
-        ).withColumn("__b", _bucket(F.col("k1"), k, nb))
-        if k == rounds - 1:
-            break
-        # Order-preserving injective relabeling of the pair: bucket
-        # high bits + local dense rank. ONE exchange (hash on __b).
-        w = Window.partitionBy("__b").orderBy("k1", "k2")
-        rk = keyed.select(
-            "id",
-            "pos",
-            (
-                F.col("__b").cast("long") * blk + F.dense_rank().over(w)
-            ).alias("r"),
+    # Stage A — the single Manber-Myers rank level: each suffix keyed
+    # by its first-8-token hash slice (in-row build, no window/join),
+    # dense-ranked within its deterministic head bucket and packed as
+    # (bucket << 40) | dense_rank: monotone + injective on the
+    # 8-prefix, i.e. an order-preserving relabeling with no sampling
+    # pass, no size collect, no offset join. ONE narrow exchange.
+    rows = (
+        pre.select(
+            "id", "__th", F.posexplode("__th").alias("pos", "__t0")
         )
+        .select(
+            "id",
+            "pos",
+            F.slice("__th", F.col("pos") + 1, _PREF).alias("__s8"),
+            _head_bucket(F.col("__t0"), nb).alias("__b0"),
+        )
+    )
+    wrank = Window.partitionBy("__b0").orderBy("__s8")
+    ranked = rows.select(
+        "id",
+        "pos",
+        (F.col("__b0") * blk + F.dense_rank().over(wrank)).alias("r"),
+    )
 
-    # Suffix order: the final pairing already groups equal-(first
-    # 2^rounds)-prefix suffixes, and ordering by (k1, k2, id, pos) is
-    # order-identical to ranking it first (dense rank is monotone).
-    # Adjacent pairs come from a lead() window per bucket; the
-    # bucket-boundary pairs from a <= nb-row first/last frame (bucket
-    # count is a config-derived constant — metadata, never data). The
-    # boundary aggregate groups the ALREADY __b-partitioned window
-    # output, so the exchange below the window is the only one and is
-    # shared by both consumers.
-    wadj = Window.partitionBy("__b").orderBy("k1", "k2", "id", "pos")
-    adj = keyed.withColumn(
-        "__n", F.lead(F.struct("id", "pos")).over(wadj)
+    # Stage B — re-attach the per-position rank to the document (one
+    # id-keyed regroup + one id-keyed join against the persisted token
+    # table) and build the suffix rows (id, pos, r, s) with s the
+    # cap-bounded token-hash slice: the only payload-weight column,
+    # crossing exactly one exchange (the final sort below). The
+    # sub-bucket key __sb = r >> _SUBSPLIT spreads hot head tokens
+    # over bands of 2^_SUBSPLIT consecutive 8-prefix classes.
+    ra = ranked.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "r"))),
+            lambda e: e["r"],
+        ).alias("__ra")
     )
-    within = adj.where(F.col("__n").isNotNull()).select(
-        F.col("id").alias("d1"),
-        F.col("pos").alias("p1"),
-        F.col("__n.id").alias("d2"),
-        F.col("__n.pos").alias("p2"),
+    suf = (
+        pre.join(ra, "id")
+        .select(
+            "id",
+            "__th",
+            "__ra",
+            F.posexplode("__th").alias("pos", "__t"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.get("__ra", F.col("pos")).alias("r"),
+            F.slice("__th", F.col("pos") + 1, cap).alias("s"),
+        )
+        .withColumn("__sb", F.shiftright("r", _SUBSPLIT))
     )
-    ends = adj.groupBy("__b").agg(
-        F.min_by(
-            F.struct("id", "pos"), F.struct("k1", "k2", "id", "pos")
-        ).alias("__first"),
-        F.max_by(
-            F.struct("id", "pos"), F.struct("k1", "k2", "id", "pos")
-        ).alias("__last"),
+
+    # Stage C — ONE sort by (r, s, id, pos) per sub-bucket, which is
+    # the full lexicographic suffix order through the cap: r orders by
+    # the 8-prefix, s refines beyond it (both compare the same hashes,
+    # so the composite order groups every equal-prefix class of length
+    # <= cap contiguously; max-LCP-with-anyone is therefore a neighbor
+    # property). Each suffix's LCP with its in-partition neighbor is
+    # the first mismatch of the two slices, computed INLINE from
+    # lead() — no probe joins, no rank-table lookups.
+    wadj = Window.partitionBy("__sb").orderBy("r", "s", "id", "pos")
+    adj = suf.withColumn(
+        "__n", F.lead(F.struct("id", "pos", "s")).over(wadj)
     )
-    wb = Window.orderBy("__b")
+    within = (
+        adj.where(F.col("__n").isNotNull())
+        .select(
+            _pair_rows(
+                F.col("s"),
+                F.col("__n.s"),
+                F.col("id"),
+                F.col("pos"),
+                F.col("__n.id"),
+                F.col("__n.pos"),
+            ).alias("__e")
+        )
+        .select("__e.id", "__e.pos", "__e.lcp")
+    )
+
+    # Sub-bucket boundary pairs: the last suffix of a band is adjacent
+    # to the next band's first. Different bands of the SAME head
+    # bucket have different 8-prefix ranks, so those pairs share at
+    # most their first 8 tokens — an 8-slice ride on the tiny two-
+    # rows-per-band first/last frame suffices. Different HEAD buckets
+    # differ in the first token's high bits — LCP 0, omitted outright
+    # (consumers coalesce missing to 0).
+    skey = F.struct("r", "s", "id", "pos")
+    v8 = F.struct(
+        "id", "pos", F.slice("s", 1, _PREF).alias("s8"), "r"
+    )
+    ends = suf.groupBy("__sb").agg(
+        F.min_by(v8, skey).alias("__first"),
+        F.max_by(v8, skey).alias("__last"),
+    )
+    wb = Window.partitionBy(
+        F.shiftright(F.col("__sb"), _BLOCK - _SUBSPLIT)
+    ).orderBy("__sb")
     boundary = (
         ends.select(
+            "__sb",
             F.col("__last").alias("__a"),
             F.lead("__first").over(wb).alias("__z"),
         )
         .where(F.col("__z").isNotNull())
         .select(
-            F.col("__a.id").alias("d1"),
-            F.col("__a.pos").alias("p1"),
-            F.col("__z.id").alias("d2"),
-            F.col("__z.pos").alias("p2"),
+            _pair_rows(
+                F.col("__a.s8"),
+                F.col("__z.s8"),
+                F.col("__a.id"),
+                F.col("__a.pos"),
+                F.col("__z.id"),
+                F.col("__z.pos"),
+            ).alias("__e")
         )
+        .select("__e.id", "__e.pos", "__e.lcp")
     )
-    pairs = within.union(boundary)
-
-    # Each adjacent pair's LCP is the first mismatch of the two
-    # suffixes' token-hash slices, pre-clamped to the cap: rank
-    # equality IS hash equality level by level, so comparing the
-    # hashes directly is the same computation as the greedy rank
-    # probes (same 2^-64 collision class), in TWO joins total instead
-    # of two per level — and the slice bound keeps the joined rows at
-    # most cap tokens wide per side, so the bytes exchanged stay
-    # proportional to pairs x cap, the same bill the per-level probe
-    # chain paid across its exchanges. A slice never runs past its
-    # document (slice stops at the array end), so the first-mismatch
-    # result is inherently clamped to the suffix remainders: equal
-    # slices of unequal length mismatch at the shorter one's padding,
-    # and fully equal slices report their own (cap- or
-    # remainder-bounded) length.
-    t1 = pre.select(F.col("id").alias("d1"), F.col("__th").alias("__t1"))
-    t2 = pre.select(F.col("id").alias("d2"), F.col("__th").alias("__t2"))
-    j = (
-        pairs.join(t1, "d1")
-        .select(
-            "d1",
-            "p1",
-            "d2",
-            "p2",
-            F.slice("__t1", F.col("p1") + 1, cap).alias("__s1"),
-        )
-        .join(t2, "d2")
-        .select(
-            "d1",
-            "p1",
-            "d2",
-            "p2",
-            "__s1",
-            F.slice("__t2", F.col("p2") + 1, cap).alias("__s2"),
-        )
-    )
-    z = F.zip_with(
-        F.col("__s1"), F.col("__s2"), lambda x, y: x.eqNullSafe(y)
-    )
-    mism = F.array_position(z, False)
-    lcp_pairs = scoped_persist(
-        j.select(
-            "d1",
-            "p1",
-            "d2",
-            "p2",
-            F.when(mism > 0, mism - 1)
-            .otherwise(F.size("__s1"))
-            .cast("int")
-            .alias("lcp"),
-        ),
-        "suffix.lcp_pairs",
-    )
-    return lcp_pairs.select(
-        F.col("d1").alias("id"), F.col("p1").alias("pos"), "lcp"
-    ).union(
-        lcp_pairs.select(
-            F.col("d2").alias("id"), F.col("p2").alias("pos"), "lcp"
-        )
-    )
+    return within.union(boundary)
 
 
 def dedup_spans_exact(
