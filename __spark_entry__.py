@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from seriesly_spark.functions.bucketing import bucket_ms_col
 from seriesly_spark.functions.timeparse import canonical_key, parse_any_ts_ns
 from seriesly_spark.operators.quality import (
+    _lr_doc_features,
     score_lang_lr,
     score_quality_lr,
     train_lang_lr,
@@ -105,7 +106,7 @@ from seriesly_spark.operators.evaluation import (
 )
 from seriesly_spark.operators.joins import asof_join, range_join, salted_join
 from seriesly_spark.operators.jpeg import encode_jpeg
-from seriesly_spark.operators.util import spread
+from seriesly_spark.operators.util import scoped_persist, spread
 from seriesly_spark.operators.multimodal import (
     audio_stats,
     encode_png,
@@ -5349,10 +5350,20 @@ def q_train_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_score_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train (same 5 unrolled rounds) then score every document with
-    the learned weights: score = round(sigmoid(w . x), 6)."""
+    the learned weights: score = round(sigmoid(w . x), 6). The
+    feature build (text pass + per-feature hashing) is shared between
+    the trainer and the scorer — one persisted pass, identical rows
+    either way (the ``feats`` contract in train_quality_lr)."""
     docs = _labeled_docs(spark, sf_dir)
-    w = train_quality_lr(docs, rounds=5, lr=8.0)
-    return score_quality_lr(docs, w)
+    feats = scoped_persist(
+        _lr_doc_features(
+            docs, "text", "doc_id", "label", 256, keep_null_labels=True
+        ),
+        "entry.qlr_feats",
+        eager=True,
+    )
+    w = train_quality_lr(docs, rounds=5, lr=8.0, feats=feats)
+    return score_quality_lr(docs, w, feats=feats)
 
 
 def q_quality_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5362,8 +5373,15 @@ def q_quality_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned signal over the shared-vocabulary corpus, where only
     n-gram FREQUENCIES separate the classes)."""
     docs = _labeled_docs(spark, sf_dir)
-    w = train_quality_lr(docs, rounds=5, lr=8.0)
-    scored = score_quality_lr(docs, w).join(
+    feats = scoped_persist(
+        _lr_doc_features(
+            docs, "text", "doc_id", "label", 256, keep_null_labels=True
+        ),
+        "entry.qlr_feats",
+        eager=True,
+    )
+    w = train_quality_lr(docs, rounds=5, lr=8.0, feats=feats)
+    scored = score_quality_lr(docs, w, feats=feats).join(
         docs.select("doc_id", (F.col("label") == 1.0).alias("label")),
         "doc_id",
     )
@@ -5388,10 +5406,25 @@ def q_score_lang_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train (same 3 unrolled rounds) then predict every document's
     language: argmax over the per-class decimal logit folds — softmax
     is monotone in z so scoring needs no exp(); ties break to the
-    smallest language code. NULL-text docs predict NULL."""
+    smallest language code. NULL-text docs predict NULL. The feature
+    build is shared between trainer and scorer (one persisted
+    text+hash pass — the ``feats`` contract)."""
     docs = _table(spark, sf_dir, "documents")
-    w = train_lang_lr(docs, buckets=64, rounds=3, lr=4.0)
-    return score_lang_lr(docs, w)
+    feats = scoped_persist(
+        _lr_doc_features(
+            docs,
+            "text",
+            "doc_id",
+            "lang",
+            64,
+            label_type="string",
+            keep_null_labels=True,
+        ),
+        "entry.langlr_feats",
+        eager=True,
+    )
+    w = train_lang_lr(docs, buckets=64, rounds=3, lr=4.0, feats=feats)
+    return score_lang_lr(docs, w, feats=feats)
 
 
 def q_lang_lr_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5402,9 +5435,22 @@ def q_lang_lr_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-vocabulary corpus, where only n-gram frequencies separate
     the classes)."""
     docs = _table(spark, sf_dir, "documents")
-    w = train_lang_lr(docs, buckets=64, rounds=3, lr=4.0)
+    feats = scoped_persist(
+        _lr_doc_features(
+            docs,
+            "text",
+            "doc_id",
+            "lang",
+            64,
+            label_type="string",
+            keep_null_labels=True,
+        ),
+        "entry.langlr_feats",
+        eager=True,
+    )
+    w = train_lang_lr(docs, buckets=64, rounds=3, lr=4.0, feats=feats)
     cell = (
-        score_lang_lr(docs, w)
+        score_lang_lr(docs, w, feats=feats)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -79,6 +79,7 @@ def _lr_doc_features(
     label_col: str | None,
     buckets: int,
     label_type: str = "double",
+    keep_null_labels: bool = False,
 ) -> DataFrame:
     """One row per featured document: (id, y, fs) with fs an array of
     (b, x) — unigram+bigram counts (the dsir_scores feature set)
@@ -89,7 +90,12 @@ def _lr_doc_features(
     play (training), NULL-label docs are excluded too — a NULL label
     is no supervision, and left in it would both poison the decimal
     gradient folds (NULL-propagating sums) and inflate the batch
-    size."""
+    size. ``keep_null_labels=True`` keeps them (y rides as NULL) so
+    ONE feature build can serve both a trainer (which re-applies the
+    NULL filter — feature rows are per-doc independent, so filtering
+    before or after the build yields identical rows) and a scorer
+    (which ignores y): the train->score compositions in the registry
+    pay the text+hash pass once instead of twice."""
     t = tokens(text_col)
     y = (
         F.col(label_col).cast(label_type)
@@ -99,7 +105,7 @@ def _lr_doc_features(
     pre = spread(docs).select(
         F.col(id_col).alias("id"), y.alias("y"), t.alias("__t")
     )
-    if label_col is not None:
+    if label_col is not None and not keep_null_labels:
         pre = pre.where(F.col("y").isNotNull())
     uni = F.col("__t")
     bi = F.when(
@@ -225,8 +231,17 @@ def train_quality_lr(
     rounds: int = 3,
     lr: float = 2.0,
     impl: str = "auto",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Train the hashed-ngram logistic regression on binary labels.
+
+    ``feats``: optional precomputed feature table from
+    ``_lr_doc_features(..., keep_null_labels=True)`` at the SAME
+    ``buckets`` width and label column (the caller's contract) —
+    train->score compositions pass one persisted build so the
+    text+hash pass is paid once; the trainer re-applies the
+    NULL-label filter, which commutes with the per-doc-independent
+    feature build.
 
     Per round (full batch, N = number of featured docs):
 
@@ -247,11 +262,14 @@ def train_quality_lr(
         raise ValueError("rounds must be >= 1")
     mode = _resolve_impl(impl, buckets)
     spark = docs.sparkSession
-    feats = scoped_persist(
-        _lr_doc_features(docs, text_col, id_col, label_col, buckets),
-        "quality.lr_feats",
-        eager=True,
-    )
+    if feats is None:
+        feats = scoped_persist(
+            _lr_doc_features(docs, text_col, id_col, label_col, buckets),
+            "quality.lr_feats",
+            eager=True,
+        )
+    else:
+        feats = feats.where(F.col("y").isNotNull())
     n = feats.count()
     ex = (
         _exploded_features(feats, "quality.lr_feats_ex")
@@ -324,6 +342,7 @@ def score_quality_lr(
     id_col: str = "doc_id",
     buckets: int | None = None,
     impl: str = "auto",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document with a trained weight table ((bucket,
     weight) — ``train_quality_lr``'s output shape): score =
@@ -378,7 +397,8 @@ def score_quality_lr(
             f"trained hash width {trained}"
         )
     mode = _resolve_impl(impl, buckets)
-    feats = _lr_doc_features(docs, text_col, id_col, None, buckets)
+    if feats is None:
+        feats = _lr_doc_features(docs, text_col, id_col, None, buckets)
     if mode == "literal":
         w = [0.0] * (buckets + 1)
         for r in weights.select("bucket", "weight").collect():
@@ -412,6 +432,7 @@ def train_lang_lr(
     buckets: int = 64,
     rounds: int = 3,
     lr: float = 2.0,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-class TRAINED language ID: softmax (multinomial) logistic
     regression over the same hashed uni+bigram features as
@@ -450,13 +471,25 @@ def train_lang_lr(
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    feats = scoped_persist(
-        _lr_doc_features(
-            docs, text_col, id_col, label_col, buckets, label_type="string"
-        ),
-        "quality.lang_feats",
-        eager=True,
-    )
+    if feats is None:
+        feats = scoped_persist(
+            _lr_doc_features(
+                docs,
+                text_col,
+                id_col,
+                label_col,
+                buckets,
+                label_type="string",
+            ),
+            "quality.lang_feats",
+            eager=True,
+        )
+    else:
+        # shared unfiltered build (keep_null_labels=True): re-apply
+        # the no-supervision filter; commutes with the per-doc-
+        # independent feature build (``feats`` docstring contract
+        # in :func:`train_quality_lr`).
+        feats = feats.where(F.col("y").isNotNull())
     n = feats.count()
     classes = sorted(
         r[0] for r in feats.select("y").distinct().collect()
@@ -498,27 +531,42 @@ def train_lang_lr(
                 for c, ez in zip(classes, ezs)
             ]
         )
-        # errs is computed in its OWN projection below each Generate:
+        # errs is computed in its OWN projection below the Generate:
         # inlined into a generator's project list, the softmax would
-        # re-evaluate per exploded element.
+        # re-evaluate per exploded element. The per-class gradients
+        # fold as K decimal SUM COLUMNS over the single feature
+        # explode — one exploded row per (doc, feature) instead of the
+        # K x that a second posexplode over the error array would
+        # multiply it to; same round-6 terms, same order-independent
+        # decimal folds, K x fewer generated rows.
         grad = (
             zcols.select("fs", errs.alias("es"))
             .select("es", F.explode("fs").alias("f"))
             .select(
                 F.col("f.b").alias("b"),
                 F.col("f.x").alias("x"),
-                F.posexplode("es").alias("ci", "e"),
+                "es",
             )
-            .select(
-                "ci",
-                "b",
-                F.round(F.col("e") * F.col("x"), 6).cast(_DEC6).alias("t"),
+            .groupBy("b")
+            .agg(
+                *[
+                    F.sum(
+                        F.round(F.col("es")[i] * F.col("x"), 6).cast(
+                            _DEC6
+                        )
+                    )
+                    .cast("double")
+                    .alias(f"g{i}")
+                    for i in range(len(classes))
+                ]
             )
-            .groupBy("ci", "b")
-            .agg(F.sum("t").cast("double").alias("g"))
             .collect()
         )
-        g = {(classes[r.ci], r.b): r.g for r in grad}
+        g = {
+            (c, r.b): r[f"g{i}"]
+            for r in grad
+            for i, c in enumerate(classes)
+        }
         w = {
             c: [
                 round(
@@ -545,6 +593,7 @@ def score_lang_lr(
     weights: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Predict each document's language with a trained softmax weight
     table (``train_lang_lr``'s (lang, bucket, weight) shape): argmax
@@ -577,7 +626,8 @@ def score_lang_lr(
                 f"buckets {BIAS_BUCKET}..{trained - 1}; a pruned/sparse "
                 "table misaligns the hash space"
             )
-    feats = _lr_doc_features(docs, text_col, id_col, None, trained)
+    if feats is None:
+        feats = _lr_doc_features(docs, text_col, id_col, None, trained)
     best = F.array_min(
         F.array(
             *[
