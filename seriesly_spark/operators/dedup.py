@@ -323,6 +323,80 @@ def minhash_chunk_signatures(grams_col, bands: int):
     )
 
 
+def minhash_doc_vectors(
+    sh: DataFrame, n_hashes: int, id_col: str = "id"
+) -> DataFrame:
+    """(id, mh) per document, mh the ``n_hashes``-chunk minhash vector
+    with the exact :func:`minhash_chunk_signatures` values — computed
+    on EXPLODED gram rows so the md5/substring chunk columns run under
+    whole-stage codegen and the per-hash minima fold as ``n_hashes``
+    MIN aggregates in one hash aggregate, instead of the in-row
+    higher-order fold (interpreted, one 32-element array allocation
+    per gram — measured ~2.5x slower on the signature pass at sf0.1).
+    Each md5 lands in its own projection so the four substring chunks
+    reuse ONE evaluation (CollapseProject keeps non-cheap duplicated
+    expressions un-inlined). The added map-side-combined exchange
+    carries one (id, n_hashes x 8 chars) row per document — metadata
+    next to the gram explosion feeding it. Input ``sh``: (id_col,
+    grams) with non-empty grams; docs keep their one-row-per-doc
+    contract."""
+    n_md5 = -(-n_hashes // 4)
+    g = F.col("__g")
+    rows = sh.select(id_col, F.explode("grams").alias("__g")).select(
+        id_col,
+        *[
+            F.md5(
+                F.concat(F.lit(str(j)), F.lit("|"), g).cast("binary")
+            ).alias(f"__m{j}")
+            for j in range(n_md5)
+        ],
+    )
+    chunks = [
+        F.substring(F.col(f"__m{i // 4}"), (i % 4) * 8 + 1, 8).alias(
+            f"__h{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return (
+        rows.select(id_col, *chunks)
+        .groupBy(id_col)
+        .agg(*[F.min(f"__h{i}").alias(f"__h{i}") for i in range(n_hashes)])
+        .select(
+            id_col,
+            F.array(*[F.col(f"__h{i}") for i in range(n_hashes)]).alias(
+                "mh"
+            ),
+        )
+    )
+
+
+def minhash_banded_rows(
+    sh: DataFrame,
+    bands: int,
+    rows_per_band: int = 1,
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, band, sig) rows — :func:`minhash_band_sigs` semantics over
+    the codegen vector path of :func:`minhash_doc_vectors`: r = 1
+    explodes the chunk vector directly; r > 1 folds each band's r
+    consecutive chunks into one md5 in-row (a 32-element array — cheap
+    even interpreted) before exploding."""
+    mh = minhash_doc_vectors(sh, bands * rows_per_band, id_col)
+    if rows_per_band == 1:
+        sigs = F.col("mh")
+    else:
+        r = rows_per_band
+        sigs = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda k: F.md5(
+                F.concat_ws("", F.slice(F.col("mh"), k * r + 1, r)).cast(
+                    "binary"
+                )
+            ),
+        )
+    return mh.select(id_col, F.posexplode(sigs).alias("band", "sig"))
+
+
 def minhash_band_sigs(grams_col, bands: int, rows_per_band: int = 1):
     """Array of ``bands`` banded LSH signatures over a SHARED
     ``bands * rows_per_band``-hash minhash vector — the exact banding
@@ -387,12 +461,7 @@ def minhash_lsh_pairs(
     sh = spread(docs).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
     ).where(F.size("grams") > 0)
-    banded = sh.select(
-        "id",
-        F.posexplode(
-            minhash_band_sigs(F.col("grams"), bands, rows_per_band)
-        ).alias("band", "sig"),
-    )
+    banded = minhash_banded_rows(sh, bands, rows_per_band)
     # One signature row per (doc, band) — computing the md5 minhashes is the
     # expensive part, the self-join must not run it twice (see hamming_pairs).
     banded = scoped_persist(banded, "dedup.minhash_banded", eager=True)
@@ -1072,12 +1141,13 @@ def lsh_autotune(
     # — each md5 yields FOUR independent 32-bit (8-hex-char) minhash
     # chunks, so n_hashes hashes cost n_hashes/4 md5 evaluations per
     # gram (the oracle replays the per-i definition directly). Computed
-    # as ONE fold over the gram array (per-gram chunk vector,
-    # elementwise least into a running minimum) instead of n_hashes
-    # separate array_min traversals — measured 7.3 s -> 3.3 s for the
-    # signature pass at sf0.1 (the naive 32-traversal form re-walks and
-    # re-allocates the gram array per hash; md5 count was NOT the
-    # bottleneck: hoisting md5 out of the chunk lambda changed nothing).
+    # as ONE in-row fold over the gram array: the tuner's input is a
+    # SAMPLE by contract (docstring), so its signature CPU is
+    # sample-sized and the fold's zero-exchange shape beats
+    # minhash_doc_vectors' explode+agg here (A/B at sf0.1: the agg
+    # path's extra exchange + stages cost ~1 s against a ~0.2 s CPU
+    # win; the corpus-wide miners show the opposite trade and use the
+    # agg path).
     mh = sh.select(
         "id",
         minhash_chunk_signatures(F.col("grams"), n_hashes).alias("mh"),
@@ -1911,12 +1981,7 @@ def minhash_lsh_pairs_cross(
             F.col(id_col).alias(out),
             word_shingles(text_col, n).alias("grams"),
         ).where(F.size("grams") > 0)
-        banded = sh.select(
-            out,
-            F.posexplode(
-                minhash_band_sigs(F.col("grams"), bands, rows_per_band)
-            ).alias("band", "sig"),
-        )
+        banded = minhash_banded_rows(sh, bands, rows_per_band, id_col=out)
         if max_bucket is None:
             # unlike the self-join miner each side has ONE consumer —
             # a persist would only add a memory copy

@@ -634,7 +634,7 @@ class MinhashIndex:
         self, docs: DataFrame, text_col: str, id_col: str
     ) -> DataFrame:
         from seriesly_spark.operators.dedup import (
-            minhash_band_sigs,
+            minhash_banded_rows,
             word_shingles,
         )
         from seriesly_spark.operators.util import spread
@@ -645,14 +645,7 @@ class MinhashIndex:
             F.col(id_col).alias("id"),
             word_shingles(text_col, self.n).alias("grams"),
         ).where(F.size("grams") > 0)
-        return sh.select(
-            "id",
-            F.posexplode(
-                minhash_band_sigs(
-                    F.col("grams"), self.bands, self.rows_per_band
-                )
-            ).alias("band", "sig"),
-        )
+        return minhash_banded_rows(sh, self.bands, self.rows_per_band)
 
     def update(
         self,

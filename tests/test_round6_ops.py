@@ -393,7 +393,12 @@ class TestMinhashBucketedProbe:
             assert got[100] == (4, True)
             assert got[101] == (0, False)
             plan = probed._jdf.queryExecution().executedPlan().toString()
-            final = plan.split("== Initial Plan ==")[0]
+            # split at the TOP-LEVEL initial-plan marker only: a
+            # persisted subtree that itself contains an exchange embeds
+            # its own nested (indented) "== Initial Plan ==" section,
+            # which a plain substring split would cut at, hiding the
+            # outer final plan's scan node.
+            final = plan.split("\n+- == Initial Plan ==")[0]
             # semi-join shuffles only the shard's signatures; history
             # scan reads its bucket distribution. (The id-side rollup
             # adds its own exchanges; the history side must add NONE:
