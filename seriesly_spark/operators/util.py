@@ -109,9 +109,30 @@ class CheckpointRotator:
         self._pending: set[int] = set()
 
     @staticmethod
-    def _persistent_ids(sc) -> set[int]:
+    def _persistent_ids(sc, checkpoints_only: bool = False) -> set[int]:
+        """Ids of currently persisted RDDs; ``checkpoints_only``
+        restricts to locally-checkpointed ones. The restriction is
+        what makes the around-the-call diff in :meth:`checkpoint`
+        SAFE: materializing a checkpoint also materializes any lazily
+        ``persist()``-ed frame its plan reads (scoped_persist loop
+        invariants — shingle tables, edge lists), whose cache RDD ids
+        would otherwise appear in the diff and be freed as if they
+        were a superseded round — measured as the per-iteration
+        re-explosion of the whole shingle table in pagerank/hits
+        (every round paid the corpus scan again). A checkpoint's own
+        blocks answer ``isLocallyCheckpointed``; CacheManager entries
+        never do."""
         m = sc._jsc.getPersistentRDDs()
-        return {int(k) for k in m.keySet().toArray()}
+        out = set()
+        for k in m.keySet().toArray():
+            if checkpoints_only:
+                try:
+                    if not m.get(k).rdd().isLocallyCheckpointed():
+                        continue
+                except Exception:
+                    continue
+            out.add(int(k))
+        return out
 
     @staticmethod
     def _unpersist(sc, ids: set[int]) -> None:
@@ -143,9 +164,11 @@ class CheckpointRotator:
         assumption."""
         sc = df.sparkSession.sparkContext
         with _ROTATOR_LOCK:
-            before = self._persistent_ids(sc)
+            before = self._persistent_ids(sc, checkpoints_only=True)
             cp = df.localCheckpoint(eager=eager)
-            new_ids = self._persistent_ids(sc) - before
+            new_ids = (
+                self._persistent_ids(sc, checkpoints_only=True) - before
+            )
         if eager:
             prev = self._pending | self._ids
             self._pending = set()
