@@ -131,10 +131,12 @@ def pagerank(
     # anti-join for the dangling mass (a null-degree filter on the
     # checkpointed table).
     rot = CheckpointRotator()
-    ranks = rot.checkpoint(
-        nodes_deg.crossJoin(F.broadcast(n_row)).select(
-            "node", "deg", (F.lit(1.0) / F.col("n")).alias("r")
-        )
+    # The uniform init vector is a cheap projection over the cached
+    # node table — referenced twice by round 1's contribution and
+    # dangling-mass legs, both trivial recomputes; not worth its own
+    # checkpoint execution (r15).
+    ranks = nodes_deg.crossJoin(F.broadcast(n_row)).select(
+        "node", "deg", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(iterations):
         contrib = (
@@ -232,7 +234,11 @@ def hits(
     # universe, and the spine joins ONCE at the end (measured 11.8 ->
     # ~7 s at sf0.1; the per-round spine rebuild was 2 joins/round of
     # pure zeros). TWO rotators: both vectors are live at the final
-    # join, so each gets its own one-copy lifecycle.
+    # join, so each gets its own one-copy lifecycle. (r15 note: a
+    # one-checkpoint-per-round variant with the authority half-step
+    # left lazy was A/B'd and REVERTED — the un-materialized a_raw /
+    # h_raw subtrees are each referenced twice (norm + normalize), so
+    # the join work re-executed 4x per round: 5.4 -> 8-12 s at sf0.1.)
     rot_h = CheckpointRotator()
     rot_a = CheckpointRotator()
     hv = rot_h.checkpoint(

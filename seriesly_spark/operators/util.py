@@ -109,29 +109,39 @@ class CheckpointRotator:
         self._pending: set[int] = set()
 
     @staticmethod
-    def _persistent_ids(sc, checkpoints_only: bool = False) -> set[int]:
-        """Ids of currently persisted RDDs; ``checkpoints_only``
-        restricts to locally-checkpointed ones. The restriction is
-        what makes the around-the-call diff in :meth:`checkpoint`
-        SAFE: materializing a checkpoint also materializes any lazily
-        ``persist()``-ed frame its plan reads (scoped_persist loop
-        invariants — shingle tables, edge lists), whose cache RDD ids
-        would otherwise appear in the diff and be freed as if they
-        were a superseded round — measured as the per-iteration
-        re-explosion of the whole shingle table in pagerank/hits
-        (every round paid the corpus scan again). A checkpoint's own
-        blocks answer ``isLocallyCheckpointed``; CacheManager entries
-        never do."""
+    def _persistent_ids(sc) -> set[int]:
+        m = sc._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    @staticmethod
+    def _checkpoint_ids(sc, ids: set[int]) -> set[int]:
+        """Restrict ``ids`` to locally-checkpointed RDDs. The
+        restriction is what makes the around-the-call diff in
+        :meth:`checkpoint` SAFE: materializing a checkpoint also
+        materializes any lazily ``persist()``-ed frame its plan reads
+        (scoped_persist loop invariants — shingle tables, edge
+        lists), whose cache RDD ids would otherwise appear in the
+        diff and be freed as if they were a superseded round —
+        measured as the per-iteration re-explosion of the whole
+        shingle table in pagerank/hits (every round paid the corpus
+        scan again). A checkpoint's own blocks answer
+        ``isLocallyCheckpointed``; CacheManager entries never do.
+        Only the (few) DIFF ids are probed — a py4j round-trip per
+        persistent RDD per round measurably dragged the many-round
+        BPE loops."""
+        if not ids:
+            return ids
         m = sc._jsc.getPersistentRDDs()
         out = set()
-        for k in m.keySet().toArray():
-            if checkpoints_only:
-                try:
-                    if not m.get(k).rdd().isLocallyCheckpointed():
-                        continue
-                except Exception:
-                    continue
-            out.add(int(k))
+        for k in list(m.keySet().toArray()):
+            ki = int(k)
+            if ki not in ids:
+                continue
+            try:
+                if m.get(k).rdd().isLocallyCheckpointed():
+                    out.add(ki)
+            except Exception:
+                pass
         return out
 
     @staticmethod
@@ -146,7 +156,9 @@ class CheckpointRotator:
         except Exception:
             pass  # freeing is best-effort (e.g. session already stopped)
 
-    def checkpoint(self, df: DataFrame, eager: bool = True) -> DataFrame:
+    def checkpoint(
+        self, df: DataFrame, eager: bool = True, defer_free: bool = False
+    ) -> DataFrame:
         """Checkpoint ``df`` and free superseded rounds.
 
         ``eager=True`` (default): materialize now and free everything
@@ -161,15 +173,21 @@ class CheckpointRotator:
         materializes. CONTRACT: a lazy checkpoint may only be taken
         after the previous one has materialized (run an action in
         between) — the rotator frees two-generations-back on that
-        assumption."""
+        assumption.
+
+        ``defer_free=True`` (with eager=True): materialize now but
+        keep the PREVIOUS generation's blocks one round longer — for
+        loops where an un-checkpointed LAZY sibling of the new frame
+        (e.g. hits' authority half-step) still reads the previous
+        checkpoint and would hit truncated lineage if it were freed."""
         sc = df.sparkSession.sparkContext
         with _ROTATOR_LOCK:
-            before = self._persistent_ids(sc, checkpoints_only=True)
+            before = self._persistent_ids(sc)
             cp = df.localCheckpoint(eager=eager)
-            new_ids = (
-                self._persistent_ids(sc, checkpoints_only=True) - before
+            new_ids = self._checkpoint_ids(
+                sc, self._persistent_ids(sc) - before
             )
-        if eager:
+        if eager and not defer_free:
             prev = self._pending | self._ids
             self._pending = set()
             self._ids = new_ids
