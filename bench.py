@@ -261,6 +261,12 @@ BENCH_QUERIES = [
     "unigram_stats",
     "decontam_index_probe",
     "bpe_train_batch",
+    # round 15 (ADDED entries — never remove/rename existing ones; the
+    # raw total grows by their cost vs BENCH_r14, so round-over-round
+    # comparisons must use the common subset, as BASELINE.md already
+    # prescribes)
+    "pipeline_full_ladder",
+    "decontam_normalized",
 ]
 # (streaming_distinct intentionally NOT benched: its cost is micro-batch
 # harness setup, not query work — same policy as the other streaming gates)
