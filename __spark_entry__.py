@@ -1462,8 +1462,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the same transitive closure with a recursive CTE."""
     docs = _table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, n=3, bands=16)
+    # size(word_shingles(text, 3)) > 0 <=> at least 3 whitespace tokens
+    # — test the token count directly instead of building every doc's
+    # full distinct-3-gram array just to check emptiness (NULL/empty
+    # text fails both forms identically).
     nodes = docs.select("doc_id").where(
-        F.size(word_shingles("text", 3)) > 0
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
     )
     return connected_components(nodes, pairs, id_col="doc_id")
 
@@ -4063,8 +4067,10 @@ def q_dedup_ladder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = docs.agg(F.count_distinct(norm_fp).alias("n_norm"))
     pairs = minhash_lsh_pairs(docs, n=3, bands=16)
+    # Same token-count shortcut as q_dedup_clusters: size(word_shingles)
+    # > 0 <=> >= 3 whitespace tokens; skip building the gram arrays.
     nodes = docs.select("doc_id").where(
-        F.size(word_shingles("text", 3)) > 0
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
     )
     clusters = connected_components(nodes, pairs, id_col="doc_id").agg(
         F.count_distinct("cluster_id").alias("n_clusters")
@@ -5786,67 +5792,85 @@ def q_pipeline_full_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             shards=2,
         )
 
-        def _cnt(df: DataFrame, name: str) -> DataFrame:
-            return df.groupBy("source").agg(
-                F.count(F.lit(1)).cast("long").alias(name)
+        # Stage counters as ONE aggregation (guide §2.4): every stage
+        # contributes tagged (source, metric, value[, pack identity])
+        # rows to a union; a single groupBy("source") of conditional
+        # aggregates replaces 10 per-stage aggregates + 9 left joins on
+        # source — one exchange instead of ~20 sequential AQE stage
+        # materializations. Values are unchanged: each conditional
+        # sum/count sees exactly the rows the per-stage aggregate saw,
+        # and a source absent from a stage yields NULL -> the same
+        # coalesce(0) the old left joins produced. pack_seqs keeps its
+        # countDistinct(shard, seq_id) as a count_distinct over the
+        # (never-NULL) pack identity struct, NULL on non-pack rows.
+        def _tag(df, m, v=None, shard=None, seq=None):
+            one = F.lit(1).cast("long")
+            nul = F.lit(None).cast("long")
+            return df.select(
+                F.col("source"),
+                F.lit(m).alias("__m"),
+                (one if v is None else v.cast("long")).alias("__v"),
+                (nul if shard is None else shard.cast("long")).alias("__s"),
+                (nul if seq is None else seq.cast("long")).alias("__q"),
             )
 
-        summary = (
-            _cnt(raw, "n_raw")
-            .join(_cnt(corpus0, "n_extracted"), "source", "left")
-            .join(_cnt(corpus1, "n_quality"), "source", "left")
-            .join(_cnt(corpus2, "n_exact"), "source", "left")
-            .join(_cnt(corpus3, "n_near"), "source", "left")
-            .join(
-                span.join(src_map, "doc_id")
-                .groupBy("source")
-                .agg(
-                    F.sum("n_removed")
-                    .cast("long")
-                    .alias("span_removed_tokens")
-                ),
-                "source",
-                "left",
+        parts = [
+            _tag(raw, "n_raw"),
+            _tag(corpus0, "n_extracted"),
+            _tag(corpus1, "n_quality"),
+            _tag(corpus2, "n_exact"),
+            _tag(corpus3, "n_near"),
+            _tag(
+                span.join(src_map, "doc_id"),
+                "span_removed_tokens",
+                v=F.col("n_removed"),
+            ),
+            _tag(
+                decon.join(src_map, "doc_id"),
+                "decontam_removed_tokens",
+                v=F.col("n_removed"),
+            ),
+            _tag(corpus5, "clean_docs"),
+            _tag(corpus5, "clean_tokens", v=F.col("n_tokens")),
+            _tag(selected, "sel_docs"),
+            _tag(selected, "sel_tokens", v=F.col("n_tokens")),
+            _tag(
+                packed.withColumnRenamed("part", "source"),
+                "pack",
+                v=F.col("n_tok_in_seq"),
+                shard=F.col("shard"),
+                seq=F.col("seq_id"),
+            ),
+        ]
+        tagged = parts[0]
+        for p in parts[1:]:
+            tagged = tagged.unionByName(p)
+
+        def _msum(m: str, name: str):
+            return (
+                F.sum(F.when(F.col("__m") == m, F.col("__v")))
+                .cast("long")
+                .alias(name)
             )
-            .join(
-                decon.join(src_map, "doc_id")
-                .groupBy("source")
-                .agg(
-                    F.sum("n_removed")
-                    .cast("long")
-                    .alias("decontam_removed_tokens")
-                ),
-                "source",
-                "left",
+
+        summary = tagged.groupBy("source").agg(
+            _msum("n_raw", "n_raw"),
+            _msum("n_extracted", "n_extracted"),
+            _msum("n_quality", "n_quality"),
+            _msum("n_exact", "n_exact"),
+            _msum("n_near", "n_near"),
+            _msum("span_removed_tokens", "span_removed_tokens"),
+            _msum("decontam_removed_tokens", "decontam_removed_tokens"),
+            _msum("clean_docs", "clean_docs"),
+            _msum("clean_tokens", "clean_tokens"),
+            _msum("sel_docs", "sel_docs"),
+            _msum("sel_tokens", "sel_tokens"),
+            F.count_distinct(
+                F.when(F.col("__m") == "pack", F.struct("__s", "__q"))
             )
-            .join(
-                corpus5.groupBy("source").agg(
-                    F.count(F.lit(1)).cast("long").alias("clean_docs"),
-                    F.sum("n_tokens").cast("long").alias("clean_tokens"),
-                ),
-                "source",
-                "left",
-            )
-            .join(
-                selected.groupBy("source").agg(
-                    F.count(F.lit(1)).cast("long").alias("sel_docs"),
-                    F.sum("n_tokens").cast("long").alias("sel_tokens"),
-                ),
-                "source",
-                "left",
-            )
-            .join(
-                packed.groupBy("part")
-                .agg(
-                    F.countDistinct("shard", "seq_id")
-                    .cast("long")
-                    .alias("pack_seqs"),
-                    F.sum("n_tok_in_seq").cast("long").alias("pack_tokens"),
-                )
-                .withColumnRenamed("part", "source"),
-                "source",
-                "left",
-            )
+            .cast("long")
+            .alias("pack_seqs"),
+            _msum("pack", "pack_tokens"),
         )
         zero = [
             "n_extracted",

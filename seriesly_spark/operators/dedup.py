@@ -381,6 +381,8 @@ def minhash_banded_rows(
     explodes the chunk vector directly; r > 1 folds each band's r
     consecutive chunks into one md5 in-row (a 32-element array — cheap
     even interpreted) before exploding."""
+    if rows_per_band < 1:
+        raise ValueError("rows_per_band must be >= 1")
     mh = minhash_doc_vectors(sh, bands * rows_per_band, id_col)
     if rows_per_band == 1:
         sigs = F.col("mh")
@@ -503,55 +505,67 @@ def connected_components(
     bounds adversarial chains. Input ``nodes``: one column ``id_col``;
     ``pairs``: columns (a, b). Output: (id, cluster_id).
     """
+    nodes_u = nodes.select(F.col(id_col).alias("u"))
     edges = (
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        # Self-loops fold the "keep own label" term into the SAME
+        # neighbor-min aggregate: one join + one aggregate per round
+        # instead of join + aggregate + a second labels left-join (and
+        # no null-handling — every node's group always has its own
+        # label). Pre-partitioned on the probe key and persisted ONCE:
+        # every round's label join then shuffles only the (u, label)
+        # side — the edge list crosses the network once for the whole
+        # loop, not once per iteration (loop-invariant layout).
+        .union(nodes_u.select("u", F.col("u").alias("v")))
+        .repartition(F.col("v"))
         .persist()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("u"), F.col(id_col).alias("label")
+    labels = nodes_u.select(
+        "u", F.col("u").alias("label")
     ).localCheckpoint(eager=True)
+    # Convergence by label mass: labels only ever DECREASE, so the sum
+    # (exact decimal — no long overflow, no float loss) is strictly
+    # decreasing until the fixpoint; equal sums <=> no label changed.
+    # This replaces the per-round filter-count with a sum that rides the
+    # same materializing action, and drops the carried "old" column.
+    _mass = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    prev = _mass(labels)
     for _ in range(max_iter):
-        # (1) neighbor-min: pull the smallest label one hop away.
-        neigh = (
+        # (1) neighbor-min over N(u) ∪ {u}: the smallest label one hop
+        # away, own label included via the self-loop.
+        mid_tbl = (
             edges.join(labels.withColumnRenamed("u", "v2"), edges["v"] == F.col("v2"))
             .groupBy("u")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        stepped = (
-            labels.join(neigh, "u", "left")
-            .select(
-                "u",
-                F.col("label").alias("old"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("mid"),
-            )
+            .agg(F.min("label").alias("mid"))
             .persist()
         )
         # (2) pointer jumping: label <- label's label. Labels are node ids
         # and only ever decrease, so following one level of indirection
         # compresses chains — convergence in O(log diameter) rounds instead
         # of O(diameter) (a 490-node chain converges in ~9 rounds, not 490).
-        l2 = stepped.select(F.col("u").alias("lu"), F.col("mid").alias("lmid"))
-        # localCheckpoint (eager) materializes the round AND truncates the
-        # lineage — without it the logical plan nests once per iteration
-        # until planning itself blows up (observed: OOM building the AQE
-        # explain string around round 10).
+        # mid is always a live node id (labels start as node ids and only
+        # ever copy other labels), so the self-join is INNER — no nulls.
+        l2 = mid_tbl.select(F.col("u").alias("lu"), F.col("mid").alias("lmid"))
+        # localCheckpoint materializes the round AND truncates the lineage
+        # — without it the logical plan nests once per iteration until
+        # planning itself blows up (observed: OOM building the AQE explain
+        # string around round 10). LAZY + the convergence mass as the one
+        # materializing action: one driver barrier per round instead of
+        # two (checkpoint job + count job).
         new_labels = (
-            stepped.join(l2, stepped["mid"] == l2["lu"], "left")
-            .select(
-                "u",
-                "old",
-                F.coalesce(F.least("mid", "lmid"), F.col("mid")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            mid_tbl.join(l2, mid_tbl["mid"] == l2["lu"])
+            .select("u", F.least("mid", "lmid").alias("label"))
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.where(F.col("label") != F.col("old")).count()
-        stepped.unpersist()
-        labels = new_labels.select("u", "label")
-        if changed == 0:
+        cur = _mass(new_labels)
+        mid_tbl.unpersist()
+        labels = new_labels
+        if cur == prev:
             break
+        prev = cur
     edges.unpersist()
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))
 
