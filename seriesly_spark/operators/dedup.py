@@ -370,20 +370,18 @@ def minhash_doc_vectors(
     )
 
 
-def minhash_banded_rows(
-    sh: DataFrame,
-    bands: int,
-    rows_per_band: int = 1,
-    id_col: str = "id",
+def _band_vectors(
+    mh: DataFrame, bands: int, rows_per_band: int, id_col: str = "id"
 ) -> DataFrame:
-    """(id, band, sig) rows — :func:`minhash_band_sigs` semantics over
-    the codegen vector path of :func:`minhash_doc_vectors`: r = 1
-    explodes the chunk vector directly; r > 1 folds each band's r
-    consecutive chunks into one md5 in-row (a 32-element array — cheap
-    even interpreted) before exploding."""
+    """(id, band, sig) banding of a precomputed (id, mh) vector frame
+    (:func:`minhash_doc_vectors` layout): r = 1 explodes the chunk
+    vector directly; r > 1 folds each band's r consecutive chunks into
+    one md5 in-row (a 32-element array — cheap even interpreted)
+    before exploding. Banding is cheap slicing over the vectors, so a
+    persisted vector table can be re-banded per consumer instead of
+    materializing |docs| x bands signature rows."""
     if rows_per_band < 1:
         raise ValueError("rows_per_band must be >= 1")
-    mh = minhash_doc_vectors(sh, bands * rows_per_band, id_col)
     if rows_per_band == 1:
         sigs = F.col("mh")
     else:
@@ -397,6 +395,21 @@ def minhash_banded_rows(
             ),
         )
     return mh.select(id_col, F.posexplode(sigs).alias("band", "sig"))
+
+
+def minhash_banded_rows(
+    sh: DataFrame,
+    bands: int,
+    rows_per_band: int = 1,
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, band, sig) rows — :func:`minhash_band_sigs` semantics over
+    the codegen vector path of :func:`minhash_doc_vectors`, banded by
+    :func:`_band_vectors`."""
+    if rows_per_band < 1:
+        raise ValueError("rows_per_band must be >= 1")
+    mh = minhash_doc_vectors(sh, bands * rows_per_band, id_col)
+    return _band_vectors(mh, bands, rows_per_band, id_col)
 
 
 def minhash_band_sigs(grams_col, bands: int, rows_per_band: int = 1):
@@ -433,6 +446,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     max_bucket: int | None = None,
     rows_per_band: int = 1,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via minhash banding.
 
@@ -459,14 +473,25 @@ def minhash_lsh_pairs(
     collisions are mega-buckets — strip boilerplate first
     (boilerplate_ngrams) when that matters. None = exact
     oracle-checked semantics.
+
+    ``vectors``: optional precomputed (id, mh) minhash-vector frame —
+    exactly ``minhash_doc_vectors(sh, bands * rows_per_band)`` over the
+    same corpus, persisted by the caller. Skips the shingle + signature
+    pass entirely; banding is cheap slicing re-derived per join side
+    (the tuner→miner composition computes corpus vectors once,
+    concurrent with tuning — every banding of one shared vector).
     """
-    sh = spread(docs).select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
-    ).where(F.size("grams") > 0)
-    banded = minhash_banded_rows(sh, bands, rows_per_band)
-    # One signature row per (doc, band) — computing the md5 minhashes is the
-    # expensive part, the self-join must not run it twice (see hamming_pairs).
-    banded = scoped_persist(banded, "dedup.minhash_banded", eager=True)
+    if vectors is not None:
+        banded = _band_vectors(vectors, bands, rows_per_band)
+    else:
+        sh = spread(docs).select(
+            F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
+        ).where(F.size("grams") > 0)
+        banded = minhash_banded_rows(sh, bands, rows_per_band)
+        # One signature row per (doc, band) — computing the md5 minhashes
+        # is the expensive part, the self-join must not run it twice (see
+        # hamming_pairs).
+        banded = scoped_persist(banded, "dedup.minhash_banded", eager=True)
     if max_bucket is not None:
         keep = (
             banded.groupBy("band", "sig")
@@ -1166,6 +1191,21 @@ def lsh_autotune(
         "id",
         minhash_chunk_signatures(F.col("grams"), n_hashes).alias("mh"),
     )
+    # The exact-Jaccard truth miner shares NOTHING with the signature/
+    # candidate chain below — overlap its materialization from a driver
+    # thread (guide §2.6) so truth stages back-fill the idle capacity
+    # of the signature pass's tail and vice versa.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _truth_pool = ThreadPoolExecutor(max_workers=1)
+    truth_fut = _truth_pool.submit(
+        scoped_persist,
+        ngram_jaccard_pairs(
+            docs, text_col, id_col, n, threshold, max_df=max_df
+        ).select("a", "b"),
+        "dedup.autotune_truth",
+        True,
+    )
     # ONE signature pass feeds every config's banding + self-join: the
     # md5 minhash computation dominates, so it must not re-run per
     # config (4 configs x 2 join sides = 8 consumers in one action).
@@ -1210,17 +1250,19 @@ def lsh_autotune(
         .select("bands", "a", "b")
         .distinct()
     )
-    cand = scoped_persist(cand, "dedup.autotune_cand", eager=True)
-    # max_df: at sample sizes beyond ~10^5 docs the truth miner's
-    # shared-shingle join hits Zipfian corpus-wide shingles ("alpha
-    # beta gamma" frame phrases) whose buckets go quadratic; cap their
-    # document frequency exactly as ngram_jaccard_pairs documents
-    # (slight jaccard underestimate on truth — the tuner's recall
-    # becomes marginally conservative, the safe direction).
-    truth = ngram_jaccard_pairs(
-        docs, text_col, id_col, n, threshold, max_df=max_df
-    ).select("a", "b")
-    truth = scoped_persist(truth, "dedup.autotune_truth", eager=True)
+    try:
+        cand = scoped_persist(cand, "dedup.autotune_cand", eager=True)
+    finally:
+        # max_df note: at sample sizes beyond ~10^5 docs the truth
+        # miner's shared-shingle join hits Zipfian corpus-wide shingles
+        # ("alpha beta gamma" frame phrases) whose buckets go quadratic;
+        # cap their document frequency exactly as ngram_jaccard_pairs
+        # documents (slight jaccard underestimate on truth — the tuner's
+        # recall becomes marginally conservative, the safe direction).
+        # Join the concurrent truth materialization even when the
+        # candidate chain raises, so no background job outlives us.
+        truth = truth_fut.result()
+        _truth_pool.shutdown(wait=True)
     cfg = spark.createDataFrame(
         list(configs), "bands int, rows_per_band int"
     )
@@ -1313,19 +1355,58 @@ def minhash_dedup_auto(
     At 64 bits the per-pair collision odds are ~|grams|²/2⁶⁵; if that
     is a concern, tune on raw gram strings via a custom truth set.
     """
-    tuned = lsh_autotune(
-        docs if tune_docs is None else tune_docs,
-        text_col,
-        id_col,
-        n=n,
-        n_hashes=n_hashes,
-        configs=configs,
-        threshold=threshold,
-        target_recall=target_recall,
-        max_df=max_df,
-        max_bucket=max_bucket,
-    )
-    (pick,) = [r for r in tuned.collect() if r["picked"]]
+    def _tune(sample: DataFrame):
+        return [
+            r
+            for r in lsh_autotune(
+                sample,
+                text_col,
+                id_col,
+                n=n,
+                n_hashes=n_hashes,
+                configs=configs,
+                threshold=threshold,
+                target_recall=target_recall,
+                max_df=max_df,
+                max_bucket=max_bucket,
+            ).collect()
+            if r["picked"]
+        ]
+
+    if tune_docs is None:
+        # Tuning corpus IS the mining corpus — no distinct signature
+        # work to overlap; keep the sequential path.
+        (pick,) = _tune(docs)
+        return minhash_lsh_pairs(
+            docs,
+            text_col,
+            id_col,
+            n=n,
+            bands=int(pick["bands"]),
+            max_bucket=max_bucket,
+            rows_per_band=int(pick["rows_per_band"]),
+        )
+    # The corpus-wide minhash VECTOR is banding-independent: every
+    # config (b, r) with b*r == n_hashes regroups the same n_hashes
+    # chunks (enforced by lsh_autotune's validation). So the expensive
+    # full-corpus signature pass does not depend on the pick — compute
+    # and persist it CONCURRENTLY with the sample-sized tuner from a
+    # driver thread (guide-§2.6 overlap: tuner stages and signature
+    # stages back-fill each other's idle capacity), then re-band the
+    # persisted vectors with the picked (bands, rows_per_band).
+    from concurrent.futures import ThreadPoolExecutor
+
+    sh_full = spread(docs).select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
+    ).where(F.size("grams") > 0)
+    vectors = minhash_doc_vectors(sh_full, n_hashes, "id")
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(
+            scoped_persist, vectors, "dedup.auto_vectors", True
+        )
+        picks = _tune(tune_docs)
+        vectors = fut.result()
+    (pick,) = picks
     return minhash_lsh_pairs(
         docs,
         text_col,
@@ -1334,6 +1415,7 @@ def minhash_dedup_auto(
         bands=int(pick["bands"]),
         max_bucket=max_bucket,
         rows_per_band=int(pick["rows_per_band"]),
+        vectors=vectors,
     )
 
 
