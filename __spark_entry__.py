@@ -5736,8 +5736,16 @@ def q_pipeline_full_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .join(src_map, "doc_id")).localCheckpoint(eager=True)
     qk = quality_filter(corpus0).where("keep").select("doc_id")
-    corpus1 = (corpus0.join(qk, "doc_id")).localCheckpoint(eager=True)
-    corpus2 = (corpus1.join(dedup_exact(corpus1), "doc_id")).localCheckpoint(eager=True)
+    # spread BEFORE the checkpoint: the join outputs AQE-coalesce to ~1
+    # partition at gate scale and the checkpoint would freeze that
+    # layout, serializing every downstream per-doc compute (the gram
+    # build alone measured 5.2 s single-task vs 3.1 s spread at sf0.1);
+    # spreading first costs one round-robin inside the checkpoint job
+    # and every consumer then reads 32-way cached blocks.
+    corpus1 = spread(corpus0.join(qk, "doc_id")).localCheckpoint(eager=True)
+    corpus2 = spread(
+        corpus1.join(dedup_exact(corpus1), "doc_id")
+    ).localCheckpoint(eager=True)
     cand = minhash_lsh_pairs(corpus2, n=3, bands=16)
     g = (corpus2.select(
             F.col("doc_id").alias("gid"),
