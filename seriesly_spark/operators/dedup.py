@@ -1087,17 +1087,35 @@ def lsh_eval(
     row (n_true, n_cand, n_hit, recall, precision) with ratios rounded
     to 6 (NULL when the denominator is 0).
     """
-    cand = minhash_lsh_pairs(docs, text_col, id_col, n, bands)
+    # The candidate pair set is consumed twice (its own count + the hit
+    # flags) — persist the tiny (a, b) list so the banded self-join +
+    # distinct run once. n_true and n_hit collapse into ONE pass over
+    # truth: a left join against the (unique-pair) candidates with a
+    # hit flag, so the truth-side shingle join also runs once instead
+    # of twice (count identity: sum(flag) == left_semi count because
+    # cand pairs are distinct).
+    cand = scoped_persist(
+        minhash_lsh_pairs(docs, text_col, id_col, n, bands),
+        "dedup.lsheval_cand",
+        eager=True,
+    )
     truth = ngram_jaccard_pairs(docs, text_col, id_col, n, threshold).select(
         "a", "b"
     )
-    hit = truth.join(cand, ["a", "b"], "left_semi")
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    flagged = truth.join(
+        cand.withColumn("__c", F.lit(1)), ["a", "b"], "left"
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        # coalesce AFTER the sum too: over an empty truth set sum() is
+        # NULL where the old count() was 0.
+        F.coalesce(F.sum(F.coalesce("__c", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_hit"),
+    )
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
-    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
     return (
-        n_true.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hit))
+        stats.crossJoin(F.broadcast(n_cand))
         .select(
             "n_true",
             "n_cand",
