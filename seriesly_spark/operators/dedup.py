@@ -1911,19 +1911,34 @@ def simhash_eval(
     (NULL when the denominator is 0).
     """
     fps = simhash32_md5(docs, text_col, id_col)
-    cand = hamming_pairs(
-        fps, 32, max_hamming, bands, id_col=id_col, fp_col="simhash"
-    ).select("a", "b")
+    # Same shape as lsh_eval: persist the tiny candidate pair set (it
+    # is consumed by its own count AND the hit flags — without this the
+    # banded self-join + distinct run twice), and collapse n_true/n_hit
+    # into ONE truth pass via a hit-flag left join (cand pairs are
+    # distinct — hamming_pairs ends in .distinct() — so sum(flag) ==
+    # the left_semi count).
+    cand = scoped_persist(
+        hamming_pairs(
+            fps, 32, max_hamming, bands, id_col=id_col, fp_col="simhash"
+        ).select("a", "b"),
+        "dedup.simhasheval_cand",
+        eager=True,
+    )
     truth = ngram_jaccard_pairs(docs, text_col, id_col, n, threshold).select(
         "a", "b"
     )
-    hit = truth.join(cand, ["a", "b"], "left_semi")
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    flagged = truth.join(
+        cand.withColumn("__c", F.lit(1)), ["a", "b"], "left"
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.coalesce(F.sum(F.coalesce("__c", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_hit"),
+    )
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
-    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
     return (
-        n_true.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hit))
+        stats.crossJoin(F.broadcast(n_cand))
         .select(
             "n_true",
             "n_cand",

@@ -213,32 +213,35 @@ def ngram_novelty(
     (persisted — the first-carrier aggregate and the join probe both
     read it), min-id per gram (map-side combine does the heavy lifting),
     co-partitioned join back on the gram, per-doc fold. The only wide
-    exchange is keyed on the gram — the same scale class as
+    exchange is keyed on the gram — and the gram identity is the
+    long-space hashed shingle of ``_shingle_sets`` (tokens are
+    whitespace-free, so the old concat-ws string identity was injective
+    over token windows — hash identity matches it exactly, modulo the
+    same ~n²/2⁶⁵ xxhash64 collision contract every set-similarity
+    miner already carries), so 8-byte longs cross the two gram-keyed
+    exchanges instead of gram STRINGS — the same scale class as
     ``contamination_overlap`` / ``ngram_jaccard_pairs``.
     """
-    sh = spread(docs).select(
-        F.col(id_col), word_shingles(text_col, n).alias("grams")
-    ).where(F.size("grams") > 0)
-    ex = sh.select(
-        id_col,
-        F.size("grams").alias("n_shingles"),
-        F.explode("grams").alias("g"),
-    )
-    ex = scoped_persist(ex, "sampling.novelty_shingles")
-    first = ex.groupBy("g").agg(F.min(id_col).alias("__first"))
+    from seriesly_spark.operators.dedup import _shingle_sets
+
+    ex = _shingle_sets(docs, text_col, id_col, n, "sampling.novelty_shingles")
+    first = ex.groupBy("g").agg(F.min("id").alias("__first"))
     return (
         ex.join(first, "g")
-        .groupBy(id_col)
+        .groupBy("id")
         .agg(
-            F.first("n_shingles").alias("n_shingles"),
+            F.first("sz").alias("n_shingles"),
             F.sum(
-                (F.col("__first") == F.col(id_col)).cast("long")
+                (F.col("__first") == F.col("id")).cast("long")
             ).alias("n_novel"),
             F.round(
-                F.sum((F.col("__first") == F.col(id_col)).cast("long"))
-                / F.first("n_shingles"),
+                F.sum((F.col("__first") == F.col("id")).cast("long"))
+                / F.first("sz"),
                 6,
             ).alias("novelty"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_shingles", "n_novel", "novelty"
         )
     )
 
