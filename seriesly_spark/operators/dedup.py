@@ -1784,9 +1784,19 @@ def winnow_eval(
     fingerprint join. Output: one row (n_true, n_cand, n_hit, recall,
     precision), ratios rounded to 6 (NULL when the denominator is 0).
     """
-    cand = winnow_overlap_pairs(
-        docs, text_col, id_col, k=k, w=w, min_shared=min_shared
-    ).select("a", "b")
+    # Same single-pass shape as lsh_eval/simhash_eval: persist the tiny
+    # candidate pair set (consumed by its own count AND the hit flags —
+    # otherwise the fingerprint join runs twice) and fold n_true/n_hit
+    # into ONE truth pass via a hit-flag left join (both pair sets are
+    # groupBy(a, b) outputs, hence distinct — sum(flag) == the
+    # left_semi count).
+    cand = scoped_persist(
+        winnow_overlap_pairs(
+            docs, text_col, id_col, k=k, w=w, min_shared=min_shared
+        ).select("a", "b"),
+        "dedup.winnoweval_cand",
+        eager=True,
+    )
     ex = _shingle_sets(docs, text_col, id_col, k, "winnow_eval_truth")
     ga = ex.select(F.col("id").alias("a"), "g")
     gb = ex.select(F.col("id").alias("b"), "g")
@@ -1798,13 +1808,18 @@ def winnow_eval(
         .where(F.col("__shared") >= min_shared_grams)
         .select("a", "b")
     )
-    hit = truth.join(cand, ["a", "b"], "left_semi")
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    flagged = truth.join(
+        cand.withColumn("__c", F.lit(1)), ["a", "b"], "left"
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.coalesce(F.sum(F.coalesce("__c", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_hit"),
+    )
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
-    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
     return (
-        n_true.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hit))
+        stats.crossJoin(F.broadcast(n_cand))
         .select(
             "n_true",
             "n_cand",
