@@ -5774,14 +5774,26 @@ def q_pipeline_full_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     corpus3 = corpus2.join(near_drop, "doc_id", "left_anti")
-    span = (dedup_spans_exact_keep1(corpus3, min_len=8)).localCheckpoint(eager=True)
-    corpus4 = span.where(F.col("text_clean") != "").select(
-        "doc_id", F.col("text_clean").alias("text")
-    )
     root = tempfile.mkdtemp(prefix="seriesly-ladder-")
     try:
         idx = DecontamIndex(spark, os.path.join(root, "idx"), n=3)
-        idx.add_benchmark(docs.where(F.col("doc_id") % 7 == 0))
+        # The benchmark-index build reads the RAW docs table — fully
+        # independent of the span-excision stage — so it runs from a
+        # driver thread while the span checkpoint materializes (guide
+        # §2.6 back-fill; the probe below needs both, so join first).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _fut = _pool.submit(
+                idx.add_benchmark, docs.where(F.col("doc_id") % 7 == 0)
+            )
+            span = (
+                dedup_spans_exact_keep1(corpus3, min_len=8)
+            ).localCheckpoint(eager=True)
+            _fut.result()
+        corpus4 = span.where(F.col("text_clean") != "").select(
+            "doc_id", F.col("text_clean").alias("text")
+        )
         decon = (idx.probe_clean(corpus4)).localCheckpoint(eager=True)
         corpus5 = (decon.where(F.col("text_clean") != "")
             .select("doc_id", F.col("text_clean").alias("text"))
