@@ -351,3 +351,96 @@ class TestUnigramByteFallback:
         with pytest.raises(ValueError, match="byte_fallback"):
             _segment_words(words, {"a": -1.0}, 2, impl="expr",
                            byte_fallback=True)
+
+
+class TestConnectedComponentsRewrite:
+    """The optimization round rewrote the CC loop (self-loop edges fold
+    the keep-own-label term into the neighbor-min aggregate; exact-
+    decimal label-mass sum replaces the changed-rows count; edges
+    pre-partitioned once). These pin the loop mechanics the tiny
+    round-11 case and the oracle replays do not reach."""
+
+    def test_long_chain_pointer_jumping(self, spark):
+        # A 60-node chain exercises pointer jumping (O(log d) rounds)
+        # AND the mass-convergence stop: every node must reach label 0.
+        from seriesly_spark.operators.dedup import connected_components
+
+        n = 60
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "a long, b long"
+        )
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(nodes, pairs).collect()
+        }
+        assert got == {i: 0 for i in range(n)}
+
+    def test_empty_pairs_single_round(self, spark):
+        # No edges: every node is its own cluster and the loop must
+        # stop on the FIRST equal-mass round (initial mass == round-1
+        # mass), exactly like the old changed==0 early exit.
+        from seriesly_spark.operators.dedup import connected_components
+
+        nodes = spark.createDataFrame([(7,), (3,), (11,)], "id long")
+        pairs = spark.createDataFrame([], "a long, b long")
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(nodes, pairs).collect()
+        }
+        assert got == {7: 7, 3: 3, 11: 11}
+
+    def test_isolated_nodes_kept_by_self_loops(self, spark):
+        # Nodes absent from every pair must still appear in the output
+        # (the self-loop union is what carries them through the
+        # neighbor-min aggregate).
+        from seriesly_spark.operators.dedup import connected_components
+
+        nodes = spark.createDataFrame(
+            [(1,), (2,), (50,), (99,)], "id long"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(nodes, pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 50: 50, 99: 99}
+
+    def test_duplicate_and_reversed_pairs(self, spark):
+        # The miner contract allows the same undirected pair to arrive
+        # once per colliding band; duplicates/reversals must not change
+        # the labeling.
+        from seriesly_spark.operators.dedup import connected_components
+
+        nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+        pairs = spark.createDataFrame(
+            [(2, 3), (3, 2), (2, 3), (0, 1)], "a long, b long"
+        )
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(nodes, pairs).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 2, 3: 2}
+
+
+class TestEvalSinglePass:
+    """lsh/simhash/winnow_eval now compute n_true/n_hit in one truth
+    pass via a hit-flag left join; these pin the empty-corpus zero
+    (sum-over-nothing would be NULL) for the two evals the round-5
+    gate did not already cover."""
+
+    def test_simhash_eval_empty_corpus(self, spark):
+        from seriesly_spark.operators.dedup import simhash_eval
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        r = simhash_eval(df).collect()[0]
+        assert (r.n_true, r.n_cand, r.n_hit) == (0, 0, 0)
+        assert r.recall is None and r.precision is None
+
+    def test_winnow_eval_empty_corpus(self, spark):
+        from seriesly_spark.operators.dedup import winnow_eval
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        r = winnow_eval(df).collect()[0]
+        assert (r.n_true, r.n_cand, r.n_hit) == (0, 0, 0)
+        assert r.recall is None and r.precision is None
