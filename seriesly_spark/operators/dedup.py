@@ -528,7 +528,9 @@ def connected_components(
     data. Converges in O(diameter) rounds — near-dup clusters are shallow
     (pairs come from banding), so 2-4 rounds in practice; ``max_iter``
     bounds adversarial chains. Input ``nodes``: one column ``id_col``;
-    ``pairs``: columns (a, b). Output: (id, cluster_id).
+    ``pairs``: columns (a, b) whose endpoints should be a subset of
+    ``nodes`` (endpoints absent from ``nodes`` flow in through the edge
+    union and appear in the output). Output: (id, cluster_id).
     """
     nodes_u = nodes.select(F.col(id_col).alias("u"))
     edges = (
@@ -554,10 +556,27 @@ def connected_components(
     # decreasing until the fixpoint; equal sums <=> no label changed.
     # This replaces the per-round filter-count with a sum that rides the
     # same materializing action, and drops the carried "old" column.
+    # The mass signal is only sound for exact integral ids: a fractional
+    # or non-numeric id_col would cast to NULL (sum None every round,
+    # None == None after round one — silent mis-clustering), so those
+    # fall back to the pre-r15 changed-rows count (one extra comparison
+    # join per round, never hit by in-repo callers, all long ids).
+    from pyspark.sql import types as _T
+
+    _id_type = labels.schema["label"].dataType
+    use_mass = isinstance(
+        _id_type,
+        (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType, _T.DecimalType),
+    ) and not (isinstance(_id_type, _T.DecimalType) and _id_type.scale > 0)
     _mass = lambda df: df.agg(  # noqa: E731
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
-    prev = _mass(labels)
+    prev = None
+    if use_mass:
+        prev = _mass(labels)
+        if prev is None:
+            # Empty node set or NULL ids: the mass is blind — fall back.
+            use_mass = False
     for _ in range(max_iter):
         # (1) neighbor-min over N(u) ∪ {u}: the smallest label one hop
         # away, own label included via the self-loop.
@@ -585,12 +604,24 @@ def connected_components(
             .select("u", F.least("mid", "lmid").alias("label"))
             .localCheckpoint(eager=False)
         )
-        cur = _mass(new_labels)
+        if use_mass:
+            cur = _mass(new_labels)
+            converged = cur == prev
+            prev = cur
+        else:
+            converged = (
+                new_labels.join(
+                    labels.select("u", F.col("label").alias("__old")), "u"
+                )
+                .where(F.col("label") != F.col("__old"))
+                .limit(1)
+                .count()
+                == 0
+            )
         mid_tbl.unpersist()
         labels = new_labels
-        if cur == prev:
+        if converged:
             break
-        prev = cur
     edges.unpersist()
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))
 
@@ -1138,6 +1169,45 @@ def lsh_eval(
     )
 
 
+def _autotune_banded(
+    mh: DataFrame, configs: tuple, max_bucket: int | None
+) -> DataFrame:
+    """Per-config banding of one shared signature vector (lsh_autotune
+    helper). NOT persisted: it derives from the persisted mh by cheap
+    fixed-width slicing+md5, so recomputing it per join side is cheaper
+    than materializing |docs| x 60 signature rows (measured)."""
+    banded = None
+    for b, r in configs:
+        part = mh.select(
+            "id",
+            F.lit(b).alias("bands"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(b - 1)),
+                    lambda k: F.struct(
+                        k.cast("int").alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "", F.slice(F.col("mh"), k * r + 1, r)
+                            ).cast("binary")
+                        ).alias("sig"),
+                    ),
+                )
+            ).alias("bs"),
+        ).select("id", "bands", "bs.band", "bs.sig")
+        banded = part if banded is None else banded.unionByName(part)
+    if max_bucket is not None:
+        # same mega-bucket guard as minhash_lsh_pairs, keyed per config
+        keep = (
+            banded.groupBy("bands", "band", "sig")
+            .agg(F.count(F.lit(1)).alias("__bk"))
+            .where(F.col("__bk") <= max_bucket)
+            .select("bands", "band", "sig")
+        )
+        banded = banded.join(keep, ["bands", "band", "sig"])
+    return banded
+
+
 def lsh_autotune(
     docs: DataFrame,
     text_col: str = "text",
@@ -1227,48 +1297,20 @@ def lsh_autotune(
     # ONE signature pass feeds every config's banding + self-join: the
     # md5 minhash computation dominates, so it must not re-run per
     # config (4 configs x 2 join sides = 8 consumers in one action).
-    mh = scoped_persist(mh, "dedup.autotune_mh", eager=True)
-    banded = None
-    for b, r in configs:
-        part = mh.select(
-            "id",
-            F.lit(b).alias("bands"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(b - 1)),
-                    lambda k: F.struct(
-                        k.cast("int").alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "", F.slice(F.col("mh"), k * r + 1, r)
-                            ).cast("binary")
-                        ).alias("sig"),
-                    ),
-                )
-            ).alias("bs"),
-        ).select("id", "bands", "bs.band", "bs.sig")
-        banded = part if banded is None else banded.unionByName(part)
-    # banded is NOT persisted: it derives from the persisted mh by
-    # cheap fixed-width slicing+md5, so recomputing it per join side is
-    # cheaper than materializing |docs| x 60 signature rows (measured).
-    if max_bucket is not None:
-        # same mega-bucket guard as minhash_lsh_pairs, keyed per config
-        keep = (
-            banded.groupBy("bands", "band", "sig")
-            .agg(F.count(F.lit(1)).alias("__bk"))
-            .where(F.col("__bk") <= max_bucket)
-            .select("bands", "band", "sig")
-        )
-        banded = banded.join(keep, ["bands", "band", "sig"])
-    left = banded.select(F.col("id").alias("a"), "bands", "band", "sig")
-    right = banded.select(F.col("id").alias("b"), "bands", "band", "sig")
-    cand = (
-        left.join(right, ["bands", "band", "sig"])
-        .where(F.col("a") < F.col("b"))
-        .select("bands", "a", "b")
-        .distinct()
-    )
+    # Everything from the submit onward sits inside the try so that ANY
+    # exception path joins the background truth job and shuts the pool
+    # down — no background job outlives this call.
     try:
+        mh = scoped_persist(mh, "dedup.autotune_mh", eager=True)
+        banded = _autotune_banded(mh, configs, max_bucket)
+        left = banded.select(F.col("id").alias("a"), "bands", "band", "sig")
+        right = banded.select(F.col("id").alias("b"), "bands", "band", "sig")
+        cand = (
+            left.join(right, ["bands", "band", "sig"])
+            .where(F.col("a") < F.col("b"))
+            .select("bands", "a", "b")
+            .distinct()
+        )
         cand = scoped_persist(cand, "dedup.autotune_cand", eager=True)
     finally:
         # max_df note: at sample sizes beyond ~10^5 docs the truth
@@ -1277,10 +1319,10 @@ def lsh_autotune(
         # cap their document frequency exactly as ngram_jaccard_pairs
         # documents (slight jaccard underestimate on truth — the tuner's
         # recall becomes marginally conservative, the safe direction).
-        # Join the concurrent truth materialization even when the
-        # candidate chain raises, so no background job outlives us.
-        truth = truth_fut.result()
-        _truth_pool.shutdown(wait=True)
+        try:
+            truth = truth_fut.result()
+        finally:
+            _truth_pool.shutdown(wait=True)
     cfg = spark.createDataFrame(
         list(configs), "bands int, rows_per_band int"
     )

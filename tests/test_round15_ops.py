@@ -422,6 +422,26 @@ class TestConnectedComponentsRewrite:
         }
         assert got == {0: 0, 1: 0, 2: 2, 3: 2}
 
+    def test_string_ids_use_changed_count_fallback(self, spark):
+        # Non-numeric ids cast to NULL under the decimal mass sum; the
+        # r16 guard must detect that statically and fall back to the
+        # changed-rows comparison, so a multi-hop string-id chain still
+        # converges to the lexicographic-min label instead of stopping
+        # after round one (ADVICE r15, medium).
+        from seriesly_spark.operators.dedup import connected_components
+
+        names = [f"doc{i:02d}" for i in range(12)]
+        nodes = spark.createDataFrame([(x,) for x in names], "id string")
+        pairs = spark.createDataFrame(
+            [(names[i], names[i + 1]) for i in range(len(names) - 1)],
+            "a string, b string",
+        )
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(nodes, pairs).collect()
+        }
+        assert got == {x: "doc00" for x in names}
+
 
 class TestEvalSinglePass:
     """lsh/simhash/winnow_eval now compute n_true/n_hit in one truth
