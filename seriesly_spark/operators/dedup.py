@@ -1118,36 +1118,34 @@ def lsh_eval(
     row (n_true, n_cand, n_hit, recall, precision) with ratios rounded
     to 6 (NULL when the denominator is 0).
     """
-    # The candidate pair set is consumed twice (its own count + the hit
-    # flags) — persist the tiny (a, b) list so the banded self-join +
-    # distinct run once. n_true and n_hit collapse into ONE pass over
-    # truth: a left join against the (unique-pair) candidates with a
-    # hit flag, so the truth-side shingle join also runs once instead
-    # of twice (count identity: sum(flag) == left_semi count because
-    # cand pairs are distinct).
-    cand = scoped_persist(
-        minhash_lsh_pairs(docs, text_col, id_col, n, bands),
-        "dedup.lsheval_cand",
-        eager=True,
+    # All three counts ride ONE full-outer join of the two (unique-pair)
+    # sets: n_true = truth marker sum, n_cand = candidate marker sum,
+    # n_hit = both-markers sum. Each miner subtree is then consumed by
+    # exactly one operator, so nothing needs a persist (the r15 eager
+    # persist of the candidate list serialized candidate stages before
+    # any truth stage could start — the driver measured that barrier at
+    # 0.81x; with a single consumer per subtree both miners' stages now
+    # schedule concurrently inside the one final action).
+    cand = minhash_lsh_pairs(docs, text_col, id_col, n, bands).withColumn(
+        "__c", F.lit(1)
     )
-    truth = ngram_jaccard_pairs(docs, text_col, id_col, n, threshold).select(
-        "a", "b"
+    truth = (
+        ngram_jaccard_pairs(docs, text_col, id_col, n, threshold)
+        .select("a", "b")
+        .withColumn("__t", F.lit(1))
     )
-    flagged = truth.join(
-        cand.withColumn("__c", F.lit(1)), ["a", "b"], "left"
-    )
-    stats = flagged.agg(
-        F.count(F.lit(1)).alias("n_true"),
-        # coalesce AFTER the sum too: over an empty truth set sum() is
-        # NULL where the old count() was 0.
-        F.coalesce(F.sum(F.coalesce("__c", F.lit(0))), F.lit(0))
+    both = truth.join(cand, ["a", "b"], "full_outer")
+    stats = both.agg(
+        # coalesce AFTER the sums: over an empty union sum() is NULL
+        # where a count() would be 0.
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_cand"),
+        F.coalesce(F.sum(F.col("__t") * F.col("__c")), F.lit(0))
         .cast("long")
         .alias("n_hit"),
     )
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     return (
-        stats.crossJoin(F.broadcast(n_cand))
-        .select(
+        stats.select(
             "n_true",
             "n_cand",
             "n_hit",
@@ -1826,19 +1824,15 @@ def winnow_eval(
     fingerprint join. Output: one row (n_true, n_cand, n_hit, recall,
     precision), ratios rounded to 6 (NULL when the denominator is 0).
     """
-    # Same single-pass shape as lsh_eval/simhash_eval: persist the tiny
-    # candidate pair set (consumed by its own count AND the hit flags —
-    # otherwise the fingerprint join runs twice) and fold n_true/n_hit
-    # into ONE truth pass via a hit-flag left join (both pair sets are
-    # groupBy(a, b) outputs, hence distinct — sum(flag) == the
-    # left_semi count).
-    cand = scoped_persist(
-        winnow_overlap_pairs(
-            docs, text_col, id_col, k=k, w=w, min_shared=min_shared
-        ).select("a", "b"),
-        "dedup.winnoweval_cand",
-        eager=True,
-    )
+    # Same single-pass shape as lsh_eval/simhash_eval: all three counts
+    # ride ONE full-outer join of the two unique pair sets (both are
+    # groupBy(a, b) outputs, hence distinct), so each miner subtree has
+    # exactly one consumer and the r15 eager candidate persist (a
+    # barrier serializing candidate stages before any truth stage) is
+    # gone.
+    cand = winnow_overlap_pairs(
+        docs, text_col, id_col, k=k, w=w, min_shared=min_shared
+    ).select("a", "b").withColumn("__c", F.lit(1))
     ex = _shingle_sets(docs, text_col, id_col, k, "winnow_eval_truth")
     ga = ex.select(F.col("id").alias("a"), "g")
     gb = ex.select(F.col("id").alias("b"), "g")
@@ -1849,20 +1843,18 @@ def winnow_eval(
         .agg(F.count(F.lit(1)).alias("__shared"))
         .where(F.col("__shared") >= min_shared_grams)
         .select("a", "b")
+        .withColumn("__t", F.lit(1))
     )
-    flagged = truth.join(
-        cand.withColumn("__c", F.lit(1)), ["a", "b"], "left"
-    )
-    stats = flagged.agg(
-        F.count(F.lit(1)).alias("n_true"),
-        F.coalesce(F.sum(F.coalesce("__c", F.lit(0))), F.lit(0))
+    both = truth.join(cand, ["a", "b"], "full_outer")
+    stats = both.agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_cand"),
+        F.coalesce(F.sum(F.col("__t") * F.col("__c")), F.lit(0))
         .cast("long")
         .alias("n_hit"),
     )
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     return (
-        stats.crossJoin(F.broadcast(n_cand))
-        .select(
+        stats.select(
             "n_true",
             "n_cand",
             "n_hit",
@@ -1968,35 +1960,29 @@ def simhash_eval(
     (NULL when the denominator is 0).
     """
     fps = simhash32_md5(docs, text_col, id_col)
-    # Same shape as lsh_eval: persist the tiny candidate pair set (it
-    # is consumed by its own count AND the hit flags — without this the
-    # banded self-join + distinct run twice), and collapse n_true/n_hit
-    # into ONE truth pass via a hit-flag left join (cand pairs are
-    # distinct — hamming_pairs ends in .distinct() — so sum(flag) ==
-    # the left_semi count).
-    cand = scoped_persist(
-        hamming_pairs(
-            fps, 32, max_hamming, bands, id_col=id_col, fp_col="simhash"
-        ).select("a", "b"),
-        "dedup.simhasheval_cand",
-        eager=True,
+    # Same shape as lsh_eval: all three counts ride ONE full-outer join
+    # of the two unique-pair sets (hamming_pairs ends in .distinct()),
+    # so each miner subtree has exactly one consumer and the r15 eager
+    # candidate persist (a barrier serializing candidate stages before
+    # any truth stage) is gone.
+    cand = hamming_pairs(
+        fps, 32, max_hamming, bands, id_col=id_col, fp_col="simhash"
+    ).select("a", "b").withColumn("__c", F.lit(1))
+    truth = (
+        ngram_jaccard_pairs(docs, text_col, id_col, n, threshold)
+        .select("a", "b")
+        .withColumn("__t", F.lit(1))
     )
-    truth = ngram_jaccard_pairs(docs, text_col, id_col, n, threshold).select(
-        "a", "b"
-    )
-    flagged = truth.join(
-        cand.withColumn("__c", F.lit(1)), ["a", "b"], "left"
-    )
-    stats = flagged.agg(
-        F.count(F.lit(1)).alias("n_true"),
-        F.coalesce(F.sum(F.coalesce("__c", F.lit(0))), F.lit(0))
+    both = truth.join(cand, ["a", "b"], "full_outer")
+    stats = both.agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_cand"),
+        F.coalesce(F.sum(F.col("__t") * F.col("__c")), F.lit(0))
         .cast("long")
         .alias("n_hit"),
     )
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     return (
-        stats.crossJoin(F.broadcast(n_cand))
-        .select(
+        stats.select(
             "n_true",
             "n_cand",
             "n_hit",
