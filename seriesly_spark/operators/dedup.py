@@ -351,10 +351,22 @@ def minhash_doc_vectors(
             for j in range(n_md5)
         ],
     )
+    # The MINs run over the chunks' NUMERIC value, not the hex string:
+    # min(string) has an immutable agg-buffer type, which forces
+    # SortAggregate (full sort of the exploded gram rows by id, no
+    # map-side partial aggregation). Fixed-width lowercase hex orders
+    # identically to its numeric value ('0'-'9' < 'a'-'f' tracks
+    # 0-15), so min over conv(chunk, 16, 10) longs is the SAME minimum
+    # — re-hexed per doc row afterwards (lpad 8 restores the fixed
+    # width) for a bit-identical vector. Longs hash-aggregate with
+    # map-side combine AND halve the per-chunk shuffle width (8-byte
+    # long vs 16-byte padded UnsafeRow string).
     chunks = [
-        F.substring(F.col(f"__m{i // 4}"), (i % 4) * 8 + 1, 8).alias(
-            f"__h{i}"
+        F.conv(
+            F.substring(F.col(f"__m{i // 4}"), (i % 4) * 8 + 1, 8), 16, 10
         )
+        .cast("long")
+        .alias(f"__h{i}")
         for i in range(n_hashes)
     ]
     return (
@@ -363,9 +375,12 @@ def minhash_doc_vectors(
         .agg(*[F.min(f"__h{i}").alias(f"__h{i}") for i in range(n_hashes)])
         .select(
             id_col,
-            F.array(*[F.col(f"__h{i}") for i in range(n_hashes)]).alias(
-                "mh"
-            ),
+            F.array(
+                *[
+                    F.lpad(F.lower(F.hex(F.col(f"__h{i}"))), 8, "0")
+                    for i in range(n_hashes)
+                ]
+            ).alias("mh"),
         )
     )
 
