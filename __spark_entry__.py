@@ -5940,175 +5940,175 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # certified entries first (registration order), then the
         # stalest-certified cohorts (CERTIFIED.json), alphabetical
         # within a cohort; alphabetical tail.
-        "pipeline_full_ladder": q_pipeline_full_ladder,
-        "decontam_normalized": q_decontam_normalized,
-        "streaming_quality_score": q_streaming_quality_score,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "trend_slope": q_trend_slope,
-        "type_cooccurrence": q_type_cooccurrence,
-        "type_token_ratio": q_type_token_ratio,
-        "unpivot_daily": q_unpivot_daily,
-        "weighted_sample": q_weighted_sample,
-        "welch_ttest": q_welch_ttest,
-        "agreement_kappa": q_agreement_kappa,
-        "ann_rank_eval": q_ann_rank_eval,
-        "audio_decode_stats": q_audio_decode_stats,
-        "bm25_topk": q_bm25_topk,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "bpe_stats": q_bpe_stats,
-        "bpe_train": q_bpe_train,
-        "bt_strength": q_bt_strength,
-        "chisq_type_hour": q_chisq_type_hour,
-        "classifier_report": q_classifier_report,
-        "compression_ratio": q_compression_ratio,
-        "containment_dup": q_containment_dup,
-        "containment_dup_capped": q_containment_dup_capped,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_cosine_pairs": q_dedup_cosine_pairs,
-        "dedup_index_incremental": q_dedup_index_incremental,
-        "dedup_ladder_report": q_dedup_ladder_report,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
-        "dedup_simhash": q_dedup_simhash,
-        "embedding_dispersion": q_embedding_dispersion,
-        "epoch_shuffle": q_epoch_shuffle,
-        "fleiss_kappa": q_fleiss_kappa,
-        "hard_negatives": q_hard_negatives,
-        "hash_split": q_hash_split,
-        "heavy_hitters_tokens": q_heavy_hitters,
-        "hll_rollup_users": q_hll_rollup_users,
-        "image_decode_stats": q_image_decode_stats,
-        "ivf_index_topk": q_ivf_index_topk,
-        "ivf_index_topk_multi": q_ivf_index_topk_multi,
-        "jpeg_decode_stats": q_jpeg_decode_stats,
-        "kmeans_silhouette": q_kmeans_silhouette,
-        "krippendorff_alpha": q_krippendorff_alpha,
-        "lang_confusion": q_lang_confusion,
-        "lsh_eval": q_lsh_eval,
-        "markov_transitions": q_markov_transitions,
+        "suffix_dup_stats": q_suffix_dup_stats,
+        "dedup_spans_exact": q_dedup_spans_exact,
+        "ngram_novelty": q_ngram_novelty,
+        "score_lang_lr": q_score_lang_lr,
+        "simhash_eval": q_simhash_eval,
+        "winnow_eval": q_winnow_eval,
         "minhash_index_incremental": q_minhash_index_incremental,
         "p01_multi_pointer": q_p01_multi_pointer,
+        "pii_redact": q_pii_redact,
+        "rank_eval": q_rank_eval,
+        "score_best_threshold": q_score_best_threshold,
+        "score_brier": q_score_brier,
+        "score_ece": q_score_ece,
+        "simhash_index_incremental": q_simhash_index_incremental,
+        "streaming_score_drift": q_streaming_score_drift,
+        "winnow_overlap": q_winnow_overlap,
+        "winnow_stats": q_winnow_stats,
+        "asof_join": q_asof_join,
+        "bpe_encode": q_bpe_encode,
+        "bpe_train_fast": q_bpe_train_fast,
+        "clean_text": q_clean_text,
+        "compression_screen": q_compression_screen,
+        "contamination": q_contamination,
+        "dedup_best": q_dedup_best,
+        "dedup_exact": q_dedup_exact,
+        "dedup_index_bucketed_probe": q_dedup_index_bucketed_probe,
+        "dedup_minhash_auto": q_dedup_minhash_auto,
+        "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
+        "dedup_minhash_lsh_r2": q_dedup_minhash_lsh_r2,
+        "dedup_safe_split": q_dedup_safe_split,
+        "embedding_centroids": q_embedding_centroids,
+        "encoding_screen": q_encoding_screen,
+        "gapfill_hourly": q_gapfill_hourly,
+        "hopping_window": q_hopping_window,
+        "lang_id": q_lang_id,
+        "lsh_autotune": q_lsh_autotune,
+        "minhash_bucketed_probe": q_minhash_bucketed_probe,
+        "mixture_sample": q_mixture_sample,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_meta": q_multimodal_meta,
+        "p02_canonical_filter": q_p02_canonical_filter,
+        "p02_canonical_numbers": q_p02_canonical_numbers,
+        "p03_eq_filter": q_p03_eq_filter,
+        "p05_bucket_agg": q_p05_bucket_agg,
+        "pca_certify": q_pca_certify,
+        "percentiles": q_percentiles,
+        "png_decode_stats": q_png_decode_stats,
+        "r01_list_reducers": q_r01_list_reducers,
+        "r02_obj_keys": q_r02_obj_keys,
         # --- tail: certified; covered by the all-query
         # oracle replay in tests/test_entry_oracle.py ---
         "activity_concentration": q_concentration,
+        "agreement_kappa": q_agreement_kappa,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_recall": q_ann_ivf_recall,
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_multi_exact": q_ann_multi_exact,
+        "ann_rank_eval": q_ann_rank_eval,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_quantized": q_ann_topk_quantized,
         "approx_pct_certify": q_approx_pct_certify,
-        "asof_join": q_asof_join,
+        "audio_decode_stats": q_audio_decode_stats,
         "audio_fp_near_pairs": q_audio_fp_near_pairs,
         "autocorr_lag1": q_autocorr_lag1,
         "bigram_lm": q_bigram_lm,
-        "bpe_encode": q_bpe_encode,
+        "bm25_topk": q_bm25_topk,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "bpe_stats": q_bpe_stats,
+        "bpe_train": q_bpe_train,
         "bpe_train_batch": q_bpe_train_batch,
-        "bpe_train_fast": q_bpe_train_fast,
+        "bt_strength": q_bt_strength,
         "bucketed_sessionize": q_bucketed_sessionize,
         "budget_select": q_budget_select,
         "c01_cache_hit": q_c01_cache_hit,
         "char_entropy": q_char_entropy,
+        "chisq_type_hour": q_chisq_type_hour,
         "chunk_documents": q_chunk_documents,
-        "clean_text": q_clean_text,
+        "classifier_report": q_classifier_report,
         "cohort_retention": q_cohort_retention,
         "collocation_pmi": q_collocation_pmi,
         "column_profile": q_column_profile,
-        "compression_screen": q_compression_screen,
-        "contamination": q_contamination,
+        "compression_ratio": q_compression_ratio,
+        "containment_dup": q_containment_dup,
+        "containment_dup_capped": q_containment_dup_capped,
         "continuous_rollup": q_continuous_rollup,
         "corr_pairs_hourly": q_corr_pairs_hourly,
         "cusum_changepoint": q_cusum_changepoint,
         "daily_type_pivot": q_daily_type_pivot,
         "decontam_index_probe": q_decontam_index_probe,
+        "decontam_normalized": q_decontam_normalized,
         "decontam_report": q_decontam_report,
-        "dedup_best": q_dedup_best,
-        "dedup_exact": q_dedup_exact,
-        "dedup_index_bucketed_probe": q_dedup_index_bucketed_probe,
-        "dedup_minhash_auto": q_dedup_minhash_auto,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_cosine_pairs": q_dedup_cosine_pairs,
+        "dedup_index_incremental": q_dedup_index_incremental,
+        "dedup_ladder_report": q_dedup_ladder_report,
         "dedup_minhash_cross": q_dedup_minhash_cross,
-        "dedup_minhash_lsh_capped": q_dedup_minhash_lsh_capped,
-        "dedup_minhash_lsh_r2": q_dedup_minhash_lsh_r2,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_paragraphs": q_dedup_paragraphs,
-        "dedup_safe_split": q_dedup_safe_split,
+        "dedup_simhash": q_dedup_simhash,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_cross": q_dedup_spans_cross,
-        "dedup_spans_exact": q_dedup_spans_exact,
         "dedup_spans_exact_keep1": q_dedup_spans_exact_keep1,
         "distinct_users_daily": q_distinct_users_daily,
         "dsir_scores": q_dsir_scores,
         "dup_span": q_dup_span,
-        "embedding_centroids": q_embedding_centroids,
+        "embedding_dispersion": q_embedding_dispersion,
         "embedding_normalize": q_embedding_normalize,
         "embedding_quantize": q_embedding_quantize,
-        "encoding_screen": q_encoding_screen,
+        "epoch_shuffle": q_epoch_shuffle,
         "ewma_hourly": q_ewma_hourly,
+        "fleiss_kappa": q_fleiss_kappa,
         "funnel_counts": q_funnel_counts,
         "funnel_users": q_funnel_users,
-        "gapfill_hourly": q_gapfill_hourly,
         "gapfill_linear": q_gapfill_linear,
+        "hard_negatives": q_hard_negatives,
+        "hash_split": q_hash_split,
+        "heavy_hitters_tokens": q_heavy_hitters,
         "histogram_clamped": q_histogram_clamped,
         "hits_docs": q_hits_docs,
-        "hopping_window": q_hopping_window,
+        "hll_rollup_users": q_hll_rollup_users,
         "html_extract": q_html_extract,
+        "image_decode_stats": q_image_decode_stats,
         "image_phash_dedup": q_image_phash_dedup,
         "image_phash_near_pairs": q_image_phash_near_pairs,
         "inter_event_stats": q_inter_event_stats,
         "interval_coverage": q_interval_coverage,
         "iqr_outliers": q_iqr_outliers,
         "ivf_cell_purity": q_ivf_cell_purity,
+        "ivf_index_topk": q_ivf_index_topk,
+        "ivf_index_topk_multi": q_ivf_index_topk_multi,
         "jaccard_prefix": q_jaccard_prefix,
+        "jpeg_decode_stats": q_jpeg_decode_stats,
         "json_quarantine": q_json_quarantine,
         "kmeans_lloyd": q_kmeans_lloyd,
+        "kmeans_silhouette": q_kmeans_silhouette,
         "kmv_overlap": q_kmv_overlap,
         "kmv_rollup": q_kmv_rollup,
-        "lang_id": q_lang_id,
+        "krippendorff_alpha": q_krippendorff_alpha,
+        "lang_confusion": q_lang_confusion,
         "lang_lr_confusion": q_lang_lr_confusion,
         "length_curriculum": q_length_curriculum,
         "levenshtein_pairs": q_levenshtein_pairs,
-        "lsh_autotune": q_lsh_autotune,
+        "lsh_eval": q_lsh_eval,
         "mad_outliers": q_mad_outliers,
+        "markov_transitions": q_markov_transitions,
         "merge_intervals": q_merge_intervals,
-        "minhash_bucketed_probe": q_minhash_bucketed_probe,
         "minmax_downsample": q_minmax_downsample,
         "mixture_plan": q_mixture_plan,
-        "mixture_sample": q_mixture_sample,
         "moving_avg_6h": q_moving_avg_6h,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_meta": q_multimodal_meta,
-        "ngram_novelty": q_ngram_novelty,
         "normalized_dedup": q_normalized_dedup,
-        "p02_canonical_filter": q_p02_canonical_filter,
-        "p02_canonical_numbers": q_p02_canonical_numbers,
-        "p03_eq_filter": q_p03_eq_filter,
-        "p05_bucket_agg": q_p05_bucket_agg,
         "p08_timeout": q_p08_timeout,
         "pack_sequences": q_pack_sequences,
         "pagerank_docs": q_pagerank_docs,
-        "pca_certify": q_pca_certify,
         "pct_change_series": q_pct_change,
-        "percentiles": q_percentiles,
-        "pii_redact": q_pii_redact,
         "pii_screen": q_pii_screen,
         "pipeline_e2e": q_pipeline_e2e,
-        "png_decode_stats": q_png_decode_stats,
+        "pipeline_full_ladder": q_pipeline_full_ladder,
         "profile_diff": q_profile_diff,
         "quality_filter": q_quality_filter,
         "quality_lr_auc": q_quality_lr_auc,
         "quantile_transform": q_quantile_transform,
-        "r01_list_reducers": q_r01_list_reducers,
-        "r02_obj_keys": q_r02_obj_keys,
         "r03_rate_family": q_r03_rate_family,
         "range_join": q_range_join,
-        "rank_eval": q_rank_eval,
         "rare_label_collapse": q_rare_label_collapse,
         "rep_stats": q_rep_stats,
         "reservoir_per_group": q_reservoir_per_group,
@@ -6134,12 +6134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "score_auc": q_score_auc,
         "score_auc_by_source": q_score_auc_by_source,
-        "score_best_threshold": q_score_best_threshold,
-        "score_brier": q_score_brier,
         "score_calibration": q_score_calibration,
-        "score_ece": q_score_ece,
         "score_ks": q_score_ks,
-        "score_lang_lr": q_score_lang_lr,
         "score_lift": q_score_lift,
         "score_pr_curve": q_score_pr_curve,
         "score_psi_shards": q_score_psi_shards,
@@ -6149,8 +6145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_gaps": q_series_gaps,
         "sessionize_users": q_sessionize_users,
         "setops_users": q_setops_users,
-        "simhash_eval": q_simhash_eval,
-        "simhash_index_incremental": q_simhash_index_incremental,
         "sliding_distinct_approx": q_sliding_distinct_approx,
         "sliding_distinct_users": q_sliding_distinct,
         "snapshot_diff": q_snapshot_diff,
@@ -6162,11 +6156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_distinct": q_streaming_distinct,
         "streaming_join": q_streaming_join,
         "streaming_phash_dedup": q_streaming_phash_dedup,
-        "streaming_score_drift": q_streaming_score_drift,
+        "streaming_quality_score": q_streaming_quality_score,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_watermarked_agg": q_streaming_watermarked_agg,
         "substring_dup": q_substring_dup,
-        "suffix_dup_stats": q_suffix_dup_stats,
         "t01_parse_time": q_t01_parse_time,
         "text_fingerprint": q_text_fingerprint,
         "text_stats": q_text_stats,
@@ -6187,22 +6180,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,
         "tpch_q21_fast": q_tpch_q21_fast,
+        "tpch_q22": q_tpch_q22,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
         "train_lang_lr": q_train_lang_lr,
         "train_quality_lr": q_train_quality_lr,
+        "trend_slope": q_trend_slope,
+        "type_cooccurrence": q_type_cooccurrence,
+        "type_token_ratio": q_type_token_ratio,
         "unigram_encode": q_unigram_encode,
         "unigram_stats": q_unigram_stats,
         "unigram_train": q_unigram_train,
+        "unpivot_daily": q_unpivot_daily,
         "url_dedup": q_url_dedup,
         "value_histogram": q_value_histogram,
         "video_phash_dedup": q_video_phash_dedup,
         "vocab_coverage": q_vocab_coverage,
         "vocab_topk": q_vocab_topk,
-        "winnow_eval": q_winnow_eval,
-        "winnow_overlap": q_winnow_overlap,
-        "winnow_stats": q_winnow_stats,
+        "weighted_sample": q_weighted_sample,
+        "welch_ttest": q_welch_ttest,
         "winsorize_means": q_winsorize,
         "zscore_outliers": q_zscore_outliers,
     }
