@@ -5742,10 +5742,27 @@ def q_pipeline_full_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build alone measured 5.2 s single-task vs 3.1 s spread at sf0.1);
     # spreading first costs one round-robin inside the checkpoint job
     # and every consumer then reads 32-way cached blocks.
-    corpus1 = spread(corpus0.join(qk, "doc_id")).localCheckpoint(eager=True)
-    corpus2 = spread(
-        corpus1.join(dedup_exact(corpus1), "doc_id")
+    # Quality gate + exact dedup share ONE checkpoint: dedup_exact
+    # (min doc_id per content hash) is expressed as a window flag over
+    # the quality survivors instead of a groupBy + join-back, so the
+    # two stage barriers collapse into one materialization (and the
+    # hash aggregate + doc_id join exchanges collapse into the window's
+    # single content-hash exchange). Survivor set is identical: ids are
+    # unique, so doc_id == min(doc_id) OVER (PARTITION BY hash) keeps
+    # exactly dedup_exact's pick; n_quality counts all rows of the
+    # frame, n_exact counts the flagged ones.
+    from pyspark.sql import Window as _W
+    from seriesly_spark.operators.dedup import content_hash as _chash
+
+    keep1 = (
+        F.col("doc_id")
+        == F.min("doc_id").over(_W.partitionBy(_chash(F.col("text"))))
+    )
+    corpus1 = spread(
+        corpus0.join(qk, "doc_id").withColumn("__k1", keep1)
     ).localCheckpoint(eager=True)
+    corpus2 = corpus1.where("__k1").drop("__k1")
+    corpus1 = corpus1.drop("__k1")
     cand = minhash_lsh_pairs(corpus2, n=3, bands=16)
     g = (corpus2.select(
             F.col("doc_id").alias("gid"),
@@ -5794,14 +5811,32 @@ def q_pipeline_full_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus4 = span.where(F.col("text_clean") != "").select(
             "doc_id", F.col("text_clean").alias("text")
         )
-        decon = (idx.probe_clean(corpus4)).localCheckpoint(eager=True)
-        corpus5 = (decon.where(F.col("text_clean") != "")
-            .select("doc_id", F.col("text_clean").alias("text"))
+        # probe_clean + the clean-corpus projection share ONE
+        # checkpoint: source (broadcast join) and n_tokens (computed on
+        # text_clean — identical to computing it after the filter,
+        # which only drops rows) ride the probe frame, so the separate
+        # corpus5 materialization barrier disappears. corpus5 is the
+        # same rows/columns as before, now a cheap filter+rename over
+        # the checkpointed blocks.
+        decon = (
+            idx.probe_clean(corpus4)
             .join(src_map, "doc_id")
             .withColumn(
                 "n_tokens",
-                F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long"),
-            )).localCheckpoint(eager=True)
+                F.size(
+                    F.split(F.trim(F.col("text_clean")), r"\s+")
+                ).cast("long"),
+            )
+        ).localCheckpoint(eager=True)
+        corpus5 = (
+            decon.where(F.col("text_clean") != "")
+            .select(
+                "doc_id",
+                F.col("text_clean").alias("text"),
+                "source",
+                "n_tokens",
+            )
+        )
         selected = (budget_select(corpus5, "source", 6000, size_col="n_tokens")).localCheckpoint(eager=True)
         packed = pack_sequences(
             selected.select("doc_id", "source").join(
@@ -5846,7 +5881,7 @@ def q_pipeline_full_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v=F.col("n_removed"),
             ),
             _tag(
-                decon.join(src_map, "doc_id"),
+                decon,  # carries source since the checkpoint merge
                 "decontam_removed_tokens",
                 v=F.col("n_removed"),
             ),
