@@ -234,6 +234,15 @@ def _suffix_lcp(pre: DataFrame, rounds: int) -> DataFrame:
             _head_bucket(F.col("__t0"), nb).alias("__b0"),
         )
     )
+    # Hot-head skew bound (ADVICE r15): this window partitions by the
+    # HEAD-TOKEN bucket alone, so every suffix starting with one
+    # Zipfian head token lands in a single window partition and one
+    # task sorts all of its 8-token slices — the later __sb
+    # sub-banding spreads only the final sort, not this rank pass.
+    # Acceptable while max per-token frequency x 8 x 8 B fits one
+    # task's sort budget (a ~1%-frequency token over 10^12 corpus
+    # tokens is ~640 GB — salt this window with a second-token-derived
+    # subkey and re-merge ranks before going there).
     wrank = Window.partitionBy("__b0").orderBy("__s8")
     ranked = rows.select(
         "id",
