@@ -4056,16 +4056,25 @@ def q_dedup_ladder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the (already-gated) components subtree. Monotonicity
     n_docs >= exact >= norm and clusters <= exact is structural."""
     docs = _table(spark, sf_dir, "documents")
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    exact = docs.agg(
-        F.count_distinct(F.md5(F.col("text").cast("binary"))).alias("n_exact")
-    )
     norm_fp = F.md5(
         F.trim(
             F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
         ).cast("binary")
     )
-    norm = docs.agg(F.count_distinct(norm_fp).alias("n_norm"))
+    # ONE corpus scan for all three survivor counters (was three
+    # independent single-row aggregates crossJoined at the end — three
+    # full text scans, each hashing the corpus separately). Spark
+    # rewrites the two count_distincts via Expand: the same scan feeds
+    # 16-byte digest rows to both distinct aggregates, so two parquet
+    # text scans and their aggregate exchanges disappear outright;
+    # values are bit-identical (same counts over the same rows).
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5(F.col("text").cast("binary"))).alias(
+            "n_exact"
+        ),
+        F.count_distinct(norm_fp).alias("n_norm"),
+    )
     pairs = minhash_lsh_pairs(docs, n=3, bands=16)
     # Same token-count shortcut as q_dedup_clusters: size(word_shingles)
     # > 0 <=> >= 3 whitespace tokens; skip building the gram arrays.
@@ -4076,9 +4085,7 @@ def q_dedup_ladder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("cluster_id").alias("n_clusters")
     )
     return (
-        n_docs.crossJoin(F.broadcast(exact))
-        .crossJoin(F.broadcast(norm))
-        .crossJoin(F.broadcast(clusters))
+        base.crossJoin(F.broadcast(clusters))
         .select(
             "n_docs",
             "n_exact",
