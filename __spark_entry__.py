@@ -5844,6 +5844,11 @@ def q_pipeline_full_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_tokens",
             )
         )
+        # (r16 session B negative A/B, recorded: dropping this barrier
+        # entirely -> 110 jobs (AQE re-materializes the budget_select
+        # subtree per consumer); lazy localCheckpoint -> 100. The eager
+        # form's 99 is the minimum of the three — the barrier is
+        # load-bearing, not removable toward the <95 target.)
         selected = (budget_select(corpus5, "source", 6000, size_col="n_tokens")).localCheckpoint(eager=True)
         packed = pack_sequences(
             selected.select("doc_id", "source").join(
