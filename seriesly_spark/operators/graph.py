@@ -121,7 +121,22 @@ def pagerank(
         ).select("node", "deg"),
         "graph.pagerank_nodes",
     )
-    n_row = nodes_deg.agg(F.count(F.lit(1)).alias("n"))
+    # Loop-invariant hoist: n is constant across rounds, but as an
+    # in-plan 1-row aggregate it re-ran (and re-broadcast) inside EVERY
+    # round's checkpoint action — iterations+1 cached-table passes per
+    # call, a full node-table scan each at cluster scale. One count()
+    # here replaces them all and doubles as the eager materialization
+    # of the persisted node table (previously lazy, materialized inside
+    # round 1's job). n <= row count < 2^53, so the double is exact and
+    # every division stays in-plan — bit-identical arithmetic. n == 0
+    # (empty node universe) short-circuits: every downstream frame is
+    # empty anyway, and under ANSI mode ConstantFolding would evaluate
+    # the now-constant 1/n at PLAN time and throw DIVIDE_BY_ZERO where
+    # the old runtime n column simply never evaluated on zero rows.
+    n = nodes_deg.count()
+    if n == 0:
+        return nodes_deg.select("node", F.lit(0.0).alias("rank"))
+    n_lit = F.lit(float(n))
 
     def dsum(c):
         return F.sum(c.cast("decimal(38,18)")).cast("double")
@@ -135,8 +150,8 @@ def pagerank(
     # node table — referenced twice by round 1's contribution and
     # dangling-mass legs, both trivial recomputes; not worth its own
     # checkpoint execution (r15).
-    ranks = nodes_deg.crossJoin(F.broadcast(n_row)).select(
-        "node", "deg", (F.lit(1.0) / F.col("n")).alias("r")
+    ranks = nodes_deg.select(
+        "node", "deg", (F.lit(1.0) / n_lit).alias("r")
     )
     for _ in range(iterations):
         contrib = (
@@ -150,18 +165,17 @@ def pagerank(
             F.coalesce(dsum(F.col("r")), F.lit(0.0)).alias("m")
         )
         ranks = rot.checkpoint(
-            nodes_deg.crossJoin(F.broadcast(n_row))
-            .crossJoin(F.broadcast(m_row))
+            nodes_deg.crossJoin(F.broadcast(m_row))
             .join(contrib, nodes_deg["node"] == contrib["dst"], "left")
             .select(
                 "node",
                 "deg",
                 (
-                    F.lit(1.0 - damping) / F.col("n")
+                    F.lit(1.0 - damping) / n_lit
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("m") / F.col("n")
+                        + F.col("m") / n_lit
                     )
                 ).alias("r"),
             )
