@@ -1344,8 +1344,15 @@ def bt_strength(
         "evaluation.bt_games",
         eager=True,
     )
-    wins = wl.groupBy(F.col("__w").alias("i")).agg(
-        F.sum("__n").cast("bigint").alias("w")
+    # Loop-invariant hoist: wins never changes across rounds, but as a
+    # plain subtree it re-aggregated from the cells cache inside EVERY
+    # round's checkpoint action plus the final select (iterations+1
+    # re-runs). One eager checkpoint of the items-sized table replaces
+    # them; values identical (same aggregate, materialized once).
+    wins = (
+        wl.groupBy(F.col("__w").alias("i"))
+        .agg(F.sum("__n").cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
     )
     p = (
         games.select("i")
